@@ -1,0 +1,47 @@
+"""Query registry: every implemented operator from SURVEY.md §2 is a
+named entry with a Spark callable and (where SQL-expressible) a DuckDB
+oracle SQL string. `__spark_entry__.py`, tests/ and bench.py all feed
+from this single registry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None          # ANSI SQL for DuckDB over the same tables
+    doc: str = ""               # SURVEY §2 row / reference file:line
+    bench: bool = False         # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "",
+             bench: bool = False):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
+    def wrap(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle,
+                                   doc=doc, bench=bench)
+        return fn
+    return wrap
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all query modules (populates REGISTRY) and return it."""
+    from iq_to_hdl_migration_spark.queries import (  # noqa: F401
+        relational,
+        catalog_ops,
+        dedup_queries,
+        text_queries,
+        similarity_queries,
+        events_queries,
+    )
+    return REGISTRY

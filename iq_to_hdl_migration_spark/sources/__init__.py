@@ -1,0 +1,1 @@
+from iq_to_hdl_migration_spark.sources.tables import TABLES, load_tables, register_views  # noqa: F401
