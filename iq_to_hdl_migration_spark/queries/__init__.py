@@ -6,10 +6,25 @@ from this single registry.
 
 from __future__ import annotations
 
+import importlib
+
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Modules that populate REGISTRY on import. Imported defensively so a
+# broken/missing module never takes down the whole registry.
+_QUERY_MODULES = [
+    "relational",
+    "catalog_ops",
+    "dedup_queries",
+    "text_queries",
+    "similarity_queries",
+    "events_queries",
+    "planning_queries",
+    "validation_queries",
+]
 
 
 @dataclass
@@ -34,14 +49,12 @@ def register(name: str, oracle: str | None = None, doc: str = "",
     return wrap
 
 
-def load_all() -> dict[str, QuerySpec]:
+def load_all(strict: bool = False) -> dict[str, QuerySpec]:
     """Import all query modules (populates REGISTRY) and return it."""
-    from iq_to_hdl_migration_spark.queries import (  # noqa: F401
-        relational,
-        catalog_ops,
-        dedup_queries,
-        text_queries,
-        similarity_queries,
-        events_queries,
-    )
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(f"{__name__}.{mod}")
+        except ImportError:
+            if strict:
+                raise
     return REGISTRY

@@ -25,7 +25,7 @@ def get_spark(app_name: str = "iq_to_hdl_migration_spark",
       engine-independent (and match the DuckDB oracle).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    parts = shuffle_partitions or cpus
+    parts = cpus if shuffle_partitions is None else max(1, shuffle_partitions)
     builder = (
         SparkSession.builder
         .appName(app_name)
@@ -38,7 +38,6 @@ def get_spark(app_name: str = "iq_to_hdl_migration_spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER",

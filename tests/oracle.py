@@ -1,0 +1,63 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness compare:
+row count, column-name set, and order-insensitive value equality after
+sorting columns by name. Exact float equality on purpose — queries are
+designed for bit-stable results (decimal-exact aggregation), and any
+drift should fail loudly here before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from iq_to_hdl_migration_spark.sources.tables import TABLES, table_path
+
+_EPS = 1e-9  # relative; guards platform-libm differences only
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def _norm(v):
+    if hasattr(v, "isoformat"):
+        v = v.isoformat()
+    if isinstance(v, bool):
+        return v
+    return v
+
+
+def _rows_sorted(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+def assert_matches_oracle(spark, fn, sql: str, sf_dir: str, name: str = "?"):
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    ocols, orows = run_oracle(sql, sf_dir)
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}")
+    assert len(srows) == len(orows), (
+        f"{name}: row count spark={len(srows)} oracle={len(orows)}")
+    s_sorted = _rows_sorted(scols, srows)
+    o_sorted = _rows_sorted(ocols, orows)
+    for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
+        for a, b in zip(sr, orow):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isclose(a, b, rel_tol=_EPS, abs_tol=_EPS):
+                    continue
+                raise AssertionError(f"{name}: row {i} float {a!r} != {b!r}\n"
+                                     f"spark={sr}\noracle={orow}")
+            if a != b:
+                raise AssertionError(f"{name}: row {i} value {a!r} != {b!r}\n"
+                                     f"spark={sr}\noracle={orow}")
