@@ -20,11 +20,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iq_to_hdl_migration_spark.queries import register
-from iq_to_hdl_migration_spark.sources.tables import table_path
+from iq_to_hdl_migration_spark.sources.tables import load_table as _t_impl
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _t_impl(spark, sf_dir, name)
 
 
 def _dec(c: str, prec: int = 12, scale: int = 2):

@@ -12,6 +12,7 @@ so the same property holds for free.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = [
@@ -24,11 +25,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes events.ts (stored as TIMESTAMP(NANOS),
+    which Spark's vectorized parquet reader rejects) to a microsecond
+    timestamp — same truncation DuckDB applies when casting its
+    TIMESTAMP_NS to TIMESTAMP."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> dict[str, DataFrame]:
     """Load the benchmark tables as DataFrames (lazy — no scan yet)."""
-    return {t: spark.read.parquet(table_path(sf_dir, t))
-            for t in (names or TABLES)}
+    return {t: load_table(spark, sf_dir, t) for t in (names or TABLES)}
 
 
 def register_views(spark: SparkSession, sf_dir: str,
