@@ -1,0 +1,222 @@
+"""Large-scale document deduplication operators.
+
+Not present in the reference (its dedup is key-level: `set(t)` on option
+names, pre_migration.py:666,713 — covered as J16); these are the
+training-data-pipeline operators the brief adds. All are designed for
+the 100 TB case:
+
+  * exact dedup — hash-groupBy on a content digest; one shuffle on the
+    digest, never on the full text.
+  * MinHash-LSH near-dup — shingle → minhash signature → band → bucket
+    grouping; candidate pairs are generated WITHIN buckets only
+    (never an all-pairs cross join). Bucket population is bounded by
+    band collision probability, so the explode-pairs step stays small
+    and skew is handled by AQE.
+  * SimHash — 64-bit signature; near-dup candidates via 16-bit chunk
+    banding (hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+  * n-gram Jaccard — exact verification on a bounded candidate set.
+
+Everything is built from JVM-side `pyspark.sql.functions` (hash, HOFs) —
+no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# MinHash parameters: 32 hashes = 8 bands x 4 rows. Permutation
+# constants are fixed (seed 42) so signatures are reproducible across
+# runs/clusters.
+N_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = 4
+_P = (1 << 61) - 1  # Mersenne prime; a*h+b stays under 2^63 for h < 2^31
+_rng = random.Random(42)
+PERMS = [(_rng.randrange(1, 1 << 31), _rng.randrange(0, 1 << 31))
+         for _ in range(N_HASHES)]
+_PERMS_SQL = "array(" + ", ".join(
+    f"struct({a}L AS a, {b}L AS b)" for a, b in PERMS) + ")"
+
+
+def tokens(text_col: str) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """k-word shingles; a document shorter than k words contributes its
+    whole text as one shingle (so it can still be matched exactly)."""
+    return F.expr(f"""
+        CASE WHEN size(split(lower(trim({text_col})), '\\\\s+')) >= {k}
+             THEN transform(
+                 sequence(0, size(split(lower(trim({text_col})), '\\\\s+')) - {k}),
+                 i -> concat_ws(' ',
+                     slice(split(lower(trim({text_col})), '\\\\s+'), i + 1, {k})))
+             ELSE array(concat_ws(' ', split(lower(trim({text_col})), '\\\\s+')))
+        END
+    """)
+
+
+def minhash_signature(shingles_col: str = "shingles") -> Column:
+    """array<bigint> of N_HASHES minhash values over the shingle set.
+
+    Shingle -> 31-bit base hash (murmur3 via `hash`), then min over the
+    shingle set of (a_i * h + b_i) mod P per permutation — all inside
+    JVM higher-order functions, no Python in the loop.
+    """
+    base = (f"transform({shingles_col}, "
+            "s -> pmod(CAST(hash(s) AS BIGINT), 2147483648))")
+    return F.expr(
+        f"transform({_PERMS_SQL}, "
+        f"p -> array_min(transform({base}, h -> pmod(p.a * h + p.b, {_P}))))")
+
+
+def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (df.withColumn("shingles", word_shingles(text_col))
+              .withColumn("minhash", minhash_signature())
+              .drop("shingles"))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) with estimated
+    Jaccard = fraction of agreeing minhashes, filtered to >= threshold.
+
+    Scale shape: one shuffle to group (band, signature) buckets; pairs
+    are exploded within buckets only. Estimated similarity is computed
+    from the collected signatures in the same pass — no join back
+    against the corpus.
+    """
+    sigs = with_minhash(df.select(id_col, text_col), text_col)
+    bands = (
+        sigs.select(
+            F.col(id_col).alias("id"), "minhash",
+            F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"))
+        .withColumn(
+            "band_sig",
+            F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})"))
+    )
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.collect_list(F.struct("id", "minhash")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(F.expr("""
+                flatten(transform(members, (x, i) ->
+                    transform(slice(members, i + 2, size(members)), y ->
+                        struct(least(x.id, y.id) AS id_a,
+                               greatest(x.id, y.id) AS id_b,
+                               x.minhash AS mh_a, y.minhash AS mh_b))))
+            """)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.mh_a", "p.mh_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "est_jaccard",
+            F.expr("""
+                CAST(size(filter(zip_with(mh_a, mh_b, (a, b) -> a = b), x -> x))
+                     AS DOUBLE) / CAST(size(mh_a) AS DOUBLE)
+            """))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return pairs
+
+
+def simhash64(text_col: str = "text") -> Column:
+    """64-bit SimHash over whitespace tokens, as bigint.
+
+    Per bit b: sum over tokens of +1/-1 depending on bit b of the token
+    hash; bit set iff sum > 0. Uses two 32-bit murmur hashes (seeded)
+    to synthesize 64 bits, all in JVM expressions.
+    """
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    h64 = (f"transform({toks}, t -> "
+           "CAST(hash(t) AS BIGINT) * 4294967296 + "
+           "pmod(CAST(hash(t, 42) AS BIGINT), 4294967296))")
+    return F.expr(f"""
+        aggregate(
+            sequence(0, 63),
+            CAST(0 AS BIGINT),
+            (acc, b) -> acc + CASE WHEN
+                aggregate({h64}, 0,
+                          (s, h) -> s + CASE WHEN ((h >> b) & 1) = 1
+                                         THEN 1 ELSE -1 END) > 0
+                THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)
+    """)
+
+
+def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4
+    16-bit chunks (pigeonhole: hamming <= 3 ⇒ >= 1 chunk equal), group
+    by (chunk_idx, chunk), pair within buckets, verify exact hamming."""
+    sigs = df.select(F.col(id_col).alias("id"),
+                     simhash64(text_col).alias("sig"))
+    chunks = (
+        sigs.select(
+            "id", "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx"))
+        .withColumn("chunk",
+                    F.expr("(sig >> (chunk_idx * 16)) & 65535"))
+    )
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    return (
+        buckets.select(F.explode(F.expr("""
+            flatten(transform(members, (x, i) ->
+                transform(slice(members, i + 2, size(members)), y ->
+                    struct(least(x.id, y.id) AS id_a,
+                           greatest(x.id, y.id) AS id_b,
+                           x.sig AS sig_a, y.sig AS sig_b))))
+        """)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                min_jaccard: float = 0.0) -> DataFrame:
+    """Exact word-set Jaccard for all pairs WITHIN pre-bucketed groups
+    (e.g. (source, lang)) — the bounded-candidate exact verifier. The
+    group-by keeps pair generation local to each bucket; at 100 TB the
+    buckets come from LSH, not from metadata, but the operator is the
+    same."""
+    toks = (df.select(*group_cols, F.col(id_col).alias("id"),
+                      F.array_distinct(tokens(text_col)).alias("tok")))
+    grouped = (toks.groupBy(*group_cols)
+               .agg(F.collect_list(F.struct("id", "tok")).alias("members"))
+               .where(F.size("members") > 1))
+    return (
+        grouped.select(
+            *group_cols,
+            F.explode(F.expr("""
+                flatten(transform(members, (x, i) ->
+                    transform(slice(members, i + 2, size(members)), y ->
+                        struct(least(x.id, y.id) AS id_a,
+                               greatest(x.id, y.id) AS id_b,
+                               x.tok AS tok_a, y.tok AS tok_b))))
+            """)).alias("p"))
+        .select(*group_cols, "p.id_a", "p.id_b", "p.tok_a", "p.tok_b")
+        .withColumn("n_inter", F.size(F.array_intersect("tok_a", "tok_b")))
+        .withColumn("n_union", F.size(F.array_union("tok_a", "tok_b")))
+        .withColumn("jaccard",
+                    F.col("n_inter").cast("double")
+                    / F.col("n_union").cast("double"))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select(*group_cols, "id_a", "id_b", "n_inter", "n_union", "jaccard")
+    )

@@ -1,0 +1,147 @@
+"""Embedding similarity-search operators (brief: ANN over an
+`array<float>` column — brute-force cosine baseline + LSH-bucketed
+scale path).
+
+Design for 100 TB: the query set is broadcast (it is small by
+definition); brute-force scans candidates once with no shuffle of the
+corpus. The LSH path buckets the corpus by random-hyperplane signs so a
+query probes one bucket (1/2^n_planes of the data) instead of scanning
+— the shuffle is on the 16-bit bucket code, never on vectors.
+
+Floating point: cosine is computed with explicit DOUBLE casts and
+sequential left-to-right folds so Spark and the DuckDB oracle produce
+bit-identical doubles (both engines fold lists in order).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+N_TABLES = 4          # independent hash tables (multi-probe union)
+BITS_PER_TABLE = 8    # bucket space per table: 2^8
+N_PLANES = N_TABLES * BITS_PER_TABLE
+DIM = 64
+_rng = random.Random(7)
+PLANES = [[_rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+          for _ in range(N_PLANES)]
+
+
+def _spark_planes_sql() -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(repr(x) + "D" for x in p) + ")" for p in PLANES)
+    return f"array({rows})"
+
+
+def duckdb_planes_list() -> str:
+    """The same plane constants as a DuckDB literal DOUBLE[][]."""
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in PLANES)
+    return f"[{rows}]::DOUBLE[][]"
+
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def as_double_array(col: str) -> str:
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              out: str = "vec") -> DataFrame:
+    """Add `out` = double vector and `norm` columns."""
+    dv = as_double_array(vec_col)
+    return (df.withColumn(out, F.expr(dv))
+              .withColumn("norm", F.sqrt(dot_expr(out, out))))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query (baseline). The query set
+    is broadcast; corpus is scanned once; only the per-query top-k rows
+    survive the window."""
+    from pyspark.sql import Window
+
+    c = with_norm(corpus.select(F.col(id_col).alias("cand_id"),
+                                F.col(vec_col).alias("cemb")), "cemb", "cvec")
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qemb")), "qemb", "qvec")
+    q = q.withColumnRenamed("norm", "qnorm")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine",
+                    dot_expr("qvec", "cvec") / (F.col("qnorm") * F.col("norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("cand_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "cand_id", "cosine",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def _codes_expr(vec_col: str) -> str:
+    """SQL string: array<int> of N_TABLES bucket codes for vec_col."""
+    dv = as_double_array(vec_col)
+    planes = _spark_planes_sql()
+    bits = (f"transform({planes}, (p, i) -> "
+            f"CASE WHEN {_DOT.format(a='p', b=dv)} >= 0.0 THEN 1 ELSE 0 END)")
+    return f"""
+        transform(sequence(0, {N_TABLES - 1}), t ->
+            aggregate(
+                zip_with(slice({bits}, t * {BITS_PER_TABLE} + 1, {BITS_PER_TABLE}),
+                         sequence(0, {BITS_PER_TABLE - 1}),
+                         (b, i) -> b * shiftleft(1, i)),
+                0, (acc, v) -> acc + v))
+    """
+
+
+def with_table_codes(df: DataFrame, vec_col: str,
+                     out: str = "codes") -> DataFrame:
+    return df.withColumn(out, F.expr(_codes_expr(vec_col)))
+
+
+def exploded_buckets(df: DataFrame, vec_col: str) -> DataFrame:
+    """One row per (table_idx, code) bucket membership."""
+    return (with_table_codes(df, vec_col)
+            .select("*", F.posexplode("codes").alias("table_idx", "code"))
+            .drop("codes"))
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via multi-probe LSH: candidates = union of the
+    query's buckets across N_TABLES hash tables (equi-join on
+    (table_idx, code), broadcast query side), deduped, then exact
+    cosine + per-query top-k. At scale each table probes ~1/2^8 of the
+    corpus; vectors are never shuffled — only bucket codes join."""
+    from pyspark.sql import Window
+
+    c = with_norm(corpus.select(F.col(id_col).alias("cand_id"),
+                                F.col(vec_col).alias("cemb")), "cemb", "cvec")
+    c = exploded_buckets(c, "cemb")
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qemb")), "qemb", "qvec")
+    q = exploded_buckets(q.withColumnRenamed("norm", "qnorm"), "qemb")
+    cands = (
+        c.join(F.broadcast(q), ["table_idx", "code"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cands.withColumn(
+        "cosine", dot_expr("qvec", "cvec") / (F.col("qnorm") * F.col("norm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("cand_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "cand_id", "cosine",
+                    F.col("rnk").cast("int").alias("rnk")))

@@ -1,0 +1,113 @@
+"""Registered dedup queries over the `documents` table (brief: LLM
+training-data pipeline operators; SURVEY §2.6 dedup analog J16).
+
+Thin wrappers around `operators.dedup`. The LSH/SimHash candidate
+generators have no SQL-expressible oracle (banded minhash in DuckDB is
+impractical) → rows-only driver check; their *semantics* are locked by
+unit tests with planted near-duplicates (tests/test_dedup.py). The
+exact-dedup and bounded Jaccard queries are fully hash-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iq_to_hdl_migration_spark.operators import dedup
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+    FROM documents
+    """,
+    doc="exact dedup cardinality: digest-based, shuffles 16-byte digests "
+        "not documents",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(digest).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(digest)).alias("n_dupes"),
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="exact dedup keep-first groups (hash-groupBy; one shuffle on the "
+        "digest — the 100 TB-safe exact dedup)",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_md5", F.md5(F.col("text").cast("binary")))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=None,  # banded minhash not SQL-expressible; see tests/test_dedup.py
+    doc="MinHash(32)+LSH(8x4) near-dup candidates, join-within-band only "
+        "— never all-pairs (brief requirement)",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # 64-bit simhash banding not SQL-expressible
+    doc="SimHash64 near-dup candidates via 16-bit chunk banding + exact "
+        "hamming verify",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, lang, doc_id,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    )
+    SELECT a.source, a.lang,
+           CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(len(list_intersect(a.tok, b.tok)) AS INTEGER) AS n_inter,
+           CAST(len(list_distinct(list_concat(a.tok, b.tok))) AS INTEGER) AS n_union,
+           CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.tok, b.tok))) AS DOUBLE)
+               AS jaccard
+    FROM toks a
+    JOIN toks b ON a.source = b.source AND a.lang = b.lang
+               AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.tok, b.tok))) AS DOUBLE) >= 0.5
+    """,
+    doc="exact word-set Jaccard within (source, lang) buckets — bounded "
+        "candidate verification, pair generation local to each bucket",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_within_groups(
+        docs, ["source", "lang"], "doc_id", "text", min_jaccard=0.5)

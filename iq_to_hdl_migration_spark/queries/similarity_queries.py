@@ -1,0 +1,121 @@
+"""Registered similarity-search queries over `embeddings`.
+
+The brute-force and LSH-bucket-code queries are hash-checked against
+DuckDB (the oracle re-implements the same sequential-fold double math
+via list_dot_product over DOUBLE[] casts and the same literal plane
+constants). The full ANN probe is rows-only (window-over-bucket isn't
+worth contorting into the oracle) with semantics locked by
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iq_to_hdl_migration_spark.operators import similarity as sim
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+_N_QUERIES = 5  # vec_id < 5 are the probe vectors
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cosine
+        FROM v q JOIN v c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rnk
+        FROM scored
+    ) t
+    WHERE rnk <= 5
+    """,
+    doc="exact cosine top-5 per probe vector (broadcast queries, "
+        "single corpus scan — the ANN baseline)",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "sim_lsh_bucket_stats",
+    oracle=f"""
+    WITH planes AS (
+        SELECT unnest(range(0, {sim.N_PLANES})) AS plane_id,
+               unnest({sim.duckdb_planes_list()}) AS plane
+    ),
+    codes AS (
+        SELECT e.vec_id,
+               CAST(p.plane_id // {sim.BITS_PER_TABLE} AS INTEGER) AS table_idx,
+               CAST(SUM(CASE WHEN list_dot_product(p.plane,
+                                                   e.embedding::DOUBLE[]) >= 0.0
+                             THEN 1 << (p.plane_id % {sim.BITS_PER_TABLE})
+                             ELSE 0 END) AS INTEGER) AS code
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, p.plane_id // {sim.BITS_PER_TABLE}
+    )
+    SELECT table_idx, code, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM codes GROUP BY table_idx, code
+    """,
+    doc="random-hyperplane LSH bucket histogram per hash table — "
+        "validates the ANN partitioning transform end-to-end",
+)
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (sim.exploded_buckets(
+                emb.select("vec_id", F.col("embedding").alias("cemb")), "cemb")
+            .groupBy("table_idx", "code")
+            .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=None,  # probe semantics locked by tests/test_similarity.py
+    doc="LSH-bucketed approximate top-k: probe one bucket (1/2^16 of "
+        "the corpus at scale) instead of scanning",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim.ann_lsh_topk(emb, queries, k=5)
+
+
+@register(
+    "sim_embedding_stats",
+    oracle="""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(embedding[1] AS DECIMAL(20,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_first,
+           CAST(MIN(embedding[1]) AS DOUBLE) AS min_first,
+           CAST(MAX(embedding[1]) AS DOUBLE) AS max_first
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="per-label embedding stats (decimal-exact sum keeps the shuffle "
+        "order-insensitive and the hash stable)",
+)
+def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = F.element_at("embedding", 1)
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.sum(first.cast("decimal(20,10)")).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("avg_first"),
+                 F.min(first).cast("double").alias("min_first"),
+                 F.max(first).cast("double").alias("max_first")))

@@ -1,0 +1,214 @@
+"""Text-analysis operators over `documents` (brief: language-ID,
+quality scoring, token counting, fingerprinting). All JVM-side
+(`split`/HOFs/regex/md5) — no Python UDFs — and all hash-checked
+against DuckDB list-function oracles.
+
+DuckDB dialect notes baked into the oracles: `regexp_replace` needs the
+'g' flag (Spark replaces all matches by default); list ops are
+`list_transform`/`list_filter`/`list_contains` vs Spark's
+`transform`/`filter`/`array_contains`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+_SW_SQL = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+_SW_DUCK = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+_TOKS_SPARK = r"split(lower(trim(text)), '\\s+')"
+_TOKS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# language marker words for the n-gram/marker language-ID heuristic
+_MARKERS = {"en": ["the", "and", "of"], "de": ["der", "die", "und"],
+            "es": ["el", "los", "y"], "fr": ["le", "les", "et"]}
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len({_TOKS_DUCK}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(list_sum(list_transform({_TOKS_DUCK}, x -> length(x)))
+                AS DOUBLE) / CAST(len({_TOKS_DUCK}) AS DOUBLE)
+               AS avg_token_len
+    FROM documents
+    """,
+    doc="per-doc token counting (whitespace tokenizer, JVM-side)",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKS_SPARK}) AS INT)").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.expr(f"""CAST(aggregate(transform({_TOKS_SPARK}, x -> length(x)),
+                                  0, (acc, x) -> acc + x) AS DOUBLE)
+                   / CAST(size({_TOKS_SPARK}) AS DOUBLE)""")
+        .alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER)
+               AS n_punct,
+           CAST(len(list_filter({_TOKS_DUCK},
+                                x -> list_contains({_SW_DUCK}, x)))
+                AS DOUBLE) / CAST(len({_TOKS_DUCK}) AS DOUBLE)
+               AS stopword_ratio,
+           CASE WHEN len({_TOKS_DUCK}) >= 10
+                 AND len(list_filter({_TOKS_DUCK},
+                                     x -> list_contains({_SW_DUCK}, x))) > 0
+                THEN 'good' ELSE 'low' END AS quality_label
+    FROM documents
+    """,
+    doc="quality scoring: punctuation count, stopword ratio, label "
+        "(length/stopword heuristics per the brief)",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_stop = (f"size(filter({_TOKS_SPARK}, "
+              f"x -> array_contains({_SW_SQL}, x)))")
+    return docs.select(
+        "doc_id",
+        F.expr("CAST(length(regexp_replace(text, '[^.,;:!?]', '')) AS INT)")
+        .alias("n_punct"),
+        F.expr(f"CAST({n_stop} AS DOUBLE) / CAST(size({_TOKS_SPARK}) AS DOUBLE)")
+        .alias("stopword_ratio"),
+        F.expr(f"""CASE WHEN size({_TOKS_SPARK}) >= 10 AND {n_stop} > 0
+                   THEN 'good' ELSE 'low' END""").alias("quality_label"),
+    )
+
+
+def _marker_counts_sql(toks_expr: str, contains_fn: str, arr_open: str,
+                       arr_close: str) -> dict[str, str]:
+    out = {}
+    for lang, words in _MARKERS.items():
+        arr = arr_open + ", ".join(f"'{w}'" for w in words) + arr_close
+        if contains_fn == "spark":
+            out[lang] = (f"size(filter({toks_expr}, "
+                         f"x -> array_contains({arr}, x)))")
+        else:
+            out[lang] = (f"len(list_filter({toks_expr}, "
+                         f"x -> list_contains({arr}, x)))")
+    return out
+
+
+_MC_S = _marker_counts_sql(_TOKS_SPARK, "spark", "array(", ")")
+_MC_D = _marker_counts_sql(_TOKS_DUCK, "duck", "[", "]")
+
+
+def _langid_case(mc: dict[str, str]) -> str:
+    return f"""
+    CASE WHEN {mc['en']} + {mc['de']} + {mc['es']} + {mc['fr']} = 0
+             THEN 'unknown'
+         WHEN {mc['en']} >= greatest({mc['de']}, {mc['es']}, {mc['fr']})
+             THEN 'en'
+         WHEN {mc['de']} >= greatest({mc['es']}, {mc['fr']}) THEN 'de'
+         WHEN {mc['es']} >= {mc['fr']} THEN 'es'
+         ELSE 'fr' END
+    """
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    SELECT predicted_lang, lang AS labeled_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT doc_id, lang, {_langid_case(_MC_D)} AS predicted_lang
+        FROM documents
+    ) t
+    GROUP BY predicted_lang, lang
+    """,
+    doc="marker-word language-ID heuristic + confusion counts vs label",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang",
+                    F.expr(_langid_case(_MC_S)).alias("predicted_lang"))
+        .groupBy("predicted_lang", F.col("lang").alias("labeled_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=rf"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+           substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2)
+               AS shard_key,
+           list_aggregate(list_transform({_TOKS_DUCK}, s -> md5(s)), 'min')
+               AS min_token_md5
+    FROM documents
+    """,
+    doc="document fingerprinting: normalized-content digest + shard key + "
+        "min-token digest (winnowing-style sketch component)",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5(CAST({norm} AS BINARY))").alias("fp_md5"),
+        F.expr(f"substr(md5(CAST({norm} AS BINARY)), 1, 2)").alias("shard_key"),
+        F.expr(f"array_min(transform({_TOKS_SPARK}, "
+               "s -> md5(CAST(s AS BINARY))))").alias("min_token_md5"),
+    )
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(n_chars / 100.0) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY CAST(FLOOR(n_chars / 100.0) AS INTEGER)
+    """,
+    doc="length distribution histogram (bucketed group-by)",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket",
+                        F.floor(F.col("n_chars") / 100.0).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+@register(
+    "text_token_topk",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_TOKS_DUCK}) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    doc="global token frequency top-k (explode + count — partial-agg "
+        "map-side combine keeps the shuffle small)",
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -1,0 +1,57 @@
+"""Semantic tests for the near-dup operators with planted duplicates —
+this is the correctness lock for the rows-only LSH/SimHash queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from iq_to_hdl_migration_spark.operators import dedup
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill in the afternoon sun")
+NEAR = BASE.replace("afternoon", "evening")          # 1-word edit
+FAR = ("completely different content about spark query engines and "
+       "distributed shuffle partitioning strategies at scale today")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR),
+            (4, "tiny doc"), (5, BASE)]  # 5 = exact copy of 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_finds_planted_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in dedup.lsh_candidate_pairs(docs, threshold=0.5).collect()}
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0   # exact copy
+    assert (1, 2) in pairs                             # near dup
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated
+
+
+def test_simhash_finds_exact_and_near(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_candidate_pairs(docs, max_hamming=3)
+             .collect()}
+    assert pairs.get((1, 5)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_jaccard_within_groups(spark):
+    rows = [("s1", 1, BASE), ("s1", 2, NEAR), ("s1", 3, FAR),
+            ("s2", 4, BASE)]  # 4 in another group: never paired with 1
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = dedup.jaccard_pairs_within_groups(
+        df, ["source"], min_jaccard=0.5).collect()
+    keys = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in keys
+    assert all(not (a == 1 and b == 4) for a, b in keys)
+    row12 = next(r for r in out if (r.id_a, r.id_b) == (1, 2))
+    assert 0.8 < row12.jaccard < 1.0
+
+
+def test_minhash_signature_deterministic(docs, spark):
+    a = dedup.with_minhash(docs).orderBy("doc_id").collect()
+    b = dedup.with_minhash(docs).orderBy("doc_id").collect()
+    assert [r.minhash for r in a] == [r.minhash for r in b]
+    assert all(len(r.minhash) == dedup.N_HASHES for r in a)
