@@ -1,0 +1,47 @@
+"""Headline benchmark: runs every registry query marked bench=True at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line the driver records as BENCH_r{N}.json.
+
+Each query is executed twice: a warm-up collect (JIT/codegen, file
+listing) then a timed collect — we're measuring the engine, not JVM
+warmup. `value` is the summed timed seconds across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from iq_to_hdl_migration_spark.queries import load_all
+    from iq_to_hdl_migration_spark.session import get_spark
+
+    spark = get_spark("iq_to_hdl_migration_spark-bench")
+    registry = load_all()
+    bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        spec.fn(spark, sf_dir).collect()          # warm-up
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,24 +60,38 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
     """)
 
 
-def minhash_signature(shingles_col: str = "shingles") -> Column:
-    """array<bigint> of N_HASHES minhash values over the shingle set.
+def shingle_hashes(shingles_col: str = "shingles") -> Column:
+    """31-bit murmur3 base hash per shingle (computed once per shingle)."""
+    return F.expr(f"transform({shingles_col}, "
+                  "s -> pmod(CAST(hash(s) AS BIGINT), 2147483648))")
 
-    Shingle -> 31-bit base hash (murmur3 via `hash`), then min over the
-    shingle set of (a_i * h + b_i) mod P per permutation — all inside
-    JVM higher-order functions, no Python in the loop.
-    """
-    base = (f"transform({shingles_col}, "
-            "s -> pmod(CAST(hash(s) AS BIGINT), 2147483648))")
+
+def minhash_signature(hashes_col: str = "shingle_hashes") -> Column:
+    """array<bigint> of N_HASHES minhash values from pre-computed base
+    hashes: min over the set of (a_i * h + b_i) mod P per permutation —
+    all JVM higher-order functions, no Python in the loop."""
     return F.expr(
         f"transform({_PERMS_SQL}, "
-        f"p -> array_min(transform({base}, h -> pmod(p.a * h + p.b, {_P}))))")
+        f"p -> array_min(transform({hashes_col}, "
+        f"h -> pmod(p.a * h + p.b, {_P}))))")
 
 
-def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_minhash(df: DataFrame, text_col: str = "text",
+                 num_partitions: int | None = None) -> DataFrame:
+    """Text -> minhash signature. The repartition between base-hash and
+    signature projection does double duty: it spreads the CPU-heavy
+    signature step across the cluster (small inputs often arrive as one
+    parquet split) AND it is a materialization barrier — without it,
+    Catalyst's CollapseProject inlines the shingle-hash expression into
+    the 32-permutation lambda and recomputes every string hash 32x
+    (measured 17 ms/doc -> ~0.3 ms/doc with the barrier)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (df.withColumn("shingles", word_shingles(text_col))
+              .withColumn("shingle_hashes", shingle_hashes())
+              .drop("shingles")
+              .repartition(n)
               .withColumn("minhash", minhash_signature())
-              .drop("shingles"))
+              .drop("shingle_hashes"))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -128,23 +142,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     return pairs
 
 
-def simhash64(text_col: str = "text") -> Column:
-    """64-bit SimHash over whitespace tokens, as bigint.
+def token_hashes64(text_col: str = "text") -> Column:
+    """64-bit hash per token (two seeded 32-bit murmurs), computed once."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(f"transform({toks}, t -> "
+                  "CAST(hash(t) AS BIGINT) * 4294967296 + "
+                  "pmod(CAST(hash(t, 42) AS BIGINT), 4294967296))")
+
+
+def simhash64(hashes_col: str = "token_hashes") -> Column:
+    """64-bit SimHash from pre-computed token hashes, as bigint.
 
     Per bit b: sum over tokens of +1/-1 depending on bit b of the token
-    hash; bit set iff sum > 0. Uses two 32-bit murmur hashes (seeded)
-    to synthesize 64 bits, all in JVM expressions.
-    """
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
-    h64 = (f"transform({toks}, t -> "
-           "CAST(hash(t) AS BIGINT) * 4294967296 + "
-           "pmod(CAST(hash(t, 42) AS BIGINT), 4294967296))")
+    hash; bit set iff sum > 0 — all in JVM expressions."""
     return F.expr(f"""
         aggregate(
             sequence(0, 63),
             CAST(0 AS BIGINT),
             (acc, b) -> acc + CASE WHEN
-                aggregate({h64}, 0,
+                aggregate({hashes_col}, 0,
                           (s, h) -> s + CASE WHEN ((h >> b) & 1) = 1
                                          THEN 1 ELSE -1 END) > 0
                 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)
@@ -156,9 +172,15 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit chunks (pigeonhole: hamming <= 3 ⇒ >= 1 chunk equal), group
-    by (chunk_idx, chunk), pair within buckets, verify exact hamming."""
-    sigs = df.select(F.col(id_col).alias("id"),
-                     simhash64(text_col).alias("sig"))
+    by (chunk_idx, chunk), pair within buckets, verify exact hamming.
+    Repartition barrier as in `with_minhash` (parallelism + prevents
+    the token-hash expression from being inlined into the 64-bit fold).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    sigs = (df.select(F.col(id_col).alias("id"),
+                      token_hashes64(text_col).alias("token_hashes"))
+            .repartition(n)
+            .select("id", simhash64().alias("sig")))
     chunks = (
         sigs.select(
             "id", "sig",
@@ -196,8 +218,10 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
     group-by keeps pair generation local to each bucket; at 100 TB the
     buckets come from LSH, not from metadata, but the operator is the
     same."""
-    toks = (df.select(*group_cols, F.col(id_col).alias("id"),
-                      F.array_distinct(tokens(text_col)).alias("tok")))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    toks = (df.repartition(n)
+            .select(*group_cols, F.col(id_col).alias("id"),
+                    F.array_distinct(tokens(text_col)).alias("tok")))
     grouped = (toks.groupBy(*group_cols)
                .agg(F.collect_list(F.struct("id", "tok")).alias("members"))
                .where(F.size("members") > 1))

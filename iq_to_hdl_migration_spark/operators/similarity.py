@@ -88,25 +88,34 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("rnk").cast("int").alias("rnk")))
 
 
-def _codes_expr(vec_col: str) -> str:
-    """SQL string: array<int> of N_TABLES bucket codes for vec_col."""
+def _bits_expr(vec_col: str) -> str:
+    """SQL string: array<int> of N_PLANES sign bits for vec_col."""
     dv = as_double_array(vec_col)
     planes = _spark_planes_sql()
-    bits = (f"transform({planes}, (p, i) -> "
+    return (f"transform({planes}, (p, i) -> "
             f"CASE WHEN {_DOT.format(a='p', b=dv)} >= 0.0 THEN 1 ELSE 0 END)")
-    return f"""
-        transform(sequence(0, {N_TABLES - 1}), t ->
-            aggregate(
-                zip_with(slice({bits}, t * {BITS_PER_TABLE} + 1, {BITS_PER_TABLE}),
-                         sequence(0, {BITS_PER_TABLE - 1}),
-                         (b, i) -> b * shiftleft(1, i)),
-                0, (acc, v) -> acc + v))
-    """
+
+
+_CODES_FROM_BITS = f"""
+    transform(sequence(0, {N_TABLES - 1}), t ->
+        aggregate(
+            zip_with(slice(plane_bits, t * {BITS_PER_TABLE} + 1, {BITS_PER_TABLE}),
+                     sequence(0, {BITS_PER_TABLE - 1}),
+                     (b, i) -> b * shiftleft(1, i)),
+            0, (acc, v) -> acc + v))
+"""
 
 
 def with_table_codes(df: DataFrame, vec_col: str,
                      out: str = "codes") -> DataFrame:
-    return df.withColumn(out, F.expr(_codes_expr(vec_col)))
+    """Repartition barrier between the plane-dot step and the code fold
+    keeps the 32 hyperplane dot products computed once per row (not
+    once per table) and spreads the work across the cluster."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (df.withColumn("plane_bits", F.expr(_bits_expr(vec_col)))
+              .repartition(n)
+              .withColumn(out, F.expr(_CODES_FROM_BITS))
+              .drop("plane_bits"))
 
 
 def exploded_buckets(df: DataFrame, vec_col: str) -> DataFrame:

@@ -66,6 +66,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # banded minhash not SQL-expressible; see tests/test_dedup.py
     doc="MinHash(32)+LSH(8x4) near-dup candidates, join-within-band only "
         "— never all-pairs (brief requirement)",
+    bench=True,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

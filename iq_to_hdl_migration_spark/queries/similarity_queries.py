@@ -46,6 +46,7 @@ _N_QUERIES = 5  # vec_id < 5 are the probe vectors
     """,
     doc="exact cosine top-5 per probe vector (broadcast queries, "
         "single corpus scan — the ANN baseline)",
+    bench=True,
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
