@@ -22,6 +22,7 @@ _QUERY_MODULES = [
     "text_queries",
     "similarity_queries",
     "events_queries",
+    "ddl_queries",
     "planning_queries",
     "validation_queries",
 ]
