@@ -1,0 +1,129 @@
+"""Validation / reconciliation operators V1-V10 as registered queries
+(SURVEY §2.9). V1's transactional verify-or-rollback lives in the
+migrate spine (pipeline/migrate.py, fault-injection tested); the
+queries here are the ledger/file/report reconciliations — shared-SQL
+over the catalog fixture so both engines run the identical body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iq_to_hdl_migration_spark.catalog.fixture import (
+    duckdb_with_prefix, ensure_catalog_views)
+from iq_to_hdl_migration_spark.queries import register
+
+
+def _shared(name: str, tables: list[str], body: str, doc: str) -> None:
+    oracle = duckdb_with_prefix(tables) + body
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_catalog_views(spark)
+        return spark.sql(body)
+
+    fn.__name__ = name
+    register(name, oracle=oracle, doc=doc)(fn)
+
+
+_shared("v1_rowcount_reconciliation", ["extract_ledger", "load_ledger"], """
+SELECT e.owner_table,
+       CAST(e.rowcount AS BIGINT) AS extracted_rows,
+       CAST(l.rowcount AS BIGINT) AS loaded_rows,
+       CASE WHEN l.rowcount = e.rowcount THEN 'ok'
+            ELSE 'MISMATCH' END AS verdict
+FROM extract_ledger e
+JOIN load_ledger l ON l.owner_table = e.owner_table
+""", "V1/V2 source-vs-target rowcount reconciliation "
+     "(migration.py:1461-1480; load_table.sh:36-47) — the in-flight "
+     "verify-or-rollback variant is fault-injection tested in "
+     "tests/test_migrate_pipeline.py")
+
+_shared("v3_extract_completeness",
+        ["systable", "sysuser", "sysiqtab", "extract_ledger"], """
+SELECT u.user_name || '.' || t.table_name AS owner_table,
+       'not extracted' AS issue
+FROM systable t
+JOIN sysuser u ON u.user_id = t.creator
+JOIN sysiqtab q ON q.table_id = t.table_id
+WHERE t.table_type = 'BASE' AND t.server_type = 'IQ' AND q.is_rlv = 'F'
+  AND u.user_name IN ('app1', 'app2')
+  AND u.user_name || '.' || t.table_name NOT IN
+      (SELECT owner_table FROM extract_ledger)
+""", "V3 extract completeness anti-join (migration.py:2647-2693)")
+
+_shared("v4_load_completeness", ["extract_ledger", "load_ledger"], """
+SELECT e.owner_table, 'extracted but not loaded' AS issue
+FROM extract_ledger e
+WHERE e.owner_table NOT IN (SELECT owner_table FROM load_ledger)
+""", "V4 load completeness anti-join (load_schema_and_data.py:776-820)")
+
+_shared("v5_ledger_integrity",
+        ["systable", "sysuser", "sysiqtab", "extract_ledger",
+         "load_ledger"], """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM systable t
+        JOIN sysuser u ON u.user_id = t.creator
+        JOIN sysiqtab q ON q.table_id = t.table_id
+        WHERE t.table_type = 'BASE' AND t.server_type = 'IQ'
+          AND q.is_rlv = 'F' AND u.user_name IN ('app1', 'app2'))
+           AS n_inventory,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM extract_ledger) AS n_extracted,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM load_ledger) AS n_loaded,
+       CASE WHEN (SELECT COUNT(*) FROM extract_ledger) =
+                 (SELECT COUNT(*) FROM load_ledger)
+            THEN 'ok' ELSE 'INCOMPLETE' END AS verdict
+""", "V5 ledger-vs-catalog integrity counts (migration.py:1788-1846)")
+
+_shared("v6_file_copy_validation", ["local_files", "remote_files"], """
+SELECT COALESCE(l.path, r.path) AS path,
+       CAST(l.size_bytes AS BIGINT) AS local_size,
+       CAST(r.size_bytes AS BIGINT) AS remote_size,
+       CASE WHEN l.path IS NULL THEN 'extra_remote'
+            WHEN r.path IS NULL THEN 'missing_remote'
+            WHEN l.size_bytes != r.size_bytes THEN 'size_mismatch'
+            ELSE 'ok' END AS status
+FROM local_files l
+FULL OUTER JOIN remote_files r ON r.path = l.path
+""", "V6 file-level copy validation: count+size reconciliation "
+     "(load_schema_and_data.py:342-406; copy_data_to_hdlfs.sh:60-75)")
+
+_shared("v7_schema_load_errors", ["load_log"], """
+SELECT line_no, line FROM load_log
+WHERE line LIKE '%Could not%'
+""", "V7 schema-load health scan (load_schema_and_data.py:314-340)")
+
+_shared("v8_empty_tables", ["table_stats", "systable", "sysuser"], """
+SELECT u.user_name || '.' || t.table_name AS owner_table
+FROM table_stats s
+JOIN systable t ON t.table_id = s.table_id
+JOIN sysuser u ON u.user_id = t.creator
+WHERE s.row_count = 0
+""", "V8 empty-table short-circuit set (migration.py:1921-1931)")
+
+_shared("v9_readonly_guard", ["properties"], """
+SELECT name, value,
+       CASE WHEN lower(value) IN ('off', 'no', 'n') THEN 'writable'
+            ELSE 'read-only' END AS mode
+FROM properties WHERE name = 'readonly'
+""", "V9 read-only probe analog (migration.py:385-414)")
+
+_shared("v10_preflight_checks", ["properties", "mpx_nodes"], """
+SELECT 'version' AS check_name,
+       (SELECT value FROM properties WHERE name = 'version') AS observed,
+       CASE WHEN (SELECT regexp_extract(value, 'IQ/([0-9]+)', 1)
+                  FROM properties WHERE name = 'version') = '16'
+            THEN 'ok' ELSE 'FAIL' END AS verdict
+UNION ALL
+SELECT 'charset' AS check_name,
+       (SELECT value FROM properties WHERE name = 'Charset') AS observed,
+       CASE WHEN (SELECT value FROM properties WHERE name = 'Charset')
+                 IN ('UTF-8', 'UTF8') THEN 'ok' ELSE 'FAIL' END AS verdict
+UNION ALL
+SELECT 'coordinator' AS check_name,
+       (SELECT MIN(server_name) FROM mpx_nodes
+        WHERE role = 'coordinator') AS observed,
+       CASE WHEN EXISTS (SELECT 1 FROM mpx_nodes
+                         WHERE role = 'coordinator'
+                           AND status = 'included')
+            THEN 'ok' ELSE 'FAIL' END AS verdict
+""", "V10 coordinator/version/charset preflight "
+     "(migration.py:316-381; common.py:253-260)")
