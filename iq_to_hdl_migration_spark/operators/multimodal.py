@@ -1,0 +1,99 @@
+"""Multimodal-column operators (brief: image/audio/video as opaque
+binary columns with typed metadata; decode/feature-extract/
+frame-sample as Arrow-batched pandas functions over mapInPandas).
+
+The decode step is STUBBED: real codecs (PIL/librosa/av) aren't in
+this container, so `try_decode_image` raises NotImplementedError and
+the pipeline uses a deterministic fake decoder instead. Everything
+around it — binary schema, mapInPandas signatures, Arrow batch shape,
+partitioning — is real and tested; swapping in a real decoder changes
+one function.
+
+Scale: mapInPandas streams Arrow record batches per partition — no
+per-row Python, no driver collect. Feature extraction repartitions
+first so a few big files can't serialize one task (same barrier
+rationale as operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = ("doc_id bigint, media_type string, byte_len int, "
+                  "sha256 string, fake_width int, fake_height int")
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_sha256 string"
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text",
+                          media_type: str = "image/fake") -> DataFrame:
+    """Deterministic stand-in for reading media files: payload =
+    UTF-8 bytes of the text column, plus typed metadata columns.
+    In production this is `spark.read.format('binaryFile')` or a
+    binary column landed by the ingest job."""
+    return (docs.withColumn("payload", F.col(text_col).cast("binary"))
+                .withColumn("media_type", F.lit(media_type)))
+
+
+def try_decode_image(payload: bytes) -> tuple[int, int]:
+    """Real image decode — unavailable in this environment."""
+    raise NotImplementedError(
+        "image codecs not installed; use fake_decode_dims")
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake 'decoder': dims derived from content bytes."""
+    return (64 + payload[0] % 512 if payload else 64,
+            64 + (len(payload) % 480))
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, "media_type", "payload").repartition(n)
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = pdf[[id_col, "media_type"]].copy()
+            payloads = pdf["payload"]
+            out["byte_len"] = payloads.map(len)
+            out["sha256"] = payloads.map(
+                lambda b: hashlib.sha256(bytes(b)).hexdigest())
+            dims = payloads.map(lambda b: fake_decode_dims(bytes(b)))
+            out["fake_width"] = dims.map(lambda d: d[0])
+            out["fake_height"] = dims.map(lambda d: d[1])
+            yield out
+
+    return src.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4,
+                 id_col: str = "doc_id") -> DataFrame:
+    """'Video' frame sampling: split the payload into n contiguous
+    chunks and fingerprint each — the plumbing (explode inside
+    mapInPandas, one output row per frame) matches what a real
+    frame-decoder UDF produces."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, "payload").repartition(n)
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                step = max(1, -(-len(b) // n_frames))  # ceil division
+                for i in range(n_frames):
+                    chunk = b[i * step:(i + 1) * step]
+                    if not chunk:
+                        break
+                    rows.append((did, i,
+                                 hashlib.sha256(chunk).hexdigest()))
+            yield pd.DataFrame(rows,
+                               columns=[id_col, "frame_idx", "frame_sha256"])
+
+    return src.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -23,6 +23,8 @@ _QUERY_MODULES = [
     "similarity_queries",
     "events_queries",
     "ddl_queries",
+    "multimodal_queries",
+    "schema_queries",
     "planning_queries",
     "validation_queries",
 ]

@@ -1,0 +1,123 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only with file checkpoints (SURVEY §2.10) — this
+module is the brief's forward-looking streaming surface: the same
+hourly/sessionization semantics as queries/events_queries.py, expressed
+as continuous queries so a migration's change-feed (or any event
+stream) can be processed incrementally.
+
+  * hourly counts: watermarked tumbling window — late events beyond
+    the watermark are dropped, state is bounded.
+  * sessionization: applyInPandasWithState keyed by user_id — the
+    stateful 30-minute-gap session counter; state carries (last seen
+    timestamp, open session count) across micro-batches.
+
+Tests run with trigger(availableNow=True) against the static events
+parquet and assert equality with the batch twins — the semantics
+contract between the two implementations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+                 "event_type string, value double, props string")
+
+GAP_US = 1800 * 1_000_000
+
+SESSION_OUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+SESSION_STATE_SCHEMA = "last_us bigint, n_sessions bigint, n_events bigint"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts stored as
+    TIMESTAMP(NANOS) -> read as long, normalized to micros timestamp,
+    matching sources.tables.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; point at sf_dir and glob the
+    # single events file
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir.rstrip("/")))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling 1h window x event_type counts."""
+    return (events
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("hour_ts"), "event_type",
+                    "n_events"))
+
+
+def _session_fn(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+    """Stateful session counter for one user (30-min gap)."""
+    import pandas as pd
+
+    if state.exists:
+        last_us, n_sessions, n_events = state.get
+    else:
+        last_us, n_sessions, n_events = None, 0, 0
+    for pdf in pdfs:
+        for us in sorted(int(v) for v in pdf["us"]):
+            if last_us is None or us - last_us > GAP_US:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+    state.update((last_us, n_sessions, n_events))
+    yield pd.DataFrame([(key[0], n_sessions, n_events)],
+                       columns=["user_id", "n_sessions", "n_events"])
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionization keyed by user (emits the
+    running per-user totals each micro-batch)."""
+    keyed = (events.select("user_id", F.unix_micros("ts").alias("us"))
+             .groupBy("user_id"))
+    return keyed.applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(sdf: DataFrame, table_name: str,
+                  output_mode: str = "complete") -> None:
+    """Drain the stream with availableNow into an in-memory sink and
+    block until done (test/driver harness helper)."""
+    q = (sdf.writeStream.format("memory").queryName(table_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str,
+                            _query_name: str = "stream_hourly") -> DataFrame:
+    """End-to-end: stream -> watermarked window agg -> memory sink ->
+    result DataFrame (batch-collectable, so driver-checkable)."""
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(hourly_counts_stream(events), _query_name, "complete")
+    return spark.table(_query_name)
+
+
+def streaming_sessionization(spark: SparkSession, sf_dir: str,
+                             _query_name: str = "stream_sessions"
+                             ) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(sessionize_stream(events), _query_name, "update")
+    # update-mode sink may hold several emissions per key; keep the last
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (spark.table(_query_name)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
