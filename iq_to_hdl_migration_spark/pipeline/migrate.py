@@ -185,3 +185,29 @@ def reconcile(status: MigrationStatus,
     return (inventory.join(loaded,
                            inventory.table_key == loaded.table_key,
                            "left_anti"))
+
+
+def listing_reconcile(spark: SparkSession, source_dir: str,
+                      target_dir: str) -> DataFrame:
+    """S11/V6 over real filesystems: relative-path + byte-size compare
+    of two directory trees (local staging vs object-store copy). On a
+    cluster the listings come from the Hadoop FileSystem API; the
+    reconciliation join is identical."""
+    def listing(root: str):
+        base = Path(root)
+        return [(str(p.relative_to(base)), p.stat().st_size)
+                for p in sorted(base.rglob("*"))
+                if p.is_file() and not p.name.startswith((".", "_"))]
+
+    schema = "path string, size_bytes long"
+    src = spark.createDataFrame(listing(source_dir) or [], schema) \
+        .withColumnRenamed("size_bytes", "src_size")
+    tgt = spark.createDataFrame(listing(target_dir) or [], schema) \
+        .withColumnRenamed("size_bytes", "tgt_size")
+    joined = src.join(tgt, "path", "full_outer")
+    return joined.select(
+        "path", "src_size", "tgt_size",
+        F.when(F.col("src_size").isNull(), "extra_target")
+         .when(F.col("tgt_size").isNull(), "missing_target")
+         .when(F.col("src_size") != F.col("tgt_size"), "size_mismatch")
+         .otherwise("ok").alias("status"))
