@@ -98,6 +98,34 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine_pairs",
+    oracle=None,  # LSH-candidate generation not SQL-expressible;
+                  # recall/precision locked by tests/test_similarity.py
+    doc="embedding-cosine near-dup pairs: LSH bucket candidates + "
+        "exact cosine >= 0.9 verify (brief: vector-space dedup; "
+        "never all-pairs)",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, min_cosine=0.9)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # probe-set depends on k-means fit; recall asserted
+                  # vs brute force in tests/test_similarity.py
+    doc="IVF ANN: deterministic k-means(16) inverted lists, n_probe=2 "
+        "— each query touches ~1/8 of the corpus (brief: IVF variant)",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=16, iters=2)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim.ivf_topk(emb, queries, cents, k=5, n_probe=2)
+
+
+@register(
     "sim_embedding_stats",
     oracle="""
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,

@@ -56,6 +56,45 @@ def test_ann_probe_candidates_share_a_bucket(emb):
         assert r.query_id != r.cand_id
 
 
+def test_embedding_near_dup_finds_planted_duplicate(spark, emb):
+    # plant an exact copy of vec 0 with id 9001 and a noisy near-copy
+    base = emb.where(F.col("vec_id") == 0).collect()[0]
+    near = [v + (0.001 if i % 2 else -0.001)
+            for i, v in enumerate(base.embedding)]
+    extra = spark.createDataFrame(
+        [(9001, base.embedding, 0), (9002, near, 0)],
+        schema=emb.schema)
+    corpus = emb.unionByName(extra)
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in sim.embedding_near_dup_pairs(corpus, 0.9).collect()}
+    assert (0, 9001) in pairs and pairs[(0, 9001)] > 0.9999
+    assert (0, 9002) in pairs  # near-copy also collides + passes verify
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = sim.kmeans_centroids(emb, k=8, iters=2)
+    ivf = sim.ivf_topk(emb, queries, cents, k=5, n_probe=3)
+    bf = sim.brute_force_topk(emb, queries, k=5)
+    ivf_sets = {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    bf_sets = {}
+    for r in bf.collect():
+        bf_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    # every query returns k results; recall vs exact top-5 >= 20% on
+    # random vectors (ANN trades recall for the 1/k scan)
+    recalls = [len(ivf_sets[q] & bf_sets[q]) / 5 for q in bf_sets]
+    assert all(len(ivf_sets[q]) == 5 for q in bf_sets)
+    assert sum(recalls) / len(recalls) >= 0.2
+
+
+def test_kmeans_deterministic(emb):
+    a = sim.kmeans_centroids(emb, k=4, iters=2)
+    b = sim.kmeans_centroids(emb, k=4, iters=2)
+    assert a == b
+
+
 def test_bucket_codes_in_range(emb):
     rows = sim.with_table_codes(emb, "embedding").collect()
     for r in rows:
