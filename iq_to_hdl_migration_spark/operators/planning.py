@@ -12,6 +12,18 @@ from __future__ import annotations
 import heapq
 
 
+TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def suggest_partitions(size_bytes: int,
+                       target_bytes: int = TARGET_PARTITION_BYTES,
+                       max_partitions: int = 10_000) -> int:
+    """P3: per-table write parallelism from the A2 size estimate
+    (width_sum x rowcount) — partitions sized to ~128 MB so staging
+    files match spark.sql.files.maxPartitionBytes on re-read."""
+    return max(1, min(max_partitions, -(-size_bytes // target_bytes)))
+
+
 def lpt_assign(items: list[tuple], n_buckets: int) -> list[tuple]:
     """Longest-Processing-Time greedy: items (key, size) sorted by size
     desc (tie: key asc) land in the currently-smallest bucket.
