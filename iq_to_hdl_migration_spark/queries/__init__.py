@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 # broken/missing module never takes down the whole registry.
 _QUERY_MODULES = [
     "relational",
+    "relational_ext",
     "catalog_ops",
     "dedup_queries",
     "text_queries",
