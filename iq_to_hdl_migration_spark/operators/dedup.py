@@ -48,15 +48,20 @@ def tokens(text_col: str) -> Column:
 
 def word_shingles(text_col: str, k: int = 3) -> Column:
     """k-word shingles; a document shorter than k words contributes its
-    whole text as one shingle (so it can still be matched exactly)."""
+    whole text as one shingle (so it can still be matched exactly).
+
+    The outer `transform(array(split(...)), toks -> ...)` is a
+    let-binding: it evaluates the tokenizer ONCE per document and binds
+    the result to `toks`. Writing `split(...)` directly inside the
+    shingle lambda would re-tokenize the document for every shingle —
+    O(words^2) per document."""
     return F.expr(f"""
-        CASE WHEN size(split(lower(trim({text_col})), '\\\\s+')) >= {k}
-             THEN transform(
-                 sequence(0, size(split(lower(trim({text_col})), '\\\\s+')) - {k}),
-                 i -> concat_ws(' ',
-                     slice(split(lower(trim({text_col})), '\\\\s+'), i + 1, {k})))
-             ELSE array(concat_ws(' ', split(lower(trim({text_col})), '\\\\s+')))
-        END
+        transform(array(split(lower(trim({text_col})), '\\\\s+')), toks ->
+            CASE WHEN size(toks) >= {k}
+                 THEN transform(sequence(0, size(toks) - {k}),
+                                i -> concat_ws(' ', slice(toks, i + 1, {k})))
+                 ELSE array(concat_ws(' ', toks))
+            END)[0]
     """)
 
 
@@ -119,6 +124,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         .agg(F.collect_list(F.struct("id", "minhash")).alias("members"))
         .where(F.size("members") > 1)
     )
+    # est_jaccard is computed inside the bucket pass, BEFORE the pair
+    # dedup: the dropDuplicates shuffle then moves three scalar columns
+    # per candidate instead of two 32-element signature arrays, and the
+    # threshold filter has already discarded most candidates.
     pairs = (
         buckets.select(
             F.explode(F.expr("""
@@ -126,18 +135,16 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                     transform(slice(members, i + 2, size(members)), y ->
                         struct(least(x.id, y.id) AS id_a,
                                greatest(x.id, y.id) AS id_b,
-                               x.minhash AS mh_a, y.minhash AS mh_b))))
+                               CAST(size(filter(
+                                   zip_with(x.minhash, y.minhash,
+                                            (a, b) -> a = b), v -> v))
+                                    AS DOUBLE)
+                               / CAST(size(x.minhash) AS DOUBLE)
+                               AS est_jaccard))))
             """)).alias("p"))
-        .select("p.id_a", "p.id_b", "p.mh_a", "p.mh_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "est_jaccard",
-            F.expr("""
-                CAST(size(filter(zip_with(mh_a, mh_b, (a, b) -> a = b), x -> x))
-                     AS DOUBLE) / CAST(size(mh_a) AS DOUBLE)
-            """))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
 
@@ -193,19 +200,19 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
         .where(F.size("members") > 1)
     )
+    # hamming computed in the explode struct so the dedup shuffle moves
+    # scalars only and the distance filter prunes before the shuffle.
     return (
         buckets.select(F.explode(F.expr("""
             flatten(transform(members, (x, i) ->
                 transform(slice(members, i + 2, size(members)), y ->
                     struct(least(x.id, y.id) AS id_a,
                            greatest(x.id, y.id) AS id_b,
-                           x.sig AS sig_a, y.sig AS sig_b))))
+                           bit_count(x.sig ^ y.sig) AS hamming))))
         """)).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
