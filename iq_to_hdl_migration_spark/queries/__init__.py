@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 _QUERY_MODULES = [
     "relational",
     "relational_ext",
+    "relational_ext2",
     "catalog_ops",
     "dedup_queries",
     "text_queries",
