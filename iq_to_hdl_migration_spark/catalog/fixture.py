@@ -323,7 +323,10 @@ def ensure_catalog_views(spark: SparkSession) -> None:
         return
     for name, (cols, rows) in CATALOG_FIXTURE.items():
         df = spark.createDataFrame(rows, schema=_spark_schema(cols))
-        df.createOrReplaceTempView(name)
+        # Catalog snapshots are broadcast-size by definition (SURVEY
+        # §2.3): hint it, because createDataFrame relations carry no
+        # size statistics and would otherwise plan sort-merge joins.
+        df.hint("broadcast").createOrReplaceTempView(name)
     _REGISTERED.add(key)
 
 

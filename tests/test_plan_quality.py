@@ -1,0 +1,75 @@
+"""Physical-plan gates: the scale properties the engine is designed
+around must be visible in the executed plan, not just claimed.
+
+- filters reach the parquet scan (PushedFilters) and scans are
+  column-pruned (ReadSchema lists only needed columns);
+- dimension joins broadcast (BroadcastHashJoin), with no
+  SortMergeJoin against a tiny dim and no accidental CartesianProduct;
+- LSH dedup never degenerates into an all-pairs join.
+
+Plans are AQE-wrapped in Spark 4.x, so each query is executed first
+and the gate reads the final adaptive plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iq_to_hdl_migration_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def final_plan(df) -> str:
+    df.collect()  # materialize so AQE finalizes the physical plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir):
+    df = REGISTRY["q6_revenue_forecast"].fn(spark, sf_dir)
+    plan = final_plan(df)
+    assert "PushedFilters: [" in plan
+    # at least one real predicate reached the scan
+    assert "IsNotNull" in plan or "GreaterThan" in plan or "LessThan" in plan
+    # column pruning: the lineitem scan must not read the whole table
+    scan = plan[plan.index("ReadSchema"):]
+    assert "l_orderkey" not in scan.split("\n")[0], (
+        "q6 reads only shipdate/discount/quantity/extendedprice; "
+        "l_orderkey in ReadSchema means pruning failed")
+
+
+@pytest.mark.parametrize("name", [
+    "q3_shipping_priority", "q5_region_volume", "q10_returned_items",
+    "q9_product_profit",
+])
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_minhash_lsh_pairs", "dedup_simhash_pairs",
+])
+def test_lsh_dedup_no_allpairs_join(spark, sf_dir, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    # pair generation is an in-bucket explode: the plan must contain a
+    # bucket aggregate + generate, and no join of the corpus with itself
+    assert "CartesianProduct" not in plan, f"{name}: all-pairs cross join!"
+    assert "SortMergeJoin" not in plan, f"{name}: corpus self-join!"
+    assert "Generate explode" in plan, f"{name}: expected in-bucket explode"
+
+
+def test_semi_anti_joins_stay_joins(spark, sf_dir):
+    plan = final_plan(REGISTRY["q21_sole_return_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_catalog_queries_broadcast_only(spark, sf_dir):
+    # catalog introspection joins (J3 master inventory) are all
+    # broadcast-size; a shuffle join on SYS views is a planning bug
+    plan = final_plan(REGISTRY["j3_master_inventory"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
