@@ -78,6 +78,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # 64-bit simhash banding not SQL-expressible
     doc="SimHash64 near-dup candidates via 16-bit chunk banding + exact "
         "hamming verify",
+    bench=True,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -96,6 +96,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name, year(o_orderdate)
     """,
     doc="q9 shape: 5-way join, derived-column group key (J5/A2 analog)",
+    bench=True,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -276,6 +277,7 @@ def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 25
     """,
     doc="q21 shape: EXISTS/NOT EXISTS self-joins as left_semi/left_anti",
+    bench=True,
 )
 def q21_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

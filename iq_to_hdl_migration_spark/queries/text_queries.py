@@ -73,6 +73,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="quality scoring: punctuation count, stopword ratio, label "
         "(length/stopword heuristics per the brief)",
+    bench=True,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
