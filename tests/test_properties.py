@@ -1,0 +1,125 @@
+"""Property-based tests (SURVEY §5.4) over the driver-side pure
+functions: planning operators, the type mapper, and the DDL rewrite
+engine. Hypothesis generates the adversarial inputs; each property is
+an invariant the reference's behavior implies.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iq_to_hdl_migration_spark.ddl import engine as E
+from iq_to_hdl_migration_spark.ddl.rules import BASE_RULES
+from iq_to_hdl_migration_spark.operators.planning import (
+    lpt_assign, suggest_partitions)
+from iq_to_hdl_migration_spark.schema.typemap import iq_domain_to_spark
+
+# --------------------------- planning: suggest_partitions -------------------
+
+
+@given(size=st.integers(min_value=0, max_value=1 << 50),
+       target=st.integers(min_value=1, max_value=1 << 30))
+def test_suggest_partitions_covers_size(size, target):
+    n = suggest_partitions(size, target_bytes=target)
+    assert 1 <= n <= 10_000
+    if n < 10_000:
+        assert n * target >= size          # partitions cover the data
+        if n > 1:
+            assert (n - 1) * target < size  # and none are gratuitous
+
+
+@given(a=st.integers(min_value=0, max_value=1 << 45),
+       b=st.integers(min_value=0, max_value=1 << 45))
+def test_suggest_partitions_monotonic(a, b):
+    lo, hi = sorted((a, b))
+    assert suggest_partitions(lo) <= suggest_partitions(hi)
+
+
+# --------------------------- planning: LPT bin-packing ----------------------
+
+_items = st.lists(
+    st.tuples(st.text(min_size=1, max_size=8), st.integers(0, 1 << 40)),
+    min_size=0, max_size=60, unique_by=lambda kv: kv[0])
+
+
+@given(items=_items, n=st.integers(min_value=1, max_value=8))
+def test_lpt_partition_of_items(items, n):
+    out = lpt_assign(items, n)
+    # every item exactly once, buckets in range, order_in_bucket dense
+    assert sorted((k, s) for k, s, _, _ in out) == sorted(items)
+    assert all(0 <= b < n for _, _, b, _ in out)
+    for b in range(n):
+        orders = sorted(o for _, _, bb, o in out if bb == b)
+        assert orders == list(range(len(orders)))
+
+
+@given(items=_items, n=st.integers(min_value=1, max_value=8))
+def test_lpt_balance_bound(items, n):
+    """Greedy LPT guarantee: max bucket load <= average + max item."""
+    if not items:
+        return
+    out = lpt_assign(items, n)
+    loads = [0] * n
+    for _, s, b, _ in out:
+        loads[b] += s
+    total = sum(s for _, s in items)
+    biggest = max(s for _, s in items)
+    assert max(loads) <= total / n + biggest
+
+
+@given(items=_items, n=st.integers(min_value=1, max_value=8))
+def test_lpt_deterministic_under_input_order(items, n):
+    assert lpt_assign(items, n) == lpt_assign(list(reversed(items)), n)
+
+
+# --------------------------- type mapper ------------------------------------
+
+
+@given(domain=st.text(max_size=30), width=st.integers(-5, 200),
+       scale=st.integers(-5, 200))
+def test_type_mapper_total_and_valid(domain, width, scale):
+    t = iq_domain_to_spark(domain, width, scale)
+    s = t.simpleString()
+    if s.startswith("decimal"):
+        prec, sc = map(int, s[8:-1].split(","))
+        assert 1 <= prec <= 38 and 0 <= sc <= prec
+
+
+# --------------------------- DDL rewrite engine -----------------------------
+
+_sql_line = st.one_of(
+    st.just("go"),
+    st.just(""),
+    st.text(alphabet=st.characters(whitelist_categories=("L", "N", "P", "Z"),
+                                   blacklist_characters="\n\r"),
+            max_size=60),
+    st.just('ALTER TABLE "o"."t" ADD FOREIGN KEY fk (c) REFERENCES "o"."p"'),
+    st.just("CREATE TEXT CONFIGURATION \"SYS\".cfg"),
+)
+
+
+@settings(deadline=None, max_examples=60)
+@given(lines=st.lists(_sql_line, max_size=40))
+def test_rewrite_total_and_line_preserving(lines):
+    """rewrite() never raises on arbitrary statement lists, never loses
+    a line (it only prefixes `-- ` and inserts marker/clone lines), and
+    commenting is prefix-only: every input line is retrievable."""
+    res = E.rewrite(list(lines), BASE_RULES)
+    out = [ln for ln in res.lines
+           if not ln.startswith("--**") and ln not in res.added_lines] \
+        if hasattr(res, "added_lines") else res.lines
+    stripped = [ln[3:] if ln.startswith("-- ") else ln
+                for ln in out if not ln.startswith("--**")]
+    for original in lines:
+        assert original in stripped or any(original in s for s in stripped)
+
+
+@settings(deadline=None, max_examples=30)
+@given(lines=st.lists(_sql_line, max_size=30))
+def test_rewrite_idempotent_on_own_output(lines):
+    """Re-running the rewriter on its own output adds no new hits —
+    commented blocks must not be re-matched (D3 semantics)."""
+    first = E.rewrite(list(lines), BASE_RULES)
+    second = E.rewrite(list(first.lines), BASE_RULES)
+    assert second.lines == first.lines
