@@ -19,6 +19,7 @@ _QUERY_MODULES = [
     "relational",
     "relational_ext",
     "relational_ext2",
+    "analytic_ext",
     "catalog_ops",
     "dedup_queries",
     "text_queries",

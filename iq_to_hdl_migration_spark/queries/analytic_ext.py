@@ -1,0 +1,140 @@
+"""Spark-native analytic extensions (SURVEY §2.10 records these as
+absent in the reference; Spark provides them natively, so the engine
+exposes them as first-class queries): ROLLUP / CUBE / GROUPING SETS
+multi-level aggregation and time-range window frames.
+
+Scale notes: rollup/cube/grouping-sets are a single shuffle in Spark —
+the Expand operator replicates each input row per grouping set
+map-side, partial-aggregates, then shuffles once on the expanded key
+(no per-level re-scan). The range-frame window shuffles once on the
+partition key and evaluates the frame with a sliding cursor over the
+sorted partition.
+
+Determinism: grouping columns are low-cardinality strings; subtotal
+rows carry NULL group keys plus an explicit grouping_id so the oracle
+rows align exactly. Sums cast per-value to DECIMAL first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+_TP = "CAST(o_totalprice AS DECIMAL(14,2))"
+_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+
+
+@register(
+    "rollup_order_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_TP}) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy totals (status -> status+priority -> grand); "
+        "single-shuffle Expand plan",
+)
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+             .cast("double").alias("revenue"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
+                "revenue")
+    )
+
+
+@register(
+    "cube_lineitem_counts",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({_QTY}) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus): all 4 grouping sets in one "
+        "Expand + single shuffle",
+)
+def cube_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+             .cast("double").alias("total_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n_items",
+                "total_qty")
+    )
+
+
+@register(
+    "grouping_sets_mktsegment_nation",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey)
+                AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_balance
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    doc="explicit GROUPING SETS: two independent dimensions + grand "
+        "total, one pass",
+)
+def grouping_sets_mktsegment_nation(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "gs_customer")
+    return spark.sql("""
+        SELECT c_mktsegment, c_nationkey,
+               CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey)
+                    AS INT) AS gid,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_balance
+        FROM gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """)
+
+
+@register(
+    "events_rolling_hour_value",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_value
+    FROM events
+    """,
+    doc="time-range window frame: per-type rolling 1h sum over exact "
+        "integer microseconds (one shuffle on event_type)",
+)
+def events_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # RANGE frames take exactly one ordering expression; rows tied on
+    # ts share a frame, so the sum is deterministic without a tiebreak.
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "event_type",
+        F.sum(F.col("value").cast("decimal(14,2)")).over(w)
+        .cast("double").alias("rolling_1h_value"))
