@@ -20,6 +20,7 @@ _QUERY_MODULES = [
     "relational_ext",
     "relational_ext2",
     "analytic_ext",
+    "skew_queries",
     "catalog_ops",
     "dedup_queries",
     "text_queries",

@@ -1,0 +1,66 @@
+"""Registered queries locking the skew-join strategies' semantics:
+each runs the skewed-join rewrite in Spark and the PLAIN equi-join in
+the DuckDB oracle — a hash match proves the rewrite preserves join
+semantics exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iq_to_hdl_migration_spark.operators.skew import (
+    salted_join, split_hot_keys_join)
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+_EP = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+
+_ORACLE = f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({_EP} * (1 - {_DISC})) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+def _agg(joined: DataFrame) -> DataFrame:
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
+@register(
+    "skew_salted_join_revenue",
+    oracle=_ORACLE,
+    doc="salted orders-lineitem join (right side replicated x8, left "
+        "scattered); oracle is the plain join — hash match proves the "
+        "salt rewrite is semantics-preserving",
+)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"))
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    return _agg(salted_join(li, orders, "o_orderkey", n_salts=8))
+
+
+@register(
+    "skew_split_hot_join_revenue",
+    oracle=_ORACLE,
+    doc="differentiated hot/cold join (hot keys broadcast, cold keys "
+        "shuffled, exact union); oracle is the plain join",
+)
+def skew_split_hot_join_revenue(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"))
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    # low threshold so BOTH paths execute even at test scale
+    return _agg(split_hot_keys_join(li, orders, "o_orderkey",
+                                    hot_threshold=5))
