@@ -91,6 +91,15 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
+    keys state by id and expires it past the watermark — bounded state,
+    the streaming twin of `dropDuplicates` in the batch dedup operator
+    (operators/dedup.py exact path)."""
+    return (events.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
 def run_to_memory(sdf: DataFrame, table_name: str,
                   output_mode: str = "complete") -> None:
     """Drain the stream with availableNow into an in-memory sink and
@@ -107,6 +116,15 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str,
     result DataFrame (batch-collectable, so driver-checkable)."""
     events = read_events_stream(spark, sf_dir)
     run_to_memory(hourly_counts_stream(events), _query_name, "complete")
+    return spark.table(_query_name)
+
+
+def streaming_dedup_count(spark: SparkSession, sf_dir: str,
+                          _query_name: str = "stream_dedup") -> DataFrame:
+    """End-to-end: stream -> watermarked exact dedup -> memory sink;
+    returns the deduplicated rows (append mode)."""
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(dedup_stream(events), _query_name, "append")
     return spark.table(_query_name)
 
 

@@ -23,3 +23,13 @@ def test_streaming_sessionization_matches_batch(spark, sf_dir):
     s = {r.user_id: (r.n_sessions, r.n_events) for r in stream}
     b = {r.user_id: (r.n_sessions, r.n_events) for r in batch}
     assert s == b and len(s) > 0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    from iq_to_hdl_migration_spark.streaming.windows import (
+        streaming_dedup_count)
+    streamed = streaming_dedup_count(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events").dropDuplicates(["event_id"])
+    assert streamed.count() == batch.count()
+    assert streamed.select("event_id").distinct().count() == streamed.count()
