@@ -32,7 +32,15 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     is exploded once per salt value, so every (key, salt) partition
     holds the full right-side rows for that key. The shuffle key
     becomes (key, salt) — a hot key now lands on n_salts reducers.
+
+    Right-side replication preserves inner/left/semi/anti semantics
+    only: an unmatched RIGHT row would surface once per salt, so
+    right/full outer joins are rejected.
     """
+    if how.replace("_", "").lower() in ("right", "rightouter", "full",
+                                        "fullouter", "outer"):
+        raise ValueError(f"salted_join cannot preserve '{how}' semantics "
+                         "(right side is replicated); use inner/left")
     salted_left = left.withColumn(
         "_salt", F.floor(F.rand(seed=42) * n_salts).cast("int"))
     salted_right = right.withColumn(
@@ -50,8 +58,13 @@ def split_hot_keys_join(left: DataFrame, right: DataFrame, key: str,
     by broadcasting the matching right-side slice (tiny: one row set
     per hot key); the remaining cold keys take the ordinary shuffle
     join. Result = exact union of both paths (each left row goes down
-    exactly one path).
+    exactly one path; right rows are partitioned between paths only
+    for the inner/left families, so right/full outer are rejected).
     """
+    if how.replace("_", "").lower() in ("right", "rightouter", "full",
+                                        "fullouter", "outer"):
+        raise ValueError(f"split_hot_keys_join cannot preserve '{how}' "
+                         "semantics; use inner/left")
     counts = left.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
     hot_keys = counts.where(F.col("_n") > hot_threshold).select(key)
 

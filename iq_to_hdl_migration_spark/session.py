@@ -26,6 +26,15 @@ def get_spark(app_name: str = "iq_to_hdl_migration_spark",
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     parts = cpus if shuffle_partitions is None else max(1, shuffle_partitions)
+    # Driver memory must be set BEFORE the local JVM launches (builder
+    # config is ignored after); default 1g OOMs broadcast builds on
+    # bigger local runs. No-op if a JVM/session already exists or the
+    # caller set PYSPARK_SUBMIT_ARGS themselves.
+    if (not SparkSession.getActiveSession()
+            and "PYSPARK_SUBMIT_ARGS" not in os.environ):
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell")
     builder = (
         SparkSession.builder
         .appName(app_name)

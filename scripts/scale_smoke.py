@@ -1,0 +1,94 @@
+"""Scale smoke test: replicate the sf0.1 testdata K times (keys
+shifted so every join stays consistent; texts/embeddings perturbed so
+dedup/similarity don't see artificial exact duplicates) and time the
+bench headline queries on the K-times corpus.
+
+The point is the SHAPE of the scaling, not the absolute numbers: a
+query whose runtime grows ~K-fold (or less, where overhead dominates)
+survives scale-up; superlinear growth flags a plan that would fall
+over at 100 TB.
+
+Run: python scripts/scale_smoke.py [K] [out_dir]
+Prints one JSON line comparing per-query seconds at 1x vs Kx.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import pyspark.sql.functions as F
+
+from iq_to_hdl_migration_spark.queries import load_all
+from iq_to_hdl_migration_spark.session import get_spark
+from iq_to_hdl_migration_spark.sources.tables import TABLES, load_table
+
+BASE_SF_DIR = "/root/testdata/sf0.1"
+KEY_OFFSET = 100_000_000  # larger than any base key
+
+
+def replicate(spark, k_replicas: int, out_dir: str) -> None:
+    for t in TABLES:
+        # load_table normalizes events.ts (TIMESTAMP(NANOS) -> micros);
+        # replicas are written with micros ts, which load_table passes
+        # through unchanged on re-read
+        base = load_table(spark, BASE_SF_DIR, t)
+        key_cols = [c for c in base.columns
+                    if c.endswith("key") or c in ("event_id", "user_id",
+                                                  "doc_id", "vec_id",
+                                                  "table_id")]
+        parts = []
+        for k in range(k_replicas):
+            rep = base
+            for c in key_cols:
+                rep = rep.withColumn(c, F.col(c) + F.lit(k * KEY_OFFSET))
+            if "text" in rep.columns and k > 0:
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" r{k}")))
+            if "embedding" in rep.columns and k > 0:
+                rep = rep.withColumn(
+                    "embedding",
+                    F.expr(f"transform(embedding, x -> x + {k}e-6)"))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    reg = load_all()
+    out = {}
+    for name, spec in sorted(reg.items()):
+        if not spec.bench:
+            continue
+        spec.fn(spark, sf_dir).collect()          # warm-up
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_smoke"
+    spark = get_spark("scale-smoke")
+    replicate(spark, k, out_dir)
+    base = time_queries(spark, BASE_SF_DIR)
+    big = time_queries(spark, out_dir)
+    ratios = {n: round(big[n] / base[n], 2) if base[n] > 0 else None
+              for n in base}
+    print(json.dumps({"k": k, "base_sec": base, "k_sec": big,
+                      "ratio": ratios,
+                      "total_ratio": round(sum(big.values())
+                                           / sum(base.values()), 2)}))
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
