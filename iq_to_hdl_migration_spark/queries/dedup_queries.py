@@ -113,3 +113,22 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.jaccard_pairs_within_groups(
         docs, ["source", "lang"], "doc_id", "text", min_jaccard=0.5)
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=None,  # clusters derive from the LSH pair set (rows-only);
+                  # component semantics locked by tests/test_components.py
+    doc="near-dup cluster sizes: LSH pairs -> iterative min-label "
+        "connected components (A5 transitive-closure analog at data "
+        "scale) -> per-cluster member count",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.components import (
+        connected_components)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.lsh_candidate_pairs(docs, threshold=0.7)
+    comp = connected_components(pairs)
+    return (comp.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .where(F.col("n_members") > 1))
