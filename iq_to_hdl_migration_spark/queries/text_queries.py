@@ -213,3 +213,38 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+# NOT a raw string: the SQL literal must carry exactly \\s so Spark's
+# string unescape yields the regex \s (DuckDB does no SQL unescaping,
+# so its pattern below carries a single backslash)
+_BPE_PAT_SPARK = "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]'"
+_BPE_PAT_DUCK = r"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'"
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, {_BPE_PAT_DUCK})) AS INTEGER)
+               AS n_bpe_tokens,
+           CAST(len({_TOKS_DUCK}) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, {_BPE_PAT_DUCK})) AS DOUBLE)
+               / CAST(len({_TOKS_DUCK}) AS DOUBLE) AS bpe_per_word
+    FROM documents
+    """,
+    doc="BPE-ish token counting (brief): letter-runs / single digits / "
+        "punctuation as separate tokens, vs the whitespace count — the "
+        "pre-tokenizer split a byte-pair encoder sees",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = f"regexp_extract_all(text, {_BPE_PAT_SPARK}, 0)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({bpe}) AS INT)").alias("n_bpe_tokens"),
+        F.expr(f"CAST(size({_TOKS_SPARK}) AS INT)").alias("n_ws_tokens"),
+        F.expr(f"""CAST(size({bpe}) AS DOUBLE)
+                   / CAST(size({_TOKS_SPARK}) AS DOUBLE)""")
+        .alias("bpe_per_word"),
+    )
