@@ -157,3 +157,33 @@ def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(is_err).cast("double") / F.count(F.lit(1)).cast("double"))
              .alias("error_rate"))
     )
+
+
+@register(
+    "events_sliding_hourly",
+    oracle="""
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '30 minutes', event_type
+        FROM events
+    ) t
+    GROUP BY window_start, event_type
+    """,
+    doc="sliding 1h window, 30m slide: each event lands in exactly two "
+        "windows (starts floor_30(t) and floor_30(t)-30m) — the oracle "
+        "expresses the same assignment as two shifted tumbling grids",
+)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type",
+                "n_events")
+    )
