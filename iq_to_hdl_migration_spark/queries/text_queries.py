@@ -248,3 +248,71 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / CAST(size({_TOKS_SPARK}) AS DOUBLE)""")
         .alias("bpe_per_word"),
     )
+
+
+_EMAIL_RE_S = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}'"
+_EMAIL_RE_D = r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'"
+_URL_RE = "'https?://[^ ]+'"
+_LONGNUM_RE = "'[0-9]{6,}'"
+
+
+@register(
+    "text_pii_scan",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, {_EMAIL_RE_D})) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, {_URL_RE})) AS INTEGER)
+               AS n_urls,
+           CAST(len(regexp_extract_all(text, {_LONGNUM_RE})) AS INTEGER)
+               AS n_long_numbers
+    FROM documents
+    WHERE len(regexp_extract_all(text, {_EMAIL_RE_D})) > 0
+       OR len(regexp_extract_all(text, {_URL_RE})) > 0
+       OR len(regexp_extract_all(text, {_LONGNUM_RE})) > 0
+    """,
+    doc="PII-pattern scan (emails/URLs/long digit runs) — the redaction "
+        "pre-pass of a training-data pipeline; returns only flagged docs",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_em = f"size(regexp_extract_all(text, {_EMAIL_RE_S}, 0))"
+    n_url = f"size(regexp_extract_all(text, {_URL_RE}, 0))"
+    n_num = f"size(regexp_extract_all(text, {_LONGNUM_RE}, 0))"
+    return (docs.select(
+        "doc_id",
+        F.expr(f"CAST({n_em} AS INT)").alias("n_emails"),
+        F.expr(f"CAST({n_url} AS INT)").alias("n_urls"),
+        F.expr(f"CAST({n_num} AS INT)").alias("n_long_numbers"))
+        .where("n_emails > 0 OR n_urls > 0 OR n_long_numbers > 0"))
+
+
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MAX(c) AS INTEGER) AS top_token_count,
+           CAST(SUM(c) AS INTEGER) AS n_tokens,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS repetition_ratio
+    FROM tf GROUP BY doc_id
+    """,
+    doc="repetition scoring: top-token frequency ratio per doc "
+        "(explode -> per-doc term frequency -> max/sum; boilerplate and "
+        "degenerate-repetition filter)",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c")))
+    return (tf.groupBy("doc_id")
+            .agg(F.max("c").cast("int").alias("top_token_count"),
+                 F.sum("c").cast("int").alias("n_tokens"),
+                 (F.max("c").cast("double") / F.sum("c").cast("double"))
+                 .alias("repetition_ratio")))
