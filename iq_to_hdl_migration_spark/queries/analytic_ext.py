@@ -138,3 +138,28 @@ def events_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         F.sum(F.col("value").cast("decimal(14,2)")).over(w)
         .cast("double").alias("rolling_1h_value"))
+
+
+@register(
+    "stats_price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS q25,
+           quantile_cont(l_extendedprice, 0.50) AS q50,
+           quantile_cont(l_extendedprice, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.99) AS q99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact linear-interpolation quantiles per group (Spark "
+        "percentile == DuckDB quantile_cont bit-for-bit); at scale "
+        "swap to approx_percentile with a documented error bound",
+)
+def stats_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25D)").alias("q25"),
+        F.expr("percentile(l_extendedprice, 0.50D)").alias("q50"),
+        F.expr("percentile(l_extendedprice, 0.75D)").alias("q75"),
+        F.expr("percentile(l_extendedprice, 0.99D)").alias("q99"),
+        F.count(F.lit(1)).alias("n"))
