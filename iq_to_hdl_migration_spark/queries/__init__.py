@@ -26,6 +26,7 @@ _QUERY_MODULES = [
     "text_queries",
     "similarity_queries",
     "events_queries",
+    "temporal_queries",
     "ddl_queries",
     "multimodal_queries",
     "schema_queries",

@@ -1,0 +1,132 @@
+"""Temporal-join queries: as-of join (event attribution) and binned
+range join (value-bracket enrichment), backed by `operators/temporal`.
+
+The reference has no temporal joins (SURVEY §2.10); these belong to
+the LLM-training-pipeline operator set.  Oracles use DuckDB's native
+ASOF JOIN / inequality join so the check is a genuinely independent
+formulation of the same semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iq_to_hdl_migration_spark.operators.temporal import asof_join, bin_range_join
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# as-of join: purchase → most recent prior click by the same user
+# (classic last-touch attribution).  (user_id, ts) is unique in the
+# events table, so the result is deterministic.
+
+@register(
+    "asof_purchase_attribution",
+    oracle="""
+    SELECT p.event_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           c.event_id AS ref_event_id,
+           CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
+                - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+    """,
+    doc="as-of join via union + running last() window — one shuffle on "
+        "user_id, linear cost; oracle is DuckDB's native ASOF JOIN",
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    joined = asof_join(purchases, clicks, on="user_id", ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ref_click_id").alias("ref_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ref_ts")))
+        .cast("bigint").alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# binned range join: lineitem prices into irregular price brackets.
+# The bracket table is tiny here (broadcast), but the operator's plan —
+# explode intervals to bins, equi-join on bin, exact-filter after —
+# is the one that survives when BOTH sides are large.
+
+_BRACKETS = [
+    ("budget", 0.0, 5000.0),
+    ("economy", 5000.0, 20000.0),
+    ("mid", 20000.0, 45000.0),
+    ("premium", 45000.0, 80000.0),
+    ("luxury", 80000.0, 110000.0),
+]
+
+_BRACKET_VALUES = ", ".join(
+    f"('{label}', {lo}, {hi})" for label, lo, hi in _BRACKETS)
+
+
+@register(
+    "range_join_price_bracket",
+    oracle=f"""
+    SELECT b.label,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN (VALUES {_BRACKET_VALUES}) b(label, lo, hi)
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.label
+    """,
+    doc="range join via interval binning + equi-join (inequality joins "
+        "are BNLJ in Spark and do not scale); oracle is a DuckDB "
+        "inequality join over the same brackets",
+)
+def range_join_price_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount")
+    ranges = spark.createDataFrame(_BRACKETS, "label string, lo double, hi double")
+    joined = bin_range_join(li, ranges, point="l_extendedprice")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (
+        joined.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# latest-row-per-key (last-write-wins upsert view / SCD type-1 compact):
+# the canonical "current state" query over an append-only event log.
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="last-write-wins compaction via row_number window — the "
+        "dedup-to-current-state step of an incremental ingest pipeline",
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type",
+                F.col("value").cast("double").alias("value"))
+    )
