@@ -27,6 +27,7 @@ _QUERY_MODULES = [
     "similarity_queries",
     "events_queries",
     "temporal_queries",
+    "mlprep_queries",
     "ddl_queries",
     "multimodal_queries",
     "schema_queries",

@@ -1,0 +1,198 @@
+"""Training-data preparation operators: deterministic dataset
+splitting, class balancing, TF-IDF term ranking, and a bucketed fuzzy
+string join.  All JVM-side (no Python UDFs) and all hash-checked
+against DuckDB.
+
+Numeric-parity notes (the oracles hash bit-exact):
+* splits use md5 hex prefixes compared lexicographically — identical in
+  both engines, and stable under resharding/reordering at any scale
+  (unlike `rand(seed)`, whose draw depends on partitioning);
+* TF-IDF uses a *rational* idf `(N+1)/(df+1)` instead of `ln(...)` —
+  IEEE multiply/divide are exactly rounded so both engines produce the
+  same doubles, while `ln` may differ in the last ulp across libm
+  implementations (JVM vs C).  Rankings are identical either way since
+  x ↦ ln is monotone.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# deterministic train/valid/test split (~80/10/10) by md5(doc_id) prefix.
+# First 2 hex chars give 256 buckets: train < 'cc' (204), valid < 'e6'
+# (26), test otherwise (26).
+
+_SPLIT_SQL = """
+CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+     ELSE 'test' END
+"""
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+    SELECT {_SPLIT_SQL} AS split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="content-addressed train/valid/test split — reproducible across "
+        "engines, reshards, and reruns (rand(seed) is not); the per-split "
+        "per-lang profile doubles as a split-skew audit",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(bucket < "cc", "train")
+             .when(bucket < "e6", "valid")
+             .otherwise("test"))
+    return (
+        docs.select(split.alias("split"), "lang",
+                    F.col("n_chars").cast("bigint").alias("nc"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nc").alias("total_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverse-frequency class weights (per-language balancing factors).
+
+@register(
+    "class_balance_weights",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                      CAST(COUNT(*) AS DOUBLE) AS k FROM c)
+    SELECT c.lang, CAST(c.n AS BIGINT) AS n_docs,
+           t.total / t.k / CAST(c.n AS DOUBLE) AS weight
+    FROM c, t
+    """,
+    doc="inverse-frequency sampling weights for class-balanced training "
+        "batches; the cross join against the 1-row total is broadcast",
+)
+def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("k"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("lang", "n_docs",
+                (F.col("total") / F.col("k") / F.col("n_docs").cast("double"))
+                .alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source (rational idf; see module docstring).
+
+_TOKS_SPARK = r"filter(split(lower(trim(text)), '\\s+'), t -> length(t) >= 3)"
+_TOKS_DUCK = (r"list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+              r" t -> length(t) >= 3)")
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    tok AS (
+        SELECT doc_id, source, unnest({_TOKS_DUCK}) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM tok GROUP BY source, term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tok GROUP BY term),
+    scored AS (
+        SELECT tf.source, tf.term,
+               tf.tf * ((n.n_docs + 1) / (df.df + 1)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT source, term, score FROM (
+        SELECT source, term, score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="distributed TF-IDF: tokenize -> per-(source,term) tf -> "
+        "per-term df -> join + window top-k; df side is re-used, both "
+        "aggregations are partial-combine friendly",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.expr(_TOKS_SPARK)).alias("term"))
+    tf = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    n_docs = docs.count()  # scalar; folded into the score expression
+    scored = tf.join(df, "term").select(
+        "source", "term",
+        (F.col("tf") * ((F.lit(float(n_docs)) + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0)))).alias("score"))
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy string join over the DISTINCT value domain: the row-level table
+# may repeat each name thousands of times (here: 20k parts / 64 names),
+# so a key-level fuzzy join is inherently quadratic in group size.  The
+# scalable shape is: aggregate to distinct values first (with group
+# counts to map matches back), block by first token, levenshtein inside
+# blocks.  Pair output is then quadratic only in |distinct values per
+# block|, independent of row count.
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1
+    ),
+    b AS (SELECT p_name, n, string_split(p_name, ' ')[1] AS blk FROM p)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS dist,
+           a.n AS n_rows_a, c.n AS n_rows_b
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 3
+    """,
+    doc="blocked fuzzy join on the distinct-name domain (first-token "
+        "blocking, levenshtein <= 3 inside blocks) with group counts "
+        "for mapping back to rows — never an all-pairs cross join, and "
+        "pair count is independent of table row count",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.p_name") < F.col("b.p_name")))
+        .select(F.col("a.p_name").alias("name_a"),
+                F.col("b.p_name").alias("name_b"),
+                F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                .alias("dist"),
+                F.col("a.n").alias("n_rows_a"),
+                F.col("b.n").alias("n_rows_b"))
+        .filter(F.col("dist") <= 3)
+    )
