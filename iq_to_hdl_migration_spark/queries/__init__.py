@@ -28,6 +28,7 @@ _QUERY_MODULES = [
     "events_queries",
     "temporal_queries",
     "mlprep_queries",
+    "sketch_queries",
     "ddl_queries",
     "multimodal_queries",
     "schema_queries",

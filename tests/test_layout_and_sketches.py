@@ -1,0 +1,104 @@
+"""Layout: partition pruning must be visible in the plan and in the
+file counts. Sketches: error bounds vs exact, and the lossless-merge
+identity for HLL union."""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+
+from iq_to_hdl_migration_spark.queries import load_all
+from iq_to_hdl_migration_spark.sources.layout import (
+    compact, scan_stats, write_partitioned)
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+REGISTRY = load_all()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, "day", cluster_col="user_id")
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("day") == "2024-01-05")
+    st = scan_stats(one_day)
+    assert st["has_partition_filters"], st["plan"]
+    # pruned scan reads exactly the one day's files
+    n_days = ev.select("day").distinct().count()
+    all_files = glob.glob(f"{path}/day=*/*.parquet")
+    day_files = glob.glob(f"{path}/day=2024-01-05/*.parquet")
+    assert len(all_files) >= n_days
+    assert 1 <= len(day_files) <= 2
+    # count parity with source
+    assert one_day.count() == ev.filter(F.col("day") == "2024-01-05").count()
+
+
+def test_clustered_scan_pushes_filters(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    path = str(tmp_path / "events_clustered")
+    write_partitioned(ev, path, "day", cluster_col="user_id")
+    scan = spark.read.parquet(path).filter(F.col("user_id") == 7)
+    st = scan_stats(scan)
+    assert st["has_pushed_filters"], st["plan"]
+
+
+def test_compact_reduces_files(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    frag = str(tmp_path / "frag")
+    # deliberately fragmented: ~8 files per day partition
+    (ev.repartition(8).write.mode("overwrite")
+        .partitionBy("day").parquet(frag))
+    compacted = str(tmp_path / "compacted")
+    compact(spark, frag, compacted, "day", files_per_partition=1)
+    n_frag = len(glob.glob(f"{frag}/day=*/*.parquet"))
+    n_comp = len(glob.glob(f"{compacted}/day=*/*.parquet"))
+    assert n_comp < n_frag / 3
+    assert (spark.read.parquet(compacted).count()
+            == spark.read.parquet(frag).count())
+
+
+def test_hll_error_bound_and_lossless_merge(spark, sf_dir):
+    rollup = {r["event_type"]: r["approx_users"] for r in
+              REGISTRY["sketch_distinct_users_rollup"].fn(
+                  spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for et, est in rollup.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+    # lossless merge: union of daily sketches == one-shot sketch
+    one_shot = {r["event_type"]: r["u"] for r in
+                ev.groupBy("event_type")
+                .agg(F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col("user_id"), F.lit(14)))
+                    .alias("u")).collect()}
+    assert rollup == one_shot
+
+
+def test_approx_percentiles_bounds(spark, sf_dir):
+    """approx_percentile returns a real data value at ~the requested
+    rank; value-space distance is unbounded in a long tail, so the
+    check is rank-space: the approx value must sit between the exact
+    quantiles at p ± 0.02."""
+    rows = REGISTRY["sketch_value_percentiles"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    brackets = {r["event_type"]: r["b"] for r in
+                ev.groupBy("event_type")
+                .agg(F.percentile(
+                    F.col("value").cast("double"),
+                    F.array(*[F.lit(p) for p in
+                              (0.48, 0.52, 0.93, 0.97, 0.97, 1.0)]))
+                    .alias("b"))
+                .collect()}
+    for r in rows:
+        b = brackets[r["event_type"]]
+        for approx, (lo, hi) in zip(
+                (r["p50"], r["p95"], r["p99"]),
+                ((b[0], b[1]), (b[2], b[3]), (b[4], b[5]))):
+            assert lo - 1e-6 <= approx <= hi + 1e-6, (r, b)
