@@ -128,6 +128,36 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str,
     return spark.table(_query_name)
 
 
+def incremental_dedup_to_parquet(spark: SparkSession, src_dir: str,
+                                 sink_dir: str, ckpt_dir: str,
+                                 schema: str = EVENTS_SCHEMA) -> None:
+    """Checkpointed incremental pipeline: file-source stream ->
+    watermarked exact dedup -> exactly-once parquet sink.
+
+    This is the streaming form of the reference's resume ledger (S14 /
+    V5, migration.py:1940-2049): progress lives in the checkpoint, so a
+    stopped pipeline re-run with the same `ckpt_dir` resumes from the
+    last committed micro-batch — already-processed input files are
+    never re-emitted, and duplicate/late re-sends of old rows are
+    dropped by the dedup state restored from the checkpoint.  Each call
+    drains whatever input is currently available (availableNow) and
+    returns; call again after more files arrive.  Use
+    `.option("maxFilesPerTrigger", n)` on the reader for rate-limited
+    backfills at scale.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    q = (dedup_stream(events)
+         .writeStream.format("parquet")
+         .option("path", sink_dir)
+         .option("checkpointLocation", ckpt_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def streaming_sessionization(spark: SparkSession, sf_dir: str,
                              _query_name: str = "stream_sessions"
                              ) -> DataFrame:

@@ -33,3 +33,36 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
     batch = load_table(spark, sf_dir, "events").dropDuplicates(["event_id"])
     assert streamed.count() == batch.count()
     assert streamed.select("event_id").distinct().count() == streamed.count()
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Two-phase arrival with a re-send of old rows: the second run
+    resumes from the checkpoint, emits only the genuinely-new rows,
+    and the sink ends with zero duplicates."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(W.EVENTS_SCHEMA).option(
+        "pathGlobFilter", "events.parquet").parquet(sf_dir)
+    split_ts = raw.approxQuantile("ts", [0.5], 0.0)[0]
+    phase1 = raw.filter(F.col("ts") <= split_ts)
+    phase2_new = raw.filter(F.col("ts") > split_ts)
+
+    phase1.write.mode("append").parquet(src)
+    W.incremental_dedup_to_parquet(spark, src, sink, ckpt)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == phase1.count()
+
+    # phase 2: new rows plus a re-send of 100 old (already-sunk) rows —
+    # the resumed watermark/dedup state must reject the re-sends
+    phase2_new.write.mode("append").parquet(src)
+    phase1.limit(100).write.mode("append").parquet(src)
+    W.incremental_dedup_to_parquet(spark, src, sink, ckpt)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == raw.count()                      # no loss
+    assert out.select("event_id").distinct().count() == raw.count()  # no dupes
