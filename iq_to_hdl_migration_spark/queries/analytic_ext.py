@@ -163,3 +163,68 @@ def stats_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.75D)").alias("q75"),
         F.expr("percentile(l_extendedprice, 0.99D)").alias("q99"),
         F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN {_TP} END)
+                AS DOUBLE) AS total_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot (long->wide) with explicit value list: one shuffle, "
+        "map-side partial aggregation of every pivot cell; explicit "
+        "values keep the schema static (no extra distinct-scan job)",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    wide = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.expr(_TP)).cast("double").alias("tp"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_n").cast("bigint").alias("n_f"),
+        F.col("O_n").cast("bigint").alias("n_o"),
+        F.col("P_n").cast("bigint").alias("n_p"),
+        F.col("F_tp").alias("total_f"),
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle=f"""
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) AS total
+    FROM (
+        SELECT 'quantity' AS metric, {_QTY} AS v FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(14,2))
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount', CAST(l_discount AS DECIMAL(14,2)) FROM lineitem
+    ) t GROUP BY metric
+    """,
+    doc="unpivot (wide->long) via stack(): zero-shuffle row expansion "
+        "inside the scan stage, then one grouped aggregation",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(F.expr(
+        "stack(3, 'quantity', CAST(l_quantity AS DECIMAL(14,2)), "
+        "'extendedprice', CAST(l_extendedprice AS DECIMAL(14,2)), "
+        "'discount', CAST(l_discount AS DECIMAL(14,2))) AS (metric, v)"))
+    return (
+        long.groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("v").cast("double").alias("total"))
+    )

@@ -126,6 +126,7 @@ _TOKS_DUCK = (r"list_filter(string_split_regex(lower(trim(text)), '\s+'),"
     doc="distributed TF-IDF: tokenize -> per-(source,term) tf -> "
         "per-term df -> join + window top-k; df side is re-used, both "
         "aggregations are partial-combine friendly",
+    bench=True,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -36,6 +36,7 @@ from iq_to_hdl_migration_spark.sources.tables import load_table
     """,
     doc="as-of join via union + running last() window — one shuffle on "
         "user_id, linear cost; oracle is DuckDB's native ASOF JOIN",
+    bench=True,
 )
 def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

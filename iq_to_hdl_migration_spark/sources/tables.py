@@ -12,6 +12,8 @@ so the same property holds for free.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -19,6 +21,9 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+# Big tables worth splitting into many files at ingest; dims stay 1 file.
+_FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -29,7 +34,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes events.ts (stored as TIMESTAMP(NANOS),
     which Spark's vectorized parquet reader rejects) to a microsecond
     timestamp — same truncation DuckDB applies when casting its
-    TIMESTAMP_NS to TIMESTAMP."""
+    TIMESTAMP_NS to TIMESTAMP.
+
+    If $SPARK_GRAFT_WAREHOUSE is set and holds a staged copy of the
+    table (see `stage_warehouse`), reads that instead: the staged
+    layout splits each single-row-group source file into many files so
+    scan stages parallelize across executors — source parquet with one
+    row group is unsplittable and pins the whole scan to one task no
+    matter how large the cluster.
+    """
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if wh:
+        staged = os.path.join(wh, os.path.basename(sf_dir.rstrip("/")), name)
+        if os.path.isdir(staged):
+            return spark.read.parquet(staged)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
@@ -37,6 +55,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def stage_warehouse(spark: SparkSession, sf_dir: str, warehouse_dir: str,
+                    tables: list[str] | None = None,
+                    rows_per_file: int = 50_000,
+                    max_files: int = 64) -> str:
+    """One-time ingest of the source parquet into the engine's own
+    layout (the load phase every warehouse has): fact tables are split
+    into ~`rows_per_file`-row files so scan parallelism tracks table
+    size (one giant unsplittable file pins a scan to one task; a spray
+    of tiny files drowns it in task overhead); events.ts is normalized
+    at ingest.  Idempotent — existing staged tables are kept.  Returns
+    the directory to export as $SPARK_GRAFT_WAREHOUSE.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    for name in tables or TABLES:
+        dest = os.path.join(warehouse_dir, sf_name, name)
+        if os.path.isdir(dest):
+            continue
+        df = load_table(spark, sf_dir, name)
+        if name in _FACT_TABLES:
+            n = max(1, min(max_files, -(-df.count() // rows_per_file)))
+        else:
+            n = 1
+        df.repartition(n).write.mode("overwrite").parquet(dest)
+    return warehouse_dir
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
