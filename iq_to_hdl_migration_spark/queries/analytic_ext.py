@@ -228,3 +228,46 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("v").cast("double").alias("total"))
     )
+
+
+@register(
+    "decile_binned_revenue",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM lineitem
+    )
+    SELECT CAST(1 + len(list_filter(b.qs,
+                 q -> CAST(l_extendedprice AS DOUBLE) > q)) AS INTEGER)
+               AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_price
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+    doc="exact decile binning as two distributed passes: (1) global "
+        "interpolated percentiles -> 9 cutpoints in a 1-row frame, "
+        "(2) broadcast cutpoints + comparison-count binning. This "
+        "replaces NTILE's single-partition global sort (which cannot "
+        "scale) with two all-parallel passes; percentile/quantile_cont "
+        "cross-engine bit-parity is established by stats_price_quantiles",
+)
+def decile_binned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.col("l_extendedprice").cast("double").alias("pd"))
+    bounds = li.agg(F.percentile(
+        F.col("pd"),
+        F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias("qs"))
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        (F.lit(1) + F.size(F.filter(
+            F.col("qs"), lambda q: F.col("pd") > q)))
+        .cast("int").alias("bin"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("p"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("p").cast("double").alias("total_price"))
+    )

@@ -128,6 +128,36 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str,
     return spark.table(_query_name)
 
 
+def purchase_click_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each
+    purchase joined to the same user's clicks in the preceding hour.
+    Both sides carry watermarks so the join state is bounded — Spark
+    evicts click state once the purchase-side watermark passes
+    click_ts + 1h.  The batch twin (same predicate as a batch join) is
+    the semantics contract in tests."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts")
+                 .withWatermark("ts", "2 hours"))
+    return purchases.join(
+        clicks,
+        F.expr("user_id = c_user AND "
+               "ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"),
+    ).select("user_id", "event_id", "click_id", "ts", "click_ts")
+
+
+def streaming_purchase_click_join(spark: SparkSession, sf_dir: str,
+                                  _query_name: str = "stream_ssjoin"
+                                  ) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(purchase_click_join_stream(events), _query_name, "append")
+    return spark.table(_query_name)
+
+
 def incremental_dedup_to_parquet(spark: SparkSession, src_dir: str,
                                  sink_dir: str, ckpt_dir: str,
                                  schema: str = EVENTS_SCHEMA) -> None:

@@ -66,3 +66,29 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == raw.count()                      # no loss
     assert out.select("event_id").distinct().count() == raw.count()  # no dupes
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join == the same predicate as a batch
+    join (every purchase x same-user clicks in the prior hour)."""
+    import pyspark.sql.functions as F
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    got = W.streaming_purchase_click_join(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts"))
+    want = purchases.join(
+        clicks,
+        F.expr("user_id = c_user AND "
+               "ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"))
+
+    assert got.count() == want.count()
+    key = lambda r: (r["event_id"], r["click_id"])
+    assert (sorted(map(key, got.collect()))
+            == sorted(map(key, want.select("event_id", "click_id").collect())))
