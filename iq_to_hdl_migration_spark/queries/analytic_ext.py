@@ -271,3 +271,81 @@ def decile_binned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"),
              F.sum("p").cast("double").alias("total_price"))
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))
+                        * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (CAST(e.value AS DOUBLE) - s.sx / s.n)
+               / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((CAST(e.value AS DOUBLE) - s.sx / s.n)
+              / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 3.0
+    """,
+    doc="z-score outlier detection per event type; moments are exact "
+        "decimal sums (cross-engine bit-stable, unlike stddev_samp's "
+        "order-dependent float accumulation), stats side broadcast back "
+        "onto the stream — two passes, no global sort",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(14,2)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"),
+             F.sum(vd).cast("double").alias("sx"),
+             F.sum(vd * vd).cast("double").alias("sxx"))
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    z = ((F.col("value").cast("double") - F.col("sx") / F.col("n"))
+         / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                  / (F.col("n") - F.lit(1.0))))
+    return (
+        joined.select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
+@register(
+    "orders_cumulative_share",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month_ts,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month_ts, rev,
+           SUM(rev) OVER (ORDER BY month_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(rev) OVER () AS cum_share
+    FROM m
+    """,
+    doc="cumulative revenue share by month: heavy aggregation first "
+        "(one shuffle to ~84 month rows), then the unpartitioned window "
+        "runs on the tiny aggregate — never a global sort of the fact",
+)
+def orders_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    monthly = (
+        od.withColumn("month_ts", F.trunc(F.col("o_orderdate"), "month"))
+        .groupBy("month_ts")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+             .cast("double").alias("rev"))
+    )
+    w_cum = Window.orderBy("month_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return monthly.select(
+        "month_ts", "rev",
+        (F.sum("rev").over(w_cum) / F.sum("rev").over(w_all))
+        .alias("cum_share"))

@@ -197,3 +197,34 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.n").alias("n_rows_b"))
         .filter(F.col("dist") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling: ~10% per language by md5 prefix
+# (content-addressed like split_train_test, so the sample is stable
+# across engines, reshards, and reruns).
+
+@register(
+    "sample_stratified_docs",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                              < '1a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM documents GROUP BY lang
+    """,
+    doc="deterministic ~10% stratified sample per language (md5 bucket "
+        "< 0x1a = 26/256); content-addressed sampling is reproducible "
+        "and shuffle-free, unlike rand(seed) or sampleBy",
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a",
+        1).otherwise(0)
+    return (
+        docs.groupBy("lang")
+        .agg(F.sum(in_sample).cast("bigint").alias("n_sampled"),
+             F.count(F.lit(1)).alias("n_total"))
+    )
