@@ -187,3 +187,93 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("window_start"), "event_type",
                 "n_events")
     )
+
+
+@register(
+    "events_funnel_counts",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND CAST(e.ts AS TIMESTAMP) > c.t_click
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_buy
+    """,
+    doc="ordered funnel (view -> later click -> later purchase) per "
+        "user: three grouped mins chained by per-user joins — every "
+        "stage shuffles on user_id only, and AQE reuses the exchange; "
+        "no window over the raw stream, no cross join",
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_buy")))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)
+                   AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                   AS active_week
+        FROM events
+    )
+    SELECT CAST(s.cohort_week AS INTEGER) AS cohort_week,
+           CAST(a.active_week - s.cohort_week AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s JOIN a ON s.user_id = a.user_id
+    WHERE a.active_week >= s.cohort_week
+    GROUP BY 1, 2
+    """,
+    doc="weekly retention cohorts (signup week x activity-week offset): "
+        "week ids are integer day-arithmetic from a fixed epoch, not "
+        "date_trunc('week'), so both engines bucket identically; "
+        "distinct-activity then one join on user_id",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / 7).cast("int")
+    # integer floor-div: datediff >= 0 here so cast-truncation == floor
+    s = (ev.filter(F.col("event_type") == "signup")
+         .select("user_id", week.alias("w"))
+         .groupBy("user_id").agg(F.min("w").alias("cohort_week")))
+    a = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        s.join(a, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week",
+                 (F.col("active_week") - F.col("cohort_week"))
+                 .cast("int").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("cohort_week").cast("int").alias("cohort_week"),
+                "week_offset", "n_users")
+    )
