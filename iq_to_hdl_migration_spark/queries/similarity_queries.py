@@ -148,3 +148,35 @@ def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.count(F.lit(1)).cast("double")).alias("avg_first"),
                  F.min(first).cast("double").alias("min_first"),
                  F.max(first).cast("double").alias("max_first")))
+
+
+@register(
+    "sim_ann_recall",
+    oracle=None,  # LSH/IVF candidate sets aren't SQL-expressible; the
+                  # recall numbers themselves are the semantic check
+    doc="self-measuring ANN quality: joins the LSH-ANN and IVF top-5 "
+        "sets against the exact brute-force top-5 and reports "
+        "recall@5 per method — the accept/reject dashboard a 100 TB "
+        "ANN deployment runs before trusting the approximate path. "
+        "On this synthetic corpus (i.i.d. random vectors, no cluster "
+        "structure) single-probe hyperplane LSH is the documented "
+        "worst case (~4%); IVF with nprobe=2 holds ~80%. Real "
+        "embedding corpora are clustered, which is what both methods "
+        "exploit — the query exists precisely to measure that before "
+        "switching off the exact path",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = sim_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    k = 5
+    out = None
+    for method, fn in [("lsh", sim_ann_lsh_topk), ("ivf", sim_ivf_topk)]:
+        approx = fn(spark, sf_dir).select("query_id", "cand_id")
+        hits = bf.join(approx, ["query_id", "cand_id"]).groupBy().count()
+        n_q = bf.select("query_id").distinct().count()
+        row = hits.select(
+            F.lit(method).alias("method"),
+            F.lit(n_q).cast("bigint").alias("n_queries"),
+            (F.col("count").cast("double") / F.lit(float(n_q * k)))
+            .alias("recall_at_5"))
+        out = row if out is None else out.unionByName(row)
+    return out
