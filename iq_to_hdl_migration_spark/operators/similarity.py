@@ -263,12 +263,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding", n_flip: int = 0) -> DataFrame:
     """Approximate top-k via multi-probe LSH: candidates = union of the
     query's buckets across N_TABLES hash tables (equi-join on
     (table_idx, code), broadcast query side), deduped, then exact
     cosine + per-query top-k. At scale each table probes ~1/2^8 of the
-    corpus; vectors are never shuffled — only bucket codes join."""
+    corpus; vectors are never shuffled — only bucket codes join.
+
+    `n_flip=1` adds classic multi-probe: each query also probes every
+    Hamming-distance-1 neighbor bucket (the BITS_PER_TABLE single-bit
+    flips of its code) per table — x(1+bits) candidate buckets for
+    substantially higher recall at the same corpus layout, still a
+    broadcast equi-join (probe expansion happens on the tiny query
+    side only)."""
     from pyspark.sql import Window
 
     c = with_norm(corpus.select(F.col(id_col).alias("cand_id"),
@@ -277,6 +284,13 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = with_norm(queries.select(F.col(id_col).alias("query_id"),
                                  F.col(vec_col).alias("qemb")), "qemb", "qvec")
     q = exploded_buckets(q.withColumnRenamed("norm", "qnorm"), "qemb")
+    if n_flip >= 1:
+        q = (q.withColumn(
+                "code",
+                F.explode(F.expr(
+                    f"array_union(array(code), transform("
+                    f"sequence(0, {BITS_PER_TABLE - 1}), "
+                    f"i -> code ^ shiftleft(1, i)))"))))
     cands = (
         c.join(F.broadcast(q), ["table_idx", "code"])
         .where(F.col("query_id") != F.col("cand_id"))

