@@ -97,3 +97,59 @@ def frame_sample(df: DataFrame, n_frames: int = 4,
                                columns=[id_col, "frame_idx", "frame_sha256"])
 
     return src.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id bigint, width int, height int, payload binary")
+AUDIO_SCHEMA = "doc_id bigint, chunk_idx int, energy double, n_bytes int"
+
+
+def resize_stub(df: DataFrame, width: int = 224, height: int = 224,
+                id_col: str = "doc_id") -> DataFrame:
+    """Binary-in/binary-out 'resize': output payload is a deterministic
+    fixed-size transform of the input bytes (cycle-truncated to
+    width*height/64 bytes). Exercises the batch shape a real
+    PIL.resize UDF has — binary column out, fixed target dims —
+    so swapping in a real decoder+resampler changes only the inner
+    function."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, "payload").repartition(n)
+    out_len = max(1, width * height // 64)
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = pdf[[id_col]].copy()
+            out["width"] = width
+            out["height"] = height
+            out["payload"] = pdf["payload"].map(
+                lambda b: (bytes(b) * (out_len // max(1, len(bytes(b))) + 1)
+                           )[:out_len])
+            yield out
+
+    return src.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def audio_chunk_features(df: DataFrame, chunk_bytes: int = 1024,
+                         id_col: str = "doc_id") -> DataFrame:
+    """'Audio' featurization: fixed-size chunking of the payload with a
+    per-chunk mean-absolute 'energy' over the raw bytes — the plumbing
+    (chunk explode, per-chunk scalar features, Arrow batches) of a real
+    frame/hop spectral UDF. Deterministic: bytes are the signal."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, "payload").repartition(n)
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(1, len(b)), chunk_bytes):
+                    chunk = b[i:i + chunk_bytes]
+                    if not chunk:
+                        break
+                    rows.append((did, i // chunk_bytes,
+                                 sum(chunk) / len(chunk), len(chunk)))
+            yield pd.DataFrame(rows, columns=[id_col, "chunk_idx",
+                                              "energy", "n_bytes"])
+
+    return src.mapInPandas(batches, schema=AUDIO_SCHEMA)

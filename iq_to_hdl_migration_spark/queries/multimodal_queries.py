@@ -6,6 +6,7 @@ so the mapInPandas plumbing itself is value-verified end-to-end.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iq_to_hdl_migration_spark.operators import multimodal as mm
@@ -59,3 +60,48 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.frame_sample(mm.attach_binary_payload(docs), n_frames=4)
+
+
+@register(
+    "mm_audio_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST((n_chars + 1023) // 1024 AS BIGINT) AS n_chunks,
+           CAST(n_chars AS BIGINT) AS total_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="audio-style chunked featurization (fixed 1 KiB chunks over the "
+        "binary payload via mapInPandas); the oracle checks the chunk "
+        "arithmetic exactly — ceil(n_chars/1024) chunks covering every "
+        "byte — since text payload length == n_chars",
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    feats = mm.audio_chunk_features(mm.attach_binary_payload(docs))
+    return (feats.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_bytes").cast("bigint").alias("total_bytes")))
+
+
+@register(
+    "mm_resize_meta",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(224 AS INTEGER) AS width,
+           CAST(224 AS INTEGER) AS height,
+           CAST(784 AS BIGINT) AS bytes_per_image
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="binary-in/binary-out resize stub: every output payload is the "
+        "fixed 224x224 target (784 stub bytes); oracle checks the "
+        "contract a real resampler must satisfy (uniform output shape)",
+)
+def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    resized = mm.resize_stub(mm.attach_binary_payload(docs))
+    return (resized
+            .select("width", "height", F.length("payload").alias("blen"))
+            .groupBy("width", "height", F.col("blen").alias("bytes_per_image"))
+            .agg(F.count(F.lit(1)).alias("n_images"))
+            .select("n_images", "width", "height",
+                    F.col("bytes_per_image").cast("bigint")))
