@@ -69,3 +69,55 @@ def test_asof_plan_has_single_shuffle_no_join(spark):
         .executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_bruteforce_random(spark):
+    """Randomized semantics check: asof_join == per-row brute force
+    (greatest ref ts <= probe ts per key) on a seeded random dataset."""
+    import random
+
+    rng = random.Random(42)
+    keys = list(range(8))
+
+    def minute_ts(m: int) -> dt.datetime:
+        return dt.datetime(2024, 1, 1, m // 60 % 24, m % 60)
+
+    # unique (key, minute) pairs on each side
+    probe_rows, ref_rows = [], []
+    for k in keys:
+        p_min = rng.sample(range(0, 500), 40)
+        r_min = rng.sample(range(0, 500), 30)
+        probe_rows += [(k, minute_ts(m), f"p{k}_{m}") for m in p_min]
+        ref_rows += [(k, minute_ts(m), f"r{k}_{m}") for m in r_min]
+    probe = spark.createDataFrame(probe_rows, "k int, ts timestamp, pid string")
+    ref = spark.createDataFrame(ref_rows, "k int, ts timestamp, rid string")
+
+    got = {r["pid"]: r["ref_rid"]
+           for r in asof_join(probe, ref, on="k").collect()}
+
+    by_key = {}
+    for k, ts, rid in ref_rows:
+        by_key.setdefault(k, []).append((ts, rid))
+    for k, ts, pid in probe_rows:
+        cands = [(t, r) for t, r in by_key.get(k, []) if t <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[pid] == want, (pid, got[pid], want)
+
+
+def test_bin_range_join_matches_naive_random(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(float(rng.randint(0, 10_000)),) for _ in range(300)]
+    ranges = []
+    for i in range(12):
+        lo = float(rng.randint(0, 9_000))
+        ranges.append((f"r{i}", lo, lo + float(rng.randint(1, 3_000))))
+    fact = spark.createDataFrame(pts, "x double")
+    rng_df = spark.createDataFrame(ranges, "label string, lo double, hi double")
+    got = sorted((r["x"], r["label"]) for r in
+                 bin_range_join(fact, rng_df, point="x",
+                                bin_width=777.0).collect())
+    want = sorted((x, lab) for (x,) in pts
+                  for lab, lo, hi in ranges if lo <= x < hi)
+    assert got == want
