@@ -73,3 +73,35 @@ def test_catalog_queries_broadcast_only(spark, sf_dir):
     plan = final_plan(REGISTRY["j3_master_inventory"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "range_join_price_bracket",   # binned interval join must stay equi
+    "events_retention_cohorts",
+    "events_funnel_counts",
+])
+def test_no_nested_loop_or_cartesian(spark, sf_dir, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+    if name == "range_join_price_bracket":
+        # the whole point: inequality semantics via equi-join on _bin
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: fell back to BNLJ")
+
+
+def test_decile_binning_has_no_global_window(spark, sf_dir):
+    """The two-pass design exists to avoid NTILE's single-partition
+    sort: the plan must contain no Window operator at all."""
+    plan = final_plan(REGISTRY["decile_binned_revenue"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_profile_single_scan(spark, sf_dir):
+    """All four columns profile in ONE pass over lineitem (the oracle's
+    UNION ALL rescans; the operator must not)."""
+    plan = final_plan(REGISTRY["dq_profile_lineitem"].fn(spark, sf_dir))
+    # AQE toString repeats the tree under "== Initial Plan =="; gate on
+    # the final section only
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("FileScan parquet") == 1, final_section
