@@ -1,0 +1,62 @@
+"""Distributed PageRank over an edge-list DataFrame — the iterative
+join/aggregate pattern (same family as the transitive-closure A5 and
+connected-components operators, reference has nothing comparable).
+
+Each iteration is one join (ranks x edges on src) + one groupBy(dst):
+both shuffle on node id, so a cluster co-partitions them and the
+per-iteration cost is linear in |edges|.  Lineage is truncated with
+localCheckpoint every few iterations — without it the loop builds an
+O(iters)-deep plan that eventually overwhelms the optimizer.  Dangling
+nodes' mass is redistributed uniformly (the standard correction), so
+ranks sum to 1 every iteration.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_CHECKPOINT_EVERY = 5
+
+
+def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             weight: str | None = None) -> DataFrame:
+    """Weighted PageRank. Returns (node, rank); ranks sum to 1."""
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    n = nodes.count()
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e_norm = (e.join(out_w, "src")
+              .select("src", "dst", (F.col("w") / F.col("out_w"))
+                      .alias("frac")).cache())
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(iters):
+        contrib = (
+            ranks.join(e_norm, ranks["node"] == e_norm["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("c"))
+        )
+        # mass parked on dangling nodes (no out-edges) spreads uniformly
+        dangling = (ranks.join(out_w, ranks["node"] == out_w["src"],
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select("node",
+                    (F.lit(base)
+                     + F.lit(damping)
+                     * (F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dangling / n))).alias("rank"))
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

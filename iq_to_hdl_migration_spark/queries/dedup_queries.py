@@ -132,3 +132,34 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comp.groupBy(F.col("component").alias("cluster_id"))
             .agg(F.count(F.lit(1)).alias("n_members"))
             .where(F.col("n_members") > 1))
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                  '\s+', ' ', 'g')))
+                AS BIGINT) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                        '\s+', ' ', 'g')))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    doc="per-source exact-duplicate rate over normalized-text "
+        "fingerprints — the corpus-quality dashboard number that decides "
+        "which ingest sources need dedup attention first",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                "\\s+", " "))
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct(fp).alias("n_distinct"))
+        .select("source", "n_docs", "n_distinct",
+                (F.lit(1.0) - F.col("n_distinct").cast("double")
+                 / F.col("n_docs").cast("double")).alias("dup_rate"))
+    )

@@ -277,3 +277,33 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cohort_week").cast("int").alias("cohort_week"),
                 "week_offset", "n_users")
     )
+
+
+@register(
+    "graph_user_pagerank_top20",
+    oracle=None,  # iterative fixpoint; locked vs a dense NumPy
+                  # reference in tests/test_graph.py
+    doc="PageRank over the user interaction graph (directed edges "
+        "user_a -> user_b when a purchase by b follows a click by a in "
+        "the same hour bucket, weight = co-occurrence count); iterative "
+        "join+agg per round, lineage checkpointed — top 20 by rank",
+)
+def graph_user_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id", "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"))
+    clicks = (hours.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("src"), "h"))
+    buys = (hours.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("dst"), "h"))
+    edges = (clicks.join(buys, "h")
+             .filter(F.col("src") != F.col("dst"))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("weight")))
+    ranks = pagerank(edges, iters=10, weight="weight")
+    return (ranks.orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20)
+            .select(F.col("node").alias("user_id"), "rank"))
