@@ -303,3 +303,66 @@ def q21_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )
+
+
+@register(
+    "q_intersect_except_custkeys",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1995-01-01'
+                   AND o_orderdate < DATE '1996-01-01'),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1996-01-01'
+                   AND o_orderdate < DATE '1997-01-01')
+    SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_custs
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1995', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    """,
+    doc="INTERSECT / EXCEPT set operations (SURVEY §2.6; the reference "
+        "folds set-ops into its J15/J16 semi/anti joins — Spark's "
+        "intersect/exceptAll compile to the same left-semi/left-anti)",
+)
+def q_intersect_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    y95 = (od.filter((F.col("o_orderdate") >= "1995-01-01")
+                     & (F.col("o_orderdate") < "1996-01-01"))
+           .select("o_custkey").distinct())
+    y96 = (od.filter((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1997-01-01"))
+           .select("o_custkey").distinct())
+    both = y95.intersect(y96).agg(
+        F.count(F.lit(1)).alias("n_custs")).select(
+        F.lit("both").alias("cohort"), "n_custs")
+    only95 = y95.exceptAll(y96).agg(
+        F.count(F.lit(1)).alias("n_custs")).select(
+        F.lit("only_1995").alias("cohort"), "n_custs")
+    return both.unionByName(only95)
+
+
+@register(
+    "events_json_typed",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.tag')
+                              IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tagged
+    FROM events GROUP BY event_type
+    """,
+    doc="typed JSON extraction via schema'd parser (from_json), not "
+        "regex — the parse happens once per row JVM-side and both "
+        "fields project from the struct",
+)
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "j", F.from_json(F.col("props"), "k INT, tag STRING"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.sum(F.col("j.k")).cast("bigint").alias("sum_k"),
+             F.sum(F.when(F.col("j.tag").isNotNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_tagged"))
+    )
