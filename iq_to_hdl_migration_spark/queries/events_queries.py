@@ -307,3 +307,38 @@ def graph_user_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranks.orderBy(F.desc("rank"), F.asc("node"))
             .limit(20)
             .select(F.col("node").alias("user_id"), "rank"))
+
+
+@register(
+    "events_churn_gaps",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps
+    FROM g GROUP BY user_id
+    ORDER BY max_gap_us DESC, user_id
+    LIMIT 20
+    """,
+    doc="churn-risk signal: largest inactivity gap per user via lag "
+        "window (one shuffle on user_id), deterministic top-20",
+)
+def events_churn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(F.max("gap_us").cast("bigint").alias("max_gap_us"),
+             F.count("gap_us").alias("n_gaps"))
+        .orderBy(F.desc("max_gap_us"), F.asc("user_id"))
+        .limit(20)
+    )
