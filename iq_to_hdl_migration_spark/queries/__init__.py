@@ -29,6 +29,7 @@ _QUERY_MODULES = [
     "temporal_queries",
     "mlprep_queries",
     "sketch_queries",
+    "streaming_queries",
     "ddl_queries",
     "multimodal_queries",
     "schema_queries",

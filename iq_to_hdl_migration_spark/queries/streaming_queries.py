@@ -1,0 +1,61 @@
+"""Registered streaming queries: the Structured Streaming twins run
+end-to-end (file-source stream -> watermarked operator -> availableNow
+drain -> memory sink) and hash-match the SAME DuckDB oracles as their
+batch counterparts — the driver's correctness gate covers the
+streaming path, not just tests.
+
+Each invocation uses a fresh memory-sink name so repeated driver runs
+in one session never collide.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.streaming import windows as W
+
+_seq = itertools.count()
+
+
+@register(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="streaming twin of events_hourly_by_type driven end-to-end "
+        "(watermarked tumbling window, availableNow drain) and checked "
+        "against the same batch oracle",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_hourly_{next(_seq)}"
+    return W.streaming_hourly_counts(spark, sf_dir, name)
+
+
+@register(
+    "stream_exact_dedup",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(value AS DOUBLE) AS value, props
+    FROM events
+    """,
+    doc="streaming exact dedup (dropDuplicatesWithinWatermark) drained "
+        "end-to-end; event_ids are unique in the source, so the oracle "
+        "is the full table — the check proves the stream loses nothing "
+        "and duplicates nothing",
+)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_dedup_{next(_seq)}"
+    df = W.streaming_dedup_count(spark, sf_dir, name)
+    return df.select("event_id", "ts",
+                     F.col("user_id").cast("bigint").alias("user_id"),
+                     "event_type",
+                     F.col("value").cast("double").alias("value"),
+                     "props")
