@@ -349,3 +349,82 @@ def orders_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_ts", "rev",
         (F.sum("rev").over(w_cum) / F.sum("rev").over(w_all))
         .alias("cum_share"))
+
+
+@register(
+    "stats_qty_price_correlation",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+                        * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+                        * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxy - sx * sy / n)
+               / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+               AS corr_qty_price,
+           CAST(n AS BIGINT) AS n_rows
+    FROM m
+    """,
+    doc="Pearson correlation per group from exact decimal moments in "
+        "ONE pass (Spark's corr() accumulates floats order-dependently "
+        "and cannot hash-match across engines; explicit moments can)",
+)
+def stats_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(14,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.sum(x).cast("double").alias("sx"),
+              F.sum(y).cast("double").alias("sy"),
+              F.sum(x * x).cast("double").alias("sxx"),
+              F.sum(y * y).cast("double").alias("syy"),
+              F.sum(x * y).cast("double").alias("sxy")))
+    corr = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+               * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))))
+    return m.select("l_returnflag", corr.alias("corr_qty_price"),
+                    F.col("n").cast("bigint").alias("n_rows"))
+
+
+@register(
+    "mode_priority_by_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS n_rows
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority)
+                   AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) t WHERE rn = 1
+    """,
+    doc="deterministic per-group mode: grouped count then window pick "
+        "with an explicit tiebreak (Spark's mode() breaks ties "
+        "arbitrarily; count+window is reproducible)",
+)
+def mode_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    counts = (od.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority"),
+                    F.col("cnt").cast("bigint").alias("n_rows")))

@@ -59,3 +59,33 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "event_type",
                      F.col("value").cast("double").alias("value"),
                      "props")
+
+
+@register(
+    "stream_sessionization",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                              OR us - prev_us > {30 * 60 * 1_000_000}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM o GROUP BY user_id
+    """,
+    doc="stateful streaming sessionization (applyInPandasWithState, "
+        "30-min gap) drained end-to-end and checked against the batch "
+        "lag-window oracle — the Pandas-stateful-UDF path inside the "
+        "driver's correctness gate",
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_sessions_{next(_seq)}"
+    df = W.streaming_sessionization(spark, sf_dir, name)
+    return df.select(F.col("user_id").cast("bigint").alias("user_id"),
+                     F.col("n_sessions").cast("bigint").alias("n_sessions"),
+                     F.col("n_events").cast("bigint").alias("n_events"))
