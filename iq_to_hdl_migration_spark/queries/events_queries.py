@@ -342,3 +342,37 @@ def events_churn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_gap_us"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS day
+                FROM events),
+         days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           CAST((SELECT COUNT(*) FROM ud WHERE ud.day = d.day) AS BIGINT)
+               AS dau,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN ud u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    doc="DAU / rolling-7-day WAU: distinct (user, day) pairs first (the "
+        "only data-scale shuffle), then a range join against the tiny "
+        "day list — count-distinct-over-sliding-window without window "
+        "support for DISTINCT",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    joined = (ud.alias("u").join(
+        F.broadcast(days.alias("d")),
+        F.expr("u.day BETWEEN date_sub(d.day, 6) AND d.day")))
+    wau = (joined.groupBy(F.col("d.day").alias("day"))
+           .agg(F.countDistinct("u.user_id").alias("wau")))
+    return (dau.join(wau, "day")
+            .select("day", F.col("dau").cast("bigint").alias("dau"),
+                    F.col("wau").cast("bigint").alias("wau")))

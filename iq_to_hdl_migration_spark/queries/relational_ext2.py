@@ -15,7 +15,7 @@ BIGINT counts, fully-deterministic ORDER BY before every LIMIT.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.sources.tables import load_table as _t
@@ -366,3 +366,43 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(F.col("j.tag").isNotNull(), 1).otherwise(0))
              .cast("bigint").alias("n_tagged"))
     )
+
+
+@register(
+    "q_nation_revenue_dense_top3",
+    oracle="""
+    WITH r AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name, revenue, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT n_name, revenue,
+                 DENSE_RANK() OVER (ORDER BY revenue DESC) AS rnk
+          FROM r) t
+    WHERE rnk <= 3
+    """,
+    doc="dense_rank top-3 (rank family beyond row_number): the window "
+        "runs over the tiny 25-row aggregate, never the fact table",
+)
+def q_nation_revenue_dense_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    r = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+         .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+         .groupBy("n_name")
+         .agg(F.sum(rev).cast("double").alias("revenue")))
+    w = Window.orderBy(F.desc("revenue"))
+    return (r.withColumn("rnk", F.dense_rank().over(w).cast("int"))
+            .filter(F.col("rnk") <= 3))
