@@ -27,6 +27,7 @@ _QUERY_MODULES = [
     "similarity_queries",
     "events_queries",
     "temporal_queries",
+    "sequence_queries",
     "mlprep_queries",
     "sketch_queries",
     "streaming_queries",

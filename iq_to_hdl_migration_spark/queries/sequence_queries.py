@@ -1,0 +1,256 @@
+"""Sequence / behavioral analytics over the events and orders tables.
+
+Beyond-reference operators (SURVEY §2.11): event-sequence mining
+(Markov transition matrix, entry/exit paths), purchase-cadence
+statistics, market-concentration (HHI), and month-over-month growth.
+These are the shapes a training-data / product-analytics pipeline runs
+daily; the reference has no event model at all (SURVEY §2.10), so these
+are Spark-first designs, not ports.
+
+Scale notes:
+- Transition mining partitions the window by user_id — one shuffle on a
+  high-cardinality, evenly distributed key; per-user sequences are tiny
+  (~60 events), so no partition can spill regardless of total volume.
+- Cadence runs its lag-window on orders *before* the dimension join so
+  only (custkey, orderdate) shuffles; the customer dim joins broadcast.
+- HHI aggregates twice on progressively smaller keys (supplier → nation);
+  both shuffles are partial-agg (map-side combine) first.
+- Growth is a single month-grain aggregate (≤ a few hundred groups at
+  any scale) followed by a 1-partition window over months — the window
+  input is post-aggregation, so the single partition holds only
+  #months rows, never raw data.
+
+Determinism: every float in the output is produced by ONE double
+division (or one division + one multiply) of exactly-accumulated
+decimal/bigint sums, so Spark and DuckDB agree bitwise; window
+orderings always carry a unique tiebreaker (event_id / o_orderkey).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+_EP = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TP = "CAST(o_totalprice AS DECIMAL(14,2))"
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS prob
+    FROM pairs
+    """,
+    doc="Markov transition matrix over per-user event sequences "
+        "(SURVEY §2.11; no reference analog — events model absent there)",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type", "next_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        (F.col("n").cast("double")
+         / F.sum("n").over(wt).cast("double")).alias("prob"),
+    )
+
+
+@register(
+    "events_entry_exit_paths",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               arg_min(event_type, ts) AS first_type,
+               arg_max(event_type, ts) AS last_type
+        FROM events GROUP BY user_id
+    )
+    SELECT first_type, last_type, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY first_type, last_type
+    """,
+    doc="Entry/exit path distribution — first and last event type per "
+        "user (min_by/max_by; (user_id, ts) is unique so ties cannot "
+        "occur). SURVEY §2.11.",
+)
+def events_entry_exit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+    )
+    return u.groupBy("first_type", "last_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@register(
+    "customer_order_cadence",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+           CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)
+               AS avg_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM g JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Purchase-cadence stats: per-customer inter-order gaps (lag "
+        "window on orders only — dim joins broadcast after), rolled up "
+        "by market segment. SURVEY §2.11.",
+)
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("gap", F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w)))
+        .where(F.col("gap").isNotNull())
+    )
+    joined = gaps.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        gaps["o_custkey"] == F.col("c_custkey"))
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sum_gap_days"),
+        (F.sum("gap").cast("double")
+         / F.count("gap").cast("double")).alias("avg_gap_days"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+    )
+
+
+@register(
+    "supplier_hhi_by_nation",
+    oracle=f"""
+    WITH sr AS (
+        SELECT s_nationkey, l_suppkey,
+               CAST(SUM({_EP} * (1 - {_DISC})) AS DECIMAL(18,2)) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, l_suppkey
+    ), sc AS (
+        -- exact integer cents (int128) so the square cannot overflow;
+        -- the 100x scale cancels in the HHI ratio
+        SELECT s_nationkey, rev, CAST(rev * 100 AS HUGEINT) AS rc
+        FROM sr
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(rev) AS DOUBLE) AS nation_revenue,
+           CAST(SUM(rc * rc) AS DOUBLE)
+               / (CAST(SUM(rc) AS DOUBLE) * CAST(SUM(rc) AS DOUBLE))
+               AS hhi
+    FROM sc JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Market-concentration (Herfindahl) of supplier revenue within "
+        "each nation. HHI = SUM(rev_i^2)/SUM(rev_i)^2 — computed from "
+        "exact decimal sums with a single double division so both "
+        "engines agree bitwise. SURVEY §2.11.",
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev_expr = (F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    sr = (
+        li.select("l_suppkey", rev_expr.alias("item_rev"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("item_rev").cast("decimal(18,2)").alias("rev"))
+    )
+    # Exact integer cents (DECIMAL(38,0) ~ DuckDB's HUGEINT) so the
+    # square stays exact; the 100x scale cancels in the HHI ratio.
+    sc = sr.withColumn(
+        "rc", (F.col("rev") * F.lit(100)).cast("decimal(38,0)"))
+    agg = (
+        sc.join(F.broadcast(n.select("n_nationkey", "n_name")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+             F.sum("rev").cast("double").alias("nation_revenue"),
+             F.sum(F.col("rc") * F.col("rc")).alias("sum_sq"),
+             F.sum("rc").alias("tot_rc"))
+    )
+    tot_d = F.col("tot_rc").cast("double")
+    return agg.select(
+        "n_name", "n_suppliers", "nation_revenue",
+        (F.col("sum_sq").cast("double") / (tot_d * tot_d)).alias("hhi"),
+    )
+
+
+@register(
+    "orders_monthly_growth",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM({_TP}) AS DECIMAL(18,2)) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(revenue - LAG(revenue) OVER (ORDER BY month) AS DOUBLE)
+               / CAST(LAG(revenue) OVER (ORDER BY month) AS DOUBLE)
+               AS mom_growth
+    FROM m
+    """,
+    doc="Month-over-month revenue growth: month-grain exact-decimal "
+        "aggregate, then a lag window over the (tiny) month spine. "
+        "SURVEY §2.11 time-series.",
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                  .alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+             .cast("decimal(18,2)").alias("revenue"),
+             F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_orders",
+        ((F.col("revenue") - prev).cast("double")
+         / prev.cast("double")).alias("mom_growth"),
+    )

@@ -105,3 +105,19 @@ def test_dq_profile_single_scan(spark, sf_dir):
     # the final section only
     final_section = plan.split("== Initial Plan ==")[0]
     assert final_section.count("FileScan parquet") == 1, final_section
+
+
+@pytest.mark.parametrize("name", [
+    "events_markov_transitions",    # one shuffle on user_id, no join
+    "events_entry_exit_paths",
+    "customer_order_cadence",       # dim join must broadcast
+    "supplier_hhi_by_nation",       # both dim joins broadcast
+    "orders_monthly_growth",
+])
+def test_sequence_queries_plan_shape(spark, sf_dir, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+    assert "SortMergeJoin" not in plan, (
+        f"{name}: dim join shuffled instead of broadcasting")
+    if name in ("customer_order_cadence", "supplier_hhi_by_nation"):
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
