@@ -28,6 +28,7 @@ _QUERY_MODULES = [
     "events_queries",
     "temporal_queries",
     "sequence_queries",
+    "cooccurrence_queries",
     "mlprep_queries",
     "sketch_queries",
     "streaming_queries",

@@ -1,0 +1,128 @@
+"""Gaps-and-islands and co-occurrence (market-basket) analytics over
+the events table — beyond-reference operators (SURVEY §2.11).
+
+Scale notes:
+- `events_activity_islands` is the classic gaps-and-islands rewrite:
+  distinct active days → row_number per user → group by (user,
+  date - rn). Two shuffles, both on user_id (high-cardinality, even);
+  per-user partitions hold only distinct DAYS (bounded by the calendar,
+  not by event volume), so the window never sees raw-event cardinality.
+- `events_type_affinity` avoids the naive self-join of the (user, type)
+  relation on user_id (which shuffles the corpus twice). Instead ONE
+  groupBy(user).collect_set builds the bounded per-user type set
+  (|set| <= #event_types, a small constant), and pair generation is a
+  double explode with a < b — output is bounded by #users x C(T,2),
+  never quadratic in events. Lift's numerator/denominator are exact
+  BIGINT products with a single double division, so Spark and DuckDB
+  agree bitwise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), numbered AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS grp
+        FROM days
+    ), runs AS (
+        SELECT user_id, COUNT(*) AS run_len
+        FROM numbered GROUP BY user_id, grp
+    )
+    SELECT CAST(run_len AS BIGINT) AS run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM runs GROUP BY run_len
+    """,
+    doc="Gaps-and-islands: contiguous active-day streak lengths per "
+        "user, rolled into a run-length histogram. SURVEY §2.11.",
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.select("user_id", F.col("ts").cast("date").alias("d"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn("grp", F.date_sub("d", F.row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("run_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    ).select(F.col("run_len").cast("bigint").alias("run_len"),
+             "n_runs", "n_users")
+
+
+@register(
+    "events_type_affinity",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), u AS (
+        SELECT COUNT(DISTINCT user_id) AS nu FROM d
+    ), ta AS (
+        SELECT event_type, COUNT(*) AS na FROM d GROUP BY event_type
+    ), p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS nab
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(nab AS BIGINT) AS n_both,
+           CAST(nab AS DOUBLE) / CAST(nu AS DOUBLE) AS support,
+           CAST(nab * nu AS DOUBLE)
+               / CAST(ta1.na * ta2.na AS DOUBLE) AS lift
+    FROM p
+    CROSS JOIN u
+    JOIN ta ta1 ON ta1.event_type = type_a
+    JOIN ta ta2 ON ta2.event_type = type_b
+    """,
+    doc="Market-basket affinity of event types across users: support "
+        "and lift per unordered type pair. Pair generation is a double "
+        "explode of the bounded per-user type set (ONE shuffle), not a "
+        "corpus self-join. SURVEY §2.11.",
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.array_sort(F.collect_set("event_type")).alias("types")))
+    n_users = per_user.count()  # scalar aggregate, not a driver loop
+    pairs = (
+        per_user.select(F.explode("types").alias("type_a"), "types")
+        .select("type_a", F.explode("types").alias("type_b"))
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    ta = (per_user.select(F.explode("types").alias("event_type"))
+          .groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("na")))
+    return (
+        pairs
+        .join(F.broadcast(ta.withColumnRenamed("event_type", "type_a")
+                          .withColumnRenamed("na", "na_a")), "type_a")
+        .join(F.broadcast(ta.withColumnRenamed("event_type", "type_b")
+                          .withColumnRenamed("na", "na_b")), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("nab").cast("bigint").alias("n_both"),
+            (F.col("nab").cast("double") / F.lit(float(n_users)))
+                .alias("support"),
+            ((F.col("nab") * F.lit(n_users)).cast("double")
+             / (F.col("na_a") * F.col("na_b")).cast("double")).alias("lift"),
+        )
+    )

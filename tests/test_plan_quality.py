@@ -121,3 +121,16 @@ def test_sequence_queries_plan_shape(spark, sf_dir, name):
         f"{name}: dim join shuffled instead of broadcasting")
     if name in ("customer_order_cadence", "supplier_hhi_by_nation"):
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+
+
+@pytest.mark.parametrize("name", [
+    "events_activity_islands",      # window input is distinct DAYS only
+    "events_type_affinity",         # pair gen must be explode, not self-join
+])
+def test_cooccurrence_plan_shape(spark, sf_dir, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected shuffle join"
+    if name == "events_type_affinity":
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "Generate explode" in plan, f"{name}: expected explode pairs"
