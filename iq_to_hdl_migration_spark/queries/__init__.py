@@ -29,6 +29,7 @@ _QUERY_MODULES = [
     "temporal_queries",
     "sequence_queries",
     "cooccurrence_queries",
+    "curation_queries",
     "mlprep_queries",
     "sketch_queries",
     "streaming_queries",

@@ -1,0 +1,181 @@
+"""Corpus-curation and segmentation analytics (SURVEY §2.11): the
+queries a training-data pipeline runs to decide what to KEEP — dedup
+survivorship by source, per-language length profiles, RFM-style entity
+segmentation, and load-seasonality grids.
+
+Scale notes:
+- Survivorship derives keep/drop from a window MIN over the content
+  hash — ONE shuffle on the hash (uniform by construction), no join of
+  the corpus with itself.
+- RFM uses the 2-pass global-threshold pattern (exact medians computed
+  once, broadcast as literals) rather than NTILE's single-partition
+  global sort — same design as `decile_binned_revenue`.
+- Seasonality aggregates to a fixed 7x24 grid — the shuffle key space
+  is constant regardless of data volume, and partial aggregation does
+  almost all the work map-side.
+
+Determinism: money/value sums accumulate per-value-cast decimals;
+every emitted float is one double division (or an exact-percentile
+interpolation, identical in both engines); day-of-week is normalized
+to DuckDB's dow() numbering (0=Sunday).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+_TP = "CAST(o_totalprice AS DECIMAL(14,2))"
+_VAL = "CAST(value AS DECIMAL(18,6))"
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    WITH g AS (
+        SELECT source, doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+    FROM g GROUP BY source
+    """,
+    doc="Exact-dedup survivorship by source: global min-doc_id-wins "
+        "over the content hash (window MIN on the hash — one shuffle, "
+        "no self-join), then keep/drop rollup. SURVEY §2.11 dedup.",
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    g = docs.select(
+        "source", "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("kept"))
+    kept = F.sum(F.when(F.col("kept"), 1).otherwise(0))
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        kept.cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("bigint")
+            .alias("n_dropped"),
+        (kept.cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("keep_rate"),
+    )
+
+
+@register(
+    "doc_length_quartiles_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.50) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Per-language document-length profile (exact interpolated "
+        "quartiles — same cross-engine-stable pattern as "
+        "stats_price_quantiles). SURVEY §2.11 text analysis.",
+)
+def doc_length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("q25"),
+        F.expr("percentile(n_chars, 0.50)").alias("q50"),
+        F.expr("percentile(n_chars, 0.75)").alias("q75"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+                   AS recency,
+               COUNT(*) AS frequency,
+               CAST(SUM({_TP}) AS DECIMAL(18,2)) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), t AS (
+        SELECT quantile_cont(recency, 0.5) AS tr,
+               quantile_cont(frequency, 0.5) AS tf,
+               quantile_cont(monetary, 0.5) AS tm
+        FROM c
+    )
+    SELECT (recency <= tr) AS r_active,
+           (frequency > tf) AS f_high,
+           (CAST(monetary AS DOUBLE) > tm) AS m_high,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS monetary_total
+    FROM c CROSS JOIN t
+    GROUP BY 1, 2, 3
+    """,
+    doc="RFM segmentation: per-customer recency/frequency/monetary, "
+        "median-split each axis (2-pass global thresholds broadcast as "
+        "literals — no NTILE global sort), count the 8 segments. "
+        "SURVEY §2.11 ML prep.",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date"))).first()[0]
+    c = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor),
+                   F.max(F.col("o_orderdate").cast("date"))).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("decimal(18,2)").alias("monetary"),
+    )
+    tr, tf, tm = c.agg(
+        F.expr("percentile(recency, 0.5)"),
+        F.expr("percentile(frequency, 0.5)"),
+        F.expr("percentile(monetary, 0.5)"),
+    ).first()
+    return c.groupBy(
+        (F.col("recency") <= F.lit(tr)).alias("r_active"),
+        (F.col("frequency") > F.lit(tf)).alias("f_high"),
+        (F.col("monetary").cast("double") > F.lit(tm)).alias("m_high"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary").cast("double").alias("monetary_total"),
+    )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle=f"""
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value,
+           CAST(SUM({_VAL}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Load-seasonality grid (day-of-week x hour-of-day, normalized "
+        "to DuckDB dow numbering 0=Sunday): constant-size shuffle key "
+        "space, map-side partial agg does the work. SURVEY §2.11.",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - F.lit(1)).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.sum(val).cast("double").alias("sum_value"),
+             (F.sum(val).cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("avg_value"))
+    )

@@ -134,3 +134,18 @@ def test_cooccurrence_plan_shape(spark, sf_dir, name):
     if name == "events_type_affinity":
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
         assert "Generate explode" in plan, f"{name}: expected explode pairs"
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_survivorship",           # window on content hash, no self-join
+    "doc_length_quartiles_by_lang",
+    "orders_rfm_segments",          # thresholds are literals, no NTILE
+    "events_hourly_seasonality",
+])
+def test_curation_plan_shape(spark, sf_dir, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected shuffle join"
+    if name == "orders_rfm_segments":
+        # 2-pass threshold design: final plan must contain no Window op
+        assert "Window" not in plan, f"{name}: NTILE/global window crept in"
