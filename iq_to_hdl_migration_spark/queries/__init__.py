@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "sequence_queries",
     "cooccurrence_queries",
     "curation_queries",
+    "supplychain_queries",
     "mlprep_queries",
     "sketch_queries",
     "streaming_queries",

@@ -1,0 +1,187 @@
+"""Operational / supply-chain analytics (SURVEY §2.11): fulfillment
+latency, interval-overlap concurrency, and supply-redundancy risk.
+
+Scale notes:
+- `ship_latency_by_nation` contains the one legitimately big-big join
+  (lineitem x orders on orderkey — both fact tables, so a shuffle join
+  IS the right plan at 100 TB); the supplier/nation dims broadcast.
+- `events_peak_concurrency` demonstrates the scalable prefix-sum
+  pattern for interval-overlap counting: a naive running sum over ALL
+  boundary events is a single-partition window (dead at scale), so the
+  running sum is computed *within each day partition* and shifted by a
+  per-day offset from a second window over the tiny day spine — the
+  same two-level decomposition used by `decile_binned_revenue`.
+- `part_supply_redundancy` is two shuffles on progressively smaller
+  keys (partkey -> distinct-supplier count), both partial-agg first.
+
+Determinism: boundary ties order starts-before-ends (delta DESC at
+equal ts) in both engines; permuting identical (ts, delta) rows cannot
+change any prefix value, so running sums are stable. Averages are one
+double division of exact integer/decimal sums.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.sources.tables import load_table
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+
+
+@register(
+    "ship_latency_by_nation",
+    oracle="""
+    WITH lat AS (
+        SELECT s_nationkey,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS latency
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           CAST(SUM(latency) AS BIGINT) AS sum_latency_days,
+           CAST(SUM(latency) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_latency_days,
+           quantile_cont(latency, 0.5) AS p50_latency_days,
+           CAST(MAX(latency) AS BIGINT) AS max_latency_days
+    FROM lat JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Order-to-ship latency per supplier nation. lineitem x orders "
+        "is the legitimate big-big shuffle join; supplier/nation "
+        "broadcast. SURVEY §2.11 ops analytics.",
+)
+def ship_latency_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lat = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name",
+                F.datediff(F.col("l_shipdate").cast("date"),
+                           F.col("o_orderdate").cast("date")).alias("latency"))
+    )
+    cnt = F.count(F.lit(1))
+    return lat.groupBy("n_name").agg(
+        cnt.cast("bigint").alias("n_shipments"),
+        F.sum("latency").cast("bigint").alias("sum_latency_days"),
+        (F.sum("latency").cast("double") / cnt.cast("double"))
+            .alias("avg_latency_days"),
+        F.expr("percentile(latency, 0.5)").alias("p50_latency_days"),
+        F.max("latency").cast("bigint").alias("max_latency_days"),
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ), iv AS (
+        SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+        FROM s GROUP BY user_id, sid
+    ), d AS (
+        SELECT st AS ts, 1 AS delta FROM iv
+        UNION ALL
+        SELECT en AS ts, -1 AS delta FROM iv
+    ), r AS (
+        SELECT CAST(ts AS DATE) AS day, delta,
+               SUM(delta) OVER (ORDER BY ts, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM d
+    )
+    SELECT day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_session_starts
+    FROM r GROUP BY day
+    """,
+    doc="Peak concurrent sessions per day (30-min-gap sessions; "
+        "interval-overlap counting). The oracle's single global running "
+        "sum is replaced by a day-partitioned running sum plus a "
+        "prior-day offset from the tiny day spine — no single-partition "
+        "window over boundary events. SURVEY §2.11.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > _GAP_US), 1).otherwise(0)
+    sid = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (ev.select("user_id", "ts", "event_id")
+          .withColumn("sid", sid)
+          .groupBy("user_id", "sid")
+          .agg(F.min("ts").alias("st"), F.max("ts").alias("en")))
+    deltas = (iv.select(F.col("st").alias("ts"), F.lit(1).alias("delta"))
+              .unionAll(iv.select(F.col("en").alias("ts"),
+                                  F.lit(-1).alias("delta")))
+              .withColumn("day", F.col("ts").cast("date")))
+    # level 1: running sum WITHIN each day (parallel across days)
+    w_in_day = (Window.partitionBy("day")
+                .orderBy(F.col("ts"), F.col("delta").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per_day = (deltas.withColumn("conc_in_day", F.sum("delta").over(w_in_day))
+               .groupBy("day")
+               .agg(F.max("conc_in_day").alias("peak_in_day"),
+                    F.sum("delta").alias("day_total"),
+                    F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                        .cast("bigint").alias("n_session_starts")))
+    # level 2: prior-day offset over the tiny day spine only
+    w_days = (Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    return (per_day
+            .withColumn("offset",
+                        F.coalesce(F.sum("day_total").over(w_days), F.lit(0)))
+            .select("day",
+                    (F.col("peak_in_day") + F.col("offset")).cast("bigint")
+                        .alias("peak_concurrency"),
+                    "n_session_starts"))
+
+
+@register(
+    "part_supply_redundancy",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM ps GROUP BY n_suppliers
+    """,
+    doc="Supply-redundancy risk histogram: observed distinct suppliers "
+        "per part (from shipments), rolled into a redundancy histogram. "
+        "SURVEY §2.11 ops analytics.",
+)
+def part_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (li.groupBy("l_partkey")
+          .agg(F.countDistinct("l_suppkey").alias("n_suppliers")))
+    return (ps.groupBy("n_suppliers")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+            .select(F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+                    "n_parts"))

@@ -149,3 +149,27 @@ def test_curation_plan_shape(spark, sf_dir, name):
     if name == "orders_rfm_segments":
         # 2-pass threshold design: final plan must contain no Window op
         assert "Window" not in plan, f"{name}: NTILE/global window crept in"
+
+
+def test_ship_latency_join_strategy(spark, sf_dir):
+    """lineitem x orders is the legitimate big-big shuffle join; the
+    supplier/nation dims must still broadcast."""
+    plan = final_plan(REGISTRY["ship_latency_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_two_level_prefix_sum(spark, sf_dir):
+    """The single-partition window must only ever see the per-day
+    aggregate spine, never raw boundary events: exactly one
+    SinglePartition exchange in the final plan, fed by an aggregate."""
+    plan = final_plan(REGISTRY["events_peak_concurrency"].fn(spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("Exchange SinglePartition") <= 1, final_section
+    assert "CartesianProduct" not in plan
+
+
+def test_part_supply_redundancy_no_joins(spark, sf_dir):
+    plan = final_plan(REGISTRY["part_supply_redundancy"].fn(spark, sf_dir))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, f"unexpected {op}"
