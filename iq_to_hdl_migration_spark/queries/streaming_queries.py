@@ -89,3 +89,30 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("user_id").cast("bigint").alias("user_id"),
                      F.col("n_sessions").cast("bigint").alias("n_sessions"),
                      F.col("n_events").cast("bigint").alias("n_events"))
+
+
+@register(
+    "stream_purchase_click_join",
+    oracle="""
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.ts AS TIMESTAMP) AS ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+    """,
+    doc="stream-stream interval join (purchase x same-user clicks in "
+        "the preceding hour) drained end-to-end; both sides carry "
+        "watermarks so join state is evicted, and the oracle is the "
+        "identical batch interval-join predicate",
+)
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_ssjoin_{next(_seq)}"
+    df = W.streaming_purchase_click_join(spark, sf_dir, name)
+    return df.select(F.col("user_id").cast("bigint").alias("user_id"),
+                     F.col("event_id").cast("bigint").alias("event_id"),
+                     F.col("click_id").cast("bigint").alias("click_id"),
+                     "ts", "click_ts")
