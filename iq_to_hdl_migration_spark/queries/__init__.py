@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "cooccurrence_queries",
     "curation_queries",
     "supplychain_queries",
+    "corpus_queries",
     "mlprep_queries",
     "sketch_queries",
     "streaming_queries",

@@ -173,3 +173,19 @@ def test_part_supply_redundancy_no_joins(spark, sf_dir):
     plan = final_plan(REGISTRY["part_supply_redundancy"].fn(spark, sf_dir))
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert op not in plan, f"unexpected {op}"
+
+
+@pytest.mark.parametrize("name", [
+    "text_vocab_stats",             # distributed distinct, no driver vocab
+    "text_contamination_scan",      # literal probe array, single pass
+    "events_burst_users",
+    "orders_basket_size_distribution",
+])
+def test_corpus_plan_shape(spark, sf_dir, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, f"{name}: unexpected {op} — should be join-free"
+    if name == "text_contamination_scan":
+        final_section = plan.split("== Initial Plan ==")[0]
+        assert final_section.count("FileScan parquet") == 1, (
+            "contamination scan must be a single pass")
