@@ -254,3 +254,78 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("revenue") - prev).cast("double")
          / prev.cast("double")).alias("mom_growth"),
     )
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap (same as events_queries)
+
+
+@register(
+    "events_session_conversion",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ), sess AS (
+        SELECT user_id, sid,
+               arg_min(event_type, ts) AS entry_type,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               MIN(ts) AS session_start,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase_ts
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS conversion_rate,
+           CAST(SUM(CASE WHEN converted = 1 THEN
+                    date_diff('second', session_start, first_purchase_ts)
+                    ELSE 0 END) AS BIGINT) AS sum_secs_to_purchase
+    FROM sess GROUP BY entry_type
+    """,
+    doc="Session-level conversion funnel: 30-min-gap sessions, entry "
+        "event type (arg_min — (user_id, ts) unique), conversion flag, "
+        "and exact time-to-first-purchase rollup. Same session "
+        "semantics as events_sessionization / the streaming stateful "
+        "twin. SURVEY §2.11 product analytics.",
+)
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > _GAP_US), 1).otherwise(0)
+    sid = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = ev.select("user_id", "event_id", "ts", "event_type") \
+          .withColumn("sid", sid)
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", "ts").alias("entry_type"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("converted"),
+        F.min("ts").alias("session_start"),
+        F.min(purchase_ts).alias("first_purchase_ts"),
+    )
+    secs = (F.unix_seconds("first_purchase_ts")
+            - F.unix_seconds("session_start"))
+    return sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("conversion_rate"),
+        F.sum(F.when(F.col("converted") == 1, secs).otherwise(0))
+            .cast("bigint").alias("sum_secs_to_purchase"),
+    )

@@ -189,3 +189,12 @@ def test_corpus_plan_shape(spark, sf_dir, name):
         final_section = plan.split("== Initial Plan ==")[0]
         assert final_section.count("FileScan parquet") == 1, (
             "contamination scan must be a single pass")
+
+
+def test_session_conversion_plan_shape(spark, sf_dir):
+    plan = final_plan(REGISTRY["events_session_conversion"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    final_section = plan.split("== Initial Plan ==")[0]
+    # sessionization windows share one user_id sort — no extra exchange
+    assert final_section.count("Exchange SinglePartition") == 0
