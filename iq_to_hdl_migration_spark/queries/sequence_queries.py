@@ -329,3 +329,64 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("converted") == 1, secs).otherwise(0))
             .cast("bigint").alias("sum_secs_to_purchase"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)
+                   AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), g AS (
+        SELECT cohort_week, (w - cohort_week) AS week_index,
+               CAST(SUM(v) AS DECIMAL(18,6)) AS revenue
+        FROM p JOIN s USING (user_id)
+        WHERE w >= cohort_week
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_week AS INTEGER) AS cohort_week,
+           CAST(week_index AS INTEGER) AS week_index,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) OVER (PARTITION BY cohort_week
+                                   ORDER BY week_index
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cum_revenue
+    FROM g
+    """,
+    doc="Cohort LTV curve: signup-week cohorts x weeks-since-signup, "
+        "purchase revenue and its cumulative sum. The cumulative window "
+        "runs over the aggregated cohort grid (weeks x cohorts — tiny), "
+        "partitioned by cohort, never over raw events; integer week "
+        "math avoids cross-engine date_trunc('week') drift. "
+        "SURVEY §2.11 product analytics.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / 7).cast("int")  # datediff >= 0 so truncation == floor
+    s = (ev.filter(F.col("event_type") == "signup")
+         .select("user_id", week.alias("w"))
+         .groupBy("user_id").agg(F.min("w").alias("cohort_week")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", week.alias("w"),
+                 F.col("value").cast("decimal(18,6)").alias("v")))
+    g = (p.join(s, "user_id")
+         .where(F.col("w") >= F.col("cohort_week"))
+         .groupBy("cohort_week",
+                  (F.col("w") - F.col("cohort_week")).alias("week_index"))
+         .agg(F.sum("v").cast("decimal(18,6)").alias("revenue")))
+    wc = (Window.partitionBy("cohort_week").orderBy("week_index")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return g.select(
+        F.col("cohort_week").cast("int").alias("cohort_week"),
+        F.col("week_index").cast("int").alias("week_index"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(wc).cast("double").alias("cum_revenue"),
+    )

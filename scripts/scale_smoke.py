@@ -61,11 +61,20 @@ def replicate(spark, k_replicas: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
+# scale-interesting non-bench queries timed alongside the headliners
+EXTRA = [
+    "events_markov_transitions", "events_peak_concurrency",
+    "events_type_affinity", "dedup_survivorship",
+    "ship_latency_by_nation", "text_vocab_stats",
+    "events_session_conversion",
+]
+
+
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     reg = load_all()
     out = {}
     for name, spec in sorted(reg.items()):
-        if not spec.bench:
+        if not spec.bench and name not in EXTRA:
             continue
         spec.fn(spark, sf_dir).collect()          # warm-up
         t0 = time.perf_counter()
