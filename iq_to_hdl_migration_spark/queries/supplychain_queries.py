@@ -185,3 +185,63 @@ def part_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
             .select(F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
                     "n_parts"))
+
+
+@register(
+    "trade_flow_matrix",
+    oracle="""
+    WITH flow AS (
+        SELECT s.s_nationkey AS supp_nk, c.c_nationkey AS cust_nk,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    AS DECIMAL(14,4)) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer c ON o_custkey = c.c_custkey
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+    )
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM flow
+    JOIN nation ns ON supp_nk = ns.n_nationkey
+    JOIN nation nc ON cust_nk = nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name
+    """,
+    doc="Full trade-flow matrix (generalized TPC-H Q7: every supplier "
+        "nation x customer nation, not two fixed nations). Early "
+        "aggregation to the (supp_nk, cust_nk) key pair — at most "
+        "nations^2 groups — keeps the final rollup constant-size at "
+        "any data volume; dims broadcast. SURVEY §2.11.",
+)
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+           ).cast("decimal(14,4)")
+    flow = (
+        li.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey",
+                                   F.col("s_nationkey").alias("supp_nk"))),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("supp_nk", F.col("c_nationkey").alias("cust_nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+             F.sum("rev").alias("rev_sum"))
+    )
+    ns = n.select(F.col("n_nationkey").alias("ns_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("nc_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    return (flow
+            .join(F.broadcast(ns), F.col("supp_nk") == F.col("ns_nk"))
+            .join(F.broadcast(nc), F.col("cust_nk") == F.col("nc_nk"))
+            .select("supp_nation", "cust_nation", "n_lines",
+                    F.col("rev_sum").cast("double").alias("revenue")))

@@ -198,3 +198,12 @@ def test_session_conversion_plan_shape(spark, sf_dir):
     final_section = plan.split("== Initial Plan ==")[0]
     # sessionization windows share one user_id sort — no extra exchange
     assert final_section.count("Exchange SinglePartition") == 0
+
+
+def test_trade_flow_matrix_plan_shape(spark, sf_dir):
+    """Early aggregation to the nation-pair key: the nation-name joins
+    must sit ABOVE the aggregate (constant-size input), and all dims
+    broadcast."""
+    plan = final_plan(REGISTRY["trade_flow_matrix"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
