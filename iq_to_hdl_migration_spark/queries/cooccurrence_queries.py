@@ -126,3 +126,130 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (F.col("na_a") * F.col("na_b")).cast("double")).alias("lift"),
         )
     )
+
+
+@register(
+    "attribution_first_click",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                   AS click_us
+        FROM events
+    ), w AS (
+        SELECT user_id, event_type, us,
+               MIN(click_us) OVER (PARTITION BY user_id ORDER BY us
+                                   RANGE BETWEEN 86400000000 PRECEDING
+                                         AND CURRENT ROW)
+                   AS first_click_us
+        FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN first_click_us IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN first_click_us IS NOT NULL
+                         THEN (us - first_click_us) // 1000000
+                         ELSE 0 END) AS BIGINT) AS sum_secs_click_to_buy,
+           CAST(SUM(CASE WHEN first_click_us IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS attribution_rate
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="First-touch attribution via a value-RANGE window frame: for "
+        "each purchase, the user's EARLIEST click in the preceding 24h "
+        "(min over RANGE 86400e6-us PRECEDING — one shuffle on "
+        "user_id, no self-join, state bounded by the frame). "
+        "Complements the as-of (last-touch) join. SURVEY §2.11.",
+)
+def attribution_first_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.select(
+        "user_id", "event_type", us.alias("us"),
+        F.when(F.col("event_type") == "click", us).alias("click_us"))
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-86_400_000_000, Window.currentRow))
+    attributed = (
+        u.withColumn("first_click_us", F.min("click_us").over(w))
+        .where(F.col("event_type") == "purchase")
+    )
+    has = F.when(F.col("first_click_us").isNotNull(), 1).otherwise(0)
+    secs = F.when(
+        F.col("first_click_us").isNotNull(),
+        F.floor((F.col("us") - F.col("first_click_us")) / 1_000_000)
+    ).otherwise(0)
+    return attributed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(has).cast("bigint").alias("n_attributed"),
+        F.sum(secs).cast("bigint").alias("sum_secs_click_to_buy"),
+        (F.sum(has).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("attribution_rate"),
+    )
+
+
+@register(
+    "nation_pareto_8020",
+    oracle="""
+    WITH cr AS (
+        SELECT c_nationkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, o_custkey
+    ), ranked AS (
+        SELECT c_nationkey, rev,
+               SUM(rev) OVER (PARTITION BY c_nationkey
+                              ORDER BY rev DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(rev) OVER (PARTITION BY c_nationkey) AS tot_rev,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY rev DESC, o_custkey) AS rk,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust
+        FROM cr
+    )
+    SELECT n_name,
+           CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN cum_rev * 5 >= tot_rev * 4 THEN rk END)
+                AS BIGINT) AS n_top80,
+           CAST(MIN(CASE WHEN cum_rev * 5 >= tot_rev * 4 THEN rk END)
+                AS DOUBLE) / CAST(MAX(n_cust) AS DOUBLE) AS top80_share
+    FROM ranked JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Pareto concentration per nation: smallest customer count "
+        "covering 80% of revenue. The 80% test is exact decimal "
+        "cross-multiplication (cum*5 >= tot*4) — no float thresholds; "
+        "windows partition by nation, so no global sort. SURVEY §2.11.",
+)
+def nation_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cr = (o.select("o_custkey",
+                   F.col("o_totalprice").cast("decimal(14,2)").alias("tp"))
+          .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                F.col("o_custkey") == F.col("c_custkey"))
+          .groupBy("c_nationkey", "o_custkey")
+          .agg(F.sum("tp").cast("decimal(18,2)").alias("rev")))
+    wo = Window.partitionBy("c_nationkey").orderBy(F.col("rev").desc(),
+                                                   F.col("o_custkey"))
+    wp = Window.partitionBy("c_nationkey")
+    ranked = cr.select(
+        "c_nationkey", "rev",
+        F.sum("rev").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum_rev"),
+        F.sum("rev").over(wp).alias("tot_rev"),
+        F.row_number().over(wo).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n_cust"),
+    )
+    hit = F.when(F.col("cum_rev") * 5 >= F.col("tot_rev") * 4,
+                 F.col("rk"))
+    return (ranked
+            .join(F.broadcast(n.select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.max("n_cust").cast("bigint").alias("n_customers"),
+                 F.min(hit).cast("bigint").alias("n_top80"),
+                 (F.min(hit).cast("double")
+                  / F.max("n_cust").cast("double")).alias("top80_share")))

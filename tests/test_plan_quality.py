@@ -207,3 +207,16 @@ def test_trade_flow_matrix_plan_shape(spark, sf_dir):
     plan = final_plan(REGISTRY["trade_flow_matrix"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "attribution_first_click",      # RANGE frame, no self-join
+    "nation_pareto_8020",           # windows partition by nation
+])
+def test_attribution_pareto_plan_shape(spark, sf_dir, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected shuffle join"
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("Exchange SinglePartition") <= 1, (
+        f"{name}: raw-data global window crept in")
