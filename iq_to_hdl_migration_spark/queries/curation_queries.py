@@ -179,3 +179,83 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(val).cast("double")
               / F.count(F.lit(1)).cast("double")).alias("avg_value"))
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(e.ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = fd.first_day
+                         THEN 1 ELSE 0 END) AS BIGINT) AS new_events,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) > fd.first_day
+                         THEN 1 ELSE 0 END) AS BIGINT) AS returning_events,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) = fd.first_day
+                                    THEN e.user_id END) AS BIGINT)
+               AS new_users,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) > fd.first_day
+                                    THEN e.user_id END) AS BIGINT)
+               AS returning_users
+    FROM events e JOIN fd ON e.user_id = fd.user_id
+    GROUP BY 1
+    """,
+    doc="New-vs-returning split per day: per-user first-day derived "
+        "once (groupBy on user_id), joined back on the same key — both "
+        "sides share the user_id partitioning, and the daily rollup is "
+        "constant-size. SURVEY §2.11 growth analytics.",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day"))
+    fd = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = d.join(fd, "user_id")
+    is_new = F.col("day") == F.col("first_day")
+    return j.groupBy("day").agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint")
+            .alias("new_events"),
+        F.sum(F.when(~is_new, 1).otherwise(0)).cast("bigint")
+            .alias("returning_events"),
+        F.countDistinct(F.when(is_new, F.col("user_id"))).cast("bigint")
+            .alias("new_users"),
+        F.countDistinct(F.when(~is_new, F.col("user_id"))).cast("bigint")
+            .alias("returning_users"),
+    )
+
+
+@register(
+    "docs_cross_source_duplication",
+    oracle="""
+    WITH g AS (
+        SELECT md5(text) AS h, list_sort(list_distinct(list(source)))
+                   AS sources
+        FROM documents GROUP BY md5(text)
+        HAVING COUNT(DISTINCT source) > 1
+    ), p AS (
+        SELECT a.s AS source_a, b.s AS source_b
+        FROM (SELECT h, unnest(sources) AS s FROM g) a
+        JOIN (SELECT h, unnest(sources) AS s FROM g) b
+          ON a.h = b.h AND a.s < b.s
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_contents
+    FROM p GROUP BY source_a, source_b
+    """,
+    doc="Cross-source duplicate contamination: for every content hash "
+        "present in >1 source, count the source pairs sharing it. "
+        "Bounded per-hash source set (collect_set <= #sources) + "
+        "double explode — no corpus self-join. SURVEY §2.11 dedup.",
+)
+def docs_cross_source_duplication(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+         .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+         .where(F.size("sources") > 1))
+    pairs = (g.select(F.explode("sources").alias("source_a"), "sources")
+             .select("source_a", F.explode("sources").alias("source_b"))
+             .where(F.col("source_a") < F.col("source_b")))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_contents"))
