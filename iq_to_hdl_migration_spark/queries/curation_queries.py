@@ -228,34 +228,48 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_cross_source_duplication",
     oracle="""
-    WITH g AS (
-        SELECT md5(text) AS h, list_sort(list_distinct(list(source)))
-                   AS sources
-        FROM documents GROUP BY md5(text)
-        HAVING COUNT(DISTINCT source) > 1
+    WITH hs AS (
+        SELECT md5(text) AS h, source, COUNT(*) AS c
+        FROM documents GROUP BY 1, 2
     ), p AS (
-        SELECT a.s AS source_a, b.s AS source_b
-        FROM (SELECT h, unnest(sources) AS s FROM g) a
-        JOIN (SELECT h, unnest(sources) AS s FROM g) b
-          ON a.h = b.h AND a.s < b.s
+        SELECT a.source AS source_a, b.source AS source_b,
+               SUM(CASE WHEN a.source = b.source
+                        THEN a.c * (a.c - 1) // 2
+                        ELSE a.c * b.c END) AS n_dup_pairs
+        FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source
+        GROUP BY 1, 2
     )
-    SELECT source_a, source_b,
-           CAST(COUNT(*) AS BIGINT) AS n_shared_contents
-    FROM p GROUP BY source_a, source_b
+    SELECT source_a, source_b, CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
+    FROM p WHERE n_dup_pairs > 0
     """,
-    doc="Cross-source duplicate contamination: for every content hash "
-        "present in >1 source, count the source pairs sharing it. "
-        "Bounded per-hash source set (collect_set <= #sources) + "
-        "double explode — no corpus self-join. SURVEY §2.11 dedup.",
+    doc="Duplication matrix across sources: exact-duplicate doc pairs "
+        "within each source (diagonal) and across source pairs "
+        "(off-diagonal), computed from per-(hash, source) COUNTS — "
+        "per-hash state is bounded by #sources even if one content "
+        "has millions of copies, and pair counts are closed-form "
+        "(c*(c-1)/2, c_a*c_b), never an explode of the copies. "
+        "SURVEY §2.11 dedup.",
 )
 def docs_cross_source_duplication(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    g = (docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
-         .agg(F.array_sort(F.collect_set("source")).alias("sources"))
-         .where(F.size("sources") > 1))
-    pairs = (g.select(F.explode("sources").alias("source_a"), "sources")
-             .select("source_a", F.explode("sources").alias("source_b"))
-             .where(F.col("source_a") < F.col("source_b")))
-    return pairs.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shared_contents"))
+    hs = (docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"),
+                       "source")
+          .agg(F.count(F.lit(1)).alias("c")))
+    per_hash = hs.groupBy("h").agg(
+        F.collect_list(F.struct("source", "c")).alias("sc"))
+    a = F.explode("sc").alias("a")
+    pairs = (per_hash.select(a, "sc")
+             .select("a", F.explode("sc").alias("b"))
+             .where(F.col("a.source") <= F.col("b.source"))
+             .select(
+                 F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"),
+                 F.when(F.col("a.source") == F.col("b.source"),
+                        (F.col("a.c") * (F.col("a.c") - 1) / 2)
+                        .cast("bigint"))
+                  .otherwise(F.col("a.c") * F.col("b.c"))
+                  .alias("np")))
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.sum("np").cast("bigint").alias("n_dup_pairs"))
+            .where(F.col("n_dup_pairs") > 0))
