@@ -123,6 +123,7 @@ def ship_latency_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum is replaced by a day-partitioned running sum plus a "
         "prior-day offset from the tiny day spine — no single-partition "
         "window over boundary events. SURVEY §2.11.",
+    bench=True,
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -213,6 +214,7 @@ def part_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregation to the (supp_nk, cust_nk) key pair — at most "
         "nations^2 groups — keeps the final rollup constant-size at "
         "any data volume; dims broadcast. SURVEY §2.11.",
+    bench=True,
 )
 def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
