@@ -116,3 +116,31 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("event_id").cast("bigint").alias("event_id"),
                      F.col("click_id").cast("bigint").alias("click_id"),
                      "ts", "click_ts")
+
+
+@register(
+    "stream_enriched_counts",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, arg_min(event_type, ts) AS segment
+        FROM events GROUP BY user_id
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events JOIN dim USING (user_id)
+    GROUP BY segment
+    """,
+    doc="stream-static enrichment join drained end-to-end: each "
+        "micro-batch broadcast-joins a static per-user segment "
+        "dimension (user's first event type), rolled up per segment "
+        "with exact decimal sums; the oracle is the identical batch "
+        "join",
+)
+def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_enrich_{next(_seq)}"
+    df = W.streaming_enriched_counts(spark, sf_dir, name)
+    return df.select("segment",
+                     F.col("n_events").cast("bigint").alias("n_events"),
+                     F.col("total_value").cast("double")
+                         .alias("total_value"))

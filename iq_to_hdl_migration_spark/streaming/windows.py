@@ -199,3 +199,34 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str,
     return (spark.table(_query_name)
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def enrichment_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch broadcast-joins
+    the (small, slowly-changing) user dimension — the standard pattern
+    for attaching segments/features to a live event feed. The static
+    side is re-read per micro-batch, so dimension updates between
+    batches are picked up without restarting the query."""
+    enriched = events.join(F.broadcast(user_dim), "user_id", "left")
+    return (enriched
+            .groupBy(F.coalesce(F.col("segment"), F.lit("unknown"))
+                     .alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                     .alias("total_value")))
+
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str,
+                              _query_name: str = "stream_enrich"
+                              ) -> DataFrame:
+    """End-to-end: event stream x static per-user segment dim (the
+    user's first-ever event type — derived from the same parquet, so
+    the batch oracle can reproduce it) -> per-segment rollup."""
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    ev_static = load_table(spark, sf_dir, "events")
+    user_dim = (ev_static.groupBy("user_id")
+                .agg(F.min_by("event_type", "ts").alias("segment")))
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(enrichment_stream(events, user_dim), _query_name,
+                  "complete")
+    return spark.table(_query_name)
