@@ -163,3 +163,62 @@ def orders_basket_size_distribution(spark: SparkSession,
                      .alias("avg_qty_per_order"))
             .select(F.col("n_lines").cast("bigint").alias("n_lines"),
                     "n_orders", "sum_qty", "avg_qty_per_order"))
+
+
+@register(
+    "text_df_histogram",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS_DUCK}) AS token
+        FROM documents
+    ), df AS (
+        SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY token
+    )
+    SELECT CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM df GROUP BY doc_freq
+    """,
+    doc="Document-frequency histogram (inverted-index posting-list "
+        "sizing evidence): distinct (doc, token) -> per-token doc "
+        "frequency -> histogram. Three shuffles on shrinking keys; "
+        "the heavy one is the uniform (doc_id, token) distinct. "
+        "SURVEY §2.11 text analysis.",
+)
+def text_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+           .distinct())
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (df.groupBy("doc_freq")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+            .select(F.col("doc_freq").cast("bigint").alias("doc_freq"),
+                    "n_tokens"))
+
+
+@register(
+    "lineitem_discount_curve",
+    oracle="""
+    SELECT CAST(ROUND(CAST(l_discount AS DECIMAL(4,2)) * 100)
+                AS INTEGER) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Discount-effectiveness curve: per discount level, line count, "
+        "average quantity (does discounting move volume?) and realized "
+        "revenue — single scan, constant-size group key. SURVEY §2.11.",
+)
+def lineitem_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - disc)
+    return (li.groupBy(F.round(disc * 100).cast("int").alias("discount_pct"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 (F.sum(qty).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+                 F.sum(rev).cast("double").alias("revenue")))
