@@ -72,3 +72,36 @@ def test_morton_code_is_deterministic_and_bounded(spark, sf_dir):
     again = with_morton(ev, "user_id", "value", bits=bits)
     assert (z.agg(F.sum("_morton")).first()[0]
             == again.agg(F.sum("_morton")).first()[0])
+
+
+def test_morton_matches_python_reference(spark):
+    """The Spark bit-interleave expression must agree with a plain
+    Python reference on random inputs (seeded) across the full code
+    range — locks the shiftleft/bitwiseOR math."""
+    import random
+
+    from iq_to_hdl_migration_spark.sources.zorder import _interleave
+
+    bits = 12
+    rng = random.Random(42)
+    rows = [(rng.randrange(0, 1 << bits), rng.randrange(0, 1 << bits))
+            for _ in range(1000)]
+
+    def py_morton(x, y):
+        code = 0
+        for i in range(bits):
+            code |= ((x >> i) & 1) << (2 * i)
+            code |= ((y >> i) & 1) << (2 * i + 1)
+        return code
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = (df.select("x", "y",
+                     _interleave(F.col("x"), F.col("y"), bits).alias("m"))
+           .collect())
+    for r in got:
+        assert r["m"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+    # monotone in x for fixed y (order-preserving bit spread)
+    xs = sorted(rng.randrange(0, 1 << bits) for _ in range(100))
+    y = rng.randrange(0, 1 << bits)
+    ms = [py_morton(x, y) for x in xs]
+    assert ms == sorted(ms)
