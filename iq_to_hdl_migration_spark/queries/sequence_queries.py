@@ -390,3 +390,44 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.sum("revenue").over(wc).cast("double").alias("cum_revenue"),
     )
+
+
+@register(
+    "orders_quarter_share",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(SUM({_TP}) AS DECIMAL(18,2)) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, qtr,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(revenue AS DOUBLE)
+               / CAST(SUM(revenue) OVER (PARTITION BY yr) AS DOUBLE)
+               AS share_of_year
+    FROM q
+    """,
+    doc="Share-of-parent hierarchy: each quarter's fraction of its "
+        "year's revenue. The proportion window runs over the "
+        "aggregated (year, quarter) grid — constant size at any data "
+        "volume; exact decimal sums, one double division per row. "
+        "SURVEY §2.11.",
+)
+def orders_quarter_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    q = (o.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
+                   F.quarter("o_orderdate").cast("int").alias("qtr"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+              .cast("decimal(18,2)").alias("revenue"),
+              F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    wy = Window.partitionBy("yr")
+    return q.select(
+        "yr", "qtr",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_orders",
+        (F.col("revenue").cast("double")
+         / F.sum("revenue").over(wy).cast("double")).alias("share_of_year"),
+    )
