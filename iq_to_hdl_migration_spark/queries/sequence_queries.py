@@ -431,3 +431,67 @@ def orders_quarter_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue").cast("double")
          / F.sum("revenue").over(wy).cast("double")).alias("share_of_year"),
     )
+
+
+@register(
+    "ols_qty_vs_discount_by_brand",
+    oracle="""
+    WITH m AS (
+        SELECT p_brand,
+               COUNT(*) AS n,
+               SUM(dc) AS sx, SUM(qc) AS sy,
+               SUM(dc * dc) AS sxx, SUM(dc * qc) AS sxy
+        FROM (
+            SELECT p_brand,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS dc,
+                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ) GROUP BY p_brand
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+    FROM m WHERE n > 1 AND n * sxx - sx * sx > 0
+    """,
+    doc="Grouped OLS regression (quantity-cents vs discount-cents per "
+        "brand) from EXACT integer moments: all five sums are bigint "
+        "(values bounded: dc<=10, qc<=5000 -> every product and "
+        "cross-term fits int64 at bench scale; at 100 TB promote the "
+        "moments to DECIMAL(38,0), structure unchanged). slope = "
+        "(n*sxy - sx*sy)/(n*sxx - sx^2) — exact integers until one "
+        "double division; the intercept repeats the identical IEEE "
+        "sequence in both engines. Spark's linear-regression "
+        "aggregates (regr_slope) accumulate floats order-dependently "
+        "and cannot hash-match — explicit moments can. SURVEY §2.11 "
+        "ML prep.",
+)
+def ols_qty_vs_discount_by_brand(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dc = F.round(F.col("l_discount") * 100).cast("bigint")
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    m = (li.select("l_partkey", dc.alias("dc"), qc.alias("qc"))
+         .join(F.broadcast(p.select("p_partkey", "p_brand")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy("p_brand")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("dc").alias("sx"), F.sum("qc").alias("sy"),
+              F.sum(F.col("dc") * F.col("dc")).alias("sxx"),
+              F.sum(F.col("dc") * F.col("qc")).alias("sxy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = ((F.col("sy").cast("double")
+                  - slope * F.col("sx").cast("double"))
+                 / F.col("n").cast("double"))
+    return (m.where((F.col("n") > 1) & (den > 0))
+            .select("p_brand",
+                    F.col("n").cast("bigint").alias("n_lines"),
+                    slope.alias("slope"),
+                    intercept.alias("intercept")))
