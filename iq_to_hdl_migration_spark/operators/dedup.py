@@ -25,7 +25,16 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
+
+# Max members an LSH bucket may contribute to pair generation. A
+# duplicate-flooded bucket (one boilerplate doc repeated 10M times is
+# routine in web corpora) would otherwise build a single collect_list
+# buffer of 10M structs (executor OOM) and explode O(10^13) pairs.
+# Exact copies are removed BEFORE signatures (see `_exact_prepass`), so
+# the cap only ever truncates floods of *distinct* near-identical texts;
+# those truncations are observable via `minhash_bucket_census`.
+BUCKET_CAP = 256
 
 # MinHash parameters: 32 hashes = 8 bands x 4 rows. Permutation
 # constants are fixed (seed 42) so signatures are reproducible across
@@ -99,28 +108,107 @@ def with_minhash(df: DataFrame, text_col: str = "text",
               .drop("shingle_hashes"))
 
 
+def _exact_prepass(df: DataFrame, id_col: str,
+                   text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Split the corpus into (representatives, exact_dup_links).
+
+    One window shuffle on the content digest: every digest group keeps
+    its min-id row as representative; the other members become
+    (keep_id, dup_id) links. This is the documented pipeline ordering —
+    exact dedup BEFORE signature generation — so a flood of identical
+    documents reaches the LSH bucketing as ONE row, and the dup links
+    are linear (N-1 per flood), never quadratic."""
+    w = Window.partitionBy("_digest")
+    tagged = (df.select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("text"))
+              .withColumn("_digest", F.md5(F.col("text").cast("binary")))
+              .withColumn("_keep", F.min("id").over(w)))
+    reps = (tagged.where(F.col("id") == F.col("_keep"))
+            .select("id", "text"))
+    links = (tagged.where(F.col("id") != F.col("_keep"))
+             .select(F.col("_keep").alias("id_a"),
+                     F.col("id").alias("id_b")))
+    return reps, links
+
+
+def _cap_buckets(df: DataFrame, bucket_cols: list[str],
+                 cap: int, id_col: str = "id") -> DataFrame:
+    """Keep a deterministic <= cap members per bucket. The
+    `row_number() <= cap` filter compiles to WindowGroupLimit
+    (map-side partial top-k per bucket, Spark >= 3.5), so oversized
+    buckets are truncated BEFORE the shuffle and the downstream
+    collect_list buffer is bounded by `cap` structs."""
+    w = Window.partitionBy(*bucket_cols).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap).drop("_rn"))
+
+
+def minhash_bucket_census(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          cap: int = BUCKET_CAP) -> DataFrame:
+    """Per-band report of LSH bucket population — the overflow report
+    that replaces silent truncation: any bucket wider than `cap` is
+    counted here so an operator can re-shard or investigate the flood
+    instead of discovering it as an executor OOM."""
+    reps, _ = _exact_prepass(df, id_col, text_col)
+    sigs = with_minhash(reps, "text")
+    bands = (
+        sigs.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"),
+            "minhash")
+        .withColumn(
+            "band_sig",
+            F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})"))
+    )
+    per_bucket = (bands.groupBy("band", "band_sig")
+                  .agg(F.count(F.lit(1)).alias("n_members")))
+    return (per_bucket.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.max("n_members").alias("max_members"),
+                 F.sum(F.when(F.col("n_members") > cap, 1)
+                       .otherwise(0)).alias("n_overflow_buckets"),
+                 F.sum(F.when(F.col("n_members") > cap,
+                              F.col("n_members") - cap)
+                       .otherwise(0)).alias("members_truncated"))
+            .orderBy("band"))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) with estimated
     Jaccard = fraction of agreeing minhashes, filtered to >= threshold.
 
-    Scale shape: one shuffle to group (band, signature) buckets; pairs
-    are exploded within buckets only. Estimated similarity is computed
-    from the collected signatures in the same pass — no join back
-    against the corpus.
+    Scale shape (duplicate-flood safe):
+      1. exact-dedup pre-pass — identical texts collapse to one
+         representative before any signature work; their (keep, dup)
+         links are emitted directly with est_jaccard = 1.0 (linear in
+         flood size, never quadratic);
+      2. one shuffle to group (band, signature) buckets over the
+         representatives, each bucket truncated to `bucket_cap`
+         members map-side (WindowGroupLimit) so no aggregation buffer
+         or pair explode is ever unbounded — overflow is observable
+         via `minhash_bucket_census`;
+      3. pairs exploded within capped buckets only; estimated
+         similarity computed in the same pass — no join back against
+         the corpus.
     """
-    sigs = with_minhash(df.select(id_col, text_col), text_col)
+    reps, links = _exact_prepass(df, id_col, text_col)
+    exact_pairs = links.withColumn("est_jaccard", F.lit(1.0))
+    sigs = with_minhash(reps, "text")
     bands = (
         sigs.select(
-            F.col(id_col).alias("id"), "minhash",
+            F.col("id"), "minhash",
             F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"))
         .withColumn(
             "band_sig",
             F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})"))
     )
+    capped = _cap_buckets(bands, ["band", "band_sig"], bucket_cap)
     buckets = (
-        bands.groupBy("band", "band_sig")
+        capped.groupBy("band", "band_sig")
         .agg(F.collect_list(F.struct("id", "minhash")).alias("members"))
         .where(F.size("members") > 1)
     )
@@ -146,7 +234,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    return pairs.unionByName(exact_pairs)
 
 
 def token_hashes64(text_col: str = "text") -> Column:
@@ -176,16 +264,23 @@ def simhash64(hashes_col: str = "token_hashes") -> Column:
 
 def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit chunks (pigeonhole: hamming <= 3 ⇒ >= 1 chunk equal), group
     by (chunk_idx, chunk), pair within buckets, verify exact hamming.
     Repartition barrier as in `with_minhash` (parallelism + prevents
     the token-hash expression from being inlined into the 64-bit fold).
+
+    Duplicate-flood safe like `lsh_candidate_pairs`: exact copies are
+    collapsed before signatures (their (keep, dup) links come back with
+    hamming = 0, linear in flood size) and each chunk bucket is capped
+    at `bucket_cap` members map-side (WindowGroupLimit).
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    sigs = (df.select(F.col(id_col).alias("id"),
-                      token_hashes64(text_col).alias("token_hashes"))
+    reps, links = _exact_prepass(df, id_col, text_col)
+    exact_pairs = links.withColumn("hamming", F.lit(0))
+    sigs = (reps.select("id", token_hashes64("text").alias("token_hashes"))
             .repartition(n)
             .select("id", simhash64().alias("sig")))
     chunks = (
@@ -195,8 +290,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         .withColumn("chunk",
                     F.expr("(sig >> (chunk_idx * 16)) & 65535"))
     )
+    capped = _cap_buckets(chunks, ["chunk_idx", "chunk"], bucket_cap)
     buckets = (
-        chunks.groupBy("chunk_idx", "chunk")
+        capped.groupBy("chunk_idx", "chunk")
         .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
         .where(F.size("members") > 1)
     )
@@ -213,6 +309,7 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         .select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+        .unionByName(exact_pairs)
     )
 
 

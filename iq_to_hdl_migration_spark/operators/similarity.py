@@ -125,16 +125,40 @@ def exploded_buckets(df: DataFrame, vec_col: str) -> DataFrame:
             .drop("codes"))
 
 
+BUCKET_CAP = 256  # same rationale as operators.dedup.BUCKET_CAP
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, min_cosine: float = 0.9,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brief: the vector-space
     dedup method). Candidates come from LSH bucket collisions only
     (any of the N_TABLES hash tables), then exact cosine verifies —
-    never an all-pairs cross join. Output (id_a < id_b, cosine)."""
-    c = with_norm(corpus.select(F.col(id_col).alias("id"),
-                                F.col(vec_col).alias("cemb")), "cemb", "cvec")
+    never an all-pairs cross join. Output (id_a < id_b, cosine).
+
+    Duplicate-flood safe: bit-identical vectors collapse to one
+    representative before bucketing (their (keep, dup) links are
+    emitted with cosine = 1.0, linear in flood size) and each
+    (table, code) bucket is truncated to `bucket_cap` members map-side
+    (row_number <= cap compiles to WindowGroupLimit), so no
+    collect_list buffer or pair explode is unbounded even under an
+    embedding flood."""
+    from pyspark.sql import Window
+
+    c0 = with_norm(corpus.select(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("cemb")), "cemb", "cvec")
+    w = Window.partitionBy("cvec")
+    tagged = c0.withColumn("_keep", F.min("id").over(w))
+    exact_pairs = (tagged.where(F.col("id") != F.col("_keep"))
+                   .select(F.col("_keep").alias("id_a"),
+                           F.col("id").alias("id_b"),
+                           F.lit(1.0).alias("cosine")))
+    c = tagged.where(F.col("id") == F.col("_keep")).drop("_keep")
     b = exploded_buckets(c, "cemb")
+    wcap = Window.partitionBy("table_idx", "code").orderBy("id")
+    b = (b.withColumn("_rn", F.row_number().over(wcap))
+         .where(F.col("_rn") <= bucket_cap).drop("_rn"))
     buckets = (b.groupBy("table_idx", "code")
                .agg(F.collect_list(F.struct("id", "cvec", "norm"))
                     .alias("members"))
@@ -155,7 +179,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, min_cosine: float = 0.9,
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
-    return pairs
+    return pairs.unionByName(exact_pairs)
 
 
 # --------------------------- IVF (inverted file) ----------------------------

@@ -135,6 +135,20 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_bucket_census",
+    oracle=None,  # banded minhash not SQL-expressible; census semantics
+                  # locked by tests/test_dedup_scale.py
+    doc="per-band LSH bucket population report: bucket count, widest "
+        "bucket, and how many members the BUCKET_CAP truncation would "
+        "drop — the overflow report that makes duplicate-flood "
+        "truncation observable instead of a silent executor OOM",
+)
+def dedup_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_bucket_census(docs, "doc_id", "text")
+
+
+@register(
     "dedup_rate_by_source",
     oracle=r"""
     SELECT source,

@@ -1,0 +1,119 @@
+"""Adversarial-scale locks for the LSH dedup family: a duplicate flood
+(one document repeated 10k times) and a near-duplicate flood (thousands
+of distinct one-word edits of the same text) must complete with bounded
+task memory — the exact-dedup pre-pass collapses identical texts before
+signatures, and BUCKET_CAP truncates oversized buckets map-side
+(WindowGroupLimit). See VERDICT r2 'What's wrong' #1."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from iq_to_hdl_migration_spark.operators import dedup, similarity
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill in the afternoon sun")
+NEAR = BASE.replace("afternoon", "evening")
+FLOOD_N = 10_000
+
+
+@pytest.fixture(scope="module")
+def flood_docs(spark):
+    """FLOOD_N exact copies of BASE (ids 0..N-1) + a near-dup + an
+    unrelated doc."""
+    rows = [(i, BASE) for i in range(FLOOD_N)]
+    rows.append((FLOOD_N, NEAR))
+    rows.append((FLOOD_N + 1, "completely unrelated text about shuffles"))
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+
+def test_minhash_exact_flood_linear(flood_docs):
+    out = dedup.lsh_candidate_pairs(flood_docs, threshold=0.5).collect()
+    exact = [(r.id_a, r.id_b) for r in out if r.est_jaccard == 1.0]
+    # linear: every copy linked to the keeper (min id), NOT quadratic
+    assert len(exact) == FLOOD_N - 1
+    assert all(a == 0 for a, _ in exact)
+    # the near-dup is still found against the flood's representative
+    near = {(r.id_a, r.id_b) for r in out if r.est_jaccard < 1.0}
+    assert (0, FLOOD_N) in near
+    # and nothing quadratic leaked through
+    assert len(out) < FLOOD_N + 10
+
+
+def test_simhash_exact_flood_linear(flood_docs):
+    out = dedup.simhash_candidate_pairs(flood_docs, max_hamming=3).collect()
+    exact = [(r.id_a, r.id_b) for r in out if r.hamming == 0]
+    assert len(exact) == FLOOD_N - 1
+    assert all(a == 0 for a, _ in exact)
+    assert len(out) < FLOOD_N + 10
+
+
+def test_minhash_near_dup_flood_capped(spark):
+    """Thousands of DISTINCT near-identical docs all collide into the
+    same (band, sig) buckets; the cap bounds pair generation to
+    cap*(cap-1)/2 per band instead of n^2/2."""
+    n, cap = 4_000, 64
+    rows = [(i, f"{BASE} unique{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    pairs = dedup.lsh_candidate_pairs(df, threshold=0.5, bucket_cap=cap)
+    cnt = pairs.count()
+    assert 0 < cnt <= dedup.BANDS * cap * (cap - 1) // 2
+
+
+def test_simhash_near_dup_flood_capped(spark):
+    n, cap = 4_000, 64
+    rows = [(i, f"{BASE} unique{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    pairs = dedup.simhash_candidate_pairs(df, max_hamming=3, bucket_cap=cap)
+    cnt = pairs.count()
+    # linear in n (each doc sits in 4 buckets of <= cap members), far
+    # below the quadratic n*(n-1)/2 an uncapped flood would explode
+    assert cnt <= 4 * n * cap // 2
+    assert cnt < n * (n - 1) // 4
+
+
+def test_bucket_census_reports_overflow(spark):
+    n, cap = 2_000, 64
+    rows = [(i, f"{BASE} unique{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    census = {r.band: r for r in
+              dedup.minhash_bucket_census(df, cap=cap).collect()}
+    assert len(census) == dedup.BANDS
+    # near-identical docs flood at least one band's bucket past the cap
+    assert any(r.n_overflow_buckets > 0 for r in census.values())
+    assert any(r.members_truncated > 0 for r in census.values())
+    assert all(r.max_members <= n for r in census.values())
+
+
+def test_census_clean_corpus_no_overflow(spark):
+    rows = [(i, f"document number {i} with its own words {i * 7}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    census = dedup.minhash_bucket_census(df, cap=64).collect()
+    assert all(r.n_overflow_buckets == 0 for r in census)
+    assert all(r.members_truncated == 0 for r in census)
+
+
+def test_embedding_exact_flood_linear(spark):
+    vec = [float(i % 7) - 3.0 for i in range(similarity.DIM)]
+    other = [1.0] * similarity.DIM
+    rows = [(i, vec) for i in range(2_000)] + [(2_000, other)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.embedding_near_dup_pairs(df, min_cosine=0.9).collect()
+    exact = [(r.id_a, r.id_b) for r in out if r.cosine == 1.0]
+    assert len(exact) == 2_000 - 1
+    assert all(a == 0 for a, _ in exact)
+    assert len(out) < 2_010
+
+
+def test_capped_plan_uses_window_group_limit(spark):
+    """The row_number()<=cap filter must compile to WindowGroupLimit —
+    the map-side partial top-k that keeps oversized buckets from ever
+    reaching the shuffle — and the collect_list aggregate must sit
+    above the capped window, not directly on raw bucket rows."""
+    rows = [(i, f"doc {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = dedup.lsh_candidate_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
