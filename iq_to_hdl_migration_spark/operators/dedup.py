@@ -12,7 +12,7 @@ the 100 TB case:
     (never an all-pairs cross join). Bucket population is bounded by
     band collision probability, so the explode-pairs step stays small
     and skew is handled by AQE.
-  * SimHash — 64-bit signature; near-dup candidates via 16-bit chunk
+  * SimHash — 60-bit signature; near-dup candidates via 15-bit chunk
     banding (hamming ≤ 3 ⇒ at least one of 4 chunks equal).
   * n-gram Jaccard — exact verification on a bounded candidate set.
 
@@ -75,9 +75,17 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
 
 
 def shingle_hashes(shingles_col: str = "shingles") -> Column:
-    """31-bit murmur3 base hash per shingle (computed once per shingle)."""
+    """31-bit base hash per shingle (computed once per shingle).
+
+    md5-hex-prefix rather than murmur3 so the hash is ENGINE-PORTABLE:
+    DuckDB computes the identical value via
+    ``CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 2147483648``,
+    which is what lets the whole banded-LSH pipeline be value-checked
+    against a DuckDB oracle (queries/dedup_oracles.py) instead of
+    rows-only."""
     return F.expr(f"transform({shingles_col}, "
-                  "s -> pmod(CAST(hash(s) AS BIGINT), 2147483648))")
+                  "s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)"
+                  " % 2147483648)")
 
 
 def minhash_signature(hashes_col: str = "shingle_hashes") -> Column:
@@ -237,22 +245,32 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     return pairs.unionByName(exact_pairs)
 
 
-def token_hashes64(text_col: str = "text") -> Column:
-    """64-bit hash per token (two seeded 32-bit murmurs), computed once."""
+# SimHash signature width. 60 bits (15 md5 hex chars) rather than 64 so
+# the per-token base hash fits a signed BIGINT identically in Spark and
+# DuckDB — the portability that gives dedup_simhash_pairs a value-level
+# oracle. Banding: 4 chunks x 15 bits (pigeonhole: hamming <= 3 ⇒ at
+# least one chunk equal still holds with 4 chunks).
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+
+
+def token_hashes60(text_col: str = "text") -> Column:
+    """60-bit engine-portable hash per token (md5 hex prefix), computed
+    once. DuckDB twin: ``CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)``."""
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
     return F.expr(f"transform({toks}, t -> "
-                  "CAST(hash(t) AS BIGINT) * 4294967296 + "
-                  "pmod(CAST(hash(t, 42) AS BIGINT), 4294967296))")
+                  "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))")
 
 
-def simhash64(hashes_col: str = "token_hashes") -> Column:
-    """64-bit SimHash from pre-computed token hashes, as bigint.
+def simhash60(hashes_col: str = "token_hashes") -> Column:
+    """60-bit SimHash from pre-computed token hashes, as bigint.
 
     Per bit b: sum over tokens of +1/-1 depending on bit b of the token
     hash; bit set iff sum > 0 — all in JVM expressions."""
     return F.expr(f"""
         aggregate(
-            sequence(0, 63),
+            sequence(0, {SIMHASH_BITS - 1}),
             CAST(0 AS BIGINT),
             (acc, b) -> acc + CASE WHEN
                 aggregate({hashes_col}, 0,
@@ -266,8 +284,8 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             max_hamming: int = 3,
                             bucket_cap: int = BUCKET_CAP) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4
-    16-bit chunks (pigeonhole: hamming <= 3 ⇒ >= 1 chunk equal), group
+    """Near-dup pairs by SimHash: band the 60-bit signature into 4
+    15-bit chunks (pigeonhole: hamming <= 3 ⇒ >= 1 chunk equal), group
     by (chunk_idx, chunk), pair within buckets, verify exact hamming.
     Repartition barrier as in `with_minhash` (parallelism + prevents
     the token-hash expression from being inlined into the 64-bit fold).
@@ -280,15 +298,18 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     n = df.sparkSession.sparkContext.defaultParallelism
     reps, links = _exact_prepass(df, id_col, text_col)
     exact_pairs = links.withColumn("hamming", F.lit(0))
-    sigs = (reps.select("id", token_hashes64("text").alias("token_hashes"))
+    sigs = (reps.select("id", token_hashes60("text").alias("token_hashes"))
             .repartition(n)
-            .select("id", simhash64().alias("sig")))
+            .select("id", simhash60().alias("sig")))
+    chunk_mask = (1 << SIMHASH_CHUNK_BITS) - 1
     chunks = (
         sigs.select(
             "id", "sig",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx"))
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1)))
+            .alias("chunk_idx"))
         .withColumn("chunk",
-                    F.expr("(sig >> (chunk_idx * 16)) & 65535"))
+                    F.expr(f"(sig >> (chunk_idx * {SIMHASH_CHUNK_BITS}))"
+                           f" & {chunk_mask}"))
     )
     capped = _cap_buckets(chunks, ["chunk_idx", "chunk"], bucket_cap)
     buckets = (

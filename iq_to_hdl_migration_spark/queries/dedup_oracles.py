@@ -1,0 +1,212 @@
+"""DuckDB oracle SQL for the banded-LSH dedup family.
+
+The Spark operators (operators/dedup.py) use ENGINE-PORTABLE base
+hashes — md5 hex prefixes converted to BIGINT — precisely so this
+module can re-state the *entire* pipeline (exact pre-pass → shingles →
+minhash/simhash signature → banding → capped buckets → in-bucket
+pairs) as one DuckDB SQL string per registered query. That upgrades
+dedup_minhash_lsh_pairs / dedup_simhash_pairs / dedup_lsh_bucket_census
+/ dedup_minhash_clusters from rows-only driver checks to full
+row+schema+value-hash checks.
+
+The permutation constants, band geometry, and bucket cap are imported
+from operators.dedup so the two sides can never drift.
+"""
+
+from __future__ import annotations
+
+from iq_to_hdl_migration_spark.operators.dedup import (
+    BANDS,
+    BUCKET_CAP,
+    N_HASHES,
+    PERMS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNKS,
+    _P,
+)
+
+_PERMS_DUCK = "[" + ", ".join(
+    f"{{'a': {a}::BIGINT, 'b': {b}::BIGINT}}" for a, b in PERMS) + "]"
+
+# Shared prefix: exact-dedup pre-pass + minhash signatures over the
+# representatives. `base` mirrors _exact_prepass (min doc_id per md5
+# digest keeps the representative); `sigs` mirrors with_minhash.
+_MINHASH_PREFIX = rf"""
+base AS (
+    SELECT CAST(doc_id AS BIGINT) AS id, text,
+           MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY md5(text))
+               AS keep_id
+    FROM documents
+),
+reps AS (SELECT id, text FROM base WHERE id = keep_id),
+toks AS (
+    SELECT id, string_split_regex(lower(trim(text)), '\s+') AS tok
+    FROM reps
+),
+sh AS (
+    SELECT id, CASE WHEN len(tok) >= 3
+        THEN list_transform(range(0, len(tok) - 2),
+                i -> array_to_string(list_slice(tok, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tok, ' ')] END AS shingles
+    FROM toks
+),
+sigs AS (
+    SELECT id, list_transform({_PERMS_DUCK},
+        p -> list_min(list_transform(
+                 list_transform(shingles,
+                     s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+                          % 2147483648),
+                 h -> (p.a * h + p.b) % {_P}))) AS minhash
+    FROM sh
+),
+bands AS (
+    SELECT id, minhash, band,
+           list_slice(minhash, band * {ROWS_PER_BAND} + 1,
+                      band * {ROWS_PER_BAND} + {ROWS_PER_BAND}) AS band_sig
+    FROM sigs, (SELECT unnest(range(0, {BANDS})) AS band)
+)
+"""
+
+# In-bucket candidate pairs over cap-truncated buckets, deduped, with
+# estimated Jaccard = fraction of agreeing minhash positions.
+_MINHASH_CAND = f"""
+capped AS (
+    SELECT * FROM (
+        SELECT id, minhash, band, band_sig,
+               ROW_NUMBER() OVER (PARTITION BY band, band_sig
+                                  ORDER BY id) AS rn
+        FROM bands) t
+    WHERE rn <= {BUCKET_CAP}
+),
+cand AS (
+    SELECT DISTINCT least(a.id, b.id) AS id_a,
+           greatest(a.id, b.id) AS id_b,
+           CAST(len(list_filter(range(1, {N_HASHES} + 1),
+                                i -> a.minhash[i] = b.minhash[i]))
+                AS DOUBLE) / {N_HASHES}.0 AS est_jaccard
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+)
+"""
+
+
+def minhash_pairs_oracle(threshold: float = 0.5) -> str:
+    """Twin of dedup.lsh_candidate_pairs(threshold=...)."""
+    return f"""
+    WITH {_MINHASH_PREFIX}, {_MINHASH_CAND}
+    SELECT id_a, id_b, est_jaccard FROM cand
+    WHERE est_jaccard >= {threshold}
+    UNION ALL
+    SELECT keep_id AS id_a, id AS id_b, 1.0::DOUBLE AS est_jaccard
+    FROM base WHERE id != keep_id
+    """
+
+
+def lsh_bucket_census_oracle(cap: int = BUCKET_CAP) -> str:
+    """Twin of dedup.minhash_bucket_census: per-band bucket population
+    over UNCAPPED buckets (the census observes what the cap would
+    truncate, so it must see the raw widths)."""
+    return f"""
+    WITH {_MINHASH_PREFIX},
+    per_bucket AS (
+        SELECT band, band_sig, COUNT(*) AS n_members
+        FROM bands GROUP BY band, band_sig
+    )
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n_members) AS BIGINT) AS max_members,
+           CAST(SUM(CASE WHEN n_members > {cap} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overflow_buckets,
+           CAST(SUM(CASE WHEN n_members > {cap} THEN n_members - {cap}
+                    ELSE 0 END) AS BIGINT) AS members_truncated
+    FROM per_bucket GROUP BY band
+    """
+
+
+def minhash_clusters_oracle(threshold: float = 0.7) -> str:
+    """Twin of dedup_minhash_clusters: connected components over the
+    LSH pair list (candidates >= threshold, plus exact-dup links) via
+    recursive transitive closure, then per-cluster member counts.
+    Same recursive-CTE pattern as the A5 transitive-closure oracle
+    (queries/catalog_ops.py)."""
+    return f"""
+    WITH RECURSIVE {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    pairs AS (
+        SELECT id_a, id_b FROM cand WHERE est_jaccard >= {threshold}
+        UNION
+        SELECT keep_id AS id_a, id AS id_b FROM base WHERE id != keep_id
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach (u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT component AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY component HAVING COUNT(*) > 1
+    """
+
+
+def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    """Twin of dedup.simhash_candidate_pairs: 60-bit md5-based SimHash,
+    4x15-bit chunk banding, capped buckets, exact hamming verify, plus
+    exact-dup links at hamming 0."""
+    chunk_mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    return rf"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, text,
+               MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY md5(text))
+                   AS keep_id
+        FROM documents
+    ),
+    reps AS (SELECT id, text FROM base WHERE id = keep_id),
+    th AS (
+        SELECT id,
+               list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))
+                   AS hs
+        FROM reps
+    ),
+    sigs AS (
+        SELECT id,
+               CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}),
+                   b -> CASE WHEN list_sum(list_transform(hs,
+                            h -> CASE WHEN (h >> b) & 1 = 1
+                                 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+                   AS BIGINT) AS sig
+        FROM th
+    ),
+    chunks AS (
+        SELECT id, sig, chunk_idx,
+               (sig >> (CAST(chunk_idx AS INTEGER) * {SIMHASH_CHUNK_BITS}))
+                   & {chunk_mask} AS chunk
+        FROM sigs, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS chunk_idx)
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT id, sig, chunk_idx, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY chunk_idx, chunk
+                                      ORDER BY id) AS rn
+            FROM chunks) t
+        WHERE rn <= {BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.id, b.id) AS id_a,
+               greatest(a.id, b.id) AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM capped a JOIN capped b
+          ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    UNION ALL
+    SELECT keep_id AS id_a, id AS id_b, 0 AS hamming
+    FROM base WHERE id != keep_id
+    """

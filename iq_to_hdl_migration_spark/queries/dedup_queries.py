@@ -1,11 +1,13 @@
 """Registered dedup queries over the `documents` table (brief: LLM
 training-data pipeline operators; SURVEY §2.6 dedup analog J16).
 
-Thin wrappers around `operators.dedup`. The LSH/SimHash candidate
-generators have no SQL-expressible oracle (banded minhash in DuckDB is
-impractical) → rows-only driver check; their *semantics* are locked by
-unit tests with planted near-duplicates (tests/test_dedup.py). The
-exact-dedup and bounded Jaccard queries are fully hash-checked.
+Thin wrappers around `operators.dedup`. EVERY query here is fully
+hash-checked against a DuckDB oracle: the banded MinHash/SimHash
+pipelines use engine-portable md5-based hashes, and
+queries/dedup_oracles.py restates the whole signature→band→bucket→pair
+dataflow in DuckDB SQL from the same constants. Semantics are
+additionally locked by unit tests with planted near-duplicates
+(tests/test_dedup.py) and duplicate-flood bounds (tests/test_dedup_scale.py).
 """
 
 from __future__ import annotations
@@ -15,6 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iq_to_hdl_migration_spark.operators import dedup
 from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.queries.dedup_oracles import (
+    lsh_bucket_census_oracle,
+    minhash_clusters_oracle,
+    minhash_pairs_oracle,
+    simhash_pairs_oracle,
+)
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
 
@@ -63,9 +71,10 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_pairs",
-    oracle=None,  # banded minhash not SQL-expressible; see tests/test_dedup.py
+    oracle=minhash_pairs_oracle(threshold=0.5),
     doc="MinHash(32)+LSH(8x4) near-dup candidates, join-within-band only "
-        "— never all-pairs (brief requirement)",
+        "— never all-pairs (brief requirement); hash-checked against a "
+        "full DuckDB restatement of the banded pipeline",
     bench=True,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,9 +84,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    oracle=None,  # 64-bit simhash banding not SQL-expressible
-    doc="SimHash64 near-dup candidates via 16-bit chunk banding + exact "
-        "hamming verify",
+    oracle=simhash_pairs_oracle(max_hamming=3),
+    doc="SimHash(60) near-dup candidates via 15-bit chunk banding + exact "
+        "hamming verify; hash-checked against a full DuckDB restatement",
     bench=True,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,11 +126,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_clusters",
-    oracle=None,  # clusters derive from the LSH pair set (rows-only);
-                  # component semantics locked by tests/test_components.py
+    oracle=minhash_clusters_oracle(threshold=0.7),
     doc="near-dup cluster sizes: LSH pairs -> iterative min-label "
         "connected components (A5 transitive-closure analog at data "
-        "scale) -> per-cluster member count",
+        "scale) -> per-cluster member count; hash-checked against a "
+        "recursive-CTE closure over the same DuckDB pair list",
 )
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iq_to_hdl_migration_spark.operators.components import (
@@ -136,8 +145,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_lsh_bucket_census",
-    oracle=None,  # banded minhash not SQL-expressible; census semantics
-                  # locked by tests/test_dedup_scale.py
+    oracle=lsh_bucket_census_oracle(),
     doc="per-band LSH bucket population report: bucket count, widest "
         "bucket, and how many members the BUCKET_CAP truncation would "
         "drop — the overflow report that makes duplicate-flood "

@@ -87,7 +87,9 @@ def test_bucket_census_reports_overflow(spark):
 
 
 def test_census_clean_corpus_no_overflow(spark):
-    rows = [(i, f"document number {i} with its own words {i * 7}")
+    # token-disjoint documents: no shared shingles at all, so bucket
+    # collisions could only come from band-signature hash collisions
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
             for i in range(200)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     census = dedup.minhash_bucket_census(df, cap=64).collect()
