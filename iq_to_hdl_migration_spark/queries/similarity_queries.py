@@ -1,11 +1,11 @@
 """Registered similarity-search queries over `embeddings`.
 
-The brute-force and LSH-bucket-code queries are hash-checked against
-DuckDB (the oracle re-implements the same sequential-fold double math
-via list_dot_product over DOUBLE[] casts and the same literal plane
-constants). The full ANN probe is rows-only (window-over-bucket isn't
-worth contorting into the oracle) with semantics locked by
-tests/test_similarity.py.
+Everything LSH-shaped is hash-checked against DuckDB: the oracles
+re-implement the same sequential-fold double math via list_dot_product
+over DOUBLE[] casts and the same literal plane constants, so codes,
+cosines and rank orders are bit-identical across engines. Only the
+IVF probe (k-means fit) and the recall dashboard that includes it stay
+rows-only, with semantics locked by tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -18,6 +18,64 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
 _N_QUERIES = 5  # vec_id < 5 are the probe vectors
+
+
+def _codes_cte(source: str = "embeddings") -> str:
+    """DuckDB CTE fragment: per-(vec_id, table_idx) LSH bucket code —
+    the exact twin of operators.similarity.with_table_codes (same plane
+    constants, same sign rule, same bit packing). Validated bit-for-bit
+    by the sim_lsh_bucket_stats hash match."""
+    return f"""
+    planes AS (
+        SELECT unnest(range(0, {sim.N_PLANES})) AS plane_id,
+               unnest({sim.duckdb_planes_list()}) AS plane
+    ),
+    codes AS (
+        SELECT e.vec_id,
+               CAST(p.plane_id // {sim.BITS_PER_TABLE} AS INTEGER) AS table_idx,
+               CAST(SUM(CASE WHEN list_dot_product(p.plane,
+                                                   e.embedding::DOUBLE[]) >= 0.0
+                             THEN 1 << (p.plane_id % {sim.BITS_PER_TABLE})
+                             ELSE 0 END) AS INTEGER) AS code
+        FROM {source} e CROSS JOIN planes p
+        GROUP BY e.vec_id, p.plane_id // {sim.BITS_PER_TABLE}
+    ),
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM {source}
+    )
+    """
+
+
+def _lsh_topk_oracle(qcodes: str) -> str:
+    """Bucket-collision candidates -> exact cosine -> top-5, where
+    `qcodes` is a CTE name providing the (possibly probe-expanded)
+    query-side (vec_id, table_idx, code) rows."""
+    return f"""
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        FROM {qcodes} q JOIN codes c
+          ON q.table_idx = c.table_idx AND q.code = c.code
+        WHERE q.vec_id != c.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.cand_id,
+               list_dot_product(qv.vec, cv.vec) / (qv.norm * cv.norm) AS cosine
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.query_id
+        JOIN v cv ON cv.vec_id = cand.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rnk
+        FROM scored
+    ) t
+    WHERE rnk <= 5
+    """
 
 
 @register(
@@ -87,7 +145,14 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ann_lsh_topk",
-    oracle=None,  # probe semantics locked by tests/test_similarity.py
+    oracle=f"""
+    WITH {_codes_cte()},
+    qcodes AS (
+        SELECT vec_id, table_idx, code FROM codes
+        WHERE vec_id < {_N_QUERIES}
+    ),
+    {_lsh_topk_oracle("qcodes")}
+    """,
     doc="LSH-bucketed approximate top-k: probe one bucket (1/2^16 of "
         "the corpus at scale) instead of scanning",
 )
@@ -99,7 +164,17 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ann_multiprobe_topk",
-    oracle=None,  # probe-set semantics locked by tests
+    oracle=f"""
+    WITH {_codes_cte()},
+    qcodes AS (
+        SELECT DISTINCT vec_id, table_idx,
+               CASE WHEN f = -1 THEN code
+                    ELSE xor(code, CAST(1 << f AS INTEGER)) END AS code
+        FROM codes, (SELECT unnest(range(-1, {sim.BITS_PER_TABLE})) AS f)
+        WHERE vec_id < {_N_QUERIES}
+    ),
+    {_lsh_topk_oracle("qcodes")}
+    """,
     doc="multi-probe LSH top-k (each query also probes all Hamming-1 "
         "neighbor buckets per table): ~12x the recall of single-probe "
         "on the structureless random corpus (3% -> 38%) for 9x the "
