@@ -92,6 +92,7 @@ def ddl_rule_hit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ddl_output_digest",
+    bench=True,
     oracle=_values_sql([(_GOLDEN_MD5, _GOLDEN_N_LINES, _GOLDEN_N_FK)],
                        ["text_md5", "n_lines", "n_fk_statements"]),
     doc="whole-output digest of the rewritten schema + FK capture count "

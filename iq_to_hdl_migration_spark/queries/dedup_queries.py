@@ -96,6 +96,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard_pairs",
+    bench=True,
     oracle=r"""
     WITH toks AS (
         SELECT source, lang, doc_id,

@@ -261,6 +261,7 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap (same as events_queries)
 
 @register(
     "events_session_conversion",
+    bench=True,
     oracle=f"""
     WITH o AS (
         SELECT user_id, event_id, ts, event_type,
@@ -333,6 +334,7 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cohort_ltv_curve",
+    bench=True,
     oracle="""
     WITH s AS (
         SELECT user_id,

@@ -167,10 +167,12 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_codes_cte()},
     qcodes AS (
-        SELECT DISTINCT vec_id, table_idx,
-               CASE WHEN f = -1 THEN code
-                    ELSE xor(code, CAST(1 << f AS INTEGER)) END AS code
-        FROM codes, (SELECT unnest(range(-1, {sim.BITS_PER_TABLE})) AS f)
+        SELECT vec_id, table_idx, code FROM codes
+        WHERE vec_id < {_N_QUERIES}
+        UNION
+        SELECT vec_id, table_idx,
+               xor(code, CAST(1 << f AS INTEGER)) AS code
+        FROM codes, (SELECT unnest(range(0, {sim.BITS_PER_TABLE})) AS f)
         WHERE vec_id < {_N_QUERIES}
     ),
     {_lsh_topk_oracle("qcodes")}
@@ -188,8 +190,48 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine_pairs",
-    oracle=None,  # LSH-candidate generation not SQL-expressible;
-                  # recall/precision locked by tests/test_similarity.py
+    # The oracle retraces the whole flood-safe pipeline: bit-identical
+    # vectors collapse to their min-id representative (links emitted at
+    # cosine 1.0), representatives get the same LSH codes, each
+    # (table, code) bucket is truncated to the same id-ordered cap, and
+    # only in-bucket pairs are cosine-verified.
+    oracle=f"""
+    WITH v0 AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS dvec FROM embeddings
+    ),
+    tagged AS (
+        SELECT id, dvec, MIN(id) OVER (PARTITION BY dvec) AS keep FROM v0
+    ),
+    repsrc AS (
+        SELECT id AS vec_id, dvec AS embedding FROM tagged WHERE id = keep
+    ),
+    {_codes_cte("repsrc")},
+    capped AS (
+        SELECT vec_id, table_idx, code,
+               ROW_NUMBER() OVER (PARTITION BY table_idx, code
+                                  ORDER BY vec_id) AS rn
+        FROM codes
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.table_idx = b.table_idx AND a.code = b.code
+         AND a.vec_id < b.vec_id
+        WHERE a.rn <= {sim.BUCKET_CAP} AND b.rn <= {sim.BUCKET_CAP}
+    ),
+    scored AS (
+        SELECT p.id_a, p.id_b,
+               list_dot_product(va.vec, vb.vec) / (va.norm * vb.norm)
+                   AS cosine
+        FROM pairs p
+        JOIN v va ON va.vec_id = p.id_a
+        JOIN v vb ON vb.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+    UNION ALL
+    SELECT keep AS id_a, id AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+    FROM tagged WHERE id != keep
+    """,
     doc="embedding-cosine near-dup pairs: LSH bucket candidates + "
         "exact cosine >= 0.9 verify (brief: vector-space dedup; "
         "never all-pairs)",

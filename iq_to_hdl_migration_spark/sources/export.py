@@ -17,7 +17,24 @@ Reference -> Spark mapping:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# The reference probes the source DB charset and remaps the one name
+# Python can't decode (Common/common.py:342-347). Spark's csv reader
+# takes any java.nio charset name; this remap table keeps the same
+# source-catalog spellings working here.
+_CHARSET_REMAP = {
+    "Extended_UNIX_Code_Packed_Format_for_Japanese": "EUC-JP",
+}
+
+
+def resolve_charset(name: str | None) -> str:
+    """Source-catalog charset name -> codec Spark/JVM accepts
+    (identity for standard names, reference remap for the known
+    unsupported spelling, UTF-8 when the catalog had none)."""
+    if not name:
+        return "UTF-8"
+    return _CHARSET_REMAP.get(name, name)
 
 
 def export_chunked_parquet(df: DataFrame, path: str,
@@ -36,12 +53,32 @@ def export_chunked_parquet(df: DataFrame, path: str,
 
 
 def export_gzip_csv(df: DataFrame, path: str,
-                    max_records_per_file: int = 1_000_000) -> None:
+                    max_records_per_file: int = 1_000_000,
+                    charset: str | None = None) -> None:
     """S3: gzip text interchange (header on, NULL marker matching the
-    reference's NULL('NULL') convention, migration.py:2335-2348)."""
+    reference's NULL('NULL') convention, migration.py:2335-2348).
+    `charset` takes source-catalog names (resolve_charset remaps the
+    reference's EUC-JP special case) so a non-UTF8 target round-trips."""
     (df.write.mode("errorifexists")
        .option("maxRecordsPerFile", max_records_per_file)
        .option("compression", "gzip")
        .option("header", "true")
        .option("nullValue", "NULL")
+       .option("encoding", resolve_charset(charset))
        .csv(path))
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None,
+             charset: str | None = None) -> DataFrame:
+    """Ingest counterpart of export_gzip_csv: header/NULL conventions
+    matched, `charset` decoded per the same source-catalog resolution —
+    the piece a non-UTF8 source migration hits first at ingest."""
+    reader = (spark.read
+              .option("header", "true")
+              .option("nullValue", "NULL")
+              .option("encoding", resolve_charset(charset)))
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -32,9 +32,9 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes events.ts (stored as TIMESTAMP(NANOS),
-    which Spark's vectorized parquet reader rejects) to a microsecond
-    timestamp — same truncation DuckDB applies when casting its
-    TIMESTAMP_NS to TIMESTAMP.
+    which different Spark versions decode differently) to a canonical
+    microsecond TIMESTAMP — same truncation DuckDB applies when casting
+    its TIMESTAMP_NS to TIMESTAMP (see `normalize_event_ts`).
 
     If $SPARK_GRAFT_WAREHOUSE is set and holds a staged copy of the
     table (see `stage_warehouse`), reads that instead: the staged
@@ -47,14 +47,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if wh:
         staged = os.path.join(wh, os.path.basename(sf_dir.rstrip("/")), name)
         if os.path.isdir(staged):
-            return spark.read.parquet(staged)
+            df = spark.read.parquet(staged)
+            return normalize_event_ts(df) if name == "events" else df
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        try:
+            # Spark <= 4.0 can only read TIMESTAMP(NANOS) as a long;
+            # Spark >= 4.1 ignores this conf and reads it as
+            # TIMESTAMP_NTZ truncated to micros.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        return normalize_event_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize events.ts to a session-TZ-independent TIMESTAMP whose
+    epoch micros equal the file's naive value read as UTC — exactly what
+    DuckDB's epoch_us(CAST(ts AS TIMESTAMP)) sees, so oracles agree on
+    every Spark version regardless of how the nanos column was decoded.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # legacy nanosAsLong read (Spark <= 4.0)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":  # Spark >= 4.1 native TIMESTAMP(NANOS) read
+        return df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return df
 
 
 def stage_warehouse(spark: SparkSession, sf_dir: str, warehouse_dir: str,

@@ -26,7 +26,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+# Canonical post-normalization schema (what every operator below sees).
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
                  "event_type string, value double, props string")
 
 GAP_US = 1800 * 1_000_000
@@ -35,17 +36,31 @@ SESSION_OUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
 SESSION_STATE_SCHEMA = "last_us bigint, n_sessions bigint, n_events bigint"
 
 
+def _raw_events_schema(spark: SparkSession, path: str):
+    """The file source needs a declared schema, and the on-disk flavor
+    of events.ts varies by Spark version (TIMESTAMP(NANOS) -> long on
+    <= 4.0 under nanosAsLong, TIMESTAMP_NTZ on >= 4.1) — so infer it
+    from a batch read of the same files and normalize after."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(path).schema
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts stored as
-    TIMESTAMP(NANOS) -> read as long, normalized to micros timestamp,
-    matching sources.tables.load_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet, ts normalized to the
+    same canonical micros TIMESTAMP as sources.tables.load_table."""
+    from iq_to_hdl_migration_spark.sources.tables import (
+        normalize_event_ts, table_path)
+
+    schema = _raw_events_schema(spark, table_path(sf_dir, "events"))
     # the file source wants a directory; point at sf_dir and glob the
     # single events file
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+    raw = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir.rstrip("/")))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def hourly_counts_stream(events: DataFrame) -> DataFrame:
@@ -160,7 +175,7 @@ def streaming_purchase_click_join(spark: SparkSession, sf_dir: str,
 
 def incremental_dedup_to_parquet(spark: SparkSession, src_dir: str,
                                  sink_dir: str, ckpt_dir: str,
-                                 schema: str = EVENTS_SCHEMA) -> None:
+                                 schema: str | None = None) -> None:
     """Checkpointed incremental pipeline: file-source stream ->
     watermarked exact dedup -> exactly-once parquet sink.
 
@@ -175,9 +190,11 @@ def incremental_dedup_to_parquet(spark: SparkSession, src_dir: str,
     `.option("maxFilesPerTrigger", n)` on the reader for rate-limited
     backfills at scale.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from iq_to_hdl_migration_spark.sources.tables import normalize_event_ts
+
+    schema = schema or _raw_events_schema(spark, src_dir)
     raw = spark.readStream.schema(schema).parquet(src_dir)
-    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = normalize_event_ts(raw)
     q = (dedup_stream(events)
          .writeStream.format("parquet")
          .option("path", sink_dir)

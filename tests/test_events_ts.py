@@ -1,0 +1,52 @@
+"""events.ts canonicalization contract.
+
+The source file stores ts as TIMESTAMP(NANOS), which different Spark
+versions decode differently (long under nanosAsLong on <= 4.0,
+TIMESTAMP_NTZ on >= 4.1 — the latter broke every unix_micros call site
+when the runtime upgraded). These tests pin the invariants every
+downstream query relies on, so the next decoder change fails here
+first instead of in 30 registered queries.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from iq_to_hdl_migration_spark.sources.tables import load_table, table_path
+
+
+def test_ts_is_plain_timestamp(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_unix_micros_works_and_matches_duckdb(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = sorted(
+        r.us for r in
+        ev.select(F.unix_micros("ts").alias("us")).limit(50)
+        .collect())
+    # limit(50) on an unordered scan isn't deterministic; compare the
+    # full min/max + a checksum over ALL rows instead
+    spark_stats = ev.select(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+        F.sum(F.unix_micros("ts")).alias("s")).collect()[0]
+    duck = duckdb.sql(
+        f"""SELECT min(epoch_us(CAST(ts AS TIMESTAMP))),
+                   max(epoch_us(CAST(ts AS TIMESTAMP))),
+                   sum(epoch_us(CAST(ts AS TIMESTAMP)))
+            FROM read_parquet('{table_path(sf_dir, "events")}')"""
+    ).fetchone()
+    assert (spark_stats.lo, spark_stats.hi, int(spark_stats.s)) == \
+        (duck[0], duck[1], int(duck[2]))
+    assert len(got) == 50
+
+
+def test_normalize_is_identity_on_canonical_frames(spark, sf_dir):
+    from iq_to_hdl_migration_spark.sources.tables import normalize_event_ts
+    ev = load_table(spark, sf_dir, "events")
+    again = normalize_event_ts(ev)
+    assert dict(again.dtypes)["ts"] == "timestamp"
+    assert again.schema == ev.schema

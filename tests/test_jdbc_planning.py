@@ -50,3 +50,64 @@ def test_plan_always_valid(lo, width, size, conns):
 def test_rejects_inverted_range():
     with pytest.raises(ValueError):
         plan_partitions("id", 10, 5, size_bytes=1)
+
+
+# ---- executed coverage contract (round-2 advice item 6) -------------------
+# No RDBMS ships in this container, so instead of a live read the
+# predicate list is *executed* as Spark filters over a materialized key
+# column: if the predicates partition a real dataset exactly once,
+# spark.read.jdbc with the same bounds partitions the remote table
+# exactly once (Spark generates the same WHERE ranges).
+
+def _covered(spark, plan, keys):
+    import pyspark.sql.functions as F
+    from functools import reduce
+    df = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in keys], f"{plan.partition_column} long")
+    parts = [df.where(F.expr(p)) for p in plan.predicates()]
+    union = reduce(lambda a, b: a.unionAll(b), parts)
+    return union
+
+
+def test_predicates_execute_to_exactly_once_coverage(spark):
+    plan = plan_partitions("id", 0, 999, size_bytes=GB,
+                           target_bytes=128 * 1024 * 1024)
+    keys = list(range(0, 1000))
+    union = _covered(spark, plan, keys)
+    assert union.count() == 1000                       # no loss
+    assert union.distinct().count() == 1000            # no double-read
+
+
+def test_predicates_cover_out_of_stats_keys(spark):
+    """Keys that drifted outside the planned [min, max] (rows inserted
+    between stats collection and extract) must still land in exactly
+    one partition — the unbounded first/last strides catch them."""
+    plan = plan_partitions("id", 100, 899, size_bytes=GB,
+                           target_bytes=128 * 1024 * 1024)
+    keys = [0, 50, 99] + list(range(100, 900, 7)) + [900, 10**9]
+    union = _covered(spark, plan, keys)
+    assert union.count() == len(keys)
+    assert union.distinct().count() == len(keys)
+
+
+@given(lo=st.integers(-10**6, 10**6), width=st.integers(0, 10**4),
+       size=st.integers(0, 10**11), conns=st.integers(1, 64))
+def test_predicate_arithmetic_exactly_once(lo, width, size, conns):
+    """Pure-python twin of the executed contract over the whole plan
+    space: every key in [lo, lo+width] (plus out-of-range drifters)
+    satisfies exactly one generated predicate."""
+    plan = plan_partitions("k", lo, lo + width, size, max_connections=conns)
+
+    def matches(pred: str, k: int) -> bool:
+        if pred == "1=1":
+            return True
+        ok = True
+        for clause in pred.split(" AND "):
+            _, op, bound = clause.split()
+            ok &= k >= int(bound) if op == ">=" else k < int(bound)
+        return ok
+
+    probe = {lo, lo + width, lo + width // 2, lo - 10**7, lo + width + 10**7}
+    probe.update(range(lo, lo + width + 1, max(1, width // 50)))
+    for k in probe:
+        assert sum(matches(p, k) for p in plan.predicates()) == 1

@@ -72,3 +72,47 @@ def test_rule_tables_load(spark):
     assert defaults["locked"] == "OFF"
     df = options_rules_df(spark)
     assert df.count() == len(names)
+
+
+def test_charset_resolution_remaps_reference_spelling():
+    from iq_to_hdl_migration_spark.sources.export import resolve_charset
+    assert (resolve_charset("Extended_UNIX_Code_Packed_Format_for_Japanese")
+            == "EUC-JP")
+    assert resolve_charset(None) == "UTF-8"
+    assert resolve_charset("ISO-8859-1") == "ISO-8859-1"
+
+
+def test_latin1_csv_roundtrip(spark, tmp_path):
+    """A non-UTF8 source charset survives write -> raw bytes -> read
+    (Common/common.py:342-347 charset plumbing, V10's checked property)."""
+    from iq_to_hdl_migration_spark.sources.export import read_csv
+
+    rows = [(1, "café"), (2, "Über"), (3, None)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    out = tmp_path / "latin1"
+    export_gzip_csv(df, str(out), charset="ISO-8859-1")
+
+    raw = b"".join(gzip.decompress(f.read_bytes())
+                   for f in sorted(out.glob("*.csv.gz")))
+    assert "café".encode("latin-1") in raw      # true latin-1 bytes,
+    assert "café".encode("utf-8") not in raw    # not utf-8
+
+    back = read_csv(spark, str(out), schema="id int, name string",
+                    charset="ISO-8859-1")
+    got = {r.id: r.name for r in back.collect()}
+    assert got == {1: "café", 2: "Über", 3: None}
+
+
+def test_latin1_foreign_file_ingest(spark, tmp_path):
+    """A latin-1 CSV produced outside Spark decodes correctly at
+    ingest — the first thing a non-UTF8 migration touches."""
+    from iq_to_hdl_migration_spark.sources.export import read_csv
+
+    p = tmp_path / "legacy"
+    p.mkdir()
+    (p / "data.csv").write_bytes(
+        "id,name\n1,sésame\n2,NULL\n".encode("latin-1"))
+    back = read_csv(spark, str(p), schema="id int, name string",
+                    charset="ISO-8859-1")
+    got = {r.id: r.name for r in back.collect()}
+    assert got == {1: "sésame", 2: None}

@@ -45,12 +45,11 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(W.EVENTS_SCHEMA).option(
-        "pathGlobFilter", "events.parquet").parquet(sf_dir)
-    split_ts = raw.approxQuantile("ts", [0.5], 0.0)[0]
-    phase1 = raw.filter(F.col("ts") <= split_ts)
-    phase2_new = raw.filter(F.col("ts") > split_ts)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    raw = load_table(spark, sf_dir, "events")
+    split_id = raw.approxQuantile("event_id", [0.5], 0.0)[0]
+    phase1 = raw.filter(F.col("event_id") <= split_id)
+    phase2_new = raw.filter(F.col("event_id") > split_id)
 
     phase1.write.mode("append").parquet(src)
     W.incremental_dedup_to_parquet(spark, src, sink, ckpt)
