@@ -338,29 +338,82 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
                                 id_col: str = "doc_id",
                                 text_col: str = "text",
                                 min_jaccard: float = 0.0) -> DataFrame:
-    """Exact word-set Jaccard for all pairs WITHIN pre-bucketed groups
-    (e.g. (source, lang)) — the bounded-candidate exact verifier. The
-    group-by keeps pair generation local to each bucket; at 100 TB the
-    buckets come from LSH, not from metadata, but the operator is the
-    same."""
+    """Exact word-set Jaccard pairs WITHIN pre-bucketed groups (e.g.
+    (source, lang)) — the exact verifier.
+
+    For min_jaccard > 0 candidates come from an inverted-index
+    self-join with PPJoin-style prefix filtering (Xiao et al., WWW'08):
+    each document's tokens are ordered by in-group document frequency
+    (rarest first) and only the first |d| - ceil(t*|d|) + 1 tokens can
+    generate candidates. Any pair with Jaccard >= t must collide on at
+    least one prefix token under a shared total order, so the filter is
+    lossless — and because prefixes are the RAREST tokens, stopwords
+    never fan out. Unlike a per-group collect_list + O(m^2) explode,
+    every stage here is a bounded shuffle on (group, token) or id: a
+    group with millions of members costs df^2 only over rare tokens,
+    not m^2, and no aggregation buffer holds a whole group.
+
+    min_jaccard <= 0 keeps the grouped cross-pair path (zero-overlap
+    pairs can't be found through shared tokens); that path is only safe
+    for bounded metadata groups and says so.
+    """
+    from pyspark.sql import Window
+
     n = df.sparkSession.sparkContext.defaultParallelism
     toks = (df.repartition(n)
             .select(*group_cols, F.col(id_col).alias("id"),
                     F.array_distinct(tokens(text_col)).alias("tok")))
-    grouped = (toks.groupBy(*group_cols)
-               .agg(F.collect_list(F.struct("id", "tok")).alias("members"))
-               .where(F.size("members") > 1))
+    if min_jaccard <= 0:
+        grouped = (toks.groupBy(*group_cols)
+                   .agg(F.collect_list(F.struct("id", "tok"))
+                        .alias("members"))
+                   .where(F.size("members") > 1))
+        return (
+            grouped.select(
+                *group_cols,
+                F.explode(F.expr("""
+                    flatten(transform(members, (x, i) ->
+                        transform(slice(members, i + 2, size(members)), y ->
+                            struct(least(x.id, y.id) AS id_a,
+                                   greatest(x.id, y.id) AS id_b,
+                                   x.tok AS tok_a, y.tok AS tok_b))))
+                """)).alias("p"))
+            .select(*group_cols, "p.id_a", "p.id_b", "p.tok_a", "p.tok_b")
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("tok_a", "tok_b")))
+            .withColumn("n_union", F.size(F.array_union("tok_a", "tok_b")))
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double")
+                        / F.col("n_union").cast("double"))
+            .select(*group_cols, "id_a", "id_b", "n_inter", "n_union",
+                    "jaccard")
+        )
+
+    t = float(min_jaccard)
+    sized = toks.withColumn("sz", F.size("tok"))
+    posted = sized.select(*group_cols, "id", "sz",
+                          F.explode("tok").alias("w"))
+    tok_df = (posted.groupBy(*group_cols, "w")
+              .agg(F.count(F.lit(1)).alias("df")))
+    w_order = Window.partitionBy(*group_cols, "id").orderBy("df", "w")
+    prefix = (posted.join(tok_df, [*group_cols, "w"])
+              .withColumn("rn", F.row_number().over(w_order))
+              .where(F.col("rn")
+                     <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+              .select(*group_cols, "id", "w"))
+    cand = (prefix.alias("a")
+            .join(prefix.selectExpr(*group_cols, "id AS id_b", "w")
+                  .alias("b"),
+                  [*group_cols, "w"])
+            .where(F.col("a.id") < F.col("id_b"))
+            .select(*group_cols, F.col("a.id").alias("id_a"), "id_b")
+            .dropDuplicates([*group_cols, "id_a", "id_b"]))
+    side_a = sized.select(F.col("id").alias("id_a"),
+                          F.col("tok").alias("tok_a"))
+    side_b = sized.select(F.col("id").alias("id_b"),
+                          F.col("tok").alias("tok_b"))
     return (
-        grouped.select(
-            *group_cols,
-            F.explode(F.expr("""
-                flatten(transform(members, (x, i) ->
-                    transform(slice(members, i + 2, size(members)), y ->
-                        struct(least(x.id, y.id) AS id_a,
-                               greatest(x.id, y.id) AS id_b,
-                               x.tok AS tok_a, y.tok AS tok_b))))
-            """)).alias("p"))
-        .select(*group_cols, "p.id_a", "p.id_b", "p.tok_a", "p.tok_b")
+        cand.join(side_a, "id_a").join(side_b, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("tok_a", "tok_b")))
         .withColumn("n_union", F.size(F.array_union("tok_a", "tok_b")))
         .withColumn("jaccard",

@@ -1,42 +1,89 @@
-"""Bucketed staging tables — the co-located-join scale path (P3/S8).
+"""Bucketed warehouse staging — shuffle-free co-located fact joins.
 
-At 100 TB the dominant recurring cost is re-shuffling the big fact
-tables on the same join key query after query. Writing the staging
-tables bucketed by that key (`bucketBy(n, key)` + `sortBy(key)`)
-makes every later equi-join / groupBy on the key shuffle-free: both
-sides arrive pre-partitioned, and Spark plans a SortMergeJoin with no
-Exchange (verified by tests/test_bucketed.py against the plan).
+The reference co-locates its biggest extract/load pairs only by
+chunking files (migration.py:2382-2396); on Spark the analogous 100 TB
+lever is hash bucketing: write both fact tables bucketed by the join
+key once at ingest, and every subsequent equi-join on that key skips
+BOTH shuffle exchanges — the single biggest cost in the fact x fact
+queries (ship latency, trade flow: orders x lineitem on orderkey).
 
-Bucketed output requires the session catalog (`saveAsTable`), which
-is how a real deployment stages anyway (warehouse on the object
-store). Pick n_buckets so each bucket is ~128 MB-1 GB at target
-scale; bucket counts must match across tables joined together.
+Bucketed tables must live in the session catalog (`saveAsTable`);
+plain `.parquet(path)` writes drop bucket metadata. Re-staging is
+idempotent per (table, bucket count).
 """
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F  # noqa: F401  (kept for callers)
+import os
+
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from iq_to_hdl_migration_spark.sources.tables import load_table
 
-def write_bucketed(df: DataFrame, table_name: str, key: str,
-                   n_buckets: int = 32,
-                   mode: str = "overwrite") -> None:
-    """Stage `df` as a catalog table bucketed+sorted by `key`."""
-    (df.write.mode(mode)
-       .bucketBy(n_buckets, key)
-       .sortBy(key)
-       .format("parquet")
-       .saveAsTable(table_name))
+# join-key column per fact table (TPC-H orderkey chain)
+BUCKET_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 
 
-def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
-    return spark.table(table_name)
+def bucketed_name(table: str, n_buckets: int) -> str:
+    return f"bkt_{table}_{n_buckets}"
 
 
-def cojoin_bucketed(spark: SparkSession, left_table: str,
-                    right_table: str, key: str,
-                    how: str = "inner") -> DataFrame:
-    """Join two same-bucketed tables on their bucket key. With matching
-    bucket counts this plans with zero Exchange on either side."""
-    return spark.table(left_table).join(spark.table(right_table), key, how)
+def stage_bucketed(spark: SparkSession, sf_dir: str,
+                   tables: dict[str, str] | None = None,
+                   n_buckets: int = 16) -> list[str]:
+    """One-time bucketed ingest: each fact table written bucketed +
+    sorted by its join key into the session catalog. Sorting inside
+    buckets lets the join run as a zero-exchange, zero-sort merge.
+    Returns the catalog table names."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    names = []
+    for table, key in (tables or BUCKET_KEYS).items():
+        name = bucketed_name(table, n_buckets)
+        if not spark.catalog.tableExists(name):
+            src = load_table(spark, sf_dir, table)
+            loc = os.path.join(wh, name)
+            if os.path.isdir(loc):
+                # files staged by an earlier session; the in-memory
+                # catalog lost the entry — re-register the bucketed
+                # layout as an external table over the same location
+                cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                                 for f in src.schema.fields)
+                spark.sql(f"""
+                    CREATE TABLE {name} ({cols}) USING PARQUET
+                    CLUSTERED BY ({key}) SORTED BY ({key})
+                    INTO {n_buckets} BUCKETS
+                    LOCATION '{loc}'
+                """)
+            else:
+                (src.write.bucketBy(n_buckets, key).sortBy(key)
+                 .format("parquet").saveAsTable(name))
+        names.append(name)
+    return names
+
+
+def bucketed_join(spark: SparkSession, left: str, right: str,
+                  left_key: str, right_key: str,
+                  n_buckets: int = 16) -> DataFrame:
+    """Equi-join two staged bucketed tables on their bucket keys.
+    With matching bucket counts Catalyst plans SortMergeJoin with NO
+    Exchange on either side — verify with .explain()."""
+    lt = spark.table(bucketed_name(left, n_buckets))
+    rt = spark.table(bucketed_name(right, n_buckets))
+    return lt.join(rt, F.col(left_key) == F.col(right_key))
+
+
+def order_lineitem_revenue_bucketed(spark: SparkSession, sf_dir: str,
+                                    n_buckets: int = 16) -> DataFrame:
+    """The fact x fact workhorse (orders x lineitem on orderkey ->
+    per-orderpriority revenue) over bucketed staging: the join carries
+    no shuffle, so the only exchange left is the tiny final rollup."""
+    stage_bucketed(spark, sf_dir, n_buckets=n_buckets)
+    joined = bucketed_join(spark, "orders", "lineitem",
+                           "o_orderkey", "l_orderkey", n_buckets)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.sum((F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount")))
+                       .cast("decimal(18,4)")).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))

@@ -66,7 +66,8 @@ EXTRA = [
     "events_markov_transitions", "events_peak_concurrency",
     "events_type_affinity", "dedup_survivorship",
     "ship_latency_by_nation", "text_vocab_stats",
-    "events_session_conversion",
+    "events_session_conversion", "docs_cross_source_duplication",
+    "attribution_first_click", "split_train_test",
 ]
 
 

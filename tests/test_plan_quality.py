@@ -220,3 +220,15 @@ def test_attribution_pareto_plan_shape(spark, sf_dir, name):
     final_section = plan.split("== Initial Plan ==")[0]
     assert final_section.count("Exchange SinglePartition") <= 1, (
         f"{name}: raw-data global window crept in")
+
+
+def test_ngram_jaccard_no_group_buffer(spark, sf_dir):
+    """The exact Jaccard verifier must not materialize whole metadata
+    groups: candidates come from the prefix-filtered inverted-index
+    self-join, so the plan has no collect_list aggregation buffer and
+    no cartesian — a group with millions of documents streams through
+    bounded (group, token) shuffles instead of one executor's RAM."""
+    plan = final_plan(
+        REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir))
+    assert "collect_list" not in plan, "unbounded per-group buffer!"
+    assert "CartesianProduct" not in plan
