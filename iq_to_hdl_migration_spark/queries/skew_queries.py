@@ -64,3 +64,22 @@ def skew_split_hot_join_revenue(spark: SparkSession,
     # low threshold so BOTH paths execute even at test scale
     return _agg(split_hot_keys_join(li, orders, "o_orderkey",
                                     hot_threshold=5))
+
+
+@register(
+    "bucketed_colocated_join_revenue",
+    oracle=_ORACLE,
+    doc="same rollup over bucketed staging: both facts pre-bucketed by "
+        "orderkey so the join runs with ZERO exchanges (the 100 TB "
+        "co-location lever; plan-asserted in tests/test_bucketed.py); "
+        "oracle is the plain join — hash match proves bucketing is "
+        "semantics-preserving",
+)
+def bucketed_colocated_join_revenue(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.sources.bucketed import (
+        bucketed_join, stage_bucketed)
+    stage_bucketed(spark, sf_dir)
+    joined = bucketed_join(spark, sf_dir, "orders", "lineitem",
+                           "o_orderkey", "l_orderkey")
+    return _agg(joined)

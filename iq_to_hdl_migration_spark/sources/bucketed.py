@@ -25,8 +25,16 @@ from iq_to_hdl_migration_spark.sources.tables import load_table
 BUCKET_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 
 
-def bucketed_name(table: str, n_buckets: int) -> str:
-    return f"bkt_{table}_{n_buckets}"
+def bucketed_name(table: str, n_buckets: int, sf_tag: str = "") -> str:
+    suffix = f"_{sf_tag}" if sf_tag else ""
+    return f"bkt_{table}_{n_buckets}{suffix}"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Scale-factor tag so staged tables from different sf dirs never
+    collide (sf0.001 -> 'sf0_001')."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace(".", "_")
 
 
 def stage_bucketed(spark: SparkSession, sf_dir: str,
@@ -38,9 +46,10 @@ def stage_bucketed(spark: SparkSession, sf_dir: str,
     Returns the catalog table names."""
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = wh.removeprefix("file:")
+    tag = _sf_tag(sf_dir)
     names = []
     for table, key in (tables or BUCKET_KEYS).items():
-        name = bucketed_name(table, n_buckets)
+        name = bucketed_name(table, n_buckets, tag)
         if not spark.catalog.tableExists(name):
             src = load_table(spark, sf_dir, table)
             loc = os.path.join(wh, name)
@@ -63,14 +72,15 @@ def stage_bucketed(spark: SparkSession, sf_dir: str,
     return names
 
 
-def bucketed_join(spark: SparkSession, left: str, right: str,
+def bucketed_join(spark: SparkSession, sf_dir: str, left: str, right: str,
                   left_key: str, right_key: str,
                   n_buckets: int = 16) -> DataFrame:
     """Equi-join two staged bucketed tables on their bucket keys.
     With matching bucket counts Catalyst plans SortMergeJoin with NO
     Exchange on either side — verify with .explain()."""
-    lt = spark.table(bucketed_name(left, n_buckets))
-    rt = spark.table(bucketed_name(right, n_buckets))
+    tag = _sf_tag(sf_dir)
+    lt = spark.table(bucketed_name(left, n_buckets, tag))
+    rt = spark.table(bucketed_name(right, n_buckets, tag))
     return lt.join(rt, F.col(left_key) == F.col(right_key))
 
 
@@ -80,7 +90,7 @@ def order_lineitem_revenue_bucketed(spark: SparkSession, sf_dir: str,
     per-orderpriority revenue) over bucketed staging: the join carries
     no shuffle, so the only exchange left is the tiny final rollup."""
     stage_bucketed(spark, sf_dir, n_buckets=n_buckets)
-    joined = bucketed_join(spark, "orders", "lineitem",
+    joined = bucketed_join(spark, sf_dir, "orders", "lineitem",
                            "o_orderkey", "l_orderkey", n_buckets)
     return (joined.groupBy("o_orderpriority")
             .agg(F.sum((F.col("l_extendedprice")
