@@ -316,3 +316,80 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("c").cast("int").alias("n_tokens"),
                  (F.max("c").cast("double") / F.sum("c").cast("double"))
                  .alias("repetition_ratio")))
+
+
+_WINNOW_K = 8   # character k-gram width
+_WINNOW_W = 16  # window of consecutive gram hashes per fingerprint
+
+_NORM_SPARK = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
+_NORM_DUCK = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+@register(
+    "text_winnowing_fingerprints",
+    # hashes stay md5 hex STRINGS: both engines produce identical
+    # lowercase hex, and winnowing only needs a total order, so the
+    # lexicographic min avoids any hex->int conversion divergence
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length({_NORM_DUCK})
+                                     - {_WINNOW_K} + 1, 1) + 1),
+                   i -> md5(substr({_NORM_DUCK}, CAST(i AS INTEGER),
+                                   {_WINNOW_K}))) AS grams
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   range(1, greatest(len(grams) - {_WINNOW_W} + 1, 1) + 1),
+                   j -> list_aggregate(
+                            grams[CAST(j AS INTEGER):
+                                  CAST(j + {_WINNOW_W} - 1 AS INTEGER)],
+                            'min')))) AS fps
+        FROM g
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(fps) AS fp
+    FROM m
+    """,
+    doc="winnowing document fingerprints (Schleimer et al. SIGMOD'03): "
+        "md5 over sliding character 8-grams, local minimum per "
+        "16-hash window, deduped — the guarantee-bearing substring "
+        "fingerprint for contamination/plagiarism scans; all JVM HOFs, "
+        "embarrassingly parallel, output ~2/(w+1) of gram count",
+)
+def text_winnowing_fingerprints(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    # Two formulation rules learned the hard way:
+    #  * the norm -> grams stages sit behind a repartition barrier, or
+    #    CollapseProject inlines the regexp into every gram lambda
+    #    (O(len^2) regexes per doc);
+    #  * the per-window minimum is a posexplode + running SQL window
+    #    min (codegen, one shuffle on doc_id), NOT a nested
+    #    transform/slice/array_min lambda — interpreted nested-HOF
+    #    array ops measured ~80x slower on the same data.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (f"transform(sequence(1, greatest(length(norm)"
+             f" - {_WINNOW_K} + 1, 1)), "
+             f"i -> md5(CAST(substring(norm, i, {_WINNOW_K})"
+             f" AS BINARY)))")
+    posed = (docs
+             .select("doc_id", F.expr(_NORM_SPARK).alias("norm"))
+             .repartition(n)
+             .withColumn("grams", F.expr(grams))
+             .select("doc_id", F.size("grams").alias("ng"),
+                     F.posexplode("grams").alias("pos", "h")))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, _WINNOW_W - 1))
+    return (posed
+            .withColumn("wm", F.min("h").over(w))
+            # full windows only; a doc shorter than one window emits
+            # the min over everything it has (same as slice's cap)
+            .where((F.col("pos") <= F.col("ng") - _WINNOW_W)
+                   | ((F.col("ng") < _WINNOW_W) & (F.col("pos") == 0)))
+            .select("doc_id", F.col("wm").alias("fp"))
+            .distinct())
