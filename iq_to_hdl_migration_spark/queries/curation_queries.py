@@ -273,3 +273,125 @@ def docs_cross_source_duplication(spark: SparkSession,
     return (pairs.groupBy("source_a", "source_b")
             .agg(F.sum("np").cast("bigint").alias("n_dup_pairs"))
             .where(F.col("n_dup_pairs") > 0))
+
+
+_SW_DUCK_CUR = "['the', 'a', 'and', 'of', 'to', 'in', 'is']"
+_SW_SPARK_CUR = "array('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+_TOK_DUCK_CUR = r"string_split_regex(lower(trim(text)), '\s+')"
+_TOK_SPARK_CUR = r"split(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "curation_funnel_report",
+    # each stage is a strictly narrowing predicate; the report is the
+    # survivor count per stage — one scan, conditional aggregation,
+    # no per-stage re-reads
+    oracle=f"""
+    WITH flags AS (
+        SELECT doc_id,
+               (n_chars >= 100) AS pass_len,
+               (n_chars >= 100 AND
+                CAST(len(list_filter({_TOK_DUCK_CUR},
+                         x -> list_contains({_SW_DUCK_CUR}, x))) AS DOUBLE)
+                    / CAST(greatest(len({_TOK_DUCK_CUR}), 1) AS DOUBLE)
+                    >= 0.05) AS pass_quality,
+               (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)))
+                   AS is_keeper
+        FROM documents
+    )
+    SELECT stage, n_docs,
+           CAST(n_docs AS DOUBLE)
+               / CAST(MAX(n_docs) OVER () AS DOUBLE) AS survival_rate
+    FROM (
+        SELECT '0_ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM flags
+        UNION ALL
+        SELECT '1_min_length', CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0
+                                        END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT '2_quality', CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0
+                                     END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT '3_exact_dedup', CAST(SUM(CASE WHEN pass_quality AND
+                                         is_keeper THEN 1 ELSE 0 END)
+                                     AS BIGINT)
+        FROM flags
+    ) s
+    """,
+    doc="the curation funnel: ingested -> min-length -> stopword-ratio "
+        "quality -> exact-dedup survivor counts with survival rates — "
+        "the keep/drop dashboard a corpus build runs per snapshot; one "
+        "scan, conditional aggregation, window-min dedup (no self-join)",
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sw_ratio = (f"CAST(size(filter({_TOK_SPARK_CUR}, "
+                f"x -> array_contains({_SW_SPARK_CUR}, x))) AS DOUBLE)"
+                f" / CAST(greatest(size({_TOK_SPARK_CUR}), 1) AS DOUBLE)")
+    w = Window.partitionBy(F.expr("md5(CAST(text AS BINARY))"))
+    flags = docs.select(
+        "doc_id",
+        (F.col("n_chars") >= 100).alias("pass_len"),
+        ((F.col("n_chars") >= 100)
+         & (F.expr(sw_ratio) >= 0.05)).alias("pass_quality"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"))
+    stages = flags.agg(
+        F.count(F.lit(1)).alias("0_ingested"),
+        F.sum(F.when(F.col("pass_len"), 1).otherwise(0))
+        .alias("1_min_length"),
+        F.sum(F.when(F.col("pass_quality"), 1).otherwise(0))
+        .alias("2_quality"),
+        F.sum(F.when(F.col("pass_quality") & F.col("is_keeper"), 1)
+              .otherwise(0)).alias("3_exact_dedup"))
+    long = stages.unpivot([], ["0_ingested", "1_min_length", "2_quality",
+                               "3_exact_dedup"], "stage", "n_docs")
+    wmax = Window.partitionBy()
+    return (long.select(
+        "stage", F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("n_docs").cast("double")
+         / F.max("n_docs").over(wmax).cast("double"))
+        .alias("survival_rate")))
+
+
+@register(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, lang,
+               CAST(len({_TOK_DUCK_CUR}) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_tokens,
+           CAST(SUM(n_tok) AS DOUBLE)
+               / CAST(SUM(SUM(n_tok)) OVER () AS DOUBLE) AS corpus_share
+    FROM t GROUP BY source, lang
+    """,
+    doc="per-(source, lang) token budget: docs, total/avg tokens and "
+        "share of corpus — the training-mix planning report; one "
+        "shuffle to (source, lang), the share via a window over the "
+        "tiny aggregated grid",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (docs
+           .select("source", "lang",
+                   F.expr(f"CAST(size({_TOK_SPARK_CUR}) AS BIGINT)")
+                   .alias("n_tok"))
+           .groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").alias("total_tokens")))
+    w = Window.partitionBy()
+    return agg.select(
+        "source", "lang", "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        (F.col("total_tokens").cast("double")
+         / F.col("n_docs").cast("double")).alias("avg_tokens"),
+        (F.col("total_tokens").cast("double")
+         / F.sum("total_tokens").over(w).cast("double"))
+        .alias("corpus_share"))

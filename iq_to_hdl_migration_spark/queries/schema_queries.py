@@ -20,10 +20,26 @@ from iq_to_hdl_migration_spark.schema.generate import generate_spark_ddl
 # ---------------------------------------------------------------------------
 
 
+_S7_GOLDEN = [
+    ("app1.t_child", 4, "86668bee4ec0cc3425cd1584e4e6db0f"),
+    ("app1.t_empty", 3, "889e1f01e28e376ad9bfb2fa8af4f5d1"),
+    ("app1.t_identity", 3, "76f9c758e460aff7f50afeb1ef4dacc7"),
+    ("app1.t_lob", 5, "26671a6f2143652c71cdefe4f74beff1"),
+    ("app1.t_parent", 3, "45c8b9bc3547aa11b66fcb0b86c156f3"),
+    ("app1.t_types", 6, "898915585344056583c828f160454095"),
+    ("app2.t_wide", 3, "f6789dc18290186052c32481b087abd5"),
+]
+
+
 @register(
     "s7_generated_ddl",
-    oracle=None,  # golden-locked in tests/test_schema_tools.py; the DDL
-                  # itself is applied + round-tripped there (S9)
+    # the DDL is deterministic over the packaged catalog fixture, so the
+    # per-table digests freeze into a VALUES oracle (same golden pattern
+    # as ddl_output_digest); the DDL text itself is additionally applied
+    # + round-tripped in tests/test_schema_tools.py (S9)
+    oracle="SELECT * FROM (VALUES\n    " + ",\n    ".join(
+        f"('{t}', CAST({n} AS INTEGER), '{h}')" for t, n, h in _S7_GOLDEN
+    ) + ") AS t(owner_table, n_idents, ddl_md5)",
     doc="S7 catalog->Spark DDL generation (replaces iqunload + text "
         "rewrite; migration.py:476-596 collapsed into structured "
         "generation)",
