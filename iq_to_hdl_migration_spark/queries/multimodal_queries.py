@@ -105,3 +105,31 @@ def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_images"))
             .select("n_images", "width", "height",
                     F.col("bytes_per_image").cast("bigint")))
+
+
+@register(
+    "mm_payload_dedup_groups",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS payload_sha256 FROM documents
+    )
+    SELECT payload_sha256,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM h
+    GROUP BY payload_sha256
+    """,
+    doc="content-addressed media registry: every payload digest with "
+        "its copy count and keeper id — the image/audio twin of text "
+        "exact-dedup (hash-groupBy on sha256(payload), one shuffle on "
+        "the digest, uniform by construction; n_copies > 1 rows are "
+        "the dup groups a multimodal corpus build drops before "
+        "perceptual hashing)",
+)
+def mm_payload_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = mm.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return (docs
+            .select("doc_id", F.sha2("payload", 256).alias("payload_sha256"))
+            .groupBy("payload_sha256")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("keeper_id")))

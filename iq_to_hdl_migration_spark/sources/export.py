@@ -17,6 +17,7 @@ Reference -> Spark mapping:
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 # The reference probes the source DB charset and remaps the one name
@@ -82,3 +83,31 @@ def read_csv(spark: SparkSession, path: str, schema: str | None = None,
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_csv_with_ledger(spark: SparkSession, path: str, schema: str,
+                         charset: str | None = None
+                         ) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingest with an error ledger: malformed rows land in a
+    `_corrupt_record` column instead of failing the whole load — the
+    ingest-stage analog of S9's DDL error ledger (the reference's
+    onerror-continue convention). Returns (good_rows, bad_rows) where
+    bad_rows carries the raw malformed line for replay/triage.
+
+    The frame is cached before splitting: Spark computes the corrupt
+    column during parsing, and filtering on it from an uncached lazy
+    plan is rejected (internal-column restriction).
+    """
+    full = (spark.read
+            .option("header", "true")
+            .option("nullValue", "NULL")
+            .option("encoding", resolve_charset(charset))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .schema(schema + ", _corrupt_record string")
+            .csv(path)
+            .cache())
+    good = full.where("_corrupt_record IS NULL").drop("_corrupt_record")
+    bad = (full.where("_corrupt_record IS NOT NULL")
+           .select(F.col("_corrupt_record").alias("raw_line")))
+    return good, bad

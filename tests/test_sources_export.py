@@ -116,3 +116,25 @@ def test_latin1_foreign_file_ingest(spark, tmp_path):
                     charset="ISO-8859-1")
     got = {r.id: r.name for r in back.collect()}
     assert got == {1: "sésame", 2: None}
+
+
+def test_permissive_ingest_error_ledger(spark, tmp_path):
+    """Malformed rows go to the ledger, good rows load, nothing is
+    silently dropped (good + bad == total data lines)."""
+    from iq_to_hdl_migration_spark.sources.export import (
+        read_csv_with_ledger)
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "data.csv").write_text(
+        "id,qty\n"
+        "1,10\n"
+        "2,not_a_number\n"
+        "3,30\n"
+        "oops_only_one_field_and_bad\n")
+    good, bad = read_csv_with_ledger(spark, str(p), "id int, qty int")
+    assert {(r.id, r.qty) for r in good.collect()} == {(1, 10), (3, 30)}
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not_a_number" in b for b in bad_lines)
+    assert good.count() + bad.count() == 4
