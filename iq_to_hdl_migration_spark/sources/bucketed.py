@@ -44,30 +44,41 @@ def stage_bucketed(spark: SparkSession, sf_dir: str,
     sorted by its join key into the session catalog. Sorting inside
     buckets lets the join run as a zero-exchange, zero-sort merge.
     Returns the catalog table names."""
+    import shutil
+
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = wh.removeprefix("file:")
     tag = _sf_tag(sf_dir)
     names = []
     for table, key in (tables or BUCKET_KEYS).items():
         name = bucketed_name(table, n_buckets, tag)
-        if not spark.catalog.tableExists(name):
-            src = load_table(spark, sf_dir, table)
-            loc = os.path.join(wh, name)
-            if os.path.isdir(loc):
-                # files staged by an earlier session; the in-memory
-                # catalog lost the entry — re-register the bucketed
-                # layout as an external table over the same location
-                cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                                 for f in src.schema.fields)
-                spark.sql(f"""
-                    CREATE TABLE {name} ({cols}) USING PARQUET
-                    CLUSTERED BY ({key}) SORTED BY ({key})
-                    INTO {n_buckets} BUCKETS
-                    LOCATION '{loc}'
-                """)
-            else:
-                (src.write.bucketBy(n_buckets, key).sortBy(key)
-                 .format("parquet").saveAsTable(name))
+        src = load_table(spark, sf_dir, table)
+        loc = os.path.join(wh, name)
+        if not spark.catalog.tableExists(name) and os.path.isdir(loc):
+            # files staged by an earlier session; the in-memory
+            # catalog lost the entry — re-register the bucketed
+            # layout as an external table over the same location
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                             for f in src.schema.fields)
+            spark.sql(f"""
+                CREATE TABLE {name} ({cols}) USING PARQUET
+                CLUSTERED BY ({key}) SORTED BY ({key})
+                INTO {n_buckets} BUCKETS
+                LOCATION '{loc}'
+            """)
+        if spark.catalog.tableExists(name):
+            # staleness guard: the source files may have been
+            # regenerated since staging (a stale stage would silently
+            # diverge from the source); cheap row-count probe, restage
+            # on mismatch
+            spark.catalog.refreshTable(name)
+            if spark.table(name).count() == src.count():
+                names.append(name)
+                continue
+            spark.sql(f"DROP TABLE {name}")
+            shutil.rmtree(loc, ignore_errors=True)
+        (src.write.bucketBy(n_buckets, key).sortBy(key)
+         .format("parquet").saveAsTable(name))
         names.append(name)
     return names
 

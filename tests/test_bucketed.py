@@ -64,3 +64,26 @@ def test_restage_is_idempotent(spark, sf_dir):
     assert first == second
     for name in second:
         assert spark.catalog.tableExists(name)
+
+
+def test_stale_staging_is_rebuilt(spark, sf_dir):
+    """If the staged files diverge from the (possibly regenerated)
+    source — simulated by deleting one bucket file — the row-count
+    probe catches it and the table is restaged, not silently reused."""
+    import glob
+    import os
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    name = stage_bucketed(spark, sf_dir)[0]
+    table = "orders" if "orders" in name else "lineitem"
+    want = load_table(spark, sf_dir, table).count()
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    victim = sorted(glob.glob(os.path.join(wh, name, "*.parquet")))[0]
+    os.remove(victim)
+    spark.catalog.refreshTable(name)
+    assert spark.table(name).count() < want  # corruption took effect
+
+    assert name in stage_bucketed(spark, sf_dir)
+    assert spark.table(name).count() == want
