@@ -178,3 +178,41 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.expr(
         f"stack({len(cols)}, {stack_args}) "
         "AS (col, n_null, n_distinct, vmin, vmax)"))
+
+
+@register(
+    "v11_content_diff_report",
+    # deterministic drift twin: keys =3 (mod 97) deleted, =5 repriced,
+    # =7 re-added under shifted keys — the oracle enumerates the same
+    # drift directly
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           'removed' AS status
+    FROM orders WHERE o_orderkey % 97 = 3
+    UNION ALL
+    SELECT CAST(o_orderkey + 100000000 AS BIGINT), 'added'
+    FROM orders WHERE o_orderkey % 97 = 7
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), 'changed'
+    FROM orders WHERE o_orderkey % 97 = 5
+    """,
+    doc="content-level diff (beyond V1's row counts): full-outer join "
+        "on the key comparing one md5 per side over non-key columns — "
+        "same shuffle shape as any fact join (co-locates on bucketed "
+        "staging); only disagreeing rows leave the join. Run here "
+        "against a deterministic drift twin of orders",
+)
+def v11_content_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    survivors = (orders.where(key % 97 != 3)
+                 .withColumn("o_totalprice",
+                             F.when(key % 97 == 5,
+                                    F.col("o_totalprice") + 1.0)
+                             .otherwise(F.col("o_totalprice"))))
+    readded = (orders.where(key % 97 == 7)
+               .withColumn("o_orderkey", key + 100_000_000))
+    right = survivors.unionByName(readded)
+    return table_diff(orders, right, ["o_orderkey"])
