@@ -376,3 +376,49 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dau.join(wau, "day")
             .select("day", F.col("dau").cast("bigint").alias("dau"),
                     F.col("wau").cast("bigint").alias("wau")))
+
+
+@register(
+    "events_session_windows_native",
+    # the gaps-and-islands SQL reproduces session_window's exact
+    # boundary rule (probed: events exactly gap-apart MERGE; the window
+    # end is last event + gap)
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > {_GAP_US} THEN 1 ELSE 0
+               END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) + {_GAP_US} AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="per-user sessions via Spark's NATIVE session_window (merging "
+        "state-window aggregation, one shuffle on user_id) hash-checked "
+        "against the classic gaps-and-islands SQL — proves the native "
+        "operator's merge/boundary semantics, and it's the same "
+        "operator the streaming path uses with a watermark at scale",
+)
+def events_session_windows_native(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros("w.start").alias("session_start_us"),
+                    F.unix_micros("w.end").alias("session_end_us"),
+                    F.col("n_events").cast("bigint").alias("n_events")))
