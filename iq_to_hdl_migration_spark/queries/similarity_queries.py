@@ -313,3 +313,77 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_at_5"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "sim_embedding_quantize_stats",
+    # rounding is floor(x/scale + 0.5) in BOTH engines (identical
+    # double ops; no half-even ambiguity), and the reconstruction MSE
+    # reuses the list_dot_product == ordered-fold machinery already
+    # proven bit-identical by the LSH oracles. The avg is summed as
+    # DECIMAL after scaling by 2^80 — a power-of-two shift is exact in
+    # binary, so the double -> decimal cast loses nothing and both
+    # engines see identical integers. Each per-vector MSE is snapped
+    # to integer 2^-60 units with the same explicit floor(x + 0.5)
+    # (Spark's bigint cast truncates, DuckDB's rounds; double->decimal
+    # casts and >2^53 decimal->double casts both drift per engine —
+    # each variant showed last-ulp drift under a hash compare). The
+    # bigint sum stays under 2^53 for corpora up to ~10k vectors per
+    # label at this MSE scale, so every later step is exact
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, vec,
+               greatest(list_aggregate(list_transform(vec, x -> abs(x)),
+                                       'max') / 127.0, 1e-30) AS scale
+        FROM v
+    ),
+    e AS (
+        SELECT vec_id, label,
+               list_transform(
+                   list_zip(vec,
+                            list_transform(vec, x ->
+                                floor(x / scale + 0.5) * scale)),
+                   p -> p[1] - p[2]) AS err
+        FROM s
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(list_dot_product(err, err) / {sim.DIM}
+                               * 1152921504606846976.0 + 0.5)
+                    AS BIGINT)) AS DOUBLE)
+               / 1152921504606846976.0
+               / CAST(COUNT(*) AS DOUBLE) AS avg_mse,
+           CAST(MAX(list_dot_product(err, err) / {sim.DIM}) AS DOUBLE)
+               AS max_mse
+    FROM e GROUP BY label
+    """,
+    doc="int8 symmetric quantization audit: per-vector scale = "
+        "max|x|/127, reconstruction error folded to per-label "
+        "avg/max MSE — the accept/reject report before switching a "
+        "100 TB embedding store to 4x-smaller int8 (all JVM HOFs, "
+        "one shuffle on label)",
+)
+def sim_embedding_quantize_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = sim.as_double_array("embedding")
+    d = (emb
+         .withColumn("vec", F.expr(dv))
+         .withColumn("scale", F.expr(
+             "greatest(array_max(transform(vec, x -> abs(x))) / 127.0D, "
+             "1e-30D)"))
+         .withColumn("err", F.expr(
+             "zip_with(vec, transform(vec, x -> "
+             "floor(x / scale + 0.5D) * scale), (a, b) -> a - b)"))
+         .withColumn("mse", sim.dot_expr("err", "err") / F.lit(sim.DIM)))
+    p60 = F.lit(float(2 ** 60))
+    return (d.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.sum(F.floor(F.col("mse") * p60 + F.lit(0.5))
+                        .cast("bigint"))
+                  .cast("double") / p60
+                  / F.count(F.lit(1)).cast("double")).alias("avg_mse"),
+                 F.max("mse").cast("double").alias("max_mse")))
