@@ -325,13 +325,9 @@ _NORM_SPARK = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
 _NORM_DUCK = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
-@register(
-    "text_winnowing_fingerprints",
-    # hashes stay md5 hex STRINGS: both engines produce identical
-    # lowercase hex, and winnowing only needs a total order, so the
-    # lexicographic min avoids any hex->int conversion divergence
-    oracle=f"""
-    WITH g AS (
+# shared winnowing CTE: (doc_id, fp) rows, reused by the pairs oracle
+_WINNOW_DUCK_CTE = f"""
+    g AS (
         SELECT doc_id,
                list_transform(
                    range(1, greatest(length({_NORM_DUCK})
@@ -349,9 +345,22 @@ _NORM_DUCK = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
                                   CAST(j + {_WINNOW_W} - 1 AS INTEGER)],
                             'min')))) AS fps
         FROM g
+    ),
+    wfp AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(fps) AS fp
+        FROM m
     )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(fps) AS fp
-    FROM m
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    # hashes stay md5 hex STRINGS: both engines produce identical
+    # lowercase hex, and winnowing only needs a total order, so the
+    # lexicographic min avoids any hex->int conversion divergence
+    oracle=f"""
+    WITH {_WINNOW_DUCK_CTE}
+    SELECT doc_id, fp FROM wfp
     """,
     doc="winnowing document fingerprints (Schleimer et al. SIGMOD'03): "
         "md5 over sliding character 8-grams, local minimum per "
@@ -393,3 +402,48 @@ def text_winnowing_fingerprints(spark: SparkSession,
                    | ((F.col("ng") < _WINNOW_W) & (F.col("pos") == 0)))
             .select("doc_id", F.col("wm").alias("fp"))
             .distinct())
+
+
+_FP_BUCKET_CAP = 64   # same flood discipline as the LSH dedup family
+_MIN_SHARED = 5       # pairs must share >= this many fingerprints
+
+
+@register(
+    "text_winnowing_match_pairs",
+    oracle=f"""
+    WITH {_WINNOW_DUCK_CTE},
+    capped AS (
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM wfp
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.rn <= {_FP_BUCKET_CAP} AND b.rn <= {_FP_BUCKET_CAP}
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_MIN_SHARED}
+    """,
+    doc="the winnowing MATCH step (plagiarism/contamination pairs): "
+        "documents sharing >= 5 fingerprints, candidates only from "
+        "fingerprint-bucket collisions with the same id-ordered "
+        "per-bucket cap as the LSH dedup family — boilerplate "
+        "fingerprints shared by everything cannot explode the join",
+)
+def text_winnowing_match_pairs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    fps = text_winnowing_fingerprints(spark, sf_dir)
+    wcap = Window.partitionBy("fp").orderBy("doc_id")
+    capped = (fps.withColumn("rn", F.row_number().over(wcap))
+              .where(F.col("rn") <= _FP_BUCKET_CAP)
+              .select("doc_id", "fp"))
+    return (capped.alias("a")
+            .join(capped.selectExpr("doc_id AS id_b", "fp").alias("b"),
+                  "fp")
+            .where(F.col("a.doc_id") < F.col("id_b"))
+            .groupBy(F.col("a.doc_id").alias("id_a"), "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= _MIN_SHARED))
