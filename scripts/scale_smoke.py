@@ -68,6 +68,10 @@ EXTRA = [
     "ship_latency_by_nation", "text_vocab_stats",
     "events_session_conversion", "docs_cross_source_duplication",
     "attribution_first_click", "split_train_test",
+    # round-4 additions
+    "text_winnowing_fingerprints", "text_winnowing_match_pairs",
+    "v11_content_diff_report", "sim_embedding_quantize_stats",
+    "events_session_windows_native", "curation_funnel_report",
 ]
 
 

@@ -232,3 +232,36 @@ def test_ngram_jaccard_no_group_buffer(spark, sf_dir):
         REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir))
     assert "collect_list" not in plan, "unbounded per-group buffer!"
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_match_capped_no_cartesian(spark, sf_dir):
+    """Fingerprint-collision pair generation must stay an equi-join on
+    fp with the map-side WindowGroupLimit cap — never a cartesian."""
+    plan = final_plan(
+        REGISTRY["text_winnowing_match_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, "bucket cap not map-side"
+
+
+def test_content_diff_single_join_no_cartesian(spark, sf_dir):
+    """V11's diff is ONE full-outer join on the key (hash compare
+    folded into each side's projection), nothing quadratic."""
+    plan = final_plan(
+        REGISTRY["v11_content_diff_report"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") >= 1
+    assert "FullOuter" in plan
+
+
+def test_quantize_stats_single_aggregate_shuffle(spark, sf_dir):
+    """The quantization audit is scan -> per-row HOFs -> one aggregate
+    exchange on label; any extra exchange means the HOF pipeline
+    stopped being per-row."""
+    import re
+    plan = final_plan(
+        REGISTRY["sim_embedding_quantize_stats"].fn(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    n_ex = len(re.findall(r"\bExchange\b", final))
+    assert n_ex <= 2, f"expected <=2 exchanges (partial+final agg), {n_ex}"
+    assert "CartesianProduct" not in plan
