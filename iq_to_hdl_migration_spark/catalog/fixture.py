@@ -171,6 +171,7 @@ CATALOG_FIXTURE: dict[str, tuple[list[tuple[str, str]], list[tuple]]] = {
          ("Permanent", "MPX_test_options2", "ON", "PUBLIC"),
          ("Permanent", "Append_Load", "ON", "PUBLIC"),
          ("Permanent", "Force_No_Scroll_Cursors", "OFF", "PUBLIC"),
+         ("Permanent", "Default_KB_Per_Stripe", "64", "PUBLIC"),
          ("Temporary", "Quoting", "OFF", "PUBLIC")],
     ),
     # SYSLOGINPOLICY / SYSLOGINPOLICYOPTION (migration.py:974)
@@ -280,6 +281,13 @@ CATALOG_FIXTURE: dict[str, tuple[list[tuple[str, str]], list[tuple]]] = {
         [("option_name", "str")],
         [("Append_Load",), ("Force_No_Scroll_Cursors",), ("Notify_Modulus",)],
     ),
+    # hosparams rule table: populated below from the packaged
+    # sources/data/hosparams_noncustomer.csv so the CSV stays the
+    # single source of truth (pre_migration.py:686-694)
+    "hosparams_rules": (
+        [("option_name", "str")],
+        [],  # filled at import time, see below
+    ),
     # file-copy validation fixtures (load_schema_and_data.py:342-406)
     "local_files": (
         [("path", "str"), ("size_bytes", "long")],
@@ -302,6 +310,16 @@ CATALOG_FIXTURE: dict[str, tuple[list[tuple[str, str]], list[tuple]]] = {
          (6, "Creation of objects completed.")],
     ),
 }
+
+
+def _load_hosparams_rows() -> list[tuple]:
+    from iq_to_hdl_migration_spark.sources.rule_tables import (
+        load_option_names)
+    return [(n,) for n in load_option_names("hosparams_noncustomer.csv")]
+
+
+CATALOG_FIXTURE["hosparams_rules"] = (
+    CATALOG_FIXTURE["hosparams_rules"][0], _load_hosparams_rows())
 
 _SPARK_TYPES = {"int": IntegerType(), "long": LongType(),
                 "str": StringType(), "double": DoubleType()}

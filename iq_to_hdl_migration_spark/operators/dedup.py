@@ -385,6 +385,9 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
             .withColumn("jaccard",
                         F.col("n_inter").cast("double")
                         / F.col("n_union").cast("double"))
+            # n_union = 0 (both token sets empty) yields NULL jaccard;
+            # the >= filter drops it, matching the min_jaccard > 0 path
+            .where(F.col("jaccard") >= F.lit(min_jaccard))
             .select(*group_cols, "id_a", "id_b", "n_inter", "n_union",
                     "jaccard")
         )
@@ -396,10 +399,18 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
     tok_df = (posted.groupBy(*group_cols, "w")
               .agg(F.count(F.lit(1)).alias("df")))
     w_order = Window.partitionBy(*group_cols, "id").orderBy("df", "w")
+    # rn must be computed over ALL of a document's tokens (the prefix
+    # length bound depends on the full ordered list), but once the
+    # prefix is cut, hapax tokens (in-group df = 1) can never collide
+    # with another document's posting — dropping them before the
+    # self-join is lossless and removes the dominant share of join
+    # input in real corpora, where hapax tokens are most of the
+    # vocabulary.
     prefix = (posted.join(tok_df, [*group_cols, "w"])
               .withColumn("rn", F.row_number().over(w_order))
               .where(F.col("rn")
                      <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+              .where(F.col("df") >= 2)
               .select(*group_cols, "id", "w"))
     cand = (prefix.alias("a")
             .join(prefix.selectExpr(*group_cols, "id AS id_b", "w")
@@ -409,13 +420,19 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
             .select(*group_cols, F.col("a.id").alias("id_a"), "id_b")
             .dropDuplicates([*group_cols, "id_a", "id_b"]))
     side_a = sized.select(F.col("id").alias("id_a"),
-                          F.col("tok").alias("tok_a"))
+                          F.col("tok").alias("tok_a"),
+                          F.col("sz").alias("sz_a"))
     side_b = sized.select(F.col("id").alias("id_b"),
-                          F.col("tok").alias("tok_b"))
+                          F.col("tok").alias("tok_b"),
+                          F.col("sz").alias("sz_b"))
     return (
         cand.join(side_a, "id_a").join(side_b, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("tok_a", "tok_b")))
-        .withColumn("n_union", F.size(F.array_union("tok_a", "tok_b")))
+        # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (tok arrays are
+        # distinct): arithmetic instead of materializing a merged
+        # array per candidate pair — one array op per pair, not two
+        .withColumn("n_union",
+                    F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
         .withColumn("jaccard",
                     F.col("n_inter").cast("double")
                     / F.col("n_union").cast("double"))

@@ -18,17 +18,22 @@ from pyspark.sql import DataFrame
 def _row_hash(df: DataFrame, key_cols: list[str],
               compare_cols: list[str] | None) -> DataFrame:
     cols = compare_cols or [c for c in df.columns if c not in key_cols]
-    # null-safe canonical encoding: each field contributes an explicit
-    # null flag + its value (no magic marker a real string could
-    # spoof), field-separated so ('ab','c') never collides with
-    # ('a','bc')
+    # null-safe canonical encoding with UNAMBIGUOUS field boundaries:
+    # every field is hashed SEPARATELY to a fixed-width digest (plus an
+    # explicit null flag — md5('') is a real value, so NULL vs '' must
+    # be distinguished outside the digest), and the row hash is the md5
+    # of the concatenated digests. No separator character appears in
+    # the encoding at all, so a field VALUE containing any separator
+    # can never shift bytes into a neighbouring field (a plain
+    # concat_ws('\\x1f', ...) encoding let ('a\\x1f0\\x1fb','c') collide
+    # with ('a','b\\x1f0\\x1fc') — a silent false negative).
     parts = []
     for c in sorted(cols):
         v = F.col(c).cast("string")
         parts += [F.when(v.isNull(), F.lit("1")).otherwise(F.lit("0")),
-                  F.coalesce(v, F.lit(""))]
+                  F.md5(F.coalesce(v, F.lit("")).cast("binary"))]
     return df.select(*key_cols,
-                     F.md5(F.concat_ws("\x1f", *parts)).alias("_rh"))
+                     F.md5(F.concat(*parts).cast("binary")).alias("_rh"))
 
 
 def table_diff(left: DataFrame, right: DataFrame, key_cols: list[str],

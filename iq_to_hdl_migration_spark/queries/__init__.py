@@ -50,17 +50,25 @@ class QuerySpec:
     oracle: str | None          # ANSI SQL for DuckDB over the same tables
     doc: str = ""               # SURVEY §2 row / reference file:line
     bench: bool = False         # include in bench.py headline set
+    # Largest scale factor at which the oracle comparison is exact.
+    # None = exact at any sf. Queries whose oracle relies on a sketch
+    # degrading to exact below a row-count threshold (e.g.
+    # approx_percentile below its accuracy) set this so a correctness
+    # run at a bigger sf skips the equality check instead of
+    # false-failing on documented approximation error.
+    oracle_max_sf: float | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",
-             bench: bool = False):
+             bench: bool = False, oracle_max_sf: float | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
     def wrap(fn):
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle,
-                                   doc=doc, bench=bench)
+                                   doc=doc, bench=bench,
+                                   oracle_max_sf=oracle_max_sf)
         return fn
     return wrap
 

@@ -294,6 +294,16 @@ WHERE o.option_name IN (SELECT option_name FROM dbopts_rules)
 """, "J16 semi-join options∩rules (pre_migration.py:669,717) — planned as "
      "left-semi")
 
+_catalog_sql("s13_hosparams_rules_intersection",
+             ["options", "hosparams_rules"], """
+SELECT DISTINCT o.option_name
+FROM options o
+WHERE o.option_type = 'Permanent'
+  AND o.option_name IN (SELECT option_name FROM hosparams_rules)
+""", "S13 IQ-server-options check: Permanent options ∩ the packaged "
+     "hosparams_noncustomer.csv rule table (pre_migration.py:686-723, "
+     "sp_iqcheckoptions Option_type='Permanent') — left-semi like J16")
+
 
 # ------------------------------ A: aggregations -----------------------------
 

@@ -330,18 +330,26 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q_anti_customers_without_orders",
+    # the "done" set is orders placed on/after 1998: the driver's
+    # synthetic data gives every customer at least one order overall,
+    # which made the unfiltered anti-join a vacuous 0-rows-vs-0-rows
+    # check at sf0.01 (round-4 verdict item 3) — the date filter keeps
+    # the J15 shape and makes the evidence non-trivial (8 rows at
+    # sf0.01, 74 at sf0.1)
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '1998-01-01')
     """,
     doc="J15 anti-join (resume delta); SURVEY §2.3 (migration.py:1977,2675)",
 )
 def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 

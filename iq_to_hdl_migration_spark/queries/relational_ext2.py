@@ -124,22 +124,30 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q11_part_value_share",
+    # TPC-H Q11's literal fraction is 0.0001/SF — any FIXED fraction of
+    # the global total empties as part count grows (0.002 matched 0
+    # rows at every gate scale: round-4 verdict item 3). The
+    # scale-invariant equivalent keeps parts above 1.5x the MEAN
+    # per-part value: same grouped-agg-vs-global-scalar shape, and the
+    # driver evidence is non-trivial at every sf (2 / 29 / 252 rows).
     oracle=f"""
-    SELECT l_partkey, CAST(SUM({_EP} * (1 - {_DISC})) AS DOUBLE) AS part_value
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING CAST(SUM({_EP} * (1 - {_DISC})) AS DOUBLE) >
-           (SELECT CAST(SUM({_EP} * (1 - {_DISC})) AS DOUBLE) * 0.002
-            FROM lineitem)
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(SUM({_EP} * (1 - {_DISC})) AS DOUBLE) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (SELECT AVG(part_value) * 1.5 FROM pv)
     """,
-    doc="q11 shape: grouped agg vs global-total scalar subquery",
+    doc="q11 shape: grouped agg vs global-scalar subquery",
 )
 def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", _rev().alias("rev"))
     per_part = (li.groupBy("l_partkey")
                 .agg(F.sum("rev").cast("double").alias("part_value")))
-    total = li.agg((F.sum("rev").cast("double") * F.lit(0.002))
-                   .alias("threshold"))
+    total = per_part.agg((F.avg("part_value") * F.lit(1.5))
+                         .alias("threshold"))
     return (per_part.join(F.broadcast(total))
             .where(F.col("part_value") > F.col("threshold"))
             .select("l_partkey", "part_value"))

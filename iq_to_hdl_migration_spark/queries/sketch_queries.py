@@ -74,7 +74,11 @@ def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank convention equals DuckDB's quantile_disc (verified
     # value-identical at sf0.001 and sf0.01). Past the accuracy
     # threshold the sketch's documented error bound takes over and the
-    # comparison would need a tolerance, not equality.
+    # comparison would need a tolerance, not equality — oracle_max_sf
+    # gates the equality check to scales below that threshold (the 5x
+    # smoke data at ~12.5k rows/type would false-fail on a query
+    # behaving exactly as documented).
+    oracle_max_sf=0.02,
     oracle="""
     SELECT event_type,
            quantile_disc(value, 0.5) AS p50,

@@ -325,15 +325,21 @@ _NORM_SPARK = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
 _NORM_DUCK = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
-# shared winnowing CTE: (doc_id, fp) rows, reused by the pairs oracle
+# shared winnowing CTE: (doc_id, fp) rows, reused by the pairs oracle.
+# Gram hashes are 60-bit BIGINTs (md5 hex prefix — the engine-portable
+# form of operators/dedup.py:token_hashes60) so the window-min, the
+# distinct, and the match join all compare integers, not 32-char hex
+# strings; DuckDB computes the identical value via the '0x' hex cast.
 _WINNOW_DUCK_CTE = f"""
     g AS (
         SELECT doc_id,
                list_transform(
                    range(1, greatest(length({_NORM_DUCK})
                                      - {_WINNOW_K} + 1, 1) + 1),
-                   i -> md5(substr({_NORM_DUCK}, CAST(i AS INTEGER),
-                                   {_WINNOW_K}))) AS grams
+                   i -> CAST('0x' || substr(
+                            md5(substr({_NORM_DUCK}, CAST(i AS INTEGER),
+                                       {_WINNOW_K})), 1, 15)
+                        AS BIGINT)) AS grams
         FROM documents
     ),
     m AS (
@@ -355,9 +361,12 @@ _WINNOW_DUCK_CTE = f"""
 
 @register(
     "text_winnowing_fingerprints",
-    # hashes stay md5 hex STRINGS: both engines produce identical
-    # lowercase hex, and winnowing only needs a total order, so the
-    # lexicographic min avoids any hex->int conversion divergence
+    bench=True,  # heaviest registry entries belong in the headline set
+    # hashes are 60-bit BIGINTs (md5 hex prefix, same portable trick as
+    # the dedup family): winnowing only needs a total order over the
+    # gram hashes, and integer compares make the ~w-per-position running
+    # min, the distinct, and the downstream match join far cheaper than
+    # 32-char string compares (round-4 verdict item 2)
     oracle=f"""
     WITH {_WINNOW_DUCK_CTE}
     SELECT doc_id, fp FROM wfp
@@ -370,14 +379,23 @@ _WINNOW_DUCK_CTE = f"""
 )
 def text_winnowing_fingerprints(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    # Two formulation rules learned the hard way:
+    # Three formulation rules learned the hard way:
     #  * the norm -> grams stages sit behind a repartition barrier, or
     #    CollapseProject inlines the regexp into every gram lambda
     #    (O(len^2) regexes per doc);
     #  * the per-window minimum is a posexplode + running SQL window
     #    min (codegen, one shuffle on doc_id), NOT a nested
     #    transform/slice/array_min lambda — interpreted nested-HOF
-    #    array ops measured ~80x slower on the same data.
+    #    array ops measured ~80x slower on the same data;
+    #  * the explode must be posexplode_OUTER and ng must derive from
+    #    length(norm), NOT size(gs): a plain posexplode triggers
+    #    InferFiltersFromGenerate, whose `size(gs) > 0` filter gets
+    #    pushed below the repartition barrier WITH the whole gram
+    #    transform (and its regexp) inlined — re-evaluated per row at
+    #    the scan, O(len^2) per doc again through the back door
+    #    (measured 16x: 15.6s -> 0.94s at sf0.1, identical output;
+    #    outer vs inner is a no-op here because `greatest(.., 1)`
+    #    guarantees a non-empty gram array).
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -391,10 +409,17 @@ def text_winnowing_fingerprints(spark: SparkSession,
     posed = (docs
              .select("doc_id", F.expr(_NORM_SPARK).alias("norm"))
              .repartition(n)
+             .withColumn("ng", F.expr(f"greatest(length(norm)"
+                                      f" - {_WINNOW_K} + 1, 1)"))
              .withColumn("gs", F.expr(subs))
-             .select("doc_id", F.size("gs").alias("ng"),
-                     F.posexplode("gs").alias("pos", "g"))
-             .withColumn("h", F.md5(F.col("g").cast("binary")))
+             .select("doc_id", "ng",
+                     F.posexplode_outer("gs").alias("pos", "g"))
+             # codegen projection over exploded rows (not in the
+             # lambda); 60-bit BIGINT = integer window-min downstream
+             .withColumn(
+                 "h",
+                 F.expr("CAST(conv(substr(md5(CAST(g AS BINARY)), 1, 15),"
+                        " 16, 10) AS BIGINT)"))
              .drop("g"))
     w = (Window.partitionBy("doc_id").orderBy("pos")
          .rowsBetween(0, _WINNOW_W - 1))
@@ -414,6 +439,7 @@ _MIN_SHARED = 5       # pairs must share >= this many fingerprints
 
 @register(
     "text_winnowing_match_pairs",
+    bench=True,
     oracle=f"""
     WITH {_WINNOW_DUCK_CTE},
     capped AS (

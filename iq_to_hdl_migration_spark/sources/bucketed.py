@@ -37,6 +37,26 @@ def _sf_tag(sf_dir: str) -> str:
     return base.replace(".", "_")
 
 
+def _source_fingerprint(src: DataFrame) -> str:
+    """Driver-side content fingerprint of the files backing `src`:
+    md5 over the sorted (path, size, mtime_ns) triples. Catches
+    regenerated sources even when row counts are preserved (TPC-H
+    regeneration at the same scale factor yields identical
+    cardinalities, so a count probe alone would silently reuse a stale
+    stage). Costs a handful of stat() calls — no scan."""
+    import hashlib
+
+    parts = []
+    for p in sorted(src.inputFiles()):
+        local = p.removeprefix("file:")
+        try:
+            st = os.stat(local)
+            parts.append(f"{local}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{local}:unstatable")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def stage_bucketed(spark: SparkSession, sf_dir: str,
                    tables: dict[str, str] | None = None,
                    n_buckets: int = 16) -> list[str]:
@@ -53,6 +73,7 @@ def stage_bucketed(spark: SparkSession, sf_dir: str,
     for table, key in (tables or BUCKET_KEYS).items():
         name = bucketed_name(table, n_buckets, tag)
         src = load_table(spark, sf_dir, table)
+        src_fp = _source_fingerprint(src)
         loc = os.path.join(wh, name)
         if not spark.catalog.tableExists(name) and os.path.isdir(loc):
             # files staged by an earlier session; the in-memory
@@ -67,18 +88,30 @@ def stage_bucketed(spark: SparkSession, sf_dir: str,
                 LOCATION '{loc}'
             """)
         if spark.catalog.tableExists(name):
-            # staleness guard: the source files may have been
-            # regenerated since staging (a stale stage would silently
-            # diverge from the source); cheap row-count probe, restage
-            # on mismatch
+            # staleness guard: restage unless BOTH recorded
+            # fingerprints match — the source one catches regenerated
+            # inputs even at identical row counts (TPC-H regeneration
+            # preserves cardinalities, so a count probe alone would
+            # silently reuse a stale stage), the staged one catches
+            # deleted/corrupted bucket files. Pure driver-side stat()
+            # calls, no scan.
             spark.catalog.refreshTable(name)
-            if spark.table(name).count() == src.count():
+            props = {r["key"]: r["value"]
+                     for r in spark.sql(
+                         f"SHOW TBLPROPERTIES {name}").collect()}
+            if (props.get("spark_graft.src_fp") == src_fp
+                    and props.get("spark_graft.staged_fp")
+                    == _source_fingerprint(spark.table(name))):
                 names.append(name)
                 continue
             spark.sql(f"DROP TABLE {name}")
             shutil.rmtree(loc, ignore_errors=True)
         (src.write.bucketBy(n_buckets, key).sortBy(key)
          .format("parquet").saveAsTable(name))
+        staged_fp = _source_fingerprint(spark.table(name))
+        spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES "
+                  f"('spark_graft.src_fp' = '{src_fp}', "
+                  f"'spark_graft.staged_fp' = '{staged_fp}')")
         names.append(name)
     return names
 

@@ -62,16 +62,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Canonicalize events.ts to a session-TZ-independent TIMESTAMP whose
-    epoch micros equal the file's naive value read as UTC — exactly what
-    DuckDB's epoch_us(CAST(ts AS TIMESTAMP)) sees, so oracles agree on
-    every Spark version regardless of how the nanos column was decoded.
+    """Canonicalize events.ts to a TIMESTAMP whose epoch micros equal the
+    file's naive value read as UTC — exactly what DuckDB's
+    epoch_us(CAST(ts AS TIMESTAMP)) sees, so oracles agree on every
+    Spark version regardless of how the nanos column was decoded.
+
+    The NTZ branch is session-TZ-independent ONLY because the second
+    argument is the SESSION timezone: the implicit NTZ->LTZ cast shifts
+    the wall-clock by -offset(session), and from_utc_timestamp(..,
+    current_timezone()) shifts by +offset(session), so the two cancel
+    in every zone (verified 0-diff under UTC / America/Los_Angeles /
+    Asia/Tokyo in tests/test_events_ts.py). The previous
+    to_utc_timestamp(.., 'UTC') form silently shifted every timestamp
+    by the session offset whenever the session zone was not UTC; note
+    to_utc_timestamp(.., current_timezone()) DOUBLES the shift — the
+    un-shift direction matters.
     """
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":  # legacy nanosAsLong read (Spark <= 4.0)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if dt == "timestamp_ntz":  # Spark >= 4.1 native TIMESTAMP(NANOS) read
-        return df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        return df.withColumn(
+            "ts", F.from_utc_timestamp("ts", F.current_timezone()))
     return df
 
 

@@ -68,8 +68,8 @@ def test_restage_is_idempotent(spark, sf_dir):
 
 def test_stale_staging_is_rebuilt(spark, sf_dir):
     """If the staged files diverge from the (possibly regenerated)
-    source — simulated by deleting one bucket file — the row-count
-    probe catches it and the table is restaged, not silently reused."""
+    source — simulated by deleting one bucket file — the staged-side
+    fingerprint catches it and the table is restaged, not reused."""
     import glob
     import os
 

@@ -38,6 +38,17 @@ def test_field_boundary_no_collision(spark):
     assert got == [(1, "changed")]
 
 
+def test_separator_in_value_no_collision(spark):
+    # a field VALUE containing the old \x1f join separator (plus the
+    # null-flag byte) must not shift bytes across field boundaries:
+    # ('a\x1f0\x1fb','c') used to encode identically to
+    # ('a','b\x1f0\x1fc') — a silent 'unchanged' false negative
+    left = _df(spark, [(1, "a\x1f0\x1fb", "c")])
+    right = _df(spark, [(1, "a", "b\x1f0\x1fc")])
+    got = [(r.k, r.status) for r in table_diff(left, right, ["k"]).collect()]
+    assert got == [(1, "changed")]
+
+
 def test_compare_cols_subset_ignores_other_drift(spark):
     left = _df(spark, [(1, "x", "y")])
     right = _df(spark, [(1, "x", "DIFFERENT")])

@@ -50,3 +50,31 @@ def test_normalize_is_identity_on_canonical_frames(spark, sf_dir):
     again = normalize_event_ts(ev)
     assert dict(again.dtypes)["ts"] == "timestamp"
     assert again.schema == ev.schema
+
+
+def test_normalize_ntz_is_session_tz_independent(spark):
+    """The NTZ branch must yield the SAME epoch micros under any
+    session timezone (the implicit NTZ->LTZ cast and the
+    to_utc_timestamp(.., current_timezone()) shift cancel). A literal
+    'UTC' second argument silently shifted every timestamp by the
+    session offset — regression for the round-4 advice item."""
+    from iq_to_hdl_migration_spark.sources.tables import normalize_event_ts
+
+    ntz = spark.createDataFrame(
+        [("2024-03-15 12:34:56.789012",)], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts"))
+    tz_conf = "spark.sql.session.timeZone"
+    saved = spark.conf.get(tz_conf)
+    got = {}
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set(tz_conf, tz)
+            got[tz] = normalize_event_ts(ntz).select(
+                F.unix_micros("ts")).collect()[0][0]
+    finally:
+        spark.conf.set(tz_conf, saved)
+    # naive wall-clock read as UTC
+    import datetime as dt
+    want = int(dt.datetime(2024, 3, 15, 12, 34, 56, 789012,
+                           tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got == {tz: want for tz in got}

@@ -1,4 +1,8 @@
-"""JDBC partition planning: pure-logic tests (no live database)."""
+"""JDBC partition planning: pure-logic tests plus a LIVE round-trip
+against embedded Apache Derby (which ships on Spark's classpath for the
+Hive metastore — no install needed), closing the "real connection
+smoke" gap: the same `read_partitioned` used for production extracts
+drives an actual JDBC URL end-to-end."""
 
 from __future__ import annotations
 
@@ -111,3 +115,48 @@ def test_predicate_arithmetic_exactly_once(lo, width, size, conns):
     probe.update(range(lo, lo + width + 1, max(1, width // 50)))
     for k in probe:
         assert sum(matches(p, k) for p in plan.predicates()) == 1
+
+
+# ---- live JDBC smoke (embedded Derby, round-5 verdict item 7) -------------
+# Derby's embedded driver is already on Spark's JVM classpath (it backs
+# the Hive metastore), so this is a true spark.read.jdbc round-trip:
+# write rows over java.sql, read them back partitioned, and verify
+# exactly-once coverage AND that the read actually split into the
+# planned number of JDBC partitions.
+
+def test_live_derby_partitioned_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.sources.jdbc import read_partitioned
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_smoke;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE extract_src "
+        "(id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(32), val DOUBLE)")
+    rows = ", ".join(f"({i}, 'name_{i}', {i * 0.5})" for i in range(1000))
+    st.executeUpdate(f"INSERT INTO extract_src VALUES {rows}")
+    st.close()
+    conn.close()
+
+    plan = plan_partitions("id", 0, 999, size_bytes=GB,
+                           target_bytes=128 * 1024 * 1024)
+    assert plan.num_partitions == 8
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = read_partitioned(spark, url, "extract_src", plan,
+                          ["id", "name"], properties=props)
+
+    # column pruning reached the source schema
+    assert df.columns == ["id", "name"]
+    # exactly-once coverage over a live connection
+    assert df.count() == 1000
+    assert df.distinct().count() == 1000
+    assert df.agg(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
+    # the read really was partitioned: every planned JDBC partition
+    # issued its own bounded query and got its share of rows
+    per_part = (df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").count().collect())
+    assert len(per_part) == plan.num_partitions
+    assert all(r["count"] > 0 for r in per_part)
