@@ -222,3 +222,201 @@ def lineitem_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum(qty).cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
                  F.sum(rev).cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination by 13-token-gram containment (the GPT-3/
+# PaLM-style eval-overlap scan, beyond-reference LLM-pipeline surface).
+# Unlike `text_contamination_scan` (literal probe strings), this joins
+# the TRAIN corpus against an EVAL split's n-gram set — the real shape:
+# at 100 TB the eval side is tiny (a benchmark suite), so it broadcasts,
+# and the only shuffle is the per-doc hit aggregate.
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 13
+_EVAL_SPLIT = "doc_id % 10 = 3"  # stand-in eval set; production joins a
+                                 # real benchmark table
+
+
+@register(
+    "text_contamination_13gram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, ({_EVAL_SPLIT}) AS is_eval,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_eval,
+               list_transform(
+                   range(1, greatest(len(t) - {_CONTAM_N} + 1, 0) + 1),
+                   i -> list_aggregate(
+                            t[CAST(i AS INTEGER):
+                              CAST(i + {_CONTAM_N} - 1 AS INTEGER)],
+                            'string_agg', ' ')) AS gs
+        FROM toks
+    ),
+    g AS (SELECT doc_id, is_eval, unnest(gs) AS g FROM grams),
+    eval_grams AS (SELECT DISTINCT g FROM g WHERE is_eval),
+    train AS (SELECT DISTINCT doc_id, g FROM g WHERE NOT is_eval),
+    totals AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_hit_grams
+        FROM train t JOIN eval_grams e USING (g)
+        GROUP BY t.doc_id
+    )
+    SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(h.n_hit_grams AS BIGINT) AS n_hit_grams,
+           CAST(h.n_hit_grams AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+               AS contamination_ratio
+    FROM hits h JOIN totals t ON t.doc_id = h.doc_id
+    """,
+    doc="benchmark decontamination: train docs sharing any 13-token "
+        "gram with the eval split, with per-doc contaminated-gram "
+        "counts — eval n-gram set broadcast (tiny vs corpus), one "
+        "shuffle on doc_id for the hit aggregate",
+)
+def text_contamination_13gram(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so short docs
+    # need an explicit empty-array branch (DuckDB's range(1, 1) is
+    # already empty)
+    gs = (f"CASE WHEN size(t) >= {_CONTAM_N} THEN "
+          f"transform(sequence(1, size(t) - {_CONTAM_N} + 1), "
+          f"i -> concat_ws(' ', slice(t, i, {_CONTAM_N}))) "
+          f"ELSE array() END")
+    toks = (docs.select("doc_id",
+                        F.expr(_EVAL_SPLIT).alias("is_eval"),
+                        F.expr(_TOKS_SPARK).alias("t"))
+            .repartition(n))
+    # explode_outer + null filter, NOT explode: the inferred
+    # size(gs) > 0 generator filter would re-evaluate the gram
+    # transform per row below the barrier (see text_winnowing_
+    # fingerprints for the measured version of this trap)
+    g = (toks.withColumn("gs", F.expr(gs))
+         .select("doc_id", "is_eval",
+                 F.explode_outer("gs").alias("g"))
+         .where(F.col("g").isNotNull()))
+    eval_grams = g.where("is_eval").select("g").distinct()
+    train = g.where(~F.col("is_eval")).select("doc_id", "g").distinct()
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    hits = (train.join(F.broadcast(eval_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit_grams")))
+    return (hits.join(totals, "doc_id")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("n_grams").cast("bigint").alias("n_grams"),
+                    F.col("n_hit_grams").cast("bigint")
+                    .alias("n_hit_grams"),
+                    (F.col("n_hit_grams").cast("double")
+                     / F.col("n_grams").cast("double"))
+                    .alias("contamination_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (Robertson/Sparck Jones; the lexical-retrieval
+# baseline every RAG pipeline ships next to its embedding ANN).
+# Cross-engine determinism notes (same discipline as text_tfidf_topk):
+#  * idf uses the rational BM25 form (N - df + 0.5)/(df + 0.5) WITHOUT
+#    the log — IEEE add/mult/div are exactly rounded so both engines
+#    produce identical doubles, and the per-term ranking is unchanged
+#    (log is monotone); document it as BM25-rational.
+#  * avgdl is folded in as dl * N / total_tokens (exact integers until
+#    one double division) — never AVG(double), whose summation order
+#    differs across engines.
+#  * the cross-term SUM is over DECIMAL(18,9) — decimal addition is
+#    exact and order-independent, so the hash is stable under any
+#    partitioning.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["join", "hash", "vector"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
+                     / (CAST(df.df AS DOUBLE) + 0.5))
+                    * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                       / (CAST(tf.tf AS DOUBLE)
+                          + {_BM25_K1} * ({1.0 - _BM25_B}
+                             + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                                * CAST(stats.n_docs AS DOUBLE)
+                                / CAST(stats.total_tokens AS DOUBLE)))))
+                    AS DECIMAL(18,9)) AS term_score
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN df ON df.token = tf.token
+        CROSS JOIN stats
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(term_score) AS DOUBLE) AS bm25_score
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+    doc="BM25-rational top-k lexical retrieval over the corpus for a "
+        "fixed query term set: tf/df/dl from one tokenize pass, global "
+        "stats as a 1-row broadcast, per-term scores summed as exact "
+        "decimals; at scale the only shuffles are the tf aggregate and "
+        "the final top-k",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_tokens"))
+    tf = (toks.select("doc_id", F.explode("t").alias("token"))
+          .where(F.col("token").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (tf.join(dl, "doc_id")
+              .join(F.broadcast(df_), "token")
+              .join(F.broadcast(stats))
+              .withColumn(
+                  "term_score",
+                  F.expr(f"""
+                      CAST(((CAST(n_docs - df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5))
+                           * ((CAST(tf AS DOUBLE) * {k1 + 1.0})
+                              / (CAST(tf AS DOUBLE)
+                                 + {k1} * ({1.0 - b}
+                                    + {b} * (CAST(dl AS DOUBLE)
+                                       * CAST(n_docs AS DOUBLE)
+                                       / CAST(total_tokens AS DOUBLE)))))
+                           AS DECIMAL(18,9))""")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("term_score").alias("dec_score"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("dec_score").cast("double").alias("bm25_score"))
+            .orderBy(F.col("bm25_score").desc(), "doc_id")
+            .limit(_BM25_TOPK))

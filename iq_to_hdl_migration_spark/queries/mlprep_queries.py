@@ -228,3 +228,89 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(in_sample).cast("bigint").alias("n_sampled"),
              F.count(F.lit(1)).alias("n_total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing plan (concat-and-chunk): documents are concatenated
+# in (source, doc_id) order and cut into fixed max_seq_len chunks — the
+# GPT-style packing every pretraining dataloader performs. The per-doc
+# chunk assignment is a pure prefix sum (one window per source), so the
+# whole plan is exact integer arithmetic: no greedy bin state, no
+# driver loop, and the parallel unit is the source shard — exactly how
+# a 100 TB corpus is packed in practice (per-shard sequential order).
+# ---------------------------------------------------------------------------
+
+_PACK_MAX_LEN = 512
+
+
+@register(
+    "mlprep_sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, doc_id,
+               -- plain whitespace tokens (NOT the module's len>=3
+               -- TF-IDF filter: packing budgets every token)
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_incl
+        FROM tok
+    ),
+    marked AS (
+        SELECT source, n_tok, cum_incl,
+               (cum_incl - n_tok) // {_PACK_MAX_LEN} AS chunk_start,
+               (cum_incl - 1) // {_PACK_MAX_LEN} AS chunk_end
+        FROM cum
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tok) + {_PACK_MAX_LEN} - 1) // {_PACK_MAX_LEN}
+                AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN chunk_start != chunk_end THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boundary_spanning_docs,
+           CAST(SUM(n_tok) AS DOUBLE)
+               / CAST(((SUM(n_tok) + {_PACK_MAX_LEN} - 1)
+                       // {_PACK_MAX_LEN}) * {_PACK_MAX_LEN} AS DOUBLE)
+               AS packing_efficiency
+    FROM marked GROUP BY source
+    """,
+    doc="concat-and-chunk sequence packing plan at max_seq_len=512: "
+        "per-source chunk count, boundary-spanning docs, and packing "
+        "efficiency via an exact integer prefix sum — one window per "
+        "source shard, one aggregate shuffle",
+)
+def mlprep_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _PACK_MAX_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id",
+        # plain whitespace tokens (not the module's len>=3 TF-IDF
+        # filter: packing budgets every token)
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = (tok.withColumn("cum_incl", F.sum("n_tok").over(w))
+              .withColumn("chunk_start",
+                          F.expr(f"(cum_incl - n_tok) div {m}"))
+              .withColumn("chunk_end", F.expr(f"(cum_incl - 1) div {m}")))
+    return (marked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.sum(F.when(F.col("chunk_start") != F.col("chunk_end"),
+                              1).otherwise(0))
+                 .alias("n_boundary_spanning_docs"))
+            .select("source",
+                    "n_docs",
+                    "total_tokens",
+                    F.expr(f"(total_tokens + {m} - 1) div {m}")
+                    .alias("n_chunks"),
+                    "n_boundary_spanning_docs",
+                    (F.col("total_tokens").cast("double")
+                     / (F.expr(f"(total_tokens + {m} - 1) div {m}")
+                        * m).cast("double"))
+                    .alias("packing_efficiency")))

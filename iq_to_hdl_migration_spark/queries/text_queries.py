@@ -463,6 +463,11 @@ _MIN_SHARED = 5       # pairs must share >= this many fingerprints
 )
 def text_winnowing_match_pairs(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
+    # pair generation is a bucket explode (the LSH family's shape), not
+    # a self-join: a join would recompute the whole fingerprint
+    # pipeline for BOTH sides (measured 2x); here fingerprints are
+    # computed once, capped per bucket map-side (WindowGroupLimit), and
+    # pairs explode within <= cap-sized buckets only
     from pyspark.sql import Window
 
     fps = text_winnowing_fingerprints(spark, sf_dir)
@@ -470,10 +475,14 @@ def text_winnowing_match_pairs(spark: SparkSession,
     capped = (fps.withColumn("rn", F.row_number().over(wcap))
               .where(F.col("rn") <= _FP_BUCKET_CAP)
               .select("doc_id", "fp"))
-    return (capped.alias("a")
-            .join(capped.selectExpr("doc_id AS id_b", "fp").alias("b"),
-                  "fp")
-            .where(F.col("a.doc_id") < F.col("id_b"))
-            .groupBy(F.col("a.doc_id").alias("id_a"), "id_b")
+    buckets = (capped.groupBy("fp")
+               .agg(F.collect_list("doc_id").alias("members"))
+               .where(F.size("members") > 1))
+    pairs = buckets.select(F.explode(F.expr("""
+        flatten(transform(members, (x, i) ->
+            transform(slice(members, i + 2, size(members)), y ->
+                struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))
+    """)).alias("p"))
+    return (pairs.groupBy("p.id_a", "p.id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .where(F.col("n_shared") >= _MIN_SHARED))

@@ -72,6 +72,9 @@ EXTRA = [
     "text_winnowing_fingerprints", "text_winnowing_match_pairs",
     "v11_content_diff_report", "sim_embedding_quantize_stats",
     "events_session_windows_native", "curation_funnel_report",
+    # round-5 additions
+    "text_contamination_13gram", "text_bm25_topk",
+    "mlprep_sequence_packing", "s13_hosparams_rules_intersection",
 ]
 
 

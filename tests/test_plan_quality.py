@@ -265,3 +265,47 @@ def test_quantize_stats_single_aggregate_shuffle(spark, sf_dir):
     n_ex = len(re.findall(r"\bExchange\b", final))
     assert n_ex <= 2, f"expected <=2 exchanges (partial+final agg), {n_ex}"
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_no_generator_filter_inlining(spark, sf_dir):
+    """Regression for the InferFiltersFromGenerate trap (round 5,
+    measured 16x): a plain posexplode over the gram array let the
+    inferred `size(gs) > 0` filter sink below the repartition barrier
+    with the WHOLE gram transform (regexp included) inlined — i.e.
+    re-evaluated per input row at the scan. No Filter or FileScan
+    DataFilters line may contain an inlined gram transform."""
+    plan = final_plan(
+        REGISTRY["text_winnowing_fingerprints"].fn(spark, sf_dir))
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith(("Filter", "+- Filter")) or "DataFilters:" in s:
+            assert "transform(sequence" not in s, (
+                "gram transform inlined into a filter — the "
+                "generator-filter trap is back:\n" + s[:300])
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """The eval n-gram set is benchmark-sized by construction; the
+    train-vs-eval containment join must broadcast it, never shuffle
+    the 100 TB train side against it."""
+    plan = final_plan(
+        REGISTRY["text_contamination_13gram"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_stats_broadcast_no_cartesian(spark, sf_dir):
+    """df/global-stats sides are tiny and explicitly broadcast; the
+    only shuffles are the tf aggregate and the top-k."""
+    plan = final_plan(REGISTRY["text_bm25_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sequence_packing_window_partitioned_by_source(spark, sf_dir):
+    """The packing prefix sum must run per source shard — a global
+    (SinglePartition) window would serialize the corpus."""
+    plan = final_plan(
+        REGISTRY["mlprep_sequence_packing"].fn(spark, sf_dir))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
