@@ -144,3 +144,45 @@ def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_events").cast("bigint").alias("n_events"),
                      F.col("total_value").cast("double")
                          .alias("total_value"))
+
+
+@register(
+    "stream_session_windows_native",
+    # same gaps-and-islands oracle as events_session_windows_native:
+    # the stream must produce bit-identical sessions to the batch
+    # operator (boundary rule: events exactly gap-apart merge, window
+    # end is last event + gap)
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > {30 * 60 * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) + {30 * 60 * 1_000_000} AS BIGINT)
+               AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="streaming twin of events_session_windows_native: the NATIVE "
+        "session_window operator run as a watermarked continuous query "
+        "(availableNow drain) and hash-checked against the batch "
+        "gaps-and-islands oracle — proves the merging-session state "
+        "operator emits identical sessions in both execution modes",
+)
+def stream_session_windows_native(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    name = f"q_stream_sessw_{next(_seq)}"
+    return W.streaming_session_windows(spark, sf_dir, name)

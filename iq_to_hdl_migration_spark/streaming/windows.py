@@ -247,3 +247,31 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str,
     run_to_memory(enrichment_stream(events, user_dim), _query_name,
                   "complete")
     return spark.table(_query_name)
+
+
+def session_windows_stream(events: DataFrame) -> DataFrame:
+    """NATIVE session_window aggregation on the stream (the merging
+    state-window operator, watermark-bounded): per (user, session)
+    event counts with session bounds. The streaming counterpart of
+    queries/events_queries.py::events_session_windows_native — same
+    operator, so the batch oracle is the semantics contract."""
+    return (events
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros("w.start").alias("session_start_us"),
+                    F.unix_micros("w.end").alias("session_end_us"),
+                    F.col("n_events").cast("bigint").alias("n_events")))
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str,
+                              _query_name: str = "stream_sessw") -> DataFrame:
+    """End-to-end: stream -> watermarked native session_window ->
+    memory sink. Complete mode so the availableNow drain emits every
+    session including those still open at end-of-input (append mode
+    would hold back sessions whose end exceeds the final watermark)."""
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(session_windows_stream(events), _query_name, "complete")
+    return spark.table(_query_name)
