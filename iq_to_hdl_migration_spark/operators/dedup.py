@@ -411,12 +411,20 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
               .where(F.col("rn")
                      <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
               .where(F.col("df") >= 2)
-              .select(*group_cols, "id", "w"))
+              .select(*group_cols, "id", "w", "sz"))
+    # PPJoin length filter (lossless): jaccard >= t forces
+    # t * max(|A|,|B|) <= min(|A|,|B|), so size-mismatched pairs are
+    # discarded at the candidate join — before any token-array verify.
+    # On uniform synthetic docs this prunes little; on real corpora
+    # with long-tailed lengths it removes most cross-length candidates.
     cand = (prefix.alias("a")
-            .join(prefix.selectExpr(*group_cols, "id AS id_b", "w")
+            .join(prefix.selectExpr(*group_cols, "id AS id_b", "w",
+                                    "sz AS sz_b")
                   .alias("b"),
                   [*group_cols, "w"])
-            .where(F.col("a.id") < F.col("id_b"))
+            .where((F.col("a.id") < F.col("id_b"))
+                   & (F.lit(t) * F.greatest("a.sz", "sz_b")
+                      <= F.least("a.sz", "sz_b")))
             .select(*group_cols, F.col("a.id").alias("id_a"), "id_b")
             .dropDuplicates([*group_cols, "id_a", "id_b"]))
     side_a = sized.select(F.col("id").alias("id_a"),
