@@ -240,6 +240,7 @@ _EVAL_SPLIT = "doc_id % 10 = 3"  # stand-in eval set; production joins a
 
 @register(
     "text_contamination_13gram",
+    bench=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, ({_EVAL_SPLIT}) AS is_eval,
@@ -343,6 +344,7 @@ _BM25_TOPK = 10
 
 @register(
     "text_bm25_topk",
+    bench=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t

@@ -245,6 +245,7 @@ _PACK_MAX_LEN = 512
 
 @register(
     "mlprep_sequence_packing",
+    bench=True,
     oracle=f"""
     WITH tok AS (
         SELECT source, doc_id,

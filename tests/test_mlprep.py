@@ -41,3 +41,34 @@ def test_tfidf_topk_is_per_source(spark, sf_dir):
         assert len(scores) <= 5
         assert scores == sorted(scores, reverse=True) or True  # order-free
         assert all(s > 0 for s in scores)
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Arithmetic invariants of the concat-and-chunk plan, independent
+    of the oracle: chunks cover the tokens exactly, spanning docs are a
+    strict subset, efficiency is (0, 1]."""
+    rows = REGISTRY["mlprep_sequence_packing"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chunks == -(-r.total_tokens // 512)
+        assert 0 <= r.n_boundary_spanning_docs < r.n_docs
+        assert 0.0 < r.packing_efficiency <= 1.0
+        # efficiency is exactly total/(chunks*512)
+        assert r.packing_efficiency == r.total_tokens / (r.n_chunks * 512)
+
+
+def test_contamination_hits_are_train_docs_with_sane_ratios(spark, sf_dir):
+    rows = (REGISTRY["text_contamination_13gram"].fn(spark, sf_dir)
+            .collect())
+    for r in rows:
+        assert r.doc_id % 10 != 3          # never an eval doc
+        assert 1 <= r.n_hit_grams <= r.n_grams
+        assert 0.0 < r.contamination_ratio <= 1.0
+
+
+def test_bm25_scores_positive_descending(spark, sf_dir):
+    rows = REGISTRY["text_bm25_topk"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.bm25_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
