@@ -422,3 +422,55 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("dec_score").cast("double").alias("bm25_score"))
             .orderBy(F.col("bm25_score").desc(), "doc_id")
             .limit(_BM25_TOPK))
+
+
+@register(
+    "corpus_bigram_diversity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, {_TOKS_DUCK} AS t FROM documents
+    ),
+    bg AS (
+        SELECT source,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[CAST(i AS INTEGER)] || ' ' ||
+                        t[CAST(i + 1 AS INTEGER)]) AS gs
+        FROM toks
+    ),
+    g AS (SELECT source, unnest(gs) AS g FROM bg)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_bigrams,
+           CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS diversity
+    FROM g GROUP BY source
+    """,
+    doc="per-source bigram diversity (distinct/total bigram ratio) — "
+        "the training-mix repetitiveness signal next to "
+        "corpus_token_budget; one tokenize pass, one aggregate "
+        "shuffle on (source, bigram)",
+)
+def corpus_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    # same generator-trap discipline as text_contamination_13gram:
+    # guarded transform (sequence(1, 0) descends) + explode_outer
+    gs = ("CASE WHEN size(t) >= 2 THEN "
+          "transform(sequence(1, size(t) - 1), "
+          "i -> concat(t[i - 1], ' ', t[i])) "
+          "ELSE array() END")
+    g = (docs.select("source", F.expr(_TOKS_SPARK).alias("t"))
+         .repartition(n)
+         .withColumn("gs", F.expr(gs))
+         .select("source", F.explode_outer("gs").alias("g"))
+         .where(F.col("g").isNotNull()))
+    return (g.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.count_distinct("g").alias("n_distinct_bigrams"))
+            .select("source",
+                    F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                    F.col("n_distinct_bigrams").cast("bigint")
+                    .alias("n_distinct_bigrams"),
+                    (F.col("n_distinct_bigrams").cast("double")
+                     / F.col("n_bigrams").cast("double"))
+                    .alias("diversity")))
