@@ -23,11 +23,13 @@ _GAP_US = 1800 * 1_000_000  # 30-minute session gap
 @register(
     "events_hourly_by_type",
     oracle="""
-    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+    SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS hour_us,
+           event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+    GROUP BY 1, 2
     """,
     doc="tumbling 1h window aggregation per event type (batch form of "
         "the streaming windowed agg)",
@@ -36,8 +38,13 @@ _GAP_US = 1800 * 1_000_000  # 30-minute session gap
 def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
-        .groupBy("hour_ts", "event_type")
+        # hour boundary as epoch micros, not a raw LTZ timestamp:
+        # collect() renders TIMESTAMP in the *client OS* timezone, so a
+        # timestamp output silently shifts when the comparing process
+        # is not UTC (found by the round-5 TZ=Asia/Tokyo registry sweep)
+        ev.withColumn("hour_us",
+                      F.unix_micros(F.date_trunc("hour", F.col("ts"))))
+        .groupBy("hour_us", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(F.col("value").cast("decimal(14,2)"))
              .cast("double").alias("total_value"))
@@ -135,14 +142,15 @@ def events_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_error_rate_hourly",
     oracle="""
-    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+    SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS hour_us,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_errors,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS error_rate
     FROM events
-    GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+    GROUP BY 1
     """,
     doc="per-window error-rate monitoring (conditional aggregation)",
 )
@@ -150,8 +158,9 @@ def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
     return (
-        ev.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
-        .groupBy("hour_ts")
+        ev.withColumn("hour_us",
+                      F.unix_micros(F.date_trunc("hour", F.col("ts"))))
+        .groupBy("hour_us")
         .agg(F.count(F.lit(1)).alias("n_total"),
              F.sum(is_err).cast("bigint").alias("n_errors"),
              (F.sum(is_err).cast("double") / F.count(F.lit(1)).cast("double"))
@@ -162,7 +171,8 @@ def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_sliding_hourly",
     oracle="""
-    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    SELECT CAST(epoch_us(window_start) AS BIGINT) AS window_start_us,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM (
         SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
                    AS window_start, event_type
@@ -172,7 +182,7 @@ def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - INTERVAL '30 minutes', event_type
         FROM events
     ) t
-    GROUP BY window_start, event_type
+    GROUP BY 1, 2
     """,
     doc="sliding 1h window, 30m slide: each event lands in exactly two "
         "windows (starts floor_30(t) and floor_30(t)-30m) — the oracle "
@@ -184,8 +194,8 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"),
                    "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("win.start").alias("window_start"), "event_type",
-                "n_events")
+        .select(F.unix_micros(F.col("win.start")).alias("window_start_us"),
+                "event_type", "n_events")
     )
 
 

@@ -24,7 +24,8 @@ _seq = itertools.count()
 @register(
     "stream_hourly_counts",
     oracle="""
-    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+    SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS hour_us,
            event_type, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY 1, 2
@@ -35,13 +36,18 @@ _seq = itertools.count()
 )
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_hourly_{next(_seq)}"
-    return W.streaming_hourly_counts(spark, sf_dir, name)
+    df = W.streaming_hourly_counts(spark, sf_dir, name)
+    # epoch micros, not a raw LTZ timestamp: collect() renders
+    # TIMESTAMP in the client OS timezone (round-5 TZ sweep finding)
+    return df.select(F.unix_micros("hour_ts").alias("hour_us"),
+                     "event_type", "n_events")
 
 
 @register(
     "stream_exact_dedup",
     oracle="""
-    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+    SELECT event_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
            CAST(user_id AS BIGINT) AS user_id, event_type,
            CAST(value AS DOUBLE) AS value, props
     FROM events
@@ -54,7 +60,7 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_dedup_{next(_seq)}"
     df = W.streaming_dedup_count(spark, sf_dir, name)
-    return df.select("event_id", "ts",
+    return df.select("event_id", F.unix_micros("ts").alias("ts_us"),
                      F.col("user_id").cast("bigint").alias("user_id"),
                      "event_type",
                      F.col("value").cast("double").alias("value"),
@@ -97,8 +103,8 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(p.user_id AS BIGINT) AS user_id,
            CAST(p.event_id AS BIGINT) AS event_id,
            CAST(c.event_id AS BIGINT) AS click_id,
-           CAST(p.ts AS TIMESTAMP) AS ts,
-           CAST(c.ts AS TIMESTAMP) AS click_ts
+           CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+           CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS click_ts_us
     FROM events p JOIN events c
       ON p.event_type = 'purchase' AND c.event_type = 'click'
      AND p.user_id = c.user_id
@@ -115,7 +121,8 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("user_id").cast("bigint").alias("user_id"),
                      F.col("event_id").cast("bigint").alias("event_id"),
                      F.col("click_id").cast("bigint").alias("click_id"),
-                     "ts", "click_ts")
+                     F.unix_micros("ts").alias("ts_us"),
+                     F.unix_micros("click_ts").alias("click_ts_us"))
 
 
 @register(

@@ -10,10 +10,16 @@ REGISTRY = load_all()
 
 
 def test_streaming_hourly_matches_batch(spark, sf_dir):
-    stream = W.streaming_hourly_counts(spark, sf_dir, "t_hourly").collect()
+    import pyspark.sql.functions as F
+
+    # compare on epoch micros server-side: collecting a raw TIMESTAMP
+    # renders it in the client OS timezone (round-5 TZ sweep finding)
+    stream = (W.streaming_hourly_counts(spark, sf_dir, "t_hourly")
+              .select(F.unix_micros("hour_ts").alias("hour_us"),
+                      "event_type", "n_events").collect())
     batch = REGISTRY["events_hourly_by_type"].fn(spark, sf_dir).collect()
-    s = {(r.hour_ts, r.event_type): r.n_events for r in stream}
-    b = {(r.hour_ts, r.event_type): r.n_events for r in batch}
+    s = {(r.hour_us, r.event_type): r.n_events for r in stream}
+    b = {(r.hour_us, r.event_type): r.n_events for r in batch}
     assert s == b and len(s) > 0
 
 
