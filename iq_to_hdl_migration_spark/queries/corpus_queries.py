@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.queries import dedup_oracles as _dedup_oracles
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
 _TOKS_SPARK = r"split(lower(trim(text)), '\\s+')"
@@ -474,3 +475,67 @@ def corpus_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_distinct_bigrams").cast("double")
                      / F.col("n_bigrams").cast("double"))
                     .alias("diversity")))
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate benchmark decontamination: the n-gram scans above catch
+# verbatim probe strings; this catches whole-document near-copies of
+# held-out data inside the train split — the leakage mode that inflates
+# eval scores without any verbatim overlap. Pairs come from the SAME
+# flood-safe MinHash+LSH pipeline as dedup_minhash_lsh_pairs (exact
+# pre-pass -> banded buckets -> capped in-bucket pairs), so this is one
+# more consumer of an already-verified artifact, not a new all-pairs
+# join; the split tag is the content-addressed md5 rule from
+# split_train_test, so the report is reproducible across engines,
+# reshards and reruns.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_contamination_neardup",
+    oracle=_dedup_oracles.cross_split_contamination_oracle(threshold=0.5),
+    doc="per-source count of train-split docs that near-duplicate a "
+        "held-out (valid/test) doc: direct LSH cross-split pairs plus a "
+        "one-hop closure over certain-duplicate (est_jaccard = 1.0) "
+        "train-train pairs, with the max cross-split similarity per "
+        "source. SURVEY §2.11 decontamination, near-dup variant.",
+)
+def text_contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = docs.select(
+        F.col("doc_id").cast("bigint").alias("id"), "source",
+        F.when(bucket < "cc", "train").otherwise("held").alias("split"))
+    tagged = (pairs
+              .join(split.select(F.col("id").alias("id_a"),
+                                 F.col("split").alias("split_a")), "id_a")
+              .join(split.select(F.col("id").alias("id_b"),
+                                 F.col("split").alias("split_b")), "id_b"))
+    a_dir = (F.col("split_a") == "train") & (F.col("split_b") == "held")
+    b_dir = (F.col("split_b") == "train") & (F.col("split_a") == "held")
+    direct = (tagged.where(a_dir)
+              .select(F.col("id_a").alias("id"), "est_jaccard")
+              .unionByName(tagged.where(b_dir)
+                           .select(F.col("id_b").alias("id"), "est_jaccard")))
+    direct_ids = direct.select("id").distinct()
+    certain = tagged.where((F.col("est_jaccard") == 1.0)
+                           & (F.col("split_a") == "train")
+                           & (F.col("split_b") == "train"))
+    via = (certain.join(direct_ids.withColumnRenamed("id", "id_a"), "id_a")
+           .select(F.col("id_b").alias("id"))
+           .unionByName(
+               certain.join(direct_ids.withColumnRenamed("id", "id_b"), "id_b")
+               .select(F.col("id_a").alias("id"))))
+    contaminated = (direct_ids.unionByName(via).distinct()
+                    .withColumn("flag", F.lit(1)))
+    dmax = direct.groupBy("id").agg(F.max("est_jaccard").alias("max_jac"))
+    return (split.where(F.col("split") == "train")
+            .join(contaminated, "id", "left")
+            .join(dmax, "id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_train_docs"),
+                 F.sum(F.when(F.col("flag").isNotNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_contaminated"),
+                 F.max("max_jac").alias("max_est_jaccard")))

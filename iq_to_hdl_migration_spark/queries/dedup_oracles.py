@@ -210,3 +210,70 @@ def simhash_pairs_oracle(max_hamming: int = 3) -> str:
     SELECT keep_id AS id_a, id AS id_b, 0 AS hamming
     FROM base WHERE id != keep_id
     """
+
+
+def cross_split_contamination_oracle(threshold: float = 0.5) -> str:
+    """Twin of text_contamination_neardup: per-source decontamination
+    report — train-split docs (md5 bucket < 'cc', the split_train_test
+    rule) that near-duplicate a held-out (valid/test) doc via the SAME
+    flood-safe banded pipeline as dedup_minhash_lsh_pairs, plus a
+    one-hop closure over certain-duplicate (est_jaccard = 1.0)
+    train-train pairs so exact copies of a contaminated keeper are
+    flagged too."""
+    return f"""
+    WITH {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    pairs AS (
+        SELECT id_a, id_b, est_jaccard FROM cand
+        WHERE est_jaccard >= {threshold}
+        UNION ALL
+        SELECT keep_id AS id_a, id AS id_b, 1.0::DOUBLE AS est_jaccard
+        FROM base WHERE id != keep_id
+    ),
+    split AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train' ELSE 'held' END AS split
+        FROM documents
+    ),
+    tagged AS (
+        SELECT p.id_a, p.id_b, p.est_jaccard,
+               sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN split sa ON sa.id = p.id_a
+        JOIN split sb ON sb.id = p.id_b
+    ),
+    direct AS (
+        SELECT id_a AS id, est_jaccard FROM tagged
+        WHERE split_a = 'train' AND split_b = 'held'
+        UNION ALL
+        SELECT id_b AS id, est_jaccard FROM tagged
+        WHERE split_b = 'train' AND split_a = 'held'
+    ),
+    direct_ids AS (SELECT DISTINCT id FROM direct),
+    via AS (
+        SELECT t.id_b AS id FROM tagged t
+        JOIN direct_ids d ON d.id = t.id_a
+        WHERE t.est_jaccard = 1.0
+          AND t.split_a = 'train' AND t.split_b = 'train'
+        UNION ALL
+        SELECT t.id_a AS id FROM tagged t
+        JOIN direct_ids d ON d.id = t.id_b
+        WHERE t.est_jaccard = 1.0
+          AND t.split_a = 'train' AND t.split_b = 'train'
+    ),
+    contaminated AS (
+        SELECT DISTINCT id
+        FROM (SELECT id FROM direct_ids UNION ALL SELECT id FROM via)
+    ),
+    dmax AS (SELECT id, MAX(est_jaccard) AS max_jac FROM direct GROUP BY id)
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           MAX(dmax.max_jac) AS max_est_jaccard
+    FROM split s
+    LEFT JOIN contaminated c ON c.id = s.id
+    LEFT JOIN dmax ON dmax.id = s.id
+    WHERE s.split = 'train'
+    GROUP BY s.source
+    """

@@ -315,3 +315,82 @@ def mlprep_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.expr(f"(total_tokens + {m} - 1) div {m}")
                         * m).cast("double"))
                     .alias("packing_efficiency")))
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixing (the multinomial-sampling weights every
+# multi-source pretraining run needs: raw proportional sampling lets the
+# biggest crawl drown curated sources; tau < 1 flattens the mixture).
+#
+# tau = 0.5 deliberately: w_i = sqrt(n_i) / sum_j sqrt(n_j), and IEEE-754
+# sqrt is exactly rounded in both engines (JVM Math.sqrt and C libm), so
+# the per-source numerators are bit-identical.  The denominator would
+# still be order-dependent as a double sum, so each sqrt is floor-snapped
+# to integer micro-units first and summed EXACTLY as BIGINT — the same
+# fixed-point trick as the int8 quantization audit.  Every remaining op
+# is a single exactly-rounded double op with a parenthesized evaluation
+# order, so the oracle hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mix_temperature_sampling",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS nt
+        FROM documents
+    ),
+    c AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source
+    ),
+    s AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS sq
+        FROM c
+    ),
+    t AS (
+        SELECT CAST(SUM(sq) AS BIGINT) AS tot_sq,
+               CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget
+        FROM s
+    )
+    SELECT s.source, s.n_tokens,
+           CAST(s.sq AS DOUBLE) / CAST(t.tot_sq AS DOUBLE) AS weight,
+           CAST(FLOOR((CAST(t.budget AS DOUBLE) * CAST(s.sq AS DOUBLE))
+                      / CAST(t.tot_sq AS DOUBLE)) AS BIGINT) AS alloc_tokens,
+           CAST(FLOOR((CAST(t.budget AS DOUBLE) * CAST(s.sq AS DOUBLE))
+                      / CAST(t.tot_sq AS DOUBLE)) AS DOUBLE)
+               / CAST(s.n_tokens AS DOUBLE) AS epochs
+    FROM s, t
+    """,
+    doc="temperature-scaled (tau=0.5) multi-source sampling weights and "
+        "token allocation under a half-corpus budget; per-source epochs "
+        "expose up-sampling pressure. Fixed-point sqrt accumulation makes "
+        "the mixture bit-exact across engines. One scan + one tiny "
+        "broadcast of the 1-row total.",
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (docs.select(
+            "source",
+            F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+            .cast("bigint").alias("nt"))
+         .groupBy("source")
+         .agg(F.sum("nt").alias("n_tokens")))
+    s = c.withColumn(
+        "sq",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0)
+        .cast("bigint"))
+    t = s.agg(F.sum("sq").cast("bigint").alias("tot_sq"),
+              F.expr("sum(n_tokens) div 2").cast("bigint").alias("budget"))
+    alloc = F.floor(
+        (F.col("budget").cast("double") * F.col("sq").cast("double"))
+        / F.col("tot_sq").cast("double")).cast("bigint")
+    return (s.join(F.broadcast(t))
+            .select("source", "n_tokens",
+                    (F.col("sq").cast("double")
+                     / F.col("tot_sq").cast("double")).alias("weight"),
+                    alloc.alias("alloc_tokens"),
+                    (alloc.cast("double")
+                     / F.col("n_tokens").cast("double")).alias("epochs")))

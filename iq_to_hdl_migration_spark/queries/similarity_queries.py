@@ -387,3 +387,76 @@ def sim_embedding_quantize_stats(spark: SparkSession,
                   .cast("double") / p60
                   / F.count(F.lit(1)).cast("double")).alias("avg_mse"),
                  F.max("mse").cast("double").alias("max_mse")))
+
+
+# ---------------------------------------------------------------------------
+# label-centroid cosine matrix: the domain-similarity audit over an
+# embedding store — which semantic classes are near-collinear (merge
+# candidates / leakage risk between training domains) and which are
+# orthogonal. Per-label mean vectors, then pairwise cosine between the
+# k centroids.
+#
+# Cross-row float sums are order-dependent, so each component is
+# floor-snapped to 2^-20 fixed point and summed EXACTLY as BIGINT (same
+# trick as the quantization audit); the mean, the centroid components,
+# and the per-row cosine fold are then single exactly-rounded double
+# ops — bit-identical in both engines. k centroids is a tiny broadcast
+# self-join; the only data-sized work is one scan + one (label, dim)
+# shuffle of integer partial sums (mergeable, map-side combined).
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_label_centroid_cosine",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim),
+    q AS (
+        SELECT e.label, d.dim,
+               CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 1048576.0)
+                    AS BIGINT) AS qv
+        FROM embeddings e, dims d
+    ),
+    cent AS (
+        SELECT label, dim,
+               (CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   / 1048576.0 AS cv
+        FROM q GROUP BY label, dim
+    ),
+    cvec AS (
+        SELECT label, list(cv ORDER BY dim) AS vec FROM cent GROUP BY label
+    ),
+    n AS (
+        SELECT label, vec, sqrt(list_dot_product(vec, vec)) AS norm
+        FROM cvec
+    )
+    SELECT CAST(a.label AS INTEGER) AS label_a,
+           CAST(b.label AS INTEGER) AS label_b,
+           list_dot_product(a.vec, b.vec) / (a.norm * b.norm) AS cosine
+    FROM n a JOIN n b ON a.label < b.label
+    """,
+    doc="pairwise cosine between per-label centroid embeddings — the "
+        "inter-domain similarity matrix; fixed-point accumulation makes "
+        "the centroids bit-exact across engines",
+)
+def sim_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+         .select("label", (F.col("pos") + 1).alias("dim"),
+                 F.floor(F.col("v").cast("double") * 1048576.0)
+                 .cast("bigint").alias("qv")))
+    cent = (q.groupBy("label", "dim")
+            .agg(((F.sum("qv").cast("double")
+                   / F.count(F.lit(1)).cast("double"))
+                  / F.lit(1048576.0)).alias("cv")))
+    cvec = (cent.groupBy("label")
+            .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))),"
+                        " s -> s.cv)").alias("vec")))
+    n = cvec.select("label", "vec",
+                    F.sqrt(sim.dot_expr("vec", "vec")).alias("norm"))
+    a = n.select(F.col("label").alias("label_a"),
+                 F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
+    b = n.select(F.col("label").alias("label_b"),
+                 F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
+    return (a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+            .select("label_a", "label_b",
+                    (sim.dot_expr("vec_a", "vec_b")
+                     / (F.col("norm_a") * F.col("norm_b"))).alias("cosine")))
