@@ -411,20 +411,37 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
               .where(F.col("rn")
                      <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
               .where(F.col("df") >= 2)
-              .select(*group_cols, "id", "w", "sz"))
+              .select(*group_cols, "id", "w", "sz", "rn"))
     # PPJoin length filter (lossless): jaccard >= t forces
     # t * max(|A|,|B|) <= min(|A|,|B|), so size-mismatched pairs are
     # discarded at the candidate join — before any token-array verify.
     # On uniform synthetic docs this prunes little; on real corpora
     # with long-tailed lengths it removes most cross-length candidates.
+    # PPJoin positional filter (lossless): under the shared rarest-first
+    # token order, a candidate row matching at prefix positions
+    # (rn_a, rn_b) can add at most min(sz_a - rn_a, sz_b - rn_b) more
+    # common tokens, so the intersection is bounded by that + 1; jaccard
+    # >= t needs intersection >= t*(sz_a+sz_b)/(1+t). A pair's
+    # first-common-prefix-token row carries the LARGEST bound, so
+    # filtering per generating row and deduping keeps exactly the pairs
+    # whose best bound clears the requirement. The 1e-9 slack guards the
+    # one-ulp float error in the threshold so rounding can only
+    # under-prune (extra candidates die in the exact verify), never
+    # over-prune.
+    req = F.ceil(F.lit(t / (1.0 + t))
+                 * (F.col("a.sz") + F.col("sz_b")).cast("double")
+                 - F.lit(1e-9))
     cand = (prefix.alias("a")
             .join(prefix.selectExpr(*group_cols, "id AS id_b", "w",
-                                    "sz AS sz_b")
+                                    "sz AS sz_b", "rn AS rn_b")
                   .alias("b"),
                   [*group_cols, "w"])
             .where((F.col("a.id") < F.col("id_b"))
                    & (F.lit(t) * F.greatest("a.sz", "sz_b")
-                      <= F.least("a.sz", "sz_b")))
+                      <= F.least("a.sz", "sz_b"))
+                   & (F.lit(1) + F.least(F.col("a.sz") - F.col("a.rn"),
+                                         F.col("sz_b") - F.col("rn_b"))
+                      >= req))
             .select(*group_cols, F.col("a.id").alias("id_a"), "id_b")
             .dropDuplicates([*group_cols, "id_a", "id_b"]))
     side_a = sized.select(F.col("id").alias("id_a"),
