@@ -394,3 +394,123 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     alloc.alias("alloc_tokens"),
                     (alloc.cast("double")
                      / F.col("n_tokens").cast("double")).alias("epochs")))
+
+
+# ---------------------------------------------------------------------------
+# applying the temperature mixture: deterministic content-addressed
+# downsampling. Sources whose epoch share is < 1 keep only documents
+# whose 16-bit md5(doc_id) bucket falls under floor(epochs * 65536) —
+# the same hash-split discipline as split_train_test, so the sampled
+# corpus is identical on every engine, reshard, and rerun (rand() is
+# none of those). Upsampled sources (epochs >= 1) keep everything; the
+# repeat factor is the planner's job (mix_temperature_sampling.epochs),
+# not the sampler's.
+# ---------------------------------------------------------------------------
+
+_MIX_DUCK_CTES = r"""
+    tok AS (
+        SELECT source, doc_id,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS nt
+        FROM documents
+    ),
+    c AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source
+    ),
+    s AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS sq
+        FROM c
+    ),
+    t AS (
+        SELECT CAST(SUM(sq) AS BIGINT) AS tot_sq,
+               CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget
+        FROM s
+    )
+"""
+
+
+@register(
+    "mix_apply_downsample",
+    oracle=f"""
+    WITH {_MIX_DUCK_CTES},
+    r AS (
+        SELECT s.source, s.n_tokens,
+               CAST(FLOOR((CAST(t.budget AS DOUBLE) * CAST(s.sq AS DOUBLE))
+                          / CAST(t.tot_sq AS DOUBLE)) AS DOUBLE)
+                   / CAST(s.n_tokens AS DOUBLE) AS epochs
+        FROM s, t
+    ),
+    thr AS (
+        SELECT source, n_tokens, epochs,
+               CASE WHEN epochs >= 1.0 THEN 65536
+                    ELSE CAST(FLOOR(epochs * 65536.0) AS BIGINT)
+               END AS thr16
+        FROM r
+    ),
+    kept AS (
+        SELECT tok.source, tok.nt
+        FROM tok JOIN thr ON tok.source = thr.source
+        WHERE CAST('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 4)
+                   AS BIGINT) < thr.thr16
+    ),
+    kept_agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+        FROM kept GROUP BY source
+    )
+    SELECT thr.source, thr.n_tokens, thr.epochs,
+           COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+           COALESCE(k.n_tokens_kept, 0) AS n_tokens_kept,
+           CAST(COALESCE(k.n_tokens_kept, 0) AS DOUBLE)
+               / CAST(thr.n_tokens AS DOUBLE) AS achieved_rate
+    FROM thr LEFT JOIN kept_agg k ON thr.source = k.source
+    """,
+    doc="deterministic application of the tau=0.5 mixture: md5-bucket "
+        "downsampling to each source's epoch share (upsampled sources "
+        "pass through), reporting target vs achieved token rates; "
+        "content-addressed like split_train_test so the sample is "
+        "stable under resharding. One scan + broadcast thresholds.",
+)
+def mix_apply_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id",
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("nt"))
+    c = tok.groupBy("source").agg(F.sum("nt").alias("n_tokens"))
+    s = c.withColumn(
+        "sq",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0)
+        .cast("bigint"))
+    t = s.agg(F.sum("sq").cast("bigint").alias("tot_sq"),
+              F.expr("sum(n_tokens) div 2").cast("bigint").alias("budget"))
+    epochs = (F.floor(
+        (F.col("budget").cast("double") * F.col("sq").cast("double"))
+        / F.col("tot_sq").cast("double")).cast("double")
+        / F.col("n_tokens").cast("double"))
+    thr = (s.join(F.broadcast(t))
+           .select("source", "n_tokens", epochs.alias("epochs"))
+           .withColumn("thr16",
+                       F.when(F.col("epochs") >= 1.0, F.lit(65536).cast("bigint"))
+                       .otherwise(F.floor(F.col("epochs") * 65536.0)
+                                  .cast("bigint"))))
+    bucket16 = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        " AS BIGINT)")
+    kept = (tok.join(F.broadcast(thr.select("source", "thr16")), "source")
+            .where(bucket16 < F.col("thr16")))
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("nt").alias("n_tokens_kept"))
+    # both sides are per-source aggregates (bounded by source count);
+    # broadcast the kept side so the report join never shuffles
+    return (thr.join(F.broadcast(kept_agg), "source", "left")
+            .select("source", "n_tokens", "epochs",
+                    F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+                    F.coalesce("n_tokens_kept", F.lit(0))
+                    .alias("n_tokens_kept"),
+                    (F.coalesce("n_tokens_kept", F.lit(0)).cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("achieved_rate")))

@@ -216,3 +216,69 @@ def v11_content_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("o_orderkey", key + 100_000_000))
     right = survivors.unionByName(readded)
     return table_diff(orders, right, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit across every FK edge of the star schema —
+# the cross-table complement of dq_profile_lineitem's single-table
+# profile (the reference validates per-table row counts,
+# migration.py:1940-2049; orphan detection is the natural next check a
+# warehouse migration signs off on).  Each edge is a distinct-keys
+# left-anti probe: project the child to its key column (column-pruned
+# scan), distinct it (map-side partial), anti-join the parent key set —
+# broadcast when the parent is a dim.  Orphan counts land alongside
+# child cardinalities so a 0-orphan row still carries non-trivial
+# evidence.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+        SELECT '{child}.{ck}->{parent}.{pk}' AS fk_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(COUNT(DISTINCT {ck}) AS BIGINT) AS n_child_keys,
+               CAST((SELECT COUNT(*) FROM (
+                    SELECT DISTINCT {ck} FROM {child}
+                    WHERE {ck} IS NOT NULL
+                      AND {ck} NOT IN (SELECT {pk} FROM {parent})) o)
+                    AS BIGINT) AS n_orphan_keys
+        FROM {child} WHERE {ck} IS NOT NULL""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle=_fk_oracle(),
+    doc="orphan-key audit over all 7 FK edges of the star schema: child "
+        "row/key cardinalities + distinct child keys missing from the "
+        "parent; per-edge column-pruned scans, distinct-then-anti-join "
+        "(broadcast for dim parents). Beyond-reference V-suite row.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).where(F.col(ck).isNotNull())
+        p = load_table(spark, sf_dir, parent).select(pk)
+        keys = c.select(F.col(ck).alias("k")).distinct()
+        orphans = (keys.join(p, keys["k"] == p[pk], "left_anti")
+                   .agg(F.count(F.lit(1)).alias("n_orphan_keys")))
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.countDistinct(ck).alias("n_child_keys"))
+        row = (stats.join(F.broadcast(orphans))
+               .select(F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+                       "n_child_rows", "n_child_keys", "n_orphan_keys"))
+        out = row if out is None else out.unionByName(row)
+    return out

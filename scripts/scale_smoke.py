@@ -75,6 +75,8 @@ EXTRA = [
     # round-5 additions
     "text_contamination_13gram", "text_bm25_topk",
     "mlprep_sequence_packing", "s13_hosparams_rules_intersection",
+    "mix_temperature_sampling", "sim_label_centroid_cosine",
+    "text_contamination_neardup",
 ]
 
 

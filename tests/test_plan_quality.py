@@ -309,3 +309,33 @@ def test_sequence_packing_window_partitioned_by_source(spark, sf_dir):
         REGISTRY["mlprep_sequence_packing"].fn(spark, sf_dir))
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_fk_integrity_all_probes_broadcast(spark, sf_dir):
+    """Every distinct-then-anti-join probe must resolve to a broadcast
+    hash join at gate scale — an SMJ on a dim parent means the
+    broadcast hint/pruning regressed."""
+    df = REGISTRY["dq_referential_integrity"].fn(spark, sf_dir)
+    plan = final_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 7
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_cosine_broadcast_pairing(spark, sf_dir):
+    """The k x k centroid pairing is a broadcast nested-loop over k
+    rows, never a CartesianProduct over data; the only data-sized
+    shuffle is the (label, dim) partial-sum aggregate."""
+    df = REGISTRY["sim_label_centroid_cosine"].fn(spark, sf_dir)
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mix_queries_single_scan_shape(spark, sf_dir):
+    """mix_temperature_sampling joins the 1-row totals by broadcast;
+    mix_apply_downsample broadcasts the per-source thresholds — no
+    cartesian, no sort-merge on the documents side."""
+    for name in ("mix_temperature_sampling", "mix_apply_downsample"):
+        plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
