@@ -277,3 +277,37 @@ def cross_split_contamination_oracle(threshold: float = 0.5) -> str:
     WHERE s.split = 'train'
     GROUP BY s.source
     """
+
+
+def threshold_sweep_oracle() -> str:
+    """Twin of dedup_threshold_sweep: per 0.1-wide estimated-jaccard
+    band, candidate-pair count and distinct docs involved. Bands are
+    exact: est_jaccard is k/32 (k agreeing positions), and k/32 * 10 =
+    5k/16 is a power-of-two-denominator rational, so FLOOR(x*10)/10 is
+    bit-identical in both engines."""
+    return f"""
+    WITH {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    pairs AS (
+        SELECT id_a, id_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5
+        UNION ALL
+        SELECT keep_id AS id_a, id AS id_b, 1.0::DOUBLE AS est_jaccard
+        FROM base WHERE id != keep_id
+    ),
+    banded AS (
+        SELECT FLOOR(est_jaccard * 10) / 10 AS jac_band, id_a, id_b
+        FROM pairs
+    ),
+    stacked AS (
+        SELECT jac_band, id_a AS id FROM banded
+        UNION ALL
+        SELECT jac_band, id_b AS id FROM banded
+    )
+    SELECT b.jac_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(d.n_docs) AS BIGINT) AS n_docs
+    FROM banded b
+    JOIN (SELECT jac_band, COUNT(DISTINCT id) AS n_docs
+          FROM stacked GROUP BY jac_band) d
+      ON b.jac_band = d.jac_band
+    GROUP BY b.jac_band
+    """

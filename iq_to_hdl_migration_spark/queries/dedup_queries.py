@@ -22,6 +22,7 @@ from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     minhash_clusters_oracle,
     minhash_pairs_oracle,
     simhash_pairs_oracle,
+    threshold_sweep_oracle,
 )
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
@@ -186,3 +187,27 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(1.0) - F.col("n_distinct").cast("double")
                  / F.col("n_docs").cast("double")).alias("dup_rate"))
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=threshold_sweep_oracle(),
+    doc="near-dup rate curve: candidate pairs and distinct docs per "
+        "0.1-wide estimated-jaccard band from one LSH pass — the "
+        "evidence for CHOOSING a dedup threshold without re-running "
+        "the pipeline per candidate threshold; bands are exact "
+        "(est_jaccard = k/32, so floor(x*10)/10 is engine-identical)",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+    banded = pairs.withColumn(
+        "jac_band", F.floor(F.col("est_jaccard") * 10) / 10)
+    per_band = banded.groupBy("jac_band").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    stacked = (banded.select("jac_band", F.col("id_a").alias("id"))
+               .unionByName(banded.select("jac_band",
+                                          F.col("id_b").alias("id"))))
+    docs_per_band = stacked.groupBy("jac_band").agg(
+        F.countDistinct("id").alias("n_docs"))
+    return per_band.join(docs_per_band, "jac_band")

@@ -514,3 +514,62 @@ def mix_apply_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("n_tokens_kept", F.lit(0)).cast("double")
                      / F.col("n_tokens").cast("double"))
                     .alias("achieved_rate")))
+
+
+# ---------------------------------------------------------------------------
+# exact sequence-length percentiles per source — the report that picks
+# the packing max_len (mlprep_sequence_packing) and the truncation
+# budget. Percentile ranks are computed with INTEGER arithmetic
+# (ceil(q*n) = (q_num*n + q_num) // q_den) so band edges are
+# bit-identical in both engines — no float quantile interpolation, no
+# sketch. One shuffle on source; the rank window is per-source.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mlprep_seqlen_percentiles",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS nt
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, nt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY nt, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM tok
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS p50_tokens,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN nt END) AS p90_tokens,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN nt END)
+               AS p99_tokens,
+           MAX(nt) AS max_tokens
+    FROM ranked GROUP BY source
+    """,
+    doc="exact per-source token-count percentiles (p50/p90/p99/max) via "
+        "integer rank arithmetic — the packing/truncation sizing report; "
+        "deterministic across engines (no float quantile interpolation)",
+)
+def mlprep_seqlen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id",
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("nt"))
+    w = Window.partitionBy("source").orderBy("nt", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = (tok.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    pick = lambda num, den: F.max(
+        F.when(F.col("rn") == F.expr(f"({num} * n + {num}) div {den}"),
+               F.col("nt")))
+    return (ranked.groupBy("source")
+            .agg(F.max("n").cast("bigint").alias("n_docs"),
+                 F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                              F.col("nt"))).alias("p50_tokens"),
+                 pick(9, 10).alias("p90_tokens"),
+                 pick(99, 100).alias("p99_tokens"),
+                 F.max("nt").alias("max_tokens")))

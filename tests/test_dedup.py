@@ -55,3 +55,46 @@ def test_minhash_signature_deterministic(docs, spark):
     b = dedup.with_minhash(docs).orderBy("doc_id").collect()
     assert [r.minhash for r in a] == [r.minhash for r in b]
     assert all(len(r.minhash) == dedup.N_HASHES for r in a)
+
+
+def test_ppjoin_matches_bruteforce_on_random_corpora(spark):
+    """Losslessness of the full PPJoin candidate pipeline (rarest-first
+    prefix cut + hapax drop + length filter + positional filter)
+    against a brute-force all-pairs reference on seeded random corpora
+    — including duplicate floods, empty docs, and sub-threshold noise
+    that the fixed oracle corpus doesn't exercise."""
+    import random
+    import re
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(36):
+            n = rng.randint(0, 10)
+            toks = rng.choices(vocab, k=n)  # duplicates exercised
+            rows.append((i, " ".join(toks), "s"))
+        # planted: exact-dup flood + a near-dup + an empty-doc pair
+        rows.append((100, rows[0][1], "s"))
+        rows.append((101, rows[0][1], "s"))
+        rows.append((102, rows[1][1] + " extraword", "s"))
+        rows.append((103, "", "s"))
+        rows.append((104, "", "s"))
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        got = {(r.id_a, r.id_b): (r.n_inter, r.n_union)
+               for r in dedup.jaccard_pairs_within_groups(
+                   df, ["source"], min_jaccard=0.5).collect()}
+        # brute force with the exact same tokenizer semantics
+        # (split('\s+') on trimmed-lower text; empty text -> {''})
+        sets = {i: set(re.split(r"\s+", t.lower().strip()))
+                for i, t, _ in rows}
+        want = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= 0.5:
+                    want[(a, b)] = (inter, union)
+        assert got == want, f"seed={seed}"
