@@ -464,3 +464,121 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
         .where(F.col("jaccard") >= min_jaccard)
         .select(*group_cols, "id_a", "id_b", "n_inter", "n_union", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup: the production shape for a corpus that grows
+# in batches. A 100 TB corpus cannot re-signature and re-bucket
+# everything for each day's arrivals; instead the (band, band_sig)
+# posting list and the content-digest map persist as the index, and a
+# new batch only computes signatures for ITS representatives, joining
+# them against the stored postings. Work per batch is
+# O(batch + collisions), independent of corpus size.
+# ---------------------------------------------------------------------------
+
+def build_lsh_index(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Build the persistent near-dup index for a corpus snapshot:
+    (bands, digests) where `bands` holds one (band, band_sig, id,
+    minhash) posting per representative per band and `digests` maps
+    content digest -> keeper id. Both are plain DataFrames the caller
+    persists (parquet partitioned by band, or a bucketed table on
+    band_sig)."""
+    reps, _links = _exact_prepass(df, id_col, text_col)
+    sigs = with_minhash(reps, "text")
+    bands = (
+        sigs.select(
+            "id", "minhash",
+            F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"))
+        .withColumn(
+            "band_sig",
+            F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1,"
+                   f" {ROWS_PER_BAND})")))
+    digests = (df.select(F.col(id_col).alias("id"),
+                         F.md5(F.col(text_col).cast("binary"))
+                         .alias("digest"))
+               .groupBy("digest").agg(F.min("id").alias("keep_id")))
+    return bands, digests
+
+
+_EST_AGREE = ("CAST(size(filter(zip_with({a}, {b}, (x, y) -> x = y),"
+              " v -> v)) AS DOUBLE) / CAST(size({a}) AS DOUBLE)")
+
+
+def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
+                          index_digests: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          threshold: float = 0.5,
+                          bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Near-dup pairs introduced by a new batch against an existing
+    `build_lsh_index` store (plus pairs within the batch), without
+    touching stored documents' text. Keeper convention is
+    first-seen-wins: a new doc whose content digest is already stored
+    links to the STORED keeper (the full recompute's min-id keeper
+    agrees whenever ids are monotone in arrival order).
+
+    Stages, all bounded by batch size + collision count:
+      1. digest join: new docs identical to stored content emit
+         (stored_keeper, new_id, 1.0) and are done;
+      2. exact pre-pass WITHIN the remaining batch (flood-safe);
+      3. signatures for batch representatives only;
+      4. batch postings join stored postings on (band, band_sig) —
+         the store side is never re-signatured; plus the standard
+         capped-bucket explode within the batch postings."""
+    tagged = (new_df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("text"))
+              .withColumn("digest", F.md5(F.col("text").cast("binary"))))
+    j = tagged.join(index_digests, "digest", "left")
+    exact_vs_store = (j.where(F.col("keep_id").isNotNull())
+                      .select(F.col("keep_id").alias("id_a"),
+                              F.col("id").alias("id_b"),
+                              F.lit(1.0).alias("est_jaccard")))
+    remaining = (j.where(F.col("keep_id").isNull())
+                 .select("id", "text"))
+    reps, links = _exact_prepass(remaining, "id", "text")
+    exact_in_batch = links.withColumn("est_jaccard", F.lit(1.0))
+    sigs = with_minhash(reps, "text")
+    new_bands = (
+        sigs.select(
+            "id", "minhash",
+            F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"))
+        .withColumn(
+            "band_sig",
+            F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1,"
+                   f" {ROWS_PER_BAND})")))
+    est = F.expr(_EST_AGREE.format(a="minhash", b="minhash_new"))
+    cross = (index_bands
+             .join(new_bands.select(F.col("id").alias("id_new"),
+                                    F.col("minhash").alias("minhash_new"),
+                                    "band", "band_sig"),
+                   ["band", "band_sig"])
+             .where(F.col("id") != F.col("id_new"))
+             .select(F.least("id", "id_new").alias("id_a"),
+                     F.greatest("id", "id_new").alias("id_b"),
+                     est.alias("est_jaccard"))
+             .where(F.col("est_jaccard") >= threshold)
+             .dropDuplicates(["id_a", "id_b"]))
+    capped = _cap_buckets(new_bands, ["band", "band_sig"], bucket_cap)
+    buckets = (capped.groupBy("band", "band_sig")
+               .agg(F.collect_list(F.struct("id", "minhash"))
+                    .alias("members"))
+               .where(F.size("members") > 1))
+    within = (
+        buckets.select(
+            F.explode(F.expr("""
+                flatten(transform(members, (x, i) ->
+                    transform(slice(members, i + 2, size(members)), y ->
+                        struct(least(x.id, y.id) AS id_a,
+                               greatest(x.id, y.id) AS id_b,
+                               CAST(size(filter(
+                                   zip_with(x.minhash, y.minhash,
+                                            (a, b) -> a = b), v -> v))
+                                    AS DOUBLE)
+                               / CAST(size(x.minhash) AS DOUBLE)
+                               AS est_jaccard))))
+            """)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
+        .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"]))
+    return (exact_vs_store.unionByName(exact_in_batch)
+            .unionByName(cross).unionByName(within))

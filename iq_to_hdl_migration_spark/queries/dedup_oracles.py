@@ -311,3 +311,24 @@ def threshold_sweep_oracle() -> str:
       ON b.jac_band = d.jac_band
     GROUP BY b.jac_band
     """
+
+
+def incremental_pairs_oracle(threshold: float = 0.5) -> str:
+    """Twin of dedup_incremental_pairs: with ids monotone in arrival
+    order and no bucket overflow (true at gate scales), the incremental
+    pass over batch2 = the FULL recompute's pairs restricted to those
+    touching batch2 — and since id_a < id_b, 'touching batch2' is
+    exactly id_b > cut."""
+    return f"""
+    WITH {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    allpairs AS (
+        SELECT id_a, id_b, est_jaccard FROM cand
+        WHERE est_jaccard >= {threshold}
+        UNION ALL
+        SELECT keep_id AS id_a, id AS id_b, 1.0::DOUBLE AS est_jaccard
+        FROM base WHERE id != keep_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM allpairs
+    WHERE id_b > (SELECT CAST(FLOOR(MAX(doc_id) * 0.6) AS BIGINT)
+                  FROM documents)
+    """

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iq_to_hdl_migration_spark.operators import dedup
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
+    incremental_pairs_oracle,
     lsh_bucket_census_oracle,
     minhash_clusters_oracle,
     minhash_pairs_oracle,
@@ -211,3 +212,30 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_per_band = stacked.groupBy("jac_band").agg(
         F.countDistinct("id").alias("n_docs"))
     return per_band.join(docs_per_band, "jac_band")
+
+
+@register(
+    "dedup_incremental_pairs",
+    oracle=incremental_pairs_oracle(threshold=0.5),
+    # equivalence with the full recompute requires no bucket overflow;
+    # guaranteed at gate scales (census-asserted in tests), not under
+    # replicated-flood smoke data
+    oracle_max_sf=0.02,
+    doc="incremental near-dup: batch2 (doc_id above the 60%-of-max cut) "
+        "deduped against a PERSISTED LSH index of batch1 — signatures "
+        "computed for the batch only, store joined on (band, band_sig); "
+        "work per batch is O(batch + collisions), independent of corpus "
+        "size. Oracle = full recompute restricted to pairs touching the "
+        "batch (exact equivalence locked in tests/test_dedup.py).",
+)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.dedup import (
+        build_lsh_index, lsh_incremental_pairs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.max("doc_id") * 0.6).cast("bigint")).first()[0]
+    batch1 = docs.where(F.col("doc_id") <= cut)
+    batch2 = docs.where(F.col("doc_id") > cut)
+    bands, digests = build_lsh_index(batch1)
+    return lsh_incremental_pairs(batch2, bands, digests)

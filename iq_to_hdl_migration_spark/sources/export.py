@@ -111,3 +111,43 @@ def read_csv_with_ledger(spark: SparkSession, path: str, schema: str,
     bad = (full.where("_corrupt_record IS NOT NULL")
            .select(F.col("_corrupt_record").alias("raw_line")))
     return good, bad
+
+
+def export_jsonl_sharded(df: DataFrame, path: str,
+                         max_records_per_file: int = 100_000,
+                         num_partitions: int | None = None,
+                         compression: str | None = "gzip") -> DataFrame:
+    """Training-data sink: sharded JSONL (the interchange format every
+    LLM data pipeline reads/writes), one JSON object per line, shards
+    capped by `maxRecordsPerFile` exactly like the parquet exporter
+    (S2's Temp_Extract_Size analog). Returns a one-row-per-shard
+    manifest DataFrame (file, n_rows, n_bytes) read back from the
+    written output — the listing-verification step S10/S11 applies to
+    object-store copies (pipeline/migrate.py listing_reconcile).
+
+    Scale shape: the write is embarrassingly parallel (no shuffle
+    beyond the optional repartition); the manifest is a driver-side
+    listing plus ONE count pass over the written shards, not a second
+    pass over the source."""
+    import os
+
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    w = (df.write.mode("errorifexists")
+         .option("maxRecordsPerFile", max_records_per_file))
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+    spark = df.sparkSession
+    # ONE count job over all shards (input_file_name groups rows by
+    # shard), not one job per shard; sizes from the same local-FS
+    # listing convention as pipeline listing_reconcile
+    counts = {os.path.basename(r["f"]): r["n"] for r in
+              (spark.read.text(path)
+               .groupBy(F.input_file_name().alias("f"))
+               .agg(F.count(F.lit(1)).alias("n"))).collect()}
+    rows = [(f, counts.get(f, 0),
+             os.path.getsize(os.path.join(path, f)))
+            for f in sorted(os.listdir(path)) if f.startswith("part-")]
+    return spark.createDataFrame(
+        rows, "file string, n_rows bigint, n_bytes bigint")

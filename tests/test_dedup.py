@@ -98,3 +98,40 @@ def test_ppjoin_matches_bruteforce_on_random_corpora(spark):
                 if union and inter / union >= 0.5:
                     want[(a, b)] = (inter, union)
         assert got == want, f"seed={seed}"
+
+
+def test_incremental_lsh_equals_full_recompute(spark, sf_dir):
+    """build_lsh_index(batch1) + lsh_incremental_pairs(batch2) must
+    reproduce exactly the pairs of a full-corpus recompute (old-old
+    pairs from batch1's own run, everything touching batch2 from the
+    incremental pass), with identical est_jaccard values — valid
+    whenever no bucket exceeds the cap and ids are monotone in arrival
+    order (both asserted/true here)."""
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.operators.dedup import (
+        BUCKET_CAP, build_lsh_index, lsh_incremental_pairs)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.6)")).first()[0]
+    batch1 = docs.where(F.col("doc_id") <= cut)
+    batch2 = docs.where(F.col("doc_id") > cut)
+
+    # precondition: no truncation in the full run at this scale
+    census = dedup.minhash_bucket_census(docs).collect()
+    assert all(r.n_overflow_buckets == 0 for r in census)
+
+    full = {(r.id_a, r.id_b): r.est_jaccard
+            for r in dedup.lsh_candidate_pairs(docs).collect()}
+    old = {(r.id_a, r.id_b): r.est_jaccard
+           for r in dedup.lsh_candidate_pairs(batch1).collect()}
+    bands, digests = build_lsh_index(batch1)
+    inc = {(r.id_a, r.id_b): r.est_jaccard
+           for r in lsh_incremental_pairs(
+               batch2, bands, digests, bucket_cap=BUCKET_CAP).collect()}
+    # incremental pairs all touch batch2
+    assert all(b > cut for _, b in inc)
+    combined = dict(old)
+    combined.update(inc)
+    assert combined == full
