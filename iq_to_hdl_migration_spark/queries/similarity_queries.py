@@ -460,3 +460,149 @@ def sim_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("label_a", "label_b",
                     (sim.dot_expr("vec_a", "vec_b")
                      / (F.col("norm_a") * F.col("norm_b"))).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized retrieval: the OTHER half of the quantization audit.
+# sim_embedding_quantize_stats reports reconstruction MSE; these two
+# report what actually matters for serving — does top-k retrieval
+# survive 4x-smaller vectors? Scales cancel inside cosine, so the
+# quantized cosine is pure integer arithmetic (|q| <= 127, dim 64:
+# every intermediate < 2^53, so even a double-fold sum is EXACT and
+# engine-order-independent) with one final sqrt/divide — fully
+# hash-checked, unlike sketch-style ANN.
+# ---------------------------------------------------------------------------
+
+_QUANT_CTE = f"""
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vec,
+               greatest(list_max(list_transform(vec, x -> abs(x))) / 127.0,
+                        1e-30) AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(vec, x -> FLOOR(x / scale + 0.5)) AS qv
+        FROM s
+    ),
+    qn AS (
+        SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qnorm
+        FROM q
+    ),
+    qscored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               list_dot_product(a.qv, b.qv) / (a.qnorm * b.qnorm)
+                   AS cosine_q
+        FROM qn a JOIN qn b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    ),
+    qtop AS (
+        SELECT query_id, cand_id, cosine_q, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT query_id, cand_id, cosine_q,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_q DESC, cand_id) AS rnk
+            FROM qscored
+        ) t WHERE rnk <= 5
+    )
+"""
+
+
+def _quantized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = (emb
+         .withColumn("vec", F.expr(sim.as_double_array("embedding")))
+         .withColumn("scale", F.expr(
+             "greatest(array_max(transform(vec, x -> abs(x))) / 127.0D, "
+             "1e-30D)"))
+         .withColumn("qv", F.expr(
+             "transform(vec, x -> floor(x / scale + 0.5D))"))
+         .withColumn("qnorm", F.sqrt(sim.dot_expr("qv", "qv")))
+         .select("vec_id", "qv", "qnorm"))
+    probes = (d.where(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("qv").alias("qv_q"),
+                      F.col("qnorm").alias("qnorm_q")))
+    return (d.join(F.broadcast(probes),
+                   F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("cand_id"),
+                    (sim.dot_expr("qv_q", "qv")
+                     / (F.col("qnorm_q") * F.col("qnorm")))
+                    .alias("cosine_q")))
+
+
+@register(
+    "sim_quantized_topk",
+    oracle=f"""
+    WITH {_QUANT_CTE}
+    SELECT query_id, cand_id, cosine_q, rnk FROM qtop
+    """,
+    doc="exact cosine top-5 per probe over int8-quantized vectors "
+        "(scales cancel: pure integer dot products, bit-exact in both "
+        "engines) — the retrieval half of the quantization audit",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _quantized_scored(spark, sf_dir)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"),
+                                               F.asc("cand_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("query_id", "cand_id", "cosine_q",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+@register(
+    "sim_quantized_recall",
+    oracle=f"""
+    WITH {_QUANT_CTE},
+    fv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    fscored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               list_dot_product(a.vec, b.vec) / (a.norm * b.norm) AS cosine
+        FROM fv a JOIN fv b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    ),
+    ftop AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rnk
+            FROM fscored
+        ) t WHERE rnk <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(q.cand_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(q.cand_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM ftop f
+    LEFT JOIN qtop q
+      ON q.query_id = f.query_id AND q.cand_id = f.cand_id
+    GROUP BY f.query_id
+    """,
+    doc="per-probe recall@5 of int8-quantized retrieval vs exact float "
+        "cosine — the accept/reject number for swapping the serving "
+        "store to int8; bit-exact oracle on both rankings",
+)
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (sim.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=5)
+        .select("query_id", "cand_id"))
+    quant = (sim_quantized_topk(spark, sf_dir)
+             .select(F.col("query_id").alias("q_query"),
+                     F.col("cand_id").alias("q_cand")))
+    j = exact.join(
+        quant, (F.col("query_id") == F.col("q_query"))
+        & (F.col("cand_id") == F.col("q_cand")), "left")
+    return (j.groupBy("query_id")
+            .agg(F.count("q_cand").alias("n_overlap"),
+                 (F.count("q_cand").cast("double") / F.lit(5.0))
+                 .alias("recall_at_5")))
