@@ -1,0 +1,51 @@
+"""Hostile-session gate: the driver that imports __spark_entry__ owns
+its SparkSession, so registry queries must not depend on the conf our
+own factory pins (UTC session timezone, ANSI off, 32 shuffle
+partitions). This runs a representative slice of the registry under a
+deliberately different SQL conf via `spark.newSession()` (shared
+context, independent conf) and asserts results identical to the
+pinned-session run."""
+
+from __future__ import annotations
+
+import pytest
+
+from iq_to_hdl_migration_spark.queries import load_all
+
+REGISTRY = load_all()
+
+# timestamp-sensitive, decimal-heavy, hash/split, integer-div, and
+# float-canonicalization shapes — the conf-sensitive surface
+_SLICE = [
+    "events_hourly_by_type",      # timestamps (session TZ)
+    "events_rolling_hour_value",  # range frame over timestamps
+    "q1_pricing_summary",         # decimal aggregation
+    "split_train_test",           # md5 bucketing
+    "mix_temperature_sampling",   # div, floor, sqrt fixed-point
+    "mlprep_seqlen_percentiles",  # integer rank arithmetic
+    "dedup_exact_stats",          # digest distinct
+    "sim_quantized_recall",       # integer cosine + join
+]
+
+_HOSTILE = {
+    "spark.sql.session.timeZone": "Asia/Tokyo",
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.shuffle.partitions": "5",
+}
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    s = spark.newSession()
+    for k, v in _HOSTILE.items():
+        s.conf.set(k, v)
+    yield s
+
+
+@pytest.mark.parametrize("name", _SLICE)
+def test_query_is_session_conf_independent(spark, hostile, sf_dir, name):
+    base = sorted(tuple(r) for r in
+                  REGISTRY[name].fn(spark, sf_dir).collect())
+    got = sorted(tuple(r) for r in
+                 REGISTRY[name].fn(hostile, sf_dir).collect())
+    assert got == base, name
