@@ -103,3 +103,108 @@ def sketch_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p").getItem(1).alias("p95"),
                 F.col("p").getItem(2).alias("p99"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable explicit HLL — the hash-checkable counterpart to the
+# DataSketches entries above. Register assignment and rank extraction
+# are pure integer ops over the md5-prefix hash (same portability trick
+# as the dedup family), ranks (rho = 55 - bitlen of the 54-bit suffix) are capped at 30 so the harmonic sum
+# accumulates EXACTLY as BIGINT (sum of 2^(30-M) terms), and the raw
+# estimate is one parenthesized multiply/divide chain — so the whole
+# sketch, including its estimate, value-hash-matches across engines.
+# Grouping is distinct l_orderkey per l_returnflag: high enough
+# cardinality at every gate scale that the raw (uncorrected) harmonic
+# estimator is in its valid regime (n >> 2.5m would need the
+# ln-based small-range correction, and ln is not bit-portable).
+# The report carries the exact distinct count alongside so every row
+# shows the sketch error it achieved; the ~1.04/sqrt(64) = 13% bound
+# is locked in tests.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64             # registers (2^6)
+_HLL_ALPHA = 0.709      # HLL alpha_64 constant, frozen literal
+_HLL_RANK_CAP = 30      # keeps 2^(cap - M) sums exact in BIGINT
+
+
+@register(
+    "sketch_hll_portable_distinct_orders",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag AS flag, l_orderkey,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM lineitem
+    ),
+    rho AS (
+        SELECT flag, hv % {_HLL_M} AS reg,
+               least(CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                          ELSE 55 - length(bin(hv // {_HLL_M})) END,
+                     {_HLL_RANK_CAP}) AS r
+        FROM h
+    ),
+    regs AS (
+        SELECT flag, reg, MAX(r) AS m FROM rho GROUP BY flag, reg
+    ),
+    agg AS (
+        SELECT flag,
+               CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+               CAST(SUM(CAST(2 AS BIGINT) << ({_HLL_RANK_CAP} - m))
+                    AS BIGINT) / 2
+                   + ({_HLL_M} - COUNT(*))
+                     * (CAST(1 AS BIGINT) << {_HLL_RANK_CAP})
+                   AS sum_scaled
+        FROM regs GROUP BY flag
+    ),
+    exact AS (
+        SELECT l_returnflag AS flag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact
+        FROM lineitem GROUP BY 1
+    )
+    SELECT a.flag, e.n_orders_exact, a.n_registers_hit,
+           CAST(a.sum_scaled AS BIGINT) AS sum_scaled,
+           (CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M})
+               * (CAST(1 AS BIGINT) << {_HLL_RANK_CAP})
+               / CAST(a.sum_scaled AS DOUBLE) AS hll_estimate
+    FROM agg a JOIN exact e ON a.flag = e.flag
+    """,
+    doc="engine-portable explicit HLL(64): distinct orderkeys per "
+        "returnflag with the exact count alongside — integer register "
+        "math + exact BIGINT harmonic sum make even the ESTIMATE "
+        "value-hash-checkable (the DataSketches entries stay rows-only "
+        "by algorithmic design); error bound locked in tests",
+)
+def sketch_hll_portable_distinct_orders(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cap, m = _HLL_RANK_CAP, _HLL_M
+    h = li.select(
+        F.col("l_returnflag").alias("flag"), "l_orderkey",
+        F.expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT)").alias("hv"))
+    rho = h.select(
+        "flag", (F.col("hv") % m).alias("reg"),
+        F.least(
+            F.when(F.expr(f"hv div {m}") == 0, F.lit(55))
+            .otherwise(F.lit(55)
+                       - F.length(F.bin(F.expr(f"hv div {m}")))),
+            F.lit(cap)).alias("r"))
+    regs = rho.groupBy("flag", "reg").agg(F.max("r").alias("m"))
+    agg = regs.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_registers_hit"),
+        (F.sum(F.expr(f"CAST(2 AS BIGINT) << ({cap} - m)")).cast("bigint")
+         / F.lit(2)).cast("bigint")
+        .alias("present_sum"))
+    agg = agg.withColumn(
+        "sum_scaled",
+        F.col("present_sum")
+        + (F.lit(m) - F.col("n_registers_hit"))
+        * F.expr(f"CAST(1 AS BIGINT) << {cap}")).drop("present_sum")
+    exact = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"))
+    est = (F.lit(_HLL_ALPHA * m * m)
+           * F.expr(f"CAST(1 AS BIGINT) << {cap}").cast("double")
+           / F.col("sum_scaled").cast("double"))
+    return (agg.join(exact, "flag")
+            .select("flag", "n_orders_exact", "n_registers_hit",
+                    "sum_scaled", est.alias("hll_estimate")))

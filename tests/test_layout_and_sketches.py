@@ -102,3 +102,20 @@ def test_approx_percentiles_bounds(spark, sf_dir):
                 (r["p50"], r["p95"], r["p99"]),
                 ((b[0], b[1]), (b[2], b[3]), (b[4], b[5]))):
             assert lo - 1e-6 <= approx <= hi + 1e-6, (r, b)
+
+
+def test_portable_hll_error_bound(spark, sf_dir):
+    """The explicit engine-portable HLL(64) must stay within 3.5 sigma
+    of exact (sigma = 1.04/sqrt(64) ~ 13%; formula verified unbiased to
+    +2.7% over 30 random key sets in the design simulation). Groups
+    share most orderkeys so deviations are correlated — one draw, not
+    three independent ones."""
+    from iq_to_hdl_migration_spark.queries import load_all
+
+    rows = load_all()["sketch_hll_portable_distinct_orders"] \
+        .fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        rel = abs(r.hll_estimate - r.n_orders_exact) / r.n_orders_exact
+        assert rel < 0.455, (r.flag, rel)
+        assert 1 <= r.n_registers_hit <= 64
