@@ -62,3 +62,54 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                         + F.lit(dangling / n))).alias("rank"))
         )
     return ranks
+
+
+# Fixed-point integer PageRank: same dataflow as `pagerank`, but ranks
+# live in integer units of 2^-40 and damping is the rational 17/20, so
+# every iteration is exact BIGINT arithmetic — floor division only ever
+# sheds deterministic dust, which the dangling-mass term absorbs. The
+# point: a 10-iteration run is bit-identical on ANY engine that has
+# 64-bit integers, which is what lets the registry carry a full DuckDB
+# value-hash oracle for an ITERATIVE algorithm (the double-precision
+# `pagerank` stays NumPy-locked instead — float sums are
+# partition-order-dependent).
+PR_SCALE = 1 << 40
+PR_DAMP_NUM = 17
+PR_DAMP_DEN = 20
+
+
+def pagerank_fixedpoint(edges: DataFrame, iters: int = 10,
+                        src: str = "src", dst: str = "dst",
+                        weight: str = "weight") -> DataFrame:
+    """Integer PageRank. Returns (node, rank_q BIGINT, rank DOUBLE)
+    with rank = rank_q / 2^40 (exact: rank_q < 2^53)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(weight).cast("bigint").alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    n = nodes.count()
+    e_out = (e.join(e.groupBy("src").agg(F.sum("w").alias("out_w")),
+                    "src").cache())
+    base_q = (3 * PR_SCALE) // (PR_DAMP_DEN * n)
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("q"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e_out, ranks["node"] == e_out["src"])
+            .select("dst", F.expr("(q * w) div out_w").alias("cc"))
+            .groupBy("dst").agg(F.sum("cc").alias("c"))
+        ).localCheckpoint()
+        prev_total = ranks.agg(F.sum("q")).collect()[0][0]
+        s = contrib.agg(F.sum("c")).collect()[0][0] or 0
+        dangling_share = (prev_total - s) // n
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select("node",
+                    (F.lit(base_q)
+                     + F.expr(f"({PR_DAMP_NUM} * (coalesce(c, 0L)"
+                              f" + {dangling_share}L))"
+                              f" div {PR_DAMP_DEN}")).alias("q"))
+        )
+    return ranks.select(
+        "node", F.col("q").alias("rank_q"),
+        (F.col("q").cast("double") / F.lit(float(PR_SCALE))).alias("rank"))

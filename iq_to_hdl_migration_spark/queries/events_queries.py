@@ -432,3 +432,94 @@ def events_session_windows_native(spark: SparkSession,
                     F.unix_micros("w.start").alias("session_start_us"),
                     F.unix_micros("w.end").alias("session_end_us"),
                     F.col("n_events").cast("bigint").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank with a FULL value-hash oracle: the iterative
+# fixpoint is exact BIGINT arithmetic (operators/graph.py
+# pagerank_fixedpoint), so its 10 iterations UNROLL into a generated
+# DuckDB CTE chain — refuting "iterative algorithms can only be
+# rows-only" for any algorithm that can be cast to integer updates.
+# ---------------------------------------------------------------------------
+
+def _pagerank_fixedpoint_oracle(iters: int) -> str:
+    from iq_to_hdl_migration_spark.operators.graph import PR_SCALE
+
+    head = f"""
+    WITH eb AS MATERIALIZED (
+        SELECT c.user_id AS src, b.user_id AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+              FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+              FROM events WHERE event_type = 'purchase') b
+          ON c.h = b.h AND c.user_id != b.user_id
+        GROUP BY 1, 2
+    ),
+    outw AS MATERIALIZED (SELECT src, SUM(w) AS out_w FROM eb GROUP BY src),
+    nodes AS MATERIALIZED (SELECT src AS node FROM eb UNION SELECT dst FROM eb),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} AS BIGINT) // nn.n AS q
+           FROM nodes, nn)
+    """
+    its = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        its.append(f"""
+    c{k} AS MATERIALIZED (
+        SELECT e.dst, SUM((r.q * e.w) // o.out_w) AS c
+        FROM r{p} r JOIN eb e ON e.src = r.node
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    d{k} AS MATERIALIZED (
+        SELECT ((SELECT SUM(q) FROM r{p})
+                - COALESCE((SELECT SUM(c) FROM c{k}), 0)) // nn.n AS ds
+        FROM nn
+    ),
+    r{k} AS MATERIALIZED (
+        SELECT no.node,
+               (3 * CAST({PR_SCALE} AS BIGINT)) // (20 * nn.n)
+               + (17 * (COALESCE(c.c, 0) + d.ds)) // 20 AS q
+        FROM nodes no CROSS JOIN nn CROSS JOIN d{k} d
+        LEFT JOIN c{k} c ON c.dst = no.node
+    )""")
+    return (head + "," + ",".join(its) + f"""
+    SELECT node AS user_id, q AS rank_q,
+           CAST(q AS DOUBLE) / {float(PR_SCALE)!r} AS rank
+    FROM r{iters}
+    ORDER BY q DESC, node
+    LIMIT 20
+    """)
+
+
+@register(
+    "graph_user_pagerank_fixedpoint_top20",
+    oracle=_pagerank_fixedpoint_oracle(iters=10),
+    doc="integer fixed-point PageRank (2^-40 units, damping 17/20) over "
+        "the click->purchase co-occurrence graph, top 20 — every "
+        "iteration exact BIGINT arithmetic, so the 10-step fixpoint "
+        "value-hash-matches a generated 10-stage DuckDB CTE chain; the "
+        "double-precision variant stays NumPy-locked (float sums are "
+        "partition-order-dependent)",
+)
+def graph_user_pagerank_fixedpoint_top20(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.graph import pagerank_fixedpoint
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id", "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"))
+    clicks = (hours.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("src"), "h"))
+    buys = (hours.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("dst"), "h"))
+    edges = (clicks.join(buys, "h")
+             .filter(F.col("src") != F.col("dst"))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("weight")))
+    ranks = pagerank_fixedpoint(edges, iters=10)
+    return (ranks.orderBy(F.desc("rank_q"), F.asc("node"))
+            .limit(20)
+            .select(F.col("node").alias("user_id"), "rank_q", "rank"))

@@ -52,3 +52,23 @@ def test_user_pagerank_query(spark, sf_dir):
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r > 0 for r in ranks)
+
+
+def test_fixedpoint_pagerank_tracks_float_pagerank(spark, sf_dir):
+    """The integer 2^-40 fixed-point PageRank and the double-precision
+    one implement the same recurrence; per-edge floor dust is bounded
+    by (edges + nodes) * 2^-40 per iteration, so after 10 iterations
+    ranks must agree to ~1e-6 absolute and produce the same top-20
+    ordering on untied prefixes."""
+    from iq_to_hdl_migration_spark.queries import load_all
+
+    reg = load_all()
+    fx = {r.user_id: r.rank for r in
+          reg["graph_user_pagerank_fixedpoint_top20"].fn(
+              spark, sf_dir).collect()}
+    fl = {r.user_id: r.rank for r in
+          reg["graph_user_pagerank_top20"].fn(spark, sf_dir).collect()}
+    shared = set(fx) & set(fl)
+    assert len(shared) >= 15   # near-identical top sets
+    for u in shared:
+        assert abs(fx[u] - fl[u]) < 1e-6, (u, fx[u], fl[u])
