@@ -606,3 +606,175 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("q_cand").alias("n_overlap"),
                  (F.count("q_cand").cast("double") / F.lit(5.0))
                  .alias("recall_at_5")))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point IVF — the k-means ANN path made value-hash-checkable.
+# Vectors are quantized once to integer units of 2^-20 (global scale,
+# so L2 geometry is preserved across vectors); Lloyd iterations then
+# run entirely in BIGINT: integer squared distances, argmin with a
+# (distance, centroid_id) tie-break, centroid updates as
+# floor(sum/count) (numerator < 2^53 so the double division is exact
+# to the unit). Three unrolled iterations + the probe stage generate a
+# MATERIALIZED DuckDB CTE chain — same technique as the fixed-point
+# PageRank oracle. The float `sim_ivf_topk` stays rows-only (decimal
+# sums collected driver-side are not portable); THIS variant is the
+# cross-engine-verifiable twin.
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8          # clusters; seeds = vec_id 0..7 quantized
+_IVF_ITERS = 3
+_IVF_PROBE = 2
+_IVF_SCALE = 1048576.0   # 2^20
+
+
+def _ivf_fixedpoint_oracle() -> str:
+    k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
+    parts = [f"""
+    WITH v AS MATERIALIZED (
+        SELECT e.vec_id, d.dim,
+               CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE)
+                          * {_IVF_SCALE!r}) AS BIGINT) AS qv
+        FROM embeddings e, (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim) d
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id AS cid, dim, qv AS cq FROM v WHERE vec_id < {k}
+    )"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+    dist{i} AS MATERIALIZED (
+        SELECT v.vec_id, c.cid,
+               SUM((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+        FROM v JOIN c{p} c ON c.dim = v.dim
+        GROUP BY v.vec_id, c.cid
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM dist{i}) t WHERE rn = 1
+    ),
+    u{i} AS MATERIALIZED (
+        SELECT a.cid, v.dim,
+               CAST(FLOOR(CAST(SUM(v.qv) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+        FROM a{i} a JOIN v ON v.vec_id = a.vec_id
+        GROUP BY a.cid, v.dim
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT p.cid, p.dim, COALESCE(u.cq, p.cq) AS cq
+        FROM c{p} p LEFT JOIN u{i} u
+          ON u.cid = p.cid AND u.dim = p.dim
+    )""")
+    parts.append(f"""
+    qdist AS MATERIALIZED (
+        SELECT v.vec_id AS query_id, c.cid,
+               SUM((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+        FROM v JOIN c{iters} c ON c.dim = v.dim
+        WHERE v.vec_id < {_N_QUERIES}
+        GROUP BY v.vec_id, c.cid
+    ),
+    probes AS MATERIALIZED (
+        SELECT query_id, cid FROM (
+            SELECT query_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, cid) AS rn
+            FROM qdist) t WHERE rn <= {probe}
+    ),
+    cand AS MATERIALIZED (
+        SELECT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN a{iters} a ON a.cid = p.cid
+        WHERE a.vec_id != p.query_id
+    ),
+    pair AS MATERIALIZED (
+        SELECT c.query_id, c.cand_id,
+               SUM((q.qv - x.qv) * (q.qv - x.qv)) AS qdist
+        FROM cand c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v x ON x.vec_id = c.cand_id AND x.dim = q.dim
+        GROUP BY c.query_id, c.cand_id
+    )
+    SELECT query_id, cand_id, CAST(qdist AS BIGINT) AS qdist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT query_id, cand_id, qdist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdist, cand_id) AS rnk
+        FROM pair) t
+    WHERE rnk <= 5
+    """)
+    return ",".join(parts)
+
+
+@register(
+    "sim_ivf_fixedpoint_topk",
+    oracle=_ivf_fixedpoint_oracle(),
+    doc="IVF ANN with INTEGER k-means (2^-20 quantized vectors, "
+        "BIGINT distances, floor-mean centroid updates, deterministic "
+        "tie-breaks): 3 Lloyd iterations + 2-probe top-5, value-hash-"
+        "checked against an unrolled MATERIALIZED DuckDB CTE chain — "
+        "the cross-engine-verifiable twin of the float sim_ivf_topk",
+)
+def sim_ivf_fixedpoint_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
+    v = (emb.select("vec_id",
+                    F.posexplode(F.expr(sim.as_double_array("embedding")))
+                    .alias("pos", "x"))
+         .select("vec_id", (F.col("pos") + 1).alias("dim"),
+                 F.floor(F.col("x") * F.lit(_IVF_SCALE)).cast("bigint")
+                 .alias("qv"))
+         .cache())
+    cents = (v.where(F.col("vec_id") < k)
+             .select(F.col("vec_id").alias("cid"), "dim",
+                     F.col("qv").alias("cq")))
+    assign = None
+    for _ in range(iters):
+        dist = (v.join(cents.hint("broadcast"), "dim")
+                .groupBy("vec_id", "cid")
+                .agg(F.sum((F.col("qv") - F.col("cq"))
+                           * (F.col("qv") - F.col("cq"))).alias("d2")))
+        wa = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (dist.withColumn("rn", F.row_number().over(wa))
+                  .where(F.col("rn") == 1).select("vec_id", "cid")
+                  .localCheckpoint())
+        upd = (assign.join(v, "vec_id")
+               .groupBy("cid", "dim")
+               .agg(F.floor(F.sum("qv").cast("double")
+                            / F.count(F.lit(1)).cast("double"))
+                    .cast("bigint").alias("ucq")))
+        cents = (cents.join(upd, ["cid", "dim"], "left")
+                 .select("cid", "dim",
+                         F.coalesce("ucq", "cq").alias("cq"))
+                 .localCheckpoint())
+    qdist = (v.where(F.col("vec_id") < _N_QUERIES)
+             .join(cents.hint("broadcast"), "dim")
+             .groupBy(F.col("vec_id").alias("query_id"), F.col("cid"))
+             .agg(F.sum((F.col("qv") - F.col("cq"))
+                        * (F.col("qv") - F.col("cq"))).alias("d2")))
+    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (qdist.withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= probe).select("query_id", "cid"))
+    cand = (probes.join(assign.withColumnRenamed("vec_id", "cand_id"),
+                        "cid")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id"))
+    qv_q = v.select(F.col("vec_id").alias("query_id"), "dim",
+                    F.col("qv").alias("qq"))
+    qv_c = v.select(F.col("vec_id").alias("cand_id"), "dim",
+                    F.col("qv").alias("qc"))
+    pair = (cand.join(qv_q.hint("broadcast"), "query_id")
+            .join(qv_c, ["cand_id", "dim"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum((F.col("qq") - F.col("qc"))
+                       * (F.col("qq") - F.col("qc"))).alias("qdist")))
+    wr = Window.partitionBy("query_id").orderBy("qdist", "cand_id")
+    return (pair.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= 5)
+            .select("query_id", "cand_id",
+                    F.col("qdist").cast("bigint").alias("qdist"),
+                    F.col("rnk").cast("int").alias("rnk")))
