@@ -216,6 +216,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_pairs",
+    bench=True,  # the incremental production pattern belongs in the headline set
     oracle=incremental_pairs_oracle(threshold=0.5),
     # equivalence with the full recompute requires no bucket overflow;
     # guaranteed at gate scales (census-asserted in tests), not under
