@@ -573,3 +573,59 @@ def mlprep_seqlen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pick(9, 10).alias("p90_tokens"),
                  pick(99, 100).alias("p99_tokens"),
                  F.max("nt").alias("max_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# the packing plan's operational output: the (doc -> chunk, offset) map
+# a dataloader actually consumes. mlprep_sequence_packing above reports
+# the per-source summary; this emits one row per document with its
+# chunk id and intra-chunk offset under the same concat-and-chunk rule
+# (deterministic doc_id order, per-source prefix sum, max_len = 512).
+# ---------------------------------------------------------------------------
+
+@register(
+    "mlprep_packing_assignments",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    marked AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_incl
+        FROM tok
+    )
+    SELECT source, doc_id, n_tok,
+           (cum_incl - n_tok) // {_PACK_MAX_LEN} AS chunk_id,
+           (cum_incl - n_tok) % {_PACK_MAX_LEN} AS offset_in_chunk,
+           CASE WHEN (cum_incl - n_tok) // {_PACK_MAX_LEN}
+                     != (cum_incl - 1) // {_PACK_MAX_LEN}
+                THEN 1 ELSE 0 END AS spans_boundary
+    FROM marked
+    """,
+    doc="per-document packing assignment (chunk id, intra-chunk offset, "
+        "boundary-span flag) under the concat-and-chunk rule — the "
+        "operational map a dataloader consumes; exact integer prefix "
+        "sums, per-source window partitioning",
+)
+def mlprep_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _PACK_MAX_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id",
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = tok.withColumn("cum_incl", F.sum("n_tok").over(w))
+    start = F.col("cum_incl") - F.col("n_tok")
+    return marked.select(
+        "source", "doc_id", "n_tok",
+        F.expr(f"(cum_incl - n_tok) div {m}").alias("chunk_id"),
+        (start % m).alias("offset_in_chunk"),
+        F.when(F.expr(f"(cum_incl - n_tok) div {m}")
+               != F.expr(f"(cum_incl - 1) div {m}"), 1)
+        .otherwise(0).alias("spans_boundary"))

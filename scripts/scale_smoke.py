@@ -77,6 +77,10 @@ EXTRA = [
     "mlprep_sequence_packing", "s13_hosparams_rules_intersection",
     "mix_temperature_sampling", "sim_label_centroid_cosine",
     "text_contamination_neardup",
+    "mix_apply_downsample", "dedup_threshold_sweep",
+    "mlprep_seqlen_percentiles", "dq_referential_integrity",
+    "sketch_hll_portable_distinct_orders", "sim_quantized_topk",
+    "sim_ivf_fixedpoint_topk", "graph_user_pagerank_fixedpoint_top20",
 ]
 
 

@@ -72,3 +72,24 @@ def test_bm25_scores_positive_descending(spark, sf_dir):
     scores = [r.bm25_score for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_packing_assignments_consistent_with_summary(spark, sf_dir):
+    asg = REGISTRY["mlprep_packing_assignments"].fn(spark, sf_dir).collect()
+    summ = {r.source: r for r in
+            REGISTRY["mlprep_sequence_packing"].fn(spark, sf_dir).collect()}
+    per_src: dict[str, list] = {}
+    for r in asg:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rows in per_src.items():
+        s = summ[src]
+        assert len(rows) == s.n_docs
+        assert sum(r.n_tok for r in rows) == s.total_tokens
+        assert sum(r.spans_boundary for r in rows) == \
+            s.n_boundary_spanning_docs
+        # last doc's end lands in the final chunk
+        last_chunk = max((r.n_tok + r.chunk_id * 512
+                          + r.offset_in_chunk - 1) // 512 for r in rows)
+        assert last_chunk + 1 == s.n_chunks
+        for r in rows:
+            assert 0 <= r.offset_in_chunk < 512
