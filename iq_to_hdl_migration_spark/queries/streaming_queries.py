@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
 from iq_to_hdl_migration_spark.streaming import windows as W
 
 _seq = itertools.count()
@@ -193,3 +194,63 @@ def stream_session_windows_native(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     name = f"q_stream_sessw_{next(_seq)}"
     return W.streaming_session_windows(spark, sf_dir, name)
+
+
+@register(
+    "stream_mix_downsample",
+    oracle=f"""
+    WITH {_MIX_DUCK_CTES},
+    r AS (
+        SELECT s.source,
+               CAST(FLOOR((CAST(t.budget AS DOUBLE) * CAST(s.sq AS DOUBLE))
+                          / CAST(t.tot_sq AS DOUBLE)) AS DOUBLE)
+                   / CAST(s.n_tokens AS DOUBLE) AS epochs
+        FROM s, t
+    ),
+    thr AS (
+        SELECT source,
+               CASE WHEN epochs >= 1.0 THEN 65536
+                    ELSE CAST(FLOOR(epochs * 65536.0) AS BIGINT)
+               END AS thr16
+        FROM r
+    )
+    SELECT tok.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(tok.nt) AS BIGINT) AS n_tokens_kept
+    FROM tok JOIN thr ON tok.source = thr.source
+    WHERE CAST('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 4)
+               AS BIGINT) < thr.thr16
+    GROUP BY tok.source
+    """,
+    doc="streaming twin of mix_apply_downsample's keep-side: documents "
+        "stream -> stream-static broadcast of the mixture thresholds -> "
+        "content-addressed keep filter -> running per-source kept "
+        "counts; the md5 rule makes the streaming pass admit exactly "
+        "the batch sample, checked by the same oracle",
+)
+def stream_mix_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    name = f"q_stream_mix_{next(_seq)}"
+    docs = load_table(spark, sf_dir, "documents")
+    c = (docs.select(
+            "source",
+            F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+            .cast("bigint").alias("nt"))
+         .groupBy("source").agg(F.sum("nt").alias("n_tokens")))
+    s = c.withColumn(
+        "sq",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0)
+        .cast("bigint"))
+    t = s.agg(F.sum("sq").cast("bigint").alias("tot_sq"),
+              F.expr("sum(n_tokens) div 2").cast("bigint").alias("budget"))
+    epochs = (F.floor(
+        (F.col("budget").cast("double") * F.col("sq").cast("double"))
+        / F.col("tot_sq").cast("double")).cast("double")
+        / F.col("n_tokens").cast("double"))
+    thr = (s.join(F.broadcast(t))
+           .select("source",
+                   F.when(epochs >= 1.0, F.lit(65536).cast("bigint"))
+                   .otherwise(F.floor(epochs * 65536.0).cast("bigint"))
+                   .alias("thr16")))
+    return W.streaming_curation_counts(spark, sf_dir, thr, name)

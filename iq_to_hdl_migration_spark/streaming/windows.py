@@ -275,3 +275,41 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str,
     events = read_events_stream(spark, sf_dir)
     run_to_memory(session_windows_stream(events), _query_name, "complete")
     return spark.table(_query_name)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the change-feed
+    shape of a corpus that grows in batches."""
+    from iq_to_hdl_migration_spark.sources.tables import table_path
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir.rstrip("/")))
+
+
+def streaming_curation_counts(spark: SparkSession, sf_dir: str,
+                              thresholds: DataFrame,
+                              _query_name: str = "stream_curation"
+                              ) -> DataFrame:
+    """End-to-end streaming curation: stream of documents -> stream-
+    static broadcast join against the (source, thr16) mixture
+    thresholds -> deterministic md5-bucket keep filter -> running
+    per-source kept counts (complete mode). The keep decision is
+    content-addressed, so the streaming pass admits EXACTLY the same
+    documents as the batch mix_apply_downsample — that equality is the
+    registered oracle check, not just a test."""
+    docs = read_documents_stream(spark, sf_dir)
+    bucket16 = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        " AS BIGINT)")
+    kept = (docs.join(F.broadcast(thresholds), "source")
+            .where(bucket16 < F.col("thr16"))
+            .select("source",
+                    F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+                    .cast("bigint").alias("nt")))
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("nt").alias("n_tokens_kept"))
+    run_to_memory(agg, _query_name, "complete")
+    return spark.table(_query_name)
