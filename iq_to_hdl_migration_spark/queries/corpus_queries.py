@@ -539,3 +539,56 @@ def text_contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("flag").isNotNull(), 1).otherwise(0))
                  .cast("bigint").alias("n_contaminated"),
                  F.max("max_jac").alias("max_est_jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# first-round BPE merge candidates — tokenizer induction, step 1: count
+# adjacent character pairs over all word occurrences (with an
+# end-of-word marker, the standard BPE formulation) and rank the top
+# merges. Exact integer counts, deterministic (count, pair) tie-break.
+# One explode chain, aggregation is map-side combinable; at 100 TB the
+# (pair) key space is tiny (alphabet^2) so the final shuffle is
+# negligible next to the scan.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bpe_first_merges",
+    oracle=r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) || '_'
+            AS ww
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(ww)),
+                                     i -> substr(ww, CAST(i AS INTEGER), 2)))
+            AS pair
+        FROM w WHERE length(ww) >= 2
+    )
+    SELECT pair, n_occurrences FROM (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rn
+        FROM pairs GROUP BY pair
+    ) t WHERE rn <= 20
+    """,
+    doc="top-20 first-round BPE merge candidates: adjacent character "
+        "pairs (end-of-word marker '_') counted over all word "
+        "occurrences — tokenizer induction step 1; exact counts, "
+        "deterministic tie-break",
+)
+def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
+         .select(F.concat(F.col("tok"), F.lit("_")).alias("ww"))
+         .where(F.length("ww") >= 2))
+    pairs = w.select(F.explode(F.expr(
+        "transform(sequence(1, length(ww) - 1),"
+        " i -> substring(ww, i, 2))")).alias("pair"))
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (counts.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") <= 20)
+            .select("pair", "n_occurrences"))

@@ -282,3 +282,100 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_child_rows", "n_child_keys", "n_orphan_keys"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dictionary-encoding advisor — the layout-tuning report a columnar
+# warehouse runs before deciding per-column encodings (the reference's
+# IQ pages have FP/LF index variants chosen by cardinality; SURVEY
+# §2.1 sizing analog). Per column: exact cardinality, plain vs
+# dictionary size estimates, and a recommend flag. Code width is the
+# integer bit-length of (n_distinct - 1) (length(bin(x)) — exact in
+# both engines), so the whole report is integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_DICT_COLS = [
+    # (column, plain bytes per value: fixed for numerics, NULL = use
+    # string length)
+    ("l_returnflag", None),
+    ("l_linestatus", None),
+    ("l_orderkey", 8),
+    ("l_partkey", 8),
+    ("l_suppkey", 8),
+    ("l_linenumber", 4),
+]
+
+
+def _dict_advisor_oracle() -> str:
+    parts = []
+    for col, width in _DICT_COLS:
+        if width is None:
+            plain = f"CAST(SUM(length(CAST({col} AS VARCHAR))) AS BIGINT)"
+            dict_store = (f"(SELECT CAST(SUM(length(CAST(v AS VARCHAR))) "
+                          f"AS BIGINT) FROM "
+                          f"(SELECT DISTINCT {col} AS v FROM lineitem) d)")
+        else:
+            plain = f"CAST(COUNT(*) * {width} AS BIGINT)"
+            dict_store = (f"(SELECT CAST(COUNT(*) * {width} AS BIGINT) FROM "
+                          f"(SELECT DISTINCT {col} AS v FROM lineitem) d)")
+        parts.append(f"""
+        SELECT '{col}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {plain} AS est_plain_bytes,
+               {dict_store}
+                   + CAST(COUNT(*) AS BIGINT)
+                     * ((length(bin(greatest(COUNT(DISTINCT {col}) - 1, 1)))
+                         + 7) // 8) AS est_dict_bytes
+        FROM lineitem""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+    SELECT column_name, n_rows, n_distinct, est_plain_bytes,
+           est_dict_bytes,
+           CASE WHEN est_dict_bytes < est_plain_bytes
+                THEN 1 ELSE 0 END AS recommend_dict
+    FROM ({body}) t
+    """
+
+
+@register(
+    "layout_dictionary_advisor",
+    oracle=_dict_advisor_oracle(),
+    doc="per-column dictionary-encoding advisor over lineitem: exact "
+        "cardinality, plain vs dictionary size estimates (integer "
+        "bit-length code widths), recommend flag — the encoding-choice "
+        "report behind columnar layout tuning; per-column scans are "
+        "column-pruned",
+)
+def layout_dictionary_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for col, width in _DICT_COLS:
+        if width is None:
+            plain = F.sum(F.length(F.col(col).cast("string"))).cast("bigint")
+            dict_store = (li.select(F.col(col).alias("v")).distinct()
+                          .agg(F.sum(F.length(F.col("v").cast("string")))
+                               .cast("bigint").alias("ds")))
+        else:
+            plain = (F.count(F.lit(1)) * width).cast("bigint")
+            dict_store = (li.select(F.col(col).alias("v")).distinct()
+                          .agg((F.count(F.lit(1)) * width)
+                               .cast("bigint").alias("ds")))
+        stats = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(col).alias("n_distinct"),
+            plain.alias("est_plain_bytes"))
+        row = (stats.join(F.broadcast(dict_store))
+               .select(
+                   F.lit(col).alias("column_name"),
+                   "n_rows", "n_distinct", "est_plain_bytes",
+                   (F.col("ds")
+                    + F.col("n_rows")
+                    * F.expr("(length(bin(greatest(n_distinct - 1, 1)))"
+                             " + 7) div 8")).cast("bigint")
+                   .alias("est_dict_bytes")))
+        out = row if out is None else out.unionByName(row)
+    return out.withColumn(
+        "recommend_dict",
+        F.when(F.col("est_dict_bytes") < F.col("est_plain_bytes"), 1)
+        .otherwise(0))
