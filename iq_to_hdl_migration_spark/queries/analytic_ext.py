@@ -428,3 +428,78 @@ def mode_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderstatus",
                     F.col("o_orderpriority").alias("mode_priority"),
                     F.col("cnt").cast("bigint").alias("n_rows")))
+
+
+# ---------------------------------------------------------------------------
+# exact median absolute deviation per group — the robust dispersion
+# statistic (immune to the outliers that blow up stddev). Two
+# rank-window passes: exact low-median of the values, then exact
+# low-median of |x - median|. Rank arithmetic is integer ((n+1) div 2)
+# and the only float ops are abs/subtract on stored doubles — no
+# interpolation, so the result is a value that exists in the data and
+# hashes identically across engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stats_mad_quantity_by_flag",
+    oracle="""
+    WITH r1 AS (
+        SELECT l_returnflag AS flag, l_quantity, l_orderkey, l_linenumber,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    med AS (
+        SELECT flag, MAX(CASE WHEN rn = (n + 1) // 2
+                              THEN l_quantity END) AS median_qty
+        FROM r1 GROUP BY flag
+    ),
+    dev AS (
+        SELECT r1.flag, abs(r1.l_quantity - m.median_qty) AS d,
+               r1.l_orderkey, r1.l_linenumber
+        FROM r1 JOIN med m ON m.flag = r1.flag
+    ),
+    r2 AS (
+        SELECT flag, d,
+               ROW_NUMBER() OVER (PARTITION BY flag
+                                  ORDER BY d, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM dev
+    )
+    SELECT r2.flag, m.median_qty,
+           MAX(CASE WHEN r2.rn = (r2.n + 1) // 2 THEN r2.d END) AS mad_qty
+    FROM r2 JOIN med m ON m.flag = r2.flag
+    GROUP BY r2.flag, m.median_qty
+    """,
+    doc="exact per-group median absolute deviation of l_quantity "
+        "(low-median convention, integer rank arithmetic, deterministic "
+        "(value, orderkey, linenumber) tie-break) — robust dispersion "
+        "without interpolation or sketches",
+)
+def stats_mad_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_quantity",
+        "l_orderkey", "l_linenumber")
+    w1 = Window.partitionBy("flag").orderBy("l_quantity", "l_orderkey",
+                                            "l_linenumber")
+    wn = Window.partitionBy("flag")
+    r1 = (li.withColumn("rn", F.row_number().over(w1))
+          .withColumn("n", F.count(F.lit(1)).over(wn)))
+    med = r1.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("l_quantity"))).alias("median_qty"))
+    dev = (r1.join(F.broadcast(med), "flag")
+           .select("flag", F.abs(F.col("l_quantity")
+                                 - F.col("median_qty")).alias("d"),
+                   "l_orderkey", "l_linenumber"))
+    w2 = Window.partitionBy("flag").orderBy("d", "l_orderkey",
+                                            "l_linenumber")
+    r2 = (dev.withColumn("rn", F.row_number().over(w2))
+          .withColumn("n", F.count(F.lit(1)).over(wn)))
+    mad = r2.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("d"))).alias("mad_qty"))
+    return med.join(mad, "flag").select("flag", "median_qty", "mad_qty")

@@ -395,3 +395,73 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_tokens").cast("double")
          / F.sum("total_tokens").over(w).cast("double"))
         .alias("corpus_share"))
+
+
+# ---------------------------------------------------------------------------
+# lang x source independence audit: Pearson chi-square statistic over
+# the contingency table — the "is my language mix uniform across
+# ingest sources" check a corpus review runs. Expected counts and cell
+# terms are short deterministic double chains; each cell term is
+# floor-snapped to 2^-20 fixed point so the final sum accumulates
+# EXACTLY as BIGINT (float sums over cells would be order-dependent) —
+# the same portability discipline as the quantization audit.
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_lang_source_independence",
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o
+           GROUP BY source),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+        SELECT o.lang, o.source, o.obs,
+               CAST(rt.r * ct.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+        FROM o JOIN rt ON rt.lang = o.lang
+        JOIN ct ON ct.source = o.source CROSS JOIN n
+    ),
+    snapped AS (
+        SELECT CAST(FLOOR((((CAST(obs AS DOUBLE) - e)
+                            * (CAST(obs AS DOUBLE) - e)) / e)
+                          * 1048576.0) AS BIGINT) AS tq
+        FROM cells
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST(SUM(tq) AS DOUBLE) / 1048576.0 AS chi2
+    FROM snapped
+    """,
+    doc="Pearson chi-square for lang x source independence over the "
+        "observed contingency cells — fixed-point cell terms make the "
+        "statistic bit-exact across engines; cells with zero observed "
+        "count contribute via the marginals only (standard sparse form)",
+)
+def docs_lang_source_independence(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("c"))
+    n = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    cells = (o.join(F.broadcast(rt), "lang")
+             .join(F.broadcast(ct), "source")
+             .join(F.broadcast(n)))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    od = F.col("obs").cast("double")
+    tq = F.floor((((od - e) * (od - e)) / e) * F.lit(1048576.0)) \
+        .cast("bigint")
+    snapped = cells.select(tq.alias("tq"))
+    n_cells = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    dof = (rt.agg(F.count(F.lit(1)).alias("nr"))
+           .join(ct.agg(F.count(F.lit(1)).alias("nc")))
+           .select(((F.col("nr") - 1) * (F.col("nc") - 1))
+                   .cast("bigint").alias("dof")))
+    chi2 = snapped.agg(
+        (F.sum("tq").cast("double") / F.lit(1048576.0)).alias("chi2"))
+    return n_cells.join(F.broadcast(dof)).join(F.broadcast(chi2))
