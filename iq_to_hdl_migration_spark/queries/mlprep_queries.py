@@ -629,3 +629,48 @@ def mlprep_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.expr(f"(cum_incl - n_tok) div {m}")
                != F.expr(f"(cum_incl - 1) div {m}"), 1)
         .otherwise(0).alias("spans_boundary"))
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling (Duffield/Lund/Thorup): each item gets
+# priority = u / w with u a content-addressed uniform from md5 — the
+# k smallest priorities form a weighted sample WITHOUT replacement
+# whose inclusion probability tracks item weight. u is a 48-bit md5
+# prefix (exact as a double), so priority is ONE exactly-rounded
+# division — deterministic across engines, reshards and reruns, unlike
+# rand()-based samplers. Weight = document length in chars (sample
+# long docs preferentially for inspection).
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                         AS BIGINT) AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, priority FROM (
+        SELECT doc_id, source, n_chars, priority,
+               ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn
+        FROM p
+    ) t WHERE rn <= 100
+    """,
+    doc="weighted priority sample (k=100, weight = n_chars): k smallest "
+        "u/w priorities with a content-addressed md5 uniform — "
+        "deterministic weighted sampling without replacement; one scan "
+        "+ a top-k (no global sort materialization at scale: TakeOrdered)",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12),"
+               " 16, 10) AS BIGINT)").cast("double")
+    p = docs.select("doc_id", "source",
+                    F.col("n_chars").cast("bigint").alias("n_chars"),
+                    (u / F.col("n_chars").cast("double")).alias("priority"))
+    # orderBy + limit compiles to TakeOrderedAndProject — per-partition
+    # top-k then a k-row merge, never a single-partition global window
+    return (p.orderBy("priority", "doc_id").limit(100)
+            .select("doc_id", "source", "n_chars", "priority"))

@@ -497,3 +497,82 @@ def ols_qty_vs_discount_by_brand(spark: SparkSession,
                     F.col("n").cast("bigint").alias("n_lines"),
                     slope.alias("slope"),
                     intercept.alias("intercept")))
+
+
+# ---------------------------------------------------------------------------
+# conversion-latency percentiles: per user, first click -> first
+# subsequent purchase latency; exact p50/p90/p99 over converting users
+# via the integer-rank trick (no interpolation, no sketch). The
+# product-analytics number behind "how long does conversion take".
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_conversion_latency_percentiles",
+    oracle="""
+    WITH fc AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS click_us
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS buy_us
+        FROM events e JOIN fc ON fc.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= fc.click_us
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT fc.user_id, fp.buy_us - fc.click_us AS latency_us
+        FROM fc JOIN fp ON fp.user_id = fc.user_id
+    ),
+    r AS (
+        SELECT latency_us,
+               ROW_NUMBER() OVER (ORDER BY latency_us, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lat
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converting_users,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN latency_us END)
+               AS p50_latency_us,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN latency_us END)
+               AS p90_latency_us,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN latency_us END)
+               AS p99_latency_us,
+           MAX(latency_us) AS max_latency_us
+    FROM r
+    """,
+    doc="exact first-click -> first-purchase latency percentiles over "
+        "converting users (integer-rank percentiles, epoch-micros "
+        "arithmetic) — time-to-convert product analytics without "
+        "interpolation; the global rank window runs over one row per "
+        "converting user, not per event",
+)
+def events_conversion_latency_percentiles(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    fc = (ev.where(F.col("event_type") == "click")
+          .groupBy("user_id").agg(F.min(us).alias("click_us")))
+    fp = (ev.where(F.col("event_type") == "purchase")
+          .select("user_id", us.alias("b_us"))
+          .join(fc, "user_id")
+          .where(F.col("b_us") >= F.col("click_us"))
+          .groupBy("user_id").agg(F.min("b_us").alias("buy_us")))
+    lat = (fc.join(fp, "user_id")
+           .select("user_id",
+                   (F.col("buy_us") - F.col("click_us"))
+                   .alias("latency_us")))
+    w = Window.orderBy("latency_us", "user_id")
+    r = (lat.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(
+             Window.partitionBy())))
+    pick = lambda num, den: F.max(
+        F.when(F.col("rn") == F.expr(f"({num} * n + {num}) div {den}"),
+               F.col("latency_us")))
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converting_users"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("latency_us"))).alias("p50_latency_us"),
+        pick(9, 10).alias("p90_latency_us"),
+        pick(99, 100).alias("p99_latency_us"),
+        F.max("latency_us").alias("max_latency_us"))
