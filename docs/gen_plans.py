@@ -82,6 +82,28 @@ NOTES = {
         "The one legitimate fact x fact shuffle (orderkey) with dims "
         "broadcast and early pair-key aggregation to <= nations^2 "
         "groups.",
+    "dedup_incremental_pairs":
+        "Batch-vs-stored-index incremental dedup: signatures for the "
+        "batch only; the store joins on (band, band_sig); per-batch "
+        "work is O(batch + collisions), independent of corpus size.",
+    "mlprep_sequence_packing":
+        "Per-source prefix-sum window (hashpartitioning on source, "
+        "never SinglePartition); chunk arithmetic is integer division "
+        "over the running sum.",
+    "text_bm25_topk":
+        "tf aggregate and top-k are the only shuffles; df and global "
+        "stats sides are tiny and broadcast.",
+    "text_contamination_13gram":
+        "Eval-split 13-gram set broadcast to the train-side scan; one "
+        "pass, no corpus self-join.",
+    "text_winnowing_fingerprints":
+        "Gram explode behind a repartition barrier (keeps the regexp "
+        "out of the per-gram lambda), BIGINT hashes, one doc_id window "
+        "for the running min.",
+    "text_winnowing_match_pairs":
+        "Fingerprint-bucket explode with the LSH family's id-ordered "
+        "per-bucket cap — boilerplate fingerprints cannot explode the "
+        "join; pair counts aggregate map-side.",
 }
 
 
