@@ -582,3 +582,48 @@ def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
         .dropDuplicates(["id_a", "id_b"]))
     return (exact_vs_store.unionByName(exact_in_batch)
             .unionByName(cross).unionByName(within))
+
+
+def persist_lsh_index(bands: DataFrame, digests: DataFrame,
+                      source_df: DataFrame, path: str) -> None:
+    """Write the (bands, digests) index with a source fingerprint so a
+    later load can detect staleness. Bands are partitioned by band —
+    at scale each batch's postings join prunes to colliding partitions;
+    the fingerprint is the same driver-side (path, size, mtime) digest
+    the bucketed staging uses (sources/bucketed.py), so a regenerated
+    corpus invalidates the index even at identical row counts."""
+    import json
+    import os
+
+    from iq_to_hdl_migration_spark.sources.bucketed import (
+        _source_fingerprint)
+
+    bands.write.mode("overwrite").partitionBy("band") \
+        .parquet(os.path.join(path, "bands"))
+    digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
+    meta = {"src_fp": _source_fingerprint(source_df)}
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_lsh_index(spark, source_df: DataFrame,
+                   path: str) -> tuple[DataFrame, DataFrame] | None:
+    """Load a persisted index IF its recorded source fingerprint still
+    matches `source_df`'s backing files; returns None (caller rebuilds)
+    on any mismatch or missing artifact — stale-index reuse is the
+    silent-wrong-answer failure mode, so the guard fails closed."""
+    import json
+    import os
+
+    from iq_to_hdl_migration_spark.sources.bucketed import (
+        _source_fingerprint)
+
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("src_fp") != _source_fingerprint(source_df):
+        return None
+    return (spark.read.parquet(os.path.join(path, "bands")),
+            spark.read.parquet(os.path.join(path, "digests")))

@@ -135,3 +135,38 @@ def test_incremental_lsh_equals_full_recompute(spark, sf_dir):
     combined = dict(old)
     combined.update(inc)
     assert combined == full
+
+
+def test_lsh_index_persistence_and_staleness_guard(spark, sf_dir, tmp_path):
+    """Persist -> load round-trips the index (same incremental pairs);
+    a regenerated source (same rows, new files) fails the fingerprint
+    and the loader refuses the stale index."""
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.operators.dedup import (
+        build_lsh_index, load_lsh_index, lsh_incremental_pairs,
+        persist_lsh_index)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.6)")).first()[0]
+    batch1 = docs.where(F.col("doc_id") <= cut)
+    batch2 = docs.where(F.col("doc_id") > cut)
+    bands, digests = build_lsh_index(batch1)
+    idx_path = str(tmp_path / "lsh_index")
+    persist_lsh_index(bands, digests, docs, idx_path)
+
+    loaded = load_lsh_index(spark, docs, idx_path)
+    assert loaded is not None
+    want = {(r.id_a, r.id_b): r.est_jaccard
+            for r in lsh_incremental_pairs(batch2, bands, digests).collect()}
+    got = {(r.id_a, r.id_b): r.est_jaccard
+           for r in lsh_incremental_pairs(batch2, *loaded).collect()}
+    assert got == want
+
+    # regenerate the source with IDENTICAL content -> new files, new
+    # mtimes -> fingerprint mismatch -> loader fails closed
+    regen = str(tmp_path / "regen")
+    docs.write.parquet(f"{regen}/documents.parquet")
+    fresh = spark.read.parquet(f"{regen}/documents.parquet")
+    assert load_lsh_index(spark, fresh, idx_path) is None
