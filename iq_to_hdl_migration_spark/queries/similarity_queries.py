@@ -778,3 +778,67 @@ def sim_ivf_fixedpoint_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "cand_id",
                     F.col("qdist").cast("bigint").alias("qdist"),
                     F.col("rnk").cast("int").alias("rnk")))
+
+
+# ---------------------------------------------------------------------------
+# fully hash-checked ANN recall matrix: every method in the comparison
+# (bucket LSH, Hamming-1 multi-probe, integer IVF) now has a
+# value-exact oracle, so the recall dashboard itself can be an oracled
+# row set — each method's top-5 is recomputed as a subquery of the
+# SAME oracle SQL registered for that method and joined against the
+# exact float top-5. (The older sim_ann_recall stays rows-only: it
+# includes the float k-means IVF.) Integer hit counts -> one division.
+# ---------------------------------------------------------------------------
+
+def _recall_matrix_oracle() -> str:
+    from iq_to_hdl_migration_spark.queries import load_all
+
+    reg = load_all()
+    exact = reg["sim_bruteforce_topk"].oracle
+    methods = {
+        "lsh": reg["sim_ann_lsh_topk"].oracle,
+        "multiprobe": reg["sim_ann_multiprobe_topk"].oracle,
+        "ivf_fixedpoint": reg["sim_ivf_fixedpoint_topk"].oracle,
+    }
+    parts = []
+    for m, sql in methods.items():
+        parts.append(f"""
+        SELECT '{m}' AS method,
+               CAST(COUNT(q.cand_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(q.cand_id) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS recall_at_5
+        FROM ({exact}) f
+        LEFT JOIN ({sql}) q
+          ON q.query_id = f.query_id AND q.cand_id = f.cand_id""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "sim_ann_recall_matrix",
+    oracle=_recall_matrix_oracle(),
+    doc="recall@5 vs exact float cosine for every oracled ANN method "
+        "(bucket LSH, Hamming-1 multi-probe, integer fixed-point IVF) — "
+        "unlike sim_ann_recall (rows-only, includes float k-means), "
+        "every leg of this dashboard is value-hash-checked end-to-end",
+)
+def sim_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (sim_bruteforce_topk(spark, sf_dir)
+             .select("query_id", "cand_id"))
+    methods = {
+        "lsh": sim_ann_lsh_topk(spark, sf_dir),
+        "multiprobe": sim_ann_multiprobe_topk(spark, sf_dir),
+        "ivf_fixedpoint": sim_ivf_fixedpoint_topk(spark, sf_dir),
+    }
+    out = None
+    for m, df in methods.items():
+        q = df.select(F.col("query_id").alias("qq"),
+                      F.col("cand_id").alias("qc"))
+        row = (exact.join(q, (F.col("query_id") == F.col("qq"))
+                          & (F.col("cand_id") == F.col("qc")), "left")
+               .agg(F.count("qc").cast("bigint").alias("n_hits"),
+                    (F.count("qc").cast("double")
+                     / F.count(F.lit(1)).cast("double"))
+                    .alias("recall_at_5"))
+               .select(F.lit(m).alias("method"), "n_hits", "recall_at_5"))
+        out = row if out is None else out.unionByName(row)
+    return out

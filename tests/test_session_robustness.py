@@ -25,6 +25,8 @@ _SLICE = [
     "mlprep_seqlen_percentiles",  # integer rank arithmetic
     "dedup_exact_stats",          # digest distinct
     "sim_quantized_recall",       # integer cosine + join
+    "sim_ivf_fixedpoint_topk",    # integer Lloyd iterations
+    "sample_weighted_priority",   # md5-uniform priorities + TakeOrdered
 ]
 
 _HOSTILE = {
