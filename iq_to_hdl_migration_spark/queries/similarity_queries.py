@@ -791,14 +791,16 @@ def sim_ivf_fixedpoint_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _recall_matrix_oracle() -> str:
-    from iq_to_hdl_migration_spark.queries import load_all
+    # REGISTRY direct (not load_all(): that would re-enter module
+    # loading during THIS module's import); every input is registered
+    # earlier in this same module, so the entries exist by now
+    from iq_to_hdl_migration_spark.queries import REGISTRY
 
-    reg = load_all()
-    exact = reg["sim_bruteforce_topk"].oracle
+    exact = REGISTRY["sim_bruteforce_topk"].oracle
     methods = {
-        "lsh": reg["sim_ann_lsh_topk"].oracle,
-        "multiprobe": reg["sim_ann_multiprobe_topk"].oracle,
-        "ivf_fixedpoint": reg["sim_ivf_fixedpoint_topk"].oracle,
+        "lsh": REGISTRY["sim_ann_lsh_topk"].oracle,
+        "multiprobe": REGISTRY["sim_ann_multiprobe_topk"].oracle,
+        "ivf_fixedpoint": REGISTRY["sim_ivf_fixedpoint_topk"].oracle,
     }
     parts = []
     for m, sql in methods.items():

@@ -125,6 +125,7 @@ def sketch_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_M = 64             # registers (2^6)
 _HLL_ALPHA = 0.709      # HLL alpha_64 constant, frozen literal
 _HLL_RANK_CAP = 30      # keeps 2^(cap - M) sums exact in BIGINT
+_DAY_US = 86_400_000_000
 
 
 @register(
@@ -207,4 +208,100 @@ def sketch_hll_portable_distinct_orders(spark: SparkSession,
            / F.col("sum_scaled").cast("double"))
     return (agg.join(exact, "flag")
             .select("flag", "n_orders_exact", "n_registers_hit",
+                    "sum_scaled", est.alias("hll_estimate")))
+
+
+@register(
+    "sketch_hll_portable_rollup",
+    oracle=f"""
+    WITH h AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day_idx,
+               user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events
+    ),
+    rho AS (
+        SELECT day_idx, hv % {_HLL_M} AS reg,
+               least(CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                          ELSE 55 - length(bin(hv // {_HLL_M})) END,
+                     {_HLL_RANK_CAP}) AS r
+        FROM h
+    ),
+    daily AS (
+        SELECT day_idx, reg, MAX(r) AS m FROM rho GROUP BY day_idx, reg
+    ),
+    merged AS (
+        SELECT day_idx // 7 AS week_idx, reg, MAX(m) AS m
+        FROM daily GROUP BY day_idx // 7, reg
+    ),
+    agg AS (
+        SELECT week_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+               CAST(SUM(CAST(2 AS BIGINT) << ({_HLL_RANK_CAP} - m))
+                    AS BIGINT) / 2
+                   + ({_HLL_M} - COUNT(*))
+                     * (CAST(1 AS BIGINT) << {_HLL_RANK_CAP})
+                   AS sum_scaled
+        FROM merged GROUP BY week_idx
+    ),
+    exact AS (
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) // 7
+                   AS week_idx,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+        FROM events GROUP BY 1
+    )
+    SELECT a.week_idx, e.n_users_exact, a.n_registers_hit,
+           CAST(a.sum_scaled AS BIGINT) AS sum_scaled,
+           (CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M})
+               * (CAST(1 AS BIGINT) << {_HLL_RANK_CAP})
+               / CAST(a.sum_scaled AS DOUBLE) AS hll_estimate
+    FROM agg a JOIN exact e ON a.week_idx = e.week_idx
+    """,
+    doc="two-level portable-HLL rollup: per-day register tables merged "
+        "to weekly distinct-user estimates by register-max — the "
+        "mergeable-sketch pattern (daily partials, rollup WITHOUT "
+        "rescanning raw events) with even the merged estimate "
+        "value-hash-checked; DataSketches rollup twin stays rows-only",
+)
+def sketch_hll_portable_rollup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cap, m = _HLL_RANK_CAP, _HLL_M
+    h = ev.select(
+        (F.unix_micros("ts") / F.lit(_DAY_US)).cast("bigint")
+        .alias("day_idx"),
+        "user_id",
+        F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT)").alias("hv"))
+    rho = h.select(
+        "day_idx", (F.col("hv") % m).alias("reg"),
+        F.least(
+            F.when(F.expr(f"hv div {m}") == 0, F.lit(55))
+            .otherwise(F.lit(55)
+                       - F.length(F.bin(F.expr(f"hv div {m}")))),
+            F.lit(cap)).alias("r"))
+    daily = rho.groupBy("day_idx", "reg").agg(F.max("r").alias("m"))
+    merged = (daily.groupBy(F.expr("day_idx div 7").alias("week_idx"),
+                            F.col("reg"))
+              .agg(F.max("m").alias("m")))
+    agg = merged.groupBy("week_idx").agg(
+        F.count(F.lit(1)).alias("n_registers_hit"),
+        (F.sum(F.expr(f"CAST(2 AS BIGINT) << ({cap} - m)")).cast("bigint")
+         / F.lit(2)).cast("bigint").alias("present_sum"))
+    agg = agg.withColumn(
+        "sum_scaled",
+        F.col("present_sum")
+        + (F.lit(m) - F.col("n_registers_hit"))
+        * F.expr(f"CAST(1 AS BIGINT) << {cap}")).drop("present_sum")
+    exact = (ev.select(
+        F.expr(f"(unix_micros(ts) div {_DAY_US}) div 7").alias("week_idx"),
+        "user_id")
+        .groupBy("week_idx")
+        .agg(F.countDistinct("user_id").alias("n_users_exact")))
+    est = (F.lit(_HLL_ALPHA * m * m)
+           * F.expr(f"CAST(1 AS BIGINT) << {cap}").cast("double")
+           / F.col("sum_scaled").cast("double"))
+    return (agg.join(exact, "week_idx")
+            .select("week_idx", "n_users_exact", "n_registers_hit",
                     "sum_scaled", est.alias("hll_estimate")))
