@@ -627,3 +627,63 @@ def load_lsh_index(spark, source_df: DataFrame,
         return None
     return (spark.read.parquet(os.path.join(path, "bands")),
             spark.read.parquet(os.path.join(path, "digests")))
+
+
+def containment_pairs_within_groups(df: DataFrame, group_cols: list[str],
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    min_containment: float = 0.9
+                                    ) -> DataFrame:
+    """Near-superset pairs WITHIN groups: containment of the SMALLER
+    token set in the larger >= threshold — the quote-inclusion /
+    excerpt case that symmetric Jaccard misses (a 50-word quote inside
+    a 5000-word article has tiny Jaccard but containment 1.0).
+
+    Candidate scheme (lossless, asymmetric): under the shared
+    rarest-first order, a pair with containment >= t must share a token
+    from the SMALLER doc's first |s| - ceil(t*|s|) + 1 positions
+    (pigeonhole on the smaller side only), so the small side posts its
+    prefix and the big side posts ALL tokens; join on (group, token).
+    Hapax tokens (in-group df = 1) are unshareable and pruned from the
+    prefix. Verification is one array_intersect per candidate."""
+    t = float(min_containment)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    toks = (df.repartition(n)
+            .select(*group_cols, F.col(id_col).alias("id"),
+                    F.array_distinct(tokens(text_col)).alias("tok")))
+    sized = toks.withColumn("sz", F.size("tok"))
+    posted = sized.select(*group_cols, "id", "sz",
+                          F.explode("tok").alias("w"))
+    tok_df = (posted.groupBy(*group_cols, "w")
+              .agg(F.count(F.lit(1)).alias("df")))
+    w_order = Window.partitionBy(*group_cols, "id").orderBy("df", "w")
+    prefix = (posted.join(tok_df, [*group_cols, "w"])
+              .withColumn("rn", F.row_number().over(w_order))
+              .where(F.col("rn")
+                     <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")
+                                             - F.lit(1e-9)) + 1)
+              .where(F.col("df") >= 2)
+              .select(*group_cols, "id", "w", "sz"))
+    big = posted.selectExpr(*group_cols, "id AS id_big", "w",
+                            "sz AS sz_big")
+    cand = (prefix.alias("s").join(big.alias("b"), [*group_cols, "w"])
+            .where((F.col("s.id") != F.col("id_big"))
+                   & ((F.col("s.sz") < F.col("sz_big"))
+                      | ((F.col("s.sz") == F.col("sz_big"))
+                         & (F.col("s.id") < F.col("id_big")))))
+            .select(*group_cols, F.col("s.id").alias("id_small"), "id_big")
+            .dropDuplicates([*group_cols, "id_small", "id_big"]))
+    side_s = sized.select(F.col("id").alias("id_small"),
+                          F.col("tok").alias("tok_s"),
+                          F.col("sz").alias("sz_s"))
+    side_b = sized.select(F.col("id").alias("id_big"),
+                          F.col("tok").alias("tok_b"))
+    return (cand.join(side_s, "id_small").join(side_b, "id_big")
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("tok_s", "tok_b")))
+            .withColumn("containment",
+                        F.col("n_inter").cast("double")
+                        / F.col("sz_s").cast("double"))
+            .where(F.col("containment") >= min_containment)
+            .select(*group_cols, "id_small", "id_big", "n_inter",
+                    "containment"))

@@ -240,3 +240,41 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = docs.where(F.col("doc_id") > cut)
     bands, digests = build_lsh_index(batch1)
     return lsh_incremental_pairs(batch2, bands, digests)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, lang, doc_id,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+                   AS tok
+        FROM documents
+    )
+    SELECT a.source, a.lang,
+           CAST(CASE WHEN len(a.tok) < len(b.tok) THEN a.doc_id
+                     WHEN len(a.tok) > len(b.tok) THEN b.doc_id
+                     ELSE least(a.doc_id, b.doc_id) END AS BIGINT)
+               AS id_small,
+           CAST(CASE WHEN len(a.tok) < len(b.tok) THEN b.doc_id
+                     WHEN len(a.tok) > len(b.tok) THEN a.doc_id
+                     ELSE greatest(a.doc_id, b.doc_id) END AS BIGINT)
+               AS id_big,
+           CAST(len(list_intersect(a.tok, b.tok)) AS INTEGER) AS n_inter,
+           CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+               / CAST(least(len(a.tok), len(b.tok)) AS DOUBLE)
+               AS containment
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / CAST(least(len(a.tok), len(b.tok)) AS DOUBLE) >= 0.9
+    """,
+    doc="near-superset pairs within (source, lang): containment of the "
+        "smaller token set in the larger >= 0.9 — the quote-inclusion "
+        "case Jaccard misses; lossless asymmetric prefix candidates "
+        "(small side posts its prefix, big side posts all tokens)",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs_within_groups(
+        docs, ["source", "lang"], "doc_id", "text", min_containment=0.9)

@@ -170,3 +170,45 @@ def test_lsh_index_persistence_and_staleness_guard(spark, sf_dir, tmp_path):
     docs.write.parquet(f"{regen}/documents.parquet")
     fresh = spark.read.parquet(f"{regen}/documents.parquet")
     assert load_lsh_index(spark, fresh, idx_path) is None
+
+
+def test_containment_matches_bruteforce_on_random_corpora(spark):
+    """Losslessness of the asymmetric-prefix containment candidates
+    (small-side prefix x big-side full postings, hapax pruned) against
+    brute force on seeded random corpora, including planted exact
+    subsets and empty docs."""
+    import random
+    import re
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(25)]
+        rows = []
+        for i in range(30):
+            n = rng.randint(0, 12)
+            rows.append((i, " ".join(rng.choices(vocab, k=n)), "s"))
+        # planted: strict subset (tokens of doc 0 plus extras), exact
+        # copy, and empty docs
+        rows.append((100, rows[0][1] + " extra1 extra2 extra3", "s"))
+        rows.append((101, rows[0][1], "s"))
+        rows.append((102, "", "s"))
+        rows.append((103, "", "s"))
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        got = {(r.id_small, r.id_big): r.n_inter
+               for r in dedup.containment_pairs_within_groups(
+                   df, ["source"], min_containment=0.9).collect()}
+        sets = {i: set(re.split(r"\s+", t.lower().strip()))
+                for i, t, _ in rows}
+        want = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                small, big = ((a, b) if len(sets[a]) < len(sets[b])
+                              else (b, a) if len(sets[b]) < len(sets[a])
+                              else (min(a, b), max(a, b)))
+                denom = min(len(sets[a]), len(sets[b]))
+                if denom and inter / denom >= 0.9:
+                    want[(small, big)] = inter
+        assert got == want, f"seed={seed}"
