@@ -339,3 +339,13 @@ def test_mix_queries_single_scan_shape(spark, sf_dir):
         plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_containment_pairs_no_cartesian_no_group_buffer(spark, sf_dir):
+    """Containment candidates must come from the (group, token)
+    posting join — never a cartesian and never a group-sized
+    collect_list buffer (same discipline as the PPJoin gate)."""
+    df = REGISTRY["dedup_containment_pairs"].fn(spark, sf_dir)
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
