@@ -332,3 +332,89 @@ def incremental_pairs_oracle(threshold: float = 0.5) -> str:
     WHERE id_b > (SELECT CAST(FLOOR(MAX(doc_id) * 0.6) AS BIGINT)
                   FROM documents)
     """
+
+
+def grand_funnel_oracle() -> str:
+    """Twin of curation_grand_funnel: whole-corpus survivor counts
+    through exact dedup -> near-dup dedup (min-id-wins over >= 0.7
+    candidate pairs) -> near-dup decontamination (train docs that
+    near-duplicate held-out docs at >= 0.5, one-hop certain-duplicate
+    closure; held-out docs are unaffected by this stage)."""
+    return f"""
+    WITH {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    pairs AS (
+        SELECT id_a, id_b, est_jaccard FROM cand
+        UNION ALL
+        SELECT keep_id AS id_a, id AS id_b, 1.0::DOUBLE AS est_jaccard
+        FROM base WHERE id != keep_id
+    ),
+    losers AS (
+        SELECT DISTINCT id_b AS id FROM pairs WHERE est_jaccard >= 0.7
+    ),
+    split AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train' ELSE 'held' END AS split
+        FROM documents
+    ),
+    tagged AS (
+        SELECT p.id_a, p.id_b, p.est_jaccard,
+               sa.split AS split_a, sb.split AS split_b
+        FROM (SELECT * FROM pairs WHERE est_jaccard >= 0.5) p
+        JOIN split sa ON sa.id = p.id_a
+        JOIN split sb ON sb.id = p.id_b
+    ),
+    direct_ids AS (
+        SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM tagged
+            WHERE split_a = 'train' AND split_b = 'held'
+            UNION ALL
+            SELECT id_b AS id FROM tagged
+            WHERE split_b = 'train' AND split_a = 'held')
+    ),
+    via AS (
+        SELECT t.id_b AS id FROM tagged t
+        JOIN direct_ids d ON d.id = t.id_a
+        WHERE t.est_jaccard = 1.0
+          AND t.split_a = 'train' AND t.split_b = 'train'
+        UNION ALL
+        SELECT t.id_a AS id FROM tagged t
+        JOIN direct_ids d ON d.id = t.id_b
+        WHERE t.est_jaccard = 1.0
+          AND t.split_a = 'train' AND t.split_b = 'train'
+    ),
+    contaminated AS (
+        SELECT DISTINCT id
+        FROM (SELECT id FROM direct_ids UNION ALL SELECT id FROM via)
+    ),
+    flags AS (
+        SELECT b.id,
+               (b.id = b.keep_id) AS is_keeper,
+               (b.id = b.keep_id AND l.id IS NULL) AS is_nd_keeper,
+               (b.id = b.keep_id AND l.id IS NULL AND c.id IS NULL)
+                   AS is_clean
+        FROM base b
+        LEFT JOIN losers l ON l.id = b.id
+        LEFT JOIN contaminated c ON c.id = b.id
+    )
+    SELECT stage, n_docs,
+           CAST(n_docs AS DOUBLE)
+               / CAST(MAX(n_docs) OVER () AS DOUBLE) AS survival_rate
+    FROM (
+        SELECT '0_ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM flags
+        UNION ALL
+        SELECT '1_exact_keeper',
+               CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT '2_near_dup_keeper',
+               CAST(SUM(CASE WHEN is_nd_keeper THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT '3_decontaminated',
+               CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+    ) s
+    """

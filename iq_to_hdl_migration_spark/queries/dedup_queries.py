@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iq_to_hdl_migration_spark.operators import dedup
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
+    grand_funnel_oracle,
     incremental_pairs_oracle,
     lsh_bucket_census_oracle,
     minhash_clusters_oracle,
@@ -278,3 +279,81 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs_within_groups(
         docs, ["source", "lang"], "doc_id", "text", min_containment=0.9)
+
+
+@register(
+    "curation_grand_funnel",
+    oracle=grand_funnel_oracle(),
+    doc="the whole-pipeline survivor funnel: ingested -> exact-dedup "
+        "keeper -> near-dup keeper (min-id-wins over >= 0.7 LSH pairs) "
+        "-> decontaminated (train docs near-duplicating held-out data "
+        "dropped) — every stage reuses an already-oracled building "
+        "block, and the composed funnel is itself hash-checked",
+)
+def curation_grand_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"))
+    losers = (pairs.where(F.col("est_jaccard") >= 0.7)
+              .select(F.col("id_b").alias("id")).distinct()
+              .withColumn("is_loser", F.lit(True)))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = docs.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.when(bucket < "cc", "train").otherwise("held").alias("split"))
+    tagged = (pairs
+              .join(split.select(F.col("id").alias("id_a"),
+                                 F.col("split").alias("split_a")), "id_a")
+              .join(split.select(F.col("id").alias("id_b"),
+                                 F.col("split").alias("split_b")), "id_b"))
+    direct_ids = (tagged.where((F.col("split_a") == "train")
+                               & (F.col("split_b") == "held"))
+                  .select(F.col("id_a").alias("id"))
+                  .unionByName(
+                      tagged.where((F.col("split_b") == "train")
+                                   & (F.col("split_a") == "held"))
+                      .select(F.col("id_b").alias("id")))
+                  .distinct())
+    certain = tagged.where((F.col("est_jaccard") == 1.0)
+                           & (F.col("split_a") == "train")
+                           & (F.col("split_b") == "train"))
+    via = (certain.join(direct_ids.withColumnRenamed("id", "id_a"), "id_a")
+           .select(F.col("id_b").alias("id"))
+           .unionByName(
+               certain.join(direct_ids.withColumnRenamed("id", "id_b"),
+                            "id_b")
+               .select(F.col("id_a").alias("id"))))
+    contaminated = (direct_ids.unionByName(via).distinct()
+                    .withColumn("is_contam", F.lit(True)))
+    flags = (base.join(losers, "id", "left")
+             .join(contaminated, "id", "left")
+             .select(
+                 "is_keeper",
+                 (F.col("is_keeper")
+                  & F.col("is_loser").isNull()).alias("is_nd_keeper"),
+                 (F.col("is_keeper") & F.col("is_loser").isNull()
+                  & F.col("is_contam").isNull()).alias("is_clean")))
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("is_nd_keeper"), 1).otherwise(0))
+        .cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("is_clean"), 1).otherwise(0))
+        .cast("bigint").alias("n3"))
+    stages = counts.selectExpr(
+        "stack(4, '0_ingested', n0, '1_exact_keeper', n1, "
+        "'2_near_dup_keeper', n2, '3_decontaminated', n3) "
+        "AS (stage, n_docs)")
+    total = counts.select(F.col("n0").alias("total"))
+    return (stages.join(F.broadcast(total))
+            .select("stage", "n_docs",
+                    (F.col("n_docs").cast("double")
+                     / F.col("total").cast("double"))
+                    .alias("survival_rate")))
+
