@@ -486,3 +486,55 @@ def text_winnowing_match_pairs(spark: SparkSession,
     return (pairs.groupBy("p.id_a", "p.id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .where(F.col("n_shared") >= _MIN_SHARED))
+
+
+@register(
+    "text_winnowing_similarity",
+    oracle=f"""
+    WITH {_WINNOW_DUCK_CTE},
+    counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+        FROM wfp GROUP BY doc_id
+    ),
+    capped AS (
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM wfp
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.rn <= {_FP_BUCKET_CAP} AND b.rn <= {_FP_BUCKET_CAP}
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {_MIN_SHARED}
+    )
+    SELECT p.id_a, p.id_b, p.n_shared,
+           CAST(p.n_shared AS DOUBLE)
+               / CAST(least(ca.n_fp, cb.n_fp) AS DOUBLE) AS similarity
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.id_a
+    JOIN counts cb ON cb.doc_id = p.id_b
+    """,
+    doc="winnowing match SCORE: shared fingerprints normalized by the "
+        "smaller document's fingerprint count — the plagiarism "
+        "percentage the SIGMOD'03 guarantee supports; one extra join "
+        "of the match pairs against per-doc fingerprint counts",
+)
+def text_winnowing_similarity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    fps = text_winnowing_fingerprints(spark, sf_dir)
+    counts = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    pairs = text_winnowing_match_pairs(spark, sf_dir)
+    return (pairs
+            .join(counts.select(F.col("doc_id").alias("id_a"),
+                                F.col("n_fp").alias("n_fp_a")), "id_a")
+            .join(counts.select(F.col("doc_id").alias("id_b"),
+                                F.col("n_fp").alias("n_fp_b")), "id_b")
+            .select("id_a", "id_b",
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    (F.col("n_shared").cast("double")
+                     / F.least("n_fp_a", "n_fp_b").cast("double"))
+                    .alias("similarity")))
