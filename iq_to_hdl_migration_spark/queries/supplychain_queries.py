@@ -247,3 +247,72 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(nc), F.col("cust_nk") == F.col("nc_nk"))
             .select("supp_nation", "cust_nation", "n_lines",
                     F.col("rev_sum").cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# daily order backlog (WIP curve): orders open between o_orderdate and
+# their LAST line shipment. backlog(d) = cumulative opens(<= d) -
+# cumulative closes(<= d) — two bounded-domain prefix sums over the
+# day spine (the +1/-1 event formulation events_peak_concurrency uses,
+# on the relational side), never a per-day interval scan.
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_backlog_daily",
+    oracle=f"""
+    WITH closes AS (
+        SELECT l_orderkey,
+               MAX(date_diff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE))) AS close_day
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    spans AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS open_day,
+               c.close_day
+        FROM orders o JOIN closes c ON c.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+        SELECT open_day AS day_idx, 1 AS delta FROM spans
+        UNION ALL
+        SELECT close_day + 1 AS day_idx, -1 AS delta FROM spans
+    ),
+    daily AS (
+        SELECT day_idx, CAST(SUM(delta) AS BIGINT) AS net
+        FROM deltas GROUP BY day_idx
+    )
+    SELECT day_idx,
+           CAST(SUM(net) OVER (ORDER BY day_idx
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM daily
+    """,
+    doc="daily open-order backlog via the +1/-1 prefix-sum formulation "
+        "(order opens at o_orderdate, closes after its last l_shipdate) "
+        "— the running sum is over the bounded day spine of change "
+        "days, not the fact table; NTZ->DATE day integers keep it "
+        "session-TZ-independent",
+)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch_day = ("CAST(datediff(CAST({c} AS DATE), DATE '1970-01-01')"
+                 " AS BIGINT)")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    closes = (li.groupBy("l_orderkey")
+              .agg(F.max(F.expr(epoch_day.format(c="l_shipdate")))
+                   .alias("close_day")))
+    spans = (orders.select(
+        "o_orderkey",
+        F.expr(epoch_day.format(c="o_orderdate")).alias("open_day"))
+        .join(closes, F.col("o_orderkey") == F.col("l_orderkey")))
+    deltas = (spans.select(F.col("open_day").alias("day_idx"),
+                           F.lit(1).alias("delta"))
+              .unionByName(spans.select(
+                  (F.col("close_day") + 1).alias("day_idx"),
+                  F.lit(-1).alias("delta"))))
+    daily = deltas.groupBy("day_idx").agg(
+        F.sum("delta").cast("bigint").alias("net"))
+    w = (Window.orderBy("day_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select(
+        "day_idx", F.sum("net").over(w).cast("bigint").alias("open_orders"))
