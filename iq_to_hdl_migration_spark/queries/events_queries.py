@@ -523,3 +523,46 @@ def graph_user_pagerank_fixedpoint_top20(spark: SparkSession,
     return (ranks.orderBy(F.desc("rank_q"), F.asc("node"))
             .limit(20)
             .select(F.col("node").alias("user_id"), "rank_q", "rank"))
+
+
+@register(
+    "events_gap_powerlaw_histogram",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                       (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(CASE WHEN gap_us <= 0 THEN 0
+                     ELSE length(bin(gap_us // 1000000)) END AS INTEGER)
+               AS gap_bucket_log2s,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type, 2
+    """,
+    doc="inter-event gap distribution per event type in power-of-two "
+        "second buckets (bucket = integer bit-length of the gap — the "
+        "engine-portable log2 that needs no libm): the behavioral "
+        "cadence signature separating bots (sub-second buckets) from "
+        "humans; per-(user, type) lag window, bounded bucket domain",
+)
+def events_gap_powerlaw_histogram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = (ev.select("event_type", "user_id", "ts", "event_id",
+                   F.unix_micros("ts").alias("us"))
+         .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+         .where(F.col("gap_us").isNotNull()))
+    bucket = (F.when(F.col("gap_us") <= 0, 0)
+              .otherwise(F.length(F.bin(F.expr("gap_us div 1000000"))))
+              .cast("int"))
+    return (g.select("event_type", bucket.alias("gap_bucket_log2s"))
+            .groupBy("event_type", "gap_bucket_log2s")
+            .agg(F.count(F.lit(1)).alias("n_gaps")))
