@@ -316,3 +316,84 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return daily.select(
         "day_idx", F.sum("net").over(w).cast("bigint").alias("open_orders"))
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+    WITH flow AS (
+        SELECT s.s_nationkey AS supp_nk, c.c_nationkey AS cust_nk,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    AS DECIMAL(14,4)) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer c ON o_custkey = c.c_custkey
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey != c.c_nationkey
+    ),
+    pairs AS (
+        SELECT supp_nk, cust_nk, CAST(SUM(rev) AS DECIMAL(20,4)) AS rev
+        FROM flow GROUP BY supp_nk, cust_nk
+    ),
+    exports AS (
+        SELECT supp_nk AS nk, CAST(SUM(rev) AS DECIMAL(22,4)) AS export_rev
+        FROM pairs GROUP BY supp_nk
+    ),
+    imports AS (
+        SELECT cust_nk AS nk, CAST(SUM(rev) AS DECIMAL(22,4)) AS import_rev
+        FROM pairs GROUP BY cust_nk
+    )
+    SELECT n.n_name AS nation,
+           CAST(COALESCE(e.export_rev, 0) AS DOUBLE) AS export_rev,
+           CAST(COALESCE(i.import_rev, 0) AS DOUBLE) AS import_rev,
+           CAST(COALESCE(e.export_rev, 0) - COALESCE(i.import_rev, 0)
+                AS DOUBLE) AS balance
+    FROM nation n
+    LEFT JOIN exports e ON e.nk = n.n_nationkey
+    LEFT JOIN imports i ON i.nk = n.n_nationkey
+    """,
+    doc="per-nation cross-border trade balance (export minus import "
+        "revenue over the Q7 flow network, intra-nation flows "
+        "excluded); decimal-exact sums, early pair-key aggregation, "
+        "dims broadcast — the rollup of trade_flow_matrix to one row "
+        "per nation",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+           ).cast("decimal(14,4)")
+    flow = (li.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+            .join(o.select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .where(F.col("s_nationkey") != F.col("c_nationkey")))
+    pairs = (flow.groupBy(F.col("s_nationkey").alias("supp_nk"),
+                          F.col("c_nationkey").alias("cust_nk"))
+             .agg(F.sum("rev").cast("decimal(20,4)").alias("rev")))
+    exports = (pairs.groupBy(F.col("supp_nk").alias("nk"))
+               .agg(F.sum("rev").cast("decimal(22,4)").alias("export_rev")))
+    imports = (pairs.groupBy(F.col("cust_nk").alias("nk"))
+               .agg(F.sum("rev").cast("decimal(22,4)").alias("import_rev")))
+    zero = F.lit(0).cast("decimal(22,4)")
+    return (n.select(F.col("n_nationkey"), F.col("n_name").alias("nation"))
+            .join(F.broadcast(exports),
+                  F.col("n_nationkey") == exports["nk"], "left")
+            .join(F.broadcast(imports),
+                  F.col("n_nationkey") == imports["nk"], "left")
+            .select("nation",
+                    F.coalesce("export_rev", zero).cast("double")
+                    .alias("export_rev"),
+                    F.coalesce("import_rev", zero).cast("double")
+                    .alias("import_rev"),
+                    (F.coalesce("export_rev", zero)
+                     - F.coalesce("import_rev", zero)).cast("double")
+                    .alias("balance")))
