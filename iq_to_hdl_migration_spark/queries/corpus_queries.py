@@ -592,3 +592,81 @@ def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.withColumn("rn", F.row_number().over(wr))
             .where(F.col("rn") <= 20)
             .select("pair", "n_occurrences"))
+
+
+# ---------------------------------------------------------------------------
+# simhash bit-drift: per source, how biased each of the 60 signature
+# bits is across documents. A random corpus keeps every bit near 50/50;
+# templated/boilerplate-heavy sources push bits hard toward 0 or 1 —
+# so the biased-bit count and the mean bit skew are a cheap template-
+# contamination fingerprint per ingest source. Bias tests are EXACT
+# integer comparisons (|2*n_set - n| * 5 > 2 * n encodes skew > 0.4)
+# and the mean skew is an integer sum with one final division.
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_simhash_bit_drift",
+    oracle=rf"""
+    WITH th AS (
+        SELECT source,
+               list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))
+                   AS hs
+        FROM documents
+    ),
+    sigs AS (
+        SELECT source,
+               CAST(list_sum(list_transform(range(0, 60),
+                   b -> CASE WHEN list_sum(list_transform(hs,
+                            h -> CASE WHEN (h >> b) & 1 = 1
+                                 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+                   AS BIGINT) AS sig
+        FROM th
+    ),
+    bits AS (
+        SELECT source, b.b,
+               CAST(SUM((sig >> b.b) & 1) AS BIGINT) AS n_set,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sigs, (SELECT unnest(range(0, 60)) AS b) b
+        GROUP BY source, b.b
+    )
+    SELECT source, MAX(n_docs) AS n_docs,
+           CAST(SUM(CASE WHEN abs(2 * n_set - n_docs) * 5 > 2 * n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_biased_bits,
+           CAST(SUM(abs(2 * n_set - n_docs)) AS DOUBLE)
+               / CAST(60 * MAX(n_docs) AS DOUBLE) AS mean_bit_skew
+    FROM bits GROUP BY source
+    """,
+    doc="per-source simhash bit-drift fingerprint: count of signature "
+        "bits skewed > 0.4 from 50/50 plus mean bit skew — the cheap "
+        "template/boilerplate-contamination detector per ingest source; "
+        "exact integer bias tests, one final division",
+)
+def docs_simhash_bit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.dedup import (
+        simhash60, token_hashes60)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    sigs = (docs.select("source", token_hashes60("text")
+                        .alias("token_hashes"))
+            .repartition(n)
+            .select("source", simhash60().alias("sig")))
+    bits = (sigs.select("source", "sig",
+                        F.explode(F.sequence(F.lit(0), F.lit(59)))
+                        .alias("b"))
+            .groupBy("source", "b")
+            .agg(F.sum(F.expr("(sig >> b) & 1")).cast("bigint")
+                 .alias("n_set"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    return (bits.groupBy("source")
+            .agg(F.max("n_docs").alias("n_docs"),
+                 F.sum(F.when(
+                     F.abs(2 * F.col("n_set") - F.col("n_docs")) * 5
+                     > 2 * F.col("n_docs"), 1).otherwise(0))
+                 .cast("bigint").alias("n_biased_bits"),
+                 (F.sum(F.abs(2 * F.col("n_set") - F.col("n_docs")))
+                  .cast("double")
+                  / (F.lit(60) * F.max("n_docs")).cast("double"))
+                 .alias("mean_bit_skew")))

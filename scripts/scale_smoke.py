@@ -81,6 +81,10 @@ EXTRA = [
     "mlprep_seqlen_percentiles", "dq_referential_integrity",
     "sketch_hll_portable_distinct_orders", "sim_quantized_topk",
     "sim_ivf_fixedpoint_topk", "graph_user_pagerank_fixedpoint_top20",
+    "dedup_containment_pairs", "curation_grand_funnel",
+    "text_winnowing_similarity", "orders_backlog_daily",
+    "events_gap_powerlaw_histogram", "nation_trade_balance",
+    "sketch_hll_portable_rollup", "sim_ann_recall_matrix",
 ]
 
 
