@@ -670,3 +670,66 @@ def docs_simhash_bit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double")
                   / (F.lit(60) * F.max("n_docs")).cast("double"))
                  .alias("mean_bit_skew")))
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law constancy: under Zipf, rank x frequency is roughly constant
+# over the head of the vocabulary — so max/min of (rank * freq) over
+# the top-k tokens is a libm-free goodness-of-Zipf diagnostic (a
+# log-log regression would need ln, which is not bit-portable).
+# Natural corpora sit near small ratios; templated or synthetic
+# sources drift. rank * freq is exact integer arithmetic; the ratio is
+# one final division.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_zipf_constancy",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+'))
+            AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY source, token
+    ),
+    ranked AS (
+        SELECT source, f,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY f DESC, token) AS r
+        FROM freq
+    ),
+    head AS (
+        SELECT source, r * f AS rf FROM ranked WHERE r <= 20
+    )
+    SELECT source,
+           CAST(MIN(rf) AS BIGINT) AS min_rank_freq,
+           CAST(MAX(rf) AS BIGINT) AS max_rank_freq,
+           CAST(MAX(rf) AS DOUBLE) / CAST(MIN(rf) AS DOUBLE)
+               AS zipf_constancy_ratio
+    FROM head GROUP BY source
+    """,
+    doc="libm-free Zipf diagnostic per source: max/min of rank x "
+        "frequency over the top-20 tokens (constant under Zipf; "
+        "templated/synthetic sources drift) — exact integer products, "
+        "one final division; per-source rank windows over the "
+        "aggregated vocabulary only",
+)
+def text_zipf_constancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+    freq = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f"))
+    w = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("token"))
+    head = (freq.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 20)
+            .select("source", (F.col("r") * F.col("f")).alias("rf")))
+    return (head.groupBy("source")
+            .agg(F.min("rf").cast("bigint").alias("min_rank_freq"),
+                 F.max("rf").cast("bigint").alias("max_rank_freq"),
+                 (F.max("rf").cast("double") / F.min("rf").cast("double"))
+                 .alias("zipf_constancy_ratio")))
