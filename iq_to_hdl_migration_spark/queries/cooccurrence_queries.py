@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from iq_to_hdl_migration_spark.operators.dimjoin import scaled_dim
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
@@ -227,7 +228,7 @@ def nation_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     cr = (o.select("o_custkey",
                    F.col("o_totalprice").cast("decimal(14,2)").alias("tp"))
-          .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+          .join(scaled_dim(c.select("c_custkey", "c_nationkey")),
                 F.col("o_custkey") == F.col("c_custkey"))
           .groupBy("c_nationkey", "o_custkey")
           .agg(F.sum("tp").cast("decimal(18,2)").alias("rev")))

@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from iq_to_hdl_migration_spark.operators.dimjoin import scaled_dim
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries import dedup_oracles as _dedup_oracles
 from iq_to_hdl_migration_spark.sources.tables import load_table
@@ -308,7 +309,7 @@ def text_contamination_13gram(spark: SparkSession,
     train = g.where(~F.col("is_eval")).select("doc_id", "g").distinct()
     totals = train.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"))
-    hits = (train.join(F.broadcast(eval_grams), "g")
+    hits = (train.join(scaled_dim(eval_grams), "g")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hit_grams")))
     return (hits.join(totals, "doc_id")

@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from iq_to_hdl_migration_spark.operators.dimjoin import scaled_dim
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.sources.tables import load_table as _t_impl
 
@@ -94,8 +95,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q3 — shipping priority (TPC-H Q3 shape). customer ⋈ orders ⋈ lineitem
-# with selective filters on both sides; customer is broadcast-size so the
-# plan is one shuffle join (orders⋈lineitem on orderkey) + broadcast.
+# with selective filters on both sides; customer is sf-scaled so it is
+# joined via scaled_dim (AQE broadcasts it while small, shuffle-joins it
+# past the threshold); orders⋈lineitem shuffles on orderkey.
 # Reference analog: 3-way master-inventory join J3 (migration.py:1691).
 # ---------------------------------------------------------------------------
 @register(
@@ -124,7 +126,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
     return (
-        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        orders.join(scaled_dim(cust), F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("rev", _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2)))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -171,8 +173,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q5 — local supplier volume (TPC-H Q5 shape): 6-way join, dims
-# broadcast; only the orders⋈lineitem edge shuffles at scale.
+# q5 — local supplier volume (TPC-H Q5 shape): 6-way join. nation/
+# region broadcast (const_dim); customer/supplier are scaled_dim (AQE
+# decides); orders⋈lineitem shuffles on orderkey at scale.
 # ---------------------------------------------------------------------------
 @register(
     "q5_region_volume",
@@ -203,8 +206,8 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     return (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp),
+        .join(scaled_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(scaled_dim(supp),
               (F.col("s_suppkey") == F.col("l_suppkey"))
               & (F.col("s_nationkey") == F.col("c_nationkey")))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
@@ -283,7 +286,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(scaled_dim(cust), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .withColumn("rev", _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2)))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
@@ -355,7 +358,7 @@ def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# q_top_parts_by_revenue — part ⋈ lineitem with broadcast dim + top-k.
+# q_top_parts_by_revenue — part ⋈ lineitem (scaled_dim: AQE-planned) + top-k.
 # ---------------------------------------------------------------------------
 @register(
     "q_top_parts_by_revenue",
@@ -374,7 +377,7 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(scaled_dim(part), F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("rev", _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2)))
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(F.sum("rev").cast("double").alias("revenue"),
@@ -417,7 +420,7 @@ def q_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     per_nation = (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(scaled_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .withColumn("rev", _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2)))
         .groupBy("n_name")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from iq_to_hdl_migration_spark.operators.dimjoin import scaled_dim
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.sources.tables import load_table as _t
 
@@ -61,11 +62,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     df = (
-        li.join(F.broadcast(_t(spark, sf_dir, "supplier")),
+        li.join(scaled_dim(_t(spark, sf_dir, "supplier")),
                 F.col("s_suppkey") == F.col("l_suppkey"))
         .join(_t(spark, sf_dir, "orders"),
               F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(_t(spark, sf_dir, "customer")),
+        .join(scaled_dim(_t(spark, sf_dir, "customer")),
               F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -115,12 +116,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     df = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(_t(spark, sf_dir, "supplier")),
+        .join(scaled_dim(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(scaled_dim(_t(spark, sf_dir, "supplier")),
               F.col("s_suppkey") == F.col("l_suppkey"))
         .join(_t(spark, sf_dir, "orders"),
               F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(_t(spark, sf_dir, "customer")),
+        .join(scaled_dim(_t(spark, sf_dir, "customer")),
               F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
@@ -155,7 +156,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
     zero = F.lit("0.00").cast("decimal(12,2)")
-    df = (li.join(F.broadcast(_t(spark, sf_dir, "part")),
+    df = (li.join(scaled_dim(_t(spark, sf_dir, "part")),
                   F.col("l_partkey") == F.col("p_partkey"))
           .withColumn("rev", _rev()))
     promo = F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)
@@ -219,7 +220,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg((F.lit(0.5) * F.avg(F.col("l_quantity").cast("double")))
                     .alias("half_avg")))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(scaled_dim(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg((F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
@@ -254,7 +255,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .join(big.withColumnRenamed("l_orderkey", "bok"),
               F.col("o_orderkey") == F.col("bok"), "left_semi")
-        .join(F.broadcast(_t(spark, sf_dir, "customer")),
+        .join(scaled_dim(_t(spark, sf_dir, "customer")),
               F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey")
@@ -290,7 +291,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50)
            & F.col("l_quantity").between(20, 40))
     )
-    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return (li.join(scaled_dim(part), F.col("l_partkey") == F.col("p_partkey"))
             .where(cond)
             .withColumn("rev", _rev())
             .agg(F.sum("rev").cast("double").alias("revenue"),

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from iq_to_hdl_migration_spark.operators.dimjoin import scaled_dim
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.sources.tables import load_table as _t
 
@@ -69,8 +70,8 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.distinct()
         .join(mn, (F.col("l_partkey") == F.col("mn_partkey"))
               & (F.col("ep") == F.col("min_price")))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(scaled_dim(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(scaled_dim(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "p_name", "s_name",
                 F.col("min_price").cast("double").alias("min_price"))
         .orderBy("p_partkey", "s_name")
@@ -105,9 +106,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(scaled_dim(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(scaled_dim(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(F.col("n_name").alias("supp_nation"),
                 F.year("o_orderdate").cast("int").alias("o_year"),
@@ -210,9 +211,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad_supp),
+        li.join(scaled_dim(bad_supp),
                 F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(scaled_dim(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -245,7 +246,7 @@ def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
     li = _t(spark, sf_dir, "lineitem")
     big = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(scaled_dim(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("tot_qty"))
         .where(F.col("tot_qty") > 50)
@@ -305,7 +306,7 @@ def q21_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l3, (F.col("l3_ok") == F.col("l_orderkey"))
               & (F.col("l3_sk") != F.col("l_suppkey")), "left_anti")
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(scaled_dim(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -407,7 +408,7 @@ def q_nation_revenue_dense_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast("decimal(12,2)")
            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
     r = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
-         .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+         .join(scaled_dim(cu), od["o_custkey"] == cu["c_custkey"])
          .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
          .groupBy("n_name")
          .agg(F.sum(rev).cast("double").alias("revenue")))

@@ -31,6 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from iq_to_hdl_migration_spark.operators.dimjoin import scaled_dim
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
@@ -143,7 +144,7 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap").isNotNull())
     )
     joined = gaps.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        scaled_dim(c.select("c_custkey", "c_mktsegment")),
         gaps["o_custkey"] == F.col("c_custkey"))
     return joined.groupBy("c_mktsegment").agg(
         F.count("gap").cast("bigint").alias("n_gaps"),
@@ -190,7 +191,7 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
     sr = (
         li.select("l_suppkey", rev_expr.alias("item_rev"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(scaled_dim(s.select("s_suppkey", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_nationkey", "l_suppkey")
         .agg(F.sum("item_rev").cast("decimal(18,2)").alias("rev"))
@@ -479,7 +480,7 @@ def ols_qty_vs_discount_by_brand(spark: SparkSession,
     dc = F.round(F.col("l_discount") * 100).cast("bigint")
     qc = F.round(F.col("l_quantity") * 100).cast("bigint")
     m = (li.select("l_partkey", dc.alias("dc"), qc.alias("qc"))
-         .join(F.broadcast(p.select("p_partkey", "p_brand")),
+         .join(scaled_dim(p.select("p_partkey", "p_brand")),
                F.col("l_partkey") == F.col("p_partkey"))
          .groupBy("p_brand")
          .agg(F.count(F.lit(1)).alias("n"),

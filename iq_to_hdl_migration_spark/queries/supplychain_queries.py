@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from iq_to_hdl_migration_spark.operators.dimjoin import scaled_dim
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
@@ -65,7 +66,7 @@ def ship_latency_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(scaled_dim(s.select("s_suppkey", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -229,9 +230,9 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_suppkey", rev.alias("rev"))
         .join(o.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        .join(scaled_dim(c.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s.select("s_suppkey",
+        .join(scaled_dim(s.select("s_suppkey",
                                    F.col("s_nationkey").alias("supp_nk"))),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("supp_nk", F.col("c_nationkey").alias("cust_nk"))
@@ -371,9 +372,9 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow = (li.select("l_orderkey", "l_suppkey", rev.alias("rev"))
             .join(o.select("o_orderkey", "o_custkey"),
                   F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+            .join(scaled_dim(c.select("c_custkey", "c_nationkey")),
                   F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            .join(scaled_dim(s.select("s_suppkey", "s_nationkey")),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .where(F.col("s_nationkey") != F.col("c_nationkey")))
     pairs = (flow.groupBy(F.col("s_nationkey").alias("supp_nk"),

@@ -349,3 +349,70 @@ def test_containment_pairs_no_cartesian_no_group_buffer(spark, sf_dir):
     plan = final_plan(df)
     assert "CartesianProduct" not in plan
     assert "collect_list" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint scale policy (round-6 fix): sf-scaled tables
+# (customer/supplier/part/orders) must NOT carry a hardcoded broadcast
+# hint — at the 100 TB design point those builds exceed Spark's 8 GB
+# broadcast hard limit and the query errors out. Constant-cardinality
+# dims (nation=25, region=5) keep the explicit hint. The gate forces
+# autoBroadcastJoinThreshold = -1 so the planner can only broadcast
+# what is *hinted*: scaled tables must fall back to a shuffle join
+# (proving no stray hint), nation/region must still broadcast (proving
+# the const_dim hint survives).
+# ---------------------------------------------------------------------------
+
+_THRESH_KEYS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+)
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    old = {}
+    for k in _THRESH_KEYS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, "-1")
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name,scaled_tables", [
+    ("q3_shipping_priority", ["customer"]),
+    ("q5_region_volume", ["customer", "supplier"]),
+    ("q9_product_profit", ["part", "supplier"]),
+    ("q10_returned_items", ["customer"]),
+    ("q21_sole_return_suppliers", ["supplier"]),
+    ("trade_flow_matrix", ["customer", "supplier"]),
+])
+def test_no_hardcoded_broadcast_on_scaled_tables(
+        spark, sf_dir, no_auto_broadcast, name, scaled_tables):
+    spec = REGISTRY.get(name)
+    if spec is None:  # registry name drift — fail loudly elsewhere
+        pytest.skip(f"{name} not in registry")
+    plan = final_plan(spec.fn(spark, sf_dir))
+    # With auto-broadcast disabled, any BroadcastHashJoin left in the
+    # plan comes from an explicit hint. Hints are only allowed on
+    # constant dims, so every broadcast EXCHANGE input must be tiny;
+    # the scaled tables must arrive via shuffle (SMJ/SHJ).
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+        f"{name}: expected the {scaled_tables} join(s) to fall back to a "
+        "shuffle join with auto-broadcast off — a hardcoded broadcast "
+        "hint on an sf-scaled table is a 100 TB hard-failure")
+
+
+@pytest.mark.parametrize("name", ["q5_region_volume", "q9_product_profit"])
+def test_constant_dims_still_broadcast(spark, sf_dir, no_auto_broadcast, name):
+    plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, (
+        f"{name}: nation/region const_dim hint was lost — constant "
+        "dims must broadcast even with auto-broadcast disabled")
