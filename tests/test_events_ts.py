@@ -29,14 +29,19 @@ def test_unix_micros_works_and_matches_duckdb(spark, sf_dir):
         .collect())
     # limit(50) on an unordered scan isn't deterministic; compare the
     # full min/max + a checksum over ALL rows instead
+    # the checksum SUM must be wider than int64: each unix_micros value
+    # is ~1.7e15, so past ~5k rows (sf0.01 events has 10k) an int64 sum
+    # overflows and ANSI mode throws — cast both engines to decimal/
+    # HUGEINT so the test holds at any sf
     spark_stats = ev.select(
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
-        F.sum(F.unix_micros("ts")).alias("s")).collect()[0]
+        F.sum(F.unix_micros("ts").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]
     duck = duckdb.sql(
         f"""SELECT min(epoch_us(CAST(ts AS TIMESTAMP))),
                    max(epoch_us(CAST(ts AS TIMESTAMP))),
-                   sum(epoch_us(CAST(ts AS TIMESTAMP)))
+                   sum(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT))
             FROM read_parquet('{table_path(sf_dir, "events")}')"""
     ).fetchone()
     assert (spark_stats.lo, spark_stats.hi, int(spark_stats.s)) == \
