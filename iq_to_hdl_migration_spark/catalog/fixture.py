@@ -172,6 +172,10 @@ CATALOG_FIXTURE: dict[str, tuple[list[tuple[str, str]], list[tuple]]] = {
          ("Permanent", "Append_Load", "ON", "PUBLIC"),
          ("Permanent", "Force_No_Scroll_Cursors", "OFF", "PUBLIC"),
          ("Permanent", "Default_KB_Per_Stripe", "64", "PUBLIC"),
+         # two names from the real dbopts vendor list so the J16
+         # options∩dbopts_rules intersection stays non-trivial
+         ("Permanent", "checkpoint_time", "60", "PUBLIC"),
+         ("Permanent", "login_procedure", "sp_login", "PUBLIC"),
          ("Temporary", "Quoting", "OFF", "PUBLIC")],
     ),
     # SYSLOGINPOLICY / SYSLOGINPOLICYOPTION (migration.py:974)
@@ -276,10 +280,12 @@ CATALOG_FIXTURE: dict[str, tuple[list[tuple[str, str]], list[tuple]]] = {
          ("app1.t_parent", "failed", 2), ("app1.t_child", "pending", 0),
          ("app1.t_identity", "failed", 1), ("app2.t_wide", "pending", 0)],
     ),
-    # rule CSVs (pre_migration.py:643-648,689-694)
+    # rule CSVs (pre_migration.py:643-648,689-694): populated below from
+    # the packaged full vendor lists so the CSVs stay the single source
+    # of truth
     "dbopts_rules": (
         [("option_name", "str")],
-        [("Append_Load",), ("Force_No_Scroll_Cursors",), ("Notify_Modulus",)],
+        [],  # filled at import time, see below
     ),
     # hosparams rule table: populated below from the packaged
     # sources/data/hosparams_noncustomer.csv so the CSV stays the
@@ -312,14 +318,18 @@ CATALOG_FIXTURE: dict[str, tuple[list[tuple[str, str]], list[tuple]]] = {
 }
 
 
-def _load_hosparams_rows() -> list[tuple]:
+def _rule_rows(csv_name: str) -> list[tuple]:
     from iq_to_hdl_migration_spark.sources.rule_tables import (
         load_option_names)
-    return [(n,) for n in load_option_names("hosparams_noncustomer.csv")]
+    return [(n,) for n in load_option_names(csv_name)]
 
 
 CATALOG_FIXTURE["hosparams_rules"] = (
-    CATALOG_FIXTURE["hosparams_rules"][0], _load_hosparams_rows())
+    CATALOG_FIXTURE["hosparams_rules"][0],
+    _rule_rows("hosparams_noncustomer.csv"))
+CATALOG_FIXTURE["dbopts_rules"] = (
+    CATALOG_FIXTURE["dbopts_rules"][0],
+    _rule_rows("dbopts_noncustomer.csv"))
 
 _SPARK_TYPES = {"int": IntegerType(), "long": LongType(),
                 "str": StringType(), "double": DoubleType()}

@@ -408,8 +408,14 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
     # vocabulary.
     prefix = (posted.join(tok_df, [*group_cols, "w"])
               .withColumn("rn", F.row_number().over(w_order))
+              # 1e-9 slack: ceil(t*sz) on non-representable t (e.g.
+              # 0.7*10 -> 7.000000000000001) would round UP and
+              # shorten the prefix, silently dropping a true pair at
+              # exactly the threshold — slack makes float error only
+              # lengthen the prefix (extra candidates die in verify)
               .where(F.col("rn")
-                     <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+                     <= F.col("sz")
+                     - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1)
               .where(F.col("df") >= 2)
               .select(*group_cols, "id", "w", "sz", "rn"))
     # PPJoin length filter (lossless): jaccard >= t forces
@@ -477,13 +483,23 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
 # ---------------------------------------------------------------------------
 
 def build_lsh_index(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                    text_col: str = "text",
+                    bucket_cap: int = BUCKET_CAP
+                    ) -> tuple[DataFrame, DataFrame]:
     """Build the persistent near-dup index for a corpus snapshot:
     (bands, digests) where `bands` holds one (band, band_sig, id,
     minhash) posting per representative per band and `digests` maps
     content digest -> keeper id. Both are plain DataFrames the caller
     persists (parquet partitioned by band, or a bucketed table on
-    band_sig)."""
+    band_sig).
+
+    Postings are capped at `bucket_cap` per (band, band_sig) — the
+    same flood-safety bound as the batch path: a flood of distinct
+    near-identical docs would otherwise make every later batch's
+    (band, band_sig) join quadratic. Exact duplicates are already
+    collapsed by the digest pre-pass, so truncation only drops
+    *near*-dup postings past the cap; `minhash_bucket_census` is the
+    observability for buckets that hit it."""
     reps, _links = _exact_prepass(df, id_col, text_col)
     sigs = with_minhash(reps, "text")
     bands = (
@@ -494,6 +510,7 @@ def build_lsh_index(df: DataFrame, id_col: str = "doc_id",
             "band_sig",
             F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1,"
                    f" {ROWS_PER_BAND})")))
+    bands = _cap_buckets(bands, ["band", "band_sig"], bucket_cap)
     digests = (df.select(F.col(id_col).alias("id"),
                          F.md5(F.col(text_col).cast("binary"))
                          .alias("digest"))
@@ -547,10 +564,15 @@ def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
             F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1,"
                    f" {ROWS_PER_BAND})")))
     est = F.expr(_EST_AGREE.format(a="minhash", b="minhash_new"))
+    # cap BOTH sides of the (band, band_sig) join: the stored index is
+    # capped at build time, and the batch side here — so a flood of
+    # near-identical arrivals bounds the collision join at
+    # cap × cap per bucket instead of going quadratic
+    new_capped = _cap_buckets(new_bands, ["band", "band_sig"], bucket_cap)
     cross = (index_bands
-             .join(new_bands.select(F.col("id").alias("id_new"),
-                                    F.col("minhash").alias("minhash_new"),
-                                    "band", "band_sig"),
+             .join(new_capped.select(F.col("id").alias("id_new"),
+                                     F.col("minhash").alias("minhash_new"),
+                                     "band", "band_sig"),
                    ["band", "band_sig"])
              .where(F.col("id") != F.col("id_new"))
              .select(F.least("id", "id_new").alias("id_a"),
@@ -558,8 +580,7 @@ def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
                      est.alias("est_jaccard"))
              .where(F.col("est_jaccard") >= threshold)
              .dropDuplicates(["id_a", "id_b"]))
-    capped = _cap_buckets(new_bands, ["band", "band_sig"], bucket_cap)
-    buckets = (capped.groupBy("band", "band_sig")
+    buckets = (new_capped.groupBy("band", "band_sig")
                .agg(F.collect_list(F.struct("id", "minhash"))
                     .alias("members"))
                .where(F.size("members") > 1))
@@ -602,8 +623,18 @@ def persist_lsh_index(bands: DataFrame, digests: DataFrame,
         .parquet(os.path.join(path, "bands"))
     digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
     meta = {"src_fp": _source_fingerprint(source_df)}
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    # meta via the Hadoop FileSystem API, not open(): the index path
+    # is an hdfs:// or s3a:// URI in production, invisible to the
+    # driver's local filesystem
+    spark = bands.sparkSession
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_meta.json"))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def load_lsh_index(spark, source_df: DataFrame,
@@ -618,11 +649,17 @@ def load_lsh_index(spark, source_df: DataFrame,
     from iq_to_hdl_migration_spark.sources.bucketed import (
         _source_fingerprint)
 
-    meta_path = os.path.join(path, "_meta.json")
-    if not os.path.exists(meta_path):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_meta.json"))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
         return None
-    with open(meta_path) as f:
-        meta = json.load(f)
+    stream = fs.open(p)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    meta = json.loads(raw.decode("utf-8"))
     if meta.get("src_fp") != _source_fingerprint(source_df):
         return None
     return (spark.read.parquet(os.path.join(path, "bands")),

@@ -269,8 +269,10 @@ def sketch_hll_portable_rollup(spark: SparkSession,
     ev = load_table(spark, sf_dir, "events")
     cap, m = _HLL_RANK_CAP, _HLL_M
     h = ev.select(
-        (F.unix_micros("ts") / F.lit(_DAY_US)).cast("bigint")
-        .alias("day_idx"),
+        # integer floor division like the oracle's `//` — double
+        # division + cast truncates (diverges pre-epoch) and leans on
+        # microsecond granularity to dodge boundary round-up
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_idx"),
         "user_id",
         F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
                " 16, 10) AS BIGINT)").alias("hv"))

@@ -140,14 +140,30 @@ def export_jsonl_sharded(df: DataFrame, path: str,
     w.json(path)
     spark = df.sparkSession
     # ONE count job over all shards (input_file_name groups rows by
-    # shard), not one job per shard; sizes from the same local-FS
-    # listing convention as pipeline listing_reconcile
+    # shard), not one job per shard; names and sizes come from the
+    # Hadoop FileSystem API so the sink works on any supported URI
+    # (file://, hdfs://, s3a://), not just the driver's local disk
     counts = {os.path.basename(r["f"]): r["n"] for r in
               (spark.read.text(path)
                .groupBy(F.input_file_name().alias("f"))
                .agg(F.count(F.lit(1)).alias("n"))).collect()}
-    rows = [(f, counts.get(f, 0),
-             os.path.getsize(os.path.join(path, f)))
-            for f in sorted(os.listdir(path)) if f.startswith("part-")]
+    rows = [(f, counts.get(f, 0), size)
+            for f, size in _hadoop_listing(spark, path)
+            if f.startswith("part-")]
     return spark.createDataFrame(
         rows, "file string, n_rows bigint, n_bytes bigint")
+
+
+def _hadoop_listing(spark, path: str) -> list[tuple[str, int]]:
+    """(basename, size_bytes) for every file directly under `path`,
+    via the JVM Hadoop FileSystem — scheme-agnostic, unlike
+    os.listdir, which only ever sees the driver's local disk."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = []
+    for status in fs.listStatus(p):
+        if status.isFile():
+            out.append((status.getPath().getName(), status.getLen()))
+    return sorted(out)

@@ -67,7 +67,11 @@ def test_listing_reconcile_detects_drift(spark, tmp_path):
 
 def test_rule_tables_load(spark):
     names = load_option_names()
-    assert "Append_Load" in names and all("#" not in n for n in names)
+    # full vendor dbopts list (109 names, packaged verbatim)
+    assert "checkpoint_time" in names and len(names) == 109
+    assert all("#" not in n for n in names)
+    hos = load_option_names("hosparams_noncustomer.csv")
+    assert "Append_Load" in hos and len(hos) == 664
     defaults = load_login_policy_defaults()
     assert defaults["locked"] == "OFF"
     df = options_rules_df(spark)
