@@ -309,12 +309,18 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                  F.col(vec_col).alias("qemb")), "qemb", "qvec")
     q = exploded_buckets(q.withColumnRenamed("norm", "qnorm"), "qemb")
     if n_flip >= 1:
-        q = (q.withColumn(
-                "code",
-                F.explode(F.expr(
-                    f"array_union(array(code), transform("
-                    f"sequence(0, {BITS_PER_TABLE - 1}), "
-                    f"i -> code ^ shiftleft(1, i)))"))))
+        probes = (f"array_union(array(code), transform("
+                  f"sequence(0, {BITS_PER_TABLE - 1}), "
+                  f"i -> code ^ shiftleft(1, i)))")
+        if n_flip >= 2:
+            # all Hamming-2 neighbors too: C(bits,2) extra probes per
+            # table — still only a probe-side expansion (the corpus
+            # layout and the equi-join shape are unchanged)
+            probes = (f"array_union({probes}, "
+                      f"flatten(transform(sequence(0, {BITS_PER_TABLE - 2}),"
+                      f" i -> transform(sequence(i + 1, {BITS_PER_TABLE - 1}),"
+                      f" j -> code ^ shiftleft(1, i) ^ shiftleft(1, j)))))")
+        q = q.withColumn("code", F.explode(F.expr(probes)))
     cands = (
         c.join(F.broadcast(q), ["table_idx", "code"])
         .where(F.col("query_id") != F.col("cand_id"))

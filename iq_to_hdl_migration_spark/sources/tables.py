@@ -30,6 +30,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Session-scoped relation memo: resolving a parquet relation costs a
+# driver round-trip + file listing (~80 ms/table), which dominates
+# sub-second queries that re-load 5 tables per call. The source
+# datasets are immutable by contract (read-only testdata; production
+# snapshots), so reusing the resolved DataFrame is safe. Keyed by
+# Spark application id so a restarted session never sees another
+# session's plans. The warehouse-staging branch bypasses the memo —
+# staged copies can appear mid-session.
+_RELATION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes events.ts (stored as TIMESTAMP(NANOS),
     which different Spark versions decode differently) to a canonical
@@ -49,6 +60,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if os.path.isdir(staged):
             df = spark.read.parquet(staged)
             return normalize_event_ts(df) if name == "events" else df
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    memo = _RELATION_MEMO.get(key)
+    if memo is not None:
+        return memo
     if name == "events":
         try:
             # Spark <= 4.0 can only read TIMESTAMP(NANOS) as a long;
@@ -57,8 +72,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        return normalize_event_ts(spark.read.parquet(table_path(sf_dir, name)))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = normalize_event_ts(spark.read.parquet(table_path(sf_dir, name)))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _RELATION_MEMO[key] = df
+    return df
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
