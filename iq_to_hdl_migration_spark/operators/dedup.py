@@ -396,8 +396,9 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
     sized = toks.withColumn("sz", F.size("tok"))
     posted = sized.select(*group_cols, "id", "sz",
                           F.explode("tok").alias("w"))
-    tok_df = (posted.groupBy(*group_cols, "w")
-              .agg(F.count(F.lit(1)).alias("df")))
+    # in-group document frequency as a window count over (group, w):
+    # one shuffle on the token key, no separate groupBy + re-join pass
+    w_df = Window.partitionBy(*group_cols, "w")
     w_order = Window.partitionBy(*group_cols, "id").orderBy("df", "w")
     # rn must be computed over ALL of a document's tokens (the prefix
     # length bound depends on the full ordered list), but once the
@@ -406,7 +407,7 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
     # self-join is lossless and removes the dominant share of join
     # input in real corpora, where hapax tokens are most of the
     # vocabulary.
-    prefix = (posted.join(tok_df, [*group_cols, "w"])
+    prefix = (posted.withColumn("df", F.count(F.lit(1)).over(w_df))
               .withColumn("rn", F.row_number().over(w_order))
               # 1e-9 slack: ceil(t*sz) on non-representable t (e.g.
               # 0.7*10 -> 7.000000000000001) would round UP and

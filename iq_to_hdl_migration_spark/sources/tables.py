@@ -58,8 +58,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if wh:
         staged = os.path.join(wh, os.path.basename(sf_dir.rstrip("/")), name)
         if os.path.isdir(staged):
+            # memo keyed by the staged dir's mtime: re-staging rewrites
+            # the directory, so a stale plan can never be served
+            skey = (spark.sparkContext.applicationId, staged,
+                    str(os.path.getmtime(staged)))
+            memo = _RELATION_MEMO.get(skey)
+            if memo is not None:
+                return memo
             df = spark.read.parquet(staged)
-            return normalize_event_ts(df) if name == "events" else df
+            if name == "events":
+                df = normalize_event_ts(df)
+            _RELATION_MEMO[skey] = df
+            return df
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
     memo = _RELATION_MEMO.get(key)
     if memo is not None:
