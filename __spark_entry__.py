@@ -54,6 +54,8 @@ _SAMPLE_PRIORITY = [
     "f13_permanent_mpx_options", "sketch_hll_portable_rollup",
     "dedup_incremental_pairs", "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
+    # round 6 additions
+    "stream_incremental_dedup", "sim_ann_multiprobe2_topk",
     # round-5 additions without a driver row yet
     "dedup_containment_pairs", "curation_grand_funnel",
     "sim_ivf_fixedpoint_topk", "sim_quantized_topk",

@@ -606,6 +606,52 @@ def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
             .unionByName(cross).unionByName(within))
 
 
+def lsh_batch_deltas(new_df: DataFrame, index_bands: DataFrame,
+                     index_digests: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     threshold: float = 0.5,
+                     bucket_cap: int = BUCKET_CAP
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`lsh_incremental_pairs` plus the index APPEND deltas that make
+    the store reflect the batch: (pairs, bands_delta, digests_delta).
+
+    This is the micro-batch step of a continuously-deduped corpus
+    (streaming/windows.streaming_incremental_dedup): append
+    `bands_delta` to the stored postings and `digests_delta` to the
+    digest map after emitting `pairs`, and the next batch dedups
+    against everything seen so far. Deltas preserve the index
+    invariants: digests_delta holds only digests NOT already stored
+    (first-seen-wins keeper = min id within the batch that introduced
+    the digest), bands_delta holds only batch representatives' capped
+    postings — so appending never creates duplicate digest keys and
+    the per-bucket cap degrades gracefully (each batch contributes at
+    most `bucket_cap` postings per bucket; a global re-cap happens on
+    the next full rebuild)."""
+    pairs = lsh_incremental_pairs(new_df, index_bands, index_digests,
+                                  id_col, text_col, threshold, bucket_cap)
+    tagged = (new_df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("text"))
+              .withColumn("digest", F.md5(F.col("text").cast("binary"))))
+    remaining = (tagged.join(index_digests, "digest", "left")
+                 .where(F.col("keep_id").isNull())
+                 .select("id", "text", "digest"))
+    digests_delta = (remaining.groupBy("digest")
+                     .agg(F.min("id").alias("keep_id")))
+    reps, _links = _exact_prepass(remaining.select("id", "text"),
+                                  "id", "text")
+    sigs = with_minhash(reps, "text")
+    bands_delta = (
+        sigs.select(
+            "id", "minhash",
+            F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"))
+        .withColumn(
+            "band_sig",
+            F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1,"
+                   f" {ROWS_PER_BAND})")))
+    bands_delta = _cap_buckets(bands_delta, ["band", "band_sig"], bucket_cap)
+    return pairs, bands_delta, digests_delta
+
+
 def persist_lsh_index(bands: DataFrame, digests: DataFrame,
                       source_df: DataFrame, path: str) -> None:
     """Write the (bands, digests) index with a source fingerprint so a

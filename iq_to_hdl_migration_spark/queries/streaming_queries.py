@@ -16,6 +16,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.queries.dedup_oracles import (
+    incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
 from iq_to_hdl_migration_spark.streaming import windows as W
 
@@ -254,3 +256,27 @@ def stream_mix_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .otherwise(F.floor(epochs * 65536.0).cast("bigint"))
                    .alias("thr16")))
     return W.streaming_curation_counts(spark, sf_dir, thr, name)
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle=incremental_pairs_oracle(threshold=0.5),
+    oracle_max_sf=0.02,  # same bucket-overflow bound as the batch twin
+    doc="streaming twin of dedup_incremental_pairs: a documents "
+        "ARRIVAL stream drained one file per micro-batch "
+        "(maxFilesPerTrigger=1, availableNow); foreachBatch dedups "
+        "each batch against the persisted LSH index via "
+        "lsh_batch_deltas, emits the batch's pairs idempotently "
+        "(batch_id-scoped overwrite), and appends the index deltas so "
+        "the next batch sees everything so far. With monotone ids the "
+        "unioned output is micro-batch-partition-invariant and equals "
+        "the single-shot batch result — the SAME full-recompute oracle "
+        "checks both. This is the 100 TB continuous-curation shape: "
+        "state = the index, per-batch work independent of corpus size.",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_incdedup_{next(_seq)}"
+    df = W.streaming_incremental_dedup(spark, sf_dir, name)
+    return df.select(F.col("id_a").cast("bigint").alias("id_a"),
+                     F.col("id_b").cast("bigint").alias("id_b"),
+                     F.col("est_jaccard").cast("double").alias("est_jaccard"))

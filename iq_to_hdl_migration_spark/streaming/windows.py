@@ -313,3 +313,105 @@ def streaming_curation_counts(spark: SparkSession, sf_dir: str,
         F.sum("nt").alias("n_tokens_kept"))
     run_to_memory(agg, _query_name, "complete")
     return spark.table(_query_name)
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
+                                _query_name: str = "stream_inc_dedup",
+                                n_batches: int = 3) -> DataFrame:
+    """Continuously-deduped corpus: a documents ARRIVAL stream deduped
+    per micro-batch against a persisted LSH index that each batch then
+    extends — the streaming form of dedup_incremental_pairs, and the
+    100 TB production shape (the index is the only state; per-batch
+    work is O(batch + collisions), never a corpus re-signature).
+
+    Harness: split documents at the same 60%-of-max-doc_id cut as the
+    batch query; batch1 seeds the on-disk index; batch2 is written as
+    `n_batches` id-contiguous parquet files drained one per micro-batch
+    (maxFilesPerTrigger=1, availableNow). foreachBatch runs
+    operators.dedup.lsh_batch_deltas: emit the batch's pairs, append
+    the index deltas. Because pair emission is first-seen-wins on
+    monotone ids and estimates come from the same stored minhash
+    arrays, the unioned output is micro-batch-partition-INVARIANT and
+    equals the single-shot batch result — that equality is the
+    registered oracle check (and tests/test_streaming.py locks it
+    against the batch operator directly)."""
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.operators.dedup import (
+        build_lsh_index, lsh_batch_deltas)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.max("doc_id") * 0.6).cast("bigint")).first()[0]
+    batch1 = docs.where(F.col("doc_id") <= cut)
+    batch2 = docs.where(F.col("doc_id") > cut)
+
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    bands_dir = os.path.join(work, "bands")
+    digests_dir = os.path.join(work, "digests")
+    arrivals_dir = os.path.join(work, "arrivals")
+    pairs_dir = os.path.join(work, "pairs")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(pairs_dir)
+
+    bands, digests = build_lsh_index(batch1)
+    bands.write.parquet(os.path.join(bands_dir, "base"))
+    digests.write.parquet(os.path.join(digests_dir, "base"))
+
+    def _read_all(path):
+        return (spark.read.option("recursiveFileLookup", "true")
+                .parquet(path))
+
+    # id-contiguous arrival files, one per intended micro-batch, with
+    # strictly increasing mtimes so the file source drains them in
+    # arrival order
+    hi = docs.agg(F.max("doc_id").cast("bigint")).first()[0]
+    span = max(1, (hi - cut + n_batches - 1) // n_batches)
+    for i in range(n_batches):
+        lo_i = cut + 1 + i * span
+        hi_i = min(hi, lo_i + span - 1)
+        slice_df = batch2.where(F.col("doc_id").between(lo_i, hi_i))
+        tmp_i = os.path.join(work, f"slice_{i}")
+        slice_df.coalesce(1).write.parquet(tmp_i)
+        part = next(f for f in os.listdir(tmp_i) if f.startswith("part-"))
+        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp_i, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp_i)
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _process(batch_df, batch_id) -> None:
+        index_bands = _read_all(bands_dir)
+        index_digests = _read_all(digests_dir)
+        pairs, bands_delta, digests_delta = lsh_batch_deltas(
+            batch_df, index_bands, index_digests)
+        # replay hardening: if a crash landed between the delta write
+        # and the checkpoint commit, the replayed batch sees its own
+        # postings in the index and a within-batch pair would surface
+        # through both the cross join and the bucket explode
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        # every write is an OVERWRITE of a batch_id-scoped subdir, so a
+        # checkpoint replay of a half-finished batch is idempotent —
+        # no duplicate pairs, no double-appended index deltas
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"b{batch_id}"))
+        bands_delta.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"b{batch_id}"))
+        digests_delta.write.mode("overwrite").parquet(
+            os.path.join(digests_dir, f"b{batch_id}"))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(arrivals_dir)
+         .writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .queryName(_query_name)
+         .start())
+    q.awaitTermination()
+    return _read_all(pairs_dir)

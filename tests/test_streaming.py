@@ -97,3 +97,21 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     key = lambda r: (r["event_id"], r["click_id"])
     assert (sorted(map(key, got.collect()))
             == sorted(map(key, want.select("event_id", "click_id").collect())))
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
+    """The micro-batched incremental dedup (foreachBatch over an
+    arrival stream, index extended per batch) must emit EXACTLY the
+    single-shot batch result — pair set and estimates — regardless of
+    micro-batch partitioning (3 files here vs one batch)."""
+    from iq_to_hdl_migration_spark.queries import load_all
+
+    reg = load_all()
+    got = sorted(
+        tuple(r) for r in
+        reg["stream_incremental_dedup"].fn(spark, sf_dir).collect())
+    want = sorted(
+        tuple(r) for r in
+        reg["dedup_incremental_pairs"].fn(spark, sf_dir)
+        .select("id_a", "id_b", "est_jaccard").collect())
+    assert got == want and len(got) > 0
