@@ -65,9 +65,12 @@ def main() -> None:
     if out.returncode != 0:
         print(out.stdout[-2000:], out.stderr[-2000:])
         sys.exit(out.returncode)
-    flags = json.loads(out.stdout.strip().splitlines()[-1])
+    # plan_audit prints ONLY flagged queries as a (possibly multi-line)
+    # JSON object — parse from the first brace, not the last line
+    text = out.stdout
+    flags = json.loads(text[text.index("{"):])
     bad = {k: v for k, v in flags.items() if v}
-    print(f"plan audit: {len(flags)} queries, {len(bad)} flagged")
+    print(f"plan audit: {len(bad)} flagged (audit prints flagged only)")
     if bad:
         print(json.dumps(bad, indent=2))
         sys.exit(1)
