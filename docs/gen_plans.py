@@ -21,14 +21,19 @@ NOTES = {
         "One shuffle on the 6-value group key; partial agg map-side; "
         "shipdate filter pushed to the parquet scan.",
     "q3_shipping_priority":
-        "customer broadcast; single shuffle join orders-lineitem on "
-        "orderkey; TakeOrderedAndProject caps the sort at k=10.",
+        "customer joined via scaled_dim: AQE broadcasts it at this sf, "
+        "shuffle-joins it past the threshold (no hardcoded hint — the "
+        "8 GB broadcast hard-limit hazard at 100 TB); single shuffle "
+        "join orders-lineitem on orderkey; TakeOrderedAndProject caps "
+        "the sort at k=10.",
     "q5_region_volume":
-        "All four dims broadcast; the only data-scale shuffle is "
+        "nation/region const_dim-broadcast; customer/supplier "
+        "scaled_dim (AQE-planned); the only data-scale shuffle is "
         "orders-lineitem.",
     "q9_product_profit":
-        "part filter broadcast BEFORE the fact join prunes lineitem "
-        "early; nation/supplier broadcast.",
+        "part filter applied BEFORE the fact join prunes lineitem "
+        "early; part/supplier scaled_dim (AQE-planned), nation "
+        "const_dim-broadcast.",
     "q10_returned_items":
         "returnflag filter pushed down; dims broadcast; top-20 via "
         "TakeOrderedAndProject (no full sort).",
@@ -79,9 +84,12 @@ NOTES = {
         "constant-size day-spine offset — at most one SinglePartition "
         "exchange over the spine, never over the data.",
     "trade_flow_matrix":
-        "The one legitimate fact x fact shuffle (orderkey) with dims "
-        "broadcast and early pair-key aggregation to <= nations^2 "
-        "groups.",
+        "The one legitimate fact x fact shuffle (orderkey); customer/"
+        "supplier scaled_dim (AQE-planned), nation const_dim-broadcast; "
+        "early pair-key aggregation to <= nations^2 groups; revenue "
+        "accumulates as BIGINT fixed-point (1e-4 units) — exact, and "
+        "long-backed where sum(decimal(14,4)) would widen to a "
+        "BigDecimal-backed decimal(24,4).",
     "dedup_incremental_pairs":
         "Batch-vs-stored-index incremental dedup: signatures for the "
         "batch only; the store joins on (band, band_sig); per-batch "

@@ -8,6 +8,15 @@ corpus. The LSH path buckets the corpus by random-hyperplane signs so a
 query probes one bucket (1/2^n_planes of the data) instead of scanning
 — the shuffle is on the 16-bit bucket code, never on vectors.
 
+Probe-fraction scaling: Hamming-d multi-probe visits
+1 + B + C(B,2) (+...) of the 2^B buckets per table. B is sized to the
+corpus (B ≈ log2(N / target_bucket_size)); at the test geometry
+(B=8, tiny corpus) Hamming-2 probes 37/256 of the bucket space, which
+is honest-but-coarse, while at a production B=16 over 1e9 vectors the
+same expansion probes 137/65536 ≈ 0.2% — recall rises with d at a
+probe cost that VANISHES as B grows, which is exactly why multi-probe
+beats adding tables at scale (Lv et al., VLDB'07).
+
 Floating point: cosine is computed with explicit DOUBLE casts and
 sequential left-to-right folds so Spark and the DuckDB oracle produce
 bit-identical doubles (both engines fold lists in order).
