@@ -56,13 +56,13 @@ _SAMPLE_PRIORITY = [
     "dedup_minhash_lsh_pairs",
     # round 6 additions
     "stream_incremental_dedup", "sim_ann_multiprobe2_topk",
+    "sketch_hll_overlap_matrix",
     # round-5 additions without a driver row yet
     "dedup_containment_pairs", "curation_grand_funnel",
     "sim_ivf_fixedpoint_topk", "sim_quantized_topk",
     "sim_quantized_recall", "sim_ann_recall_matrix",
     "graph_user_pagerank_fixedpoint_top20",
-    "sketch_hll_portable_distinct_orders", "text_bm25_topk",
-    "text_winnowing_match_pairs", "text_winnowing_similarity",
+    "text_bm25_topk", "text_winnowing_match_pairs",
     "mlprep_packing_assignments", "mlprep_seqlen_percentiles",
     "sample_weighted_priority", "docs_simhash_bit_drift",
     "text_zipf_constancy", "dq_referential_integrity",
