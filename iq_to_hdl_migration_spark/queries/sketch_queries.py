@@ -447,3 +447,99 @@ def sketch_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (est("sa") + est("sb") - est("su"))
                     .alias("est_overlap"),
                     est("su").alias("est_union")))
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable mergeable percentile sketch: a fixed-width histogram
+# over a declared value domain. Bin assignment is integer math on
+# centi-units (round(value*100) — the events.value column carries two
+# real decimals), so the sketch state — (group, bin, count) — and the
+# discrete percentile read off its cumulative sums are value-hash-
+# checkable across engines, unlike t-digest/KLL whose internals are
+# implementation-defined. Rank convention: the percentile is the value
+# ceiling of the first bin whose cumulative count reaches ceil(q * n)
+# — a <= one-bin-width overestimate, reported alongside the bin width
+# so the error bound is visible in the output. Merging partial
+# histograms is count addition (associative + commutative), which is
+# what makes this the 100 TB shape: map-side partials carry at most
+# N_BINS rows per group, and a day->month rollup is a groupBy-sum,
+# never a re-scan.
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 512
+_HIST_LO_C = 0          # domain lower bound, centi-units
+_HIST_HI_C = 100_000    # domain upper bound (1000.00), centi-units
+_HIST_W_C = (_HIST_HI_C - _HIST_LO_C) // _HIST_BINS
+
+
+@register(
+    "sketch_histogram_percentiles",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               least(CAST(round(value * 100) AS BIGINT)
+                     // {_HIST_W_C}, {_HIST_BINS - 1}) AS bin
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                   AS cum_cnt,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum_cnt >= CAST(ceil(0.50 * n) AS BIGINT)
+                         THEN (bin + 1) * {_HIST_W_C} END) AS DOUBLE)
+               / 100.0 AS p50_ub,
+           CAST(MIN(CASE WHEN cum_cnt >= CAST(ceil(0.95 * n) AS BIGINT)
+                         THEN (bin + 1) * {_HIST_W_C} END) AS DOUBLE)
+               / 100.0 AS p95_ub,
+           CAST(MIN(CASE WHEN cum_cnt >= CAST(ceil(0.99 * n) AS BIGINT)
+                         THEN (bin + 1) * {_HIST_W_C} END) AS DOUBLE)
+               / 100.0 AS p99_ub,
+           CAST({_HIST_W_C} AS DOUBLE) / 100.0 AS bin_width
+    FROM cum GROUP BY event_type, n
+    """,
+    doc="engine-portable mergeable percentile sketch: fixed 512-bin "
+        "integer histogram of event value per type; p50/p95/p99 read "
+        "as the first-bin-reaching-rank UPPER BOUND with the bin width "
+        "reported as the visible error bar. Histogram merge = count "
+        "addition, so partial sketches roll up without rescans — the "
+        "hash-checkable counterpart to approx_percentile (whose "
+        "sketch internals are engine-specific).",
+)
+def sketch_histogram_percentiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w, nb = _HIST_W_C, _HIST_BINS
+    binned = ev.select(
+        "event_type",
+        F.least(F.expr(f"CAST(round(value * 100) AS BIGINT) div {w}"),
+                F.lit(nb - 1)).alias("bin"))
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+    wcum = (Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("event_type")
+    cum = (hist.withColumn("cum_cnt", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(wall)))
+
+    def ub(q: float):
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        hit = F.when(F.col("cum_cnt") >= rank,
+                     (F.col("bin") + 1) * w)
+        return (F.min(hit).cast("double") / F.lit(100.0))
+
+    return (cum.groupBy("event_type", "n")
+            .agg(ub(0.50).alias("p50_ub"),
+                 ub(0.95).alias("p95_ub"),
+                 ub(0.99).alias("p99_ub"))
+            .select("event_type", F.col("n").cast("bigint").alias("n"),
+                    "p50_ub", "p95_ub", "p99_ub",
+                    (F.lit(float(w)) / F.lit(100.0)).alias("bin_width")))
