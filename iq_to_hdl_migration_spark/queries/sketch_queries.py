@@ -8,11 +8,18 @@ whole key domain:
   mean the shuffle carries ~1.5 KB per group instead of the key set.
 * `approx_percentile` — bounded-error quantiles in one pass.
 
-These are rows-only registry entries (DuckDB's approx sketches are a
-different algorithm, so value-hash comparison is meaningless); their
-semantics are locked by unit tests against exact answers with error
-bounds, plus the lossless-merge identity (union of per-day sketches ==
-one-shot sketch at equal precision).
+The DataSketches entries are rows-only registry entries (DuckDB's
+approx sketches are a different algorithm, so value-hash comparison is
+meaningless); their semantics are locked by unit tests against exact
+answers with error bounds, plus the lossless-merge identity (union of
+per-day sketches == one-shot sketch at equal precision).
+
+The PORTABLE half of the family — explicit 64-register HLL (distinct,
+weekly rollup, pairwise overlap via register-max union) and the
+fixed-bin integer histogram percentiles (single-level + weekly
+rollup) — is built from integer-exact state, so every estimate
+value-hash-matches a DuckDB restatement and sits inside the driver's
+correctness gate.
 """
 
 from __future__ import annotations
@@ -543,3 +550,78 @@ def sketch_histogram_percentiles(spark: SparkSession,
             .select("event_type", F.col("n").cast("bigint").alias("n"),
                     "p50_ub", "p95_ub", "p99_ub",
                     (F.lit(float(w)) / F.lit(100.0)).alias("bin_width")))
+
+
+@register(
+    "sketch_histogram_weekly_rollup",
+    oracle=f"""
+    WITH c AS (
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) AS day_idx,
+               least(CAST(round(value * 100) AS BIGINT)
+                     // {_HIST_W_C}, {_HIST_BINS - 1}) AS bin
+        FROM events
+    ),
+    daily AS (  -- the persisted per-day partial sketches
+        SELECT day_idx, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM c GROUP BY 1, 2
+    ),
+    weekly AS (  -- rollup = COUNT ADDITION over partials, no re-scan
+        SELECT day_idx // 7 AS week_idx, bin,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT week_idx, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY week_idx ORDER BY bin)
+                   AS cum_cnt,
+               SUM(cnt) OVER (PARTITION BY week_idx) AS n
+        FROM weekly
+    )
+    SELECT CAST(week_idx AS BIGINT) AS week_idx, CAST(n AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum_cnt >= CAST(ceil(0.50 * n) AS BIGINT)
+                         THEN (bin + 1) * {_HIST_W_C} END) AS DOUBLE)
+               / 100.0 AS p50_ub,
+           CAST(MIN(CASE WHEN cum_cnt >= CAST(ceil(0.99 * n) AS BIGINT)
+                         THEN (bin + 1) * {_HIST_W_C} END) AS DOUBLE)
+               / 100.0 AS p99_ub
+    FROM cum GROUP BY week_idx, n
+    """,
+    doc="two-level mergeable-percentile rollup: per-day partial "
+        "histograms (what a 100 TB pipeline would persist) merged to "
+        "weekly p50/p99 by COUNT ADDITION — the raw rows are scanned "
+        "once for the daily partials and never again; the weekly "
+        "percentile is read off the merged cumulative bins. Same "
+        "integer-exact state as sketch_histogram_percentiles, so the "
+        "whole rollup value-hash-matches the DuckDB restatement.",
+)
+def sketch_histogram_weekly_rollup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w, nb = _HIST_W_C, _HIST_BINS
+    binned = ev.select(
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_idx"),
+        F.least(F.expr(f"CAST(round(value * 100) AS BIGINT) div {w}"),
+                F.lit(nb - 1)).alias("bin"))
+    daily = binned.groupBy("day_idx", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    weekly = (daily.groupBy(F.expr("day_idx div 7").alias("week_idx"),
+                            "bin")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    from pyspark.sql import Window
+    wcum = (Window.partitionBy("week_idx").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("week_idx")
+    cum = (weekly.withColumn("cum_cnt", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(wall)))
+
+    def ub(q: float):
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return (F.min(F.when(F.col("cum_cnt") >= rank,
+                             (F.col("bin") + 1) * w))
+                .cast("double") / F.lit(100.0))
+
+    return (cum.groupBy("week_idx", "n")
+            .agg(ub(0.50).alias("p50_ub"), ub(0.99).alias("p99_ub"))
+            .select(F.col("week_idx").cast("bigint").alias("week_idx"),
+                    F.col("n").cast("bigint").alias("n"),
+                    "p50_ub", "p99_ub"))

@@ -119,3 +119,51 @@ def test_portable_hll_error_bound(spark, sf_dir):
         rel = abs(r.hll_estimate - r.n_orders_exact) / r.n_orders_exact
         assert rel < 0.455, (r.flag, rel)
         assert 1 <= r.n_registers_hit <= 64
+
+
+def test_histogram_rollup_merge_identity(spark, sf_dir):
+    """Merging daily partial histograms by count addition must yield
+    the SAME weekly percentiles as computing each week's histogram
+    from raw rows in one shot — the mergeability contract that lets a
+    100 TB pipeline persist daily partials and never rescan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iq_to_hdl_migration_spark.queries import load_all
+    from iq_to_hdl_migration_spark.queries.sketch_queries import (
+        _DAY_US, _HIST_BINS, _HIST_W_C)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    reg = load_all()
+    rolled = sorted(
+        tuple(r) for r in
+        reg["sketch_hist" "ogram_weekly_rollup"].fn(spark, sf_dir).collect())
+
+    ev = load_table(spark, sf_dir, "events")
+    oneshot_binned = ev.select(
+        F.expr(f"(unix_micros(ts) div {_DAY_US}) div 7").alias("week_idx"),
+        F.least(F.expr(f"CAST(round(value * 100) AS BIGINT)"
+                       f" div {_HIST_W_C}"),
+                F.lit(_HIST_BINS - 1)).alias("bin"))
+    hist = oneshot_binned.groupBy("week_idx", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wcum = (Window.partitionBy("week_idx").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("week_idx")
+    cum = (hist.withColumn("cum_cnt", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(wall)))
+
+    def ub(q):
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return (F.min(F.when(F.col("cum_cnt") >= rank,
+                             (F.col("bin") + 1) * _HIST_W_C))
+                .cast("double") / F.lit(100.0))
+
+    oneshot = sorted(
+        tuple(r) for r in
+        cum.groupBy("week_idx", "n")
+        .agg(ub(0.50).alias("p50_ub"), ub(0.99).alias("p99_ub"))
+        .select(F.col("week_idx").cast("bigint").alias("week_idx"),
+                F.col("n").cast("bigint").alias("n"),
+                "p50_ub", "p99_ub").collect())
+    assert rolled == oneshot and len(rolled) > 0
