@@ -416,3 +416,26 @@ def test_constant_dims_still_broadcast(spark, sf_dir, no_auto_broadcast, name):
     assert "BroadcastHashJoin" in plan, (
         f"{name}: nation/region const_dim hint was lost — constant "
         "dims must broadcast even with auto-broadcast disabled")
+
+
+def test_sketch_overlap_single_data_shuffle(spark, sf_dir):
+    """The HLL overlap matrix must aggregate events to 64-register
+    state FIRST; the pair matrix is register-level arithmetic on tiny
+    frames. No cartesian; the only events-scale exchange is the
+    (event_type, reg) aggregate."""
+    df = REGISTRY["sketch_hll_overlap_matrix"].fn(spark, sf_dir)
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan
+    # the register grid is an intentional broadcast expansion of a
+    # 5-row type list x 64 regs — it must be broadcast, never shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sketch_histogram_partial_agg(spark, sf_dir):
+    """The histogram sketch must partial-aggregate map-side: the
+    shuffle carries (type, bin, partial count) rows — at most
+    types x 512 per task — never raw values."""
+    df = REGISTRY["sketch_histogram_percentiles"].fn(spark, sf_dir)
+    plan = final_plan(df)
+    assert "partial_count" in plan, "no map-side partial aggregation"
+    assert "CartesianProduct" not in plan
