@@ -396,7 +396,11 @@ def sketch_hll_portable_rollup(spark: SparkSession,
         "the sketches are the ONLY state that moves — this is how "
         "audience-overlap questions get answered without a distinct "
         "join per pair. Integer register math keeps even the estimates "
-        "value-hash-checkable.",
+        "value-hash-checkable. NOTE: the n_overlap_exact column (a "
+        "user-level distinct self-join) is the verification harness, "
+        "same as the exact columns on every portable-sketch entry — a "
+        "production overlap query drops it and moves ONLY sketches.",
+    bench=True,
 )
 def sketch_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -519,6 +523,7 @@ _HIST_W_C = (_HIST_HI_C - _HIST_LO_C) // _HIST_BINS
         "addition, so partial sketches roll up without rescans — the "
         "hash-checkable counterpart to approx_percentile (whose "
         "sketch internals are engine-specific).",
+    bench=True,
 )
 def sketch_histogram_percentiles(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
