@@ -543,6 +543,43 @@ def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
       4. batch postings join stored postings on (band, band_sig) —
          the store side is never re-signatured; plus the standard
          capped-bucket explode within the batch postings."""
+    pairs, _bands, _digests = lsh_batch_deltas(
+        new_df, index_bands, index_digests, id_col, text_col,
+        threshold, bucket_cap, cache_deltas=False)
+    return pairs
+
+
+def lsh_batch_deltas(new_df: DataFrame, index_bands: DataFrame,
+                     index_digests: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     threshold: float = 0.5,
+                     bucket_cap: int = BUCKET_CAP,
+                     cache_deltas: bool = True
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`lsh_incremental_pairs` plus the index APPEND deltas that make
+    the store reflect the batch: (pairs, bands_delta, digests_delta).
+
+    This is the micro-batch step of a continuously-deduped corpus
+    (streaming/windows.streaming_incremental_dedup): append
+    `bands_delta` to the stored postings and `digests_delta` to the
+    digest map after emitting `pairs`, and the next batch dedups
+    against everything seen so far. Deltas preserve the index
+    invariants: digests_delta holds only digests NOT already stored
+    (first-seen-wins keeper = min id within the batch that introduced
+    the digest), bands_delta holds only batch representatives' capped
+    postings — so appending never creates duplicate digest keys and
+    the per-bucket cap degrades gracefully (each batch contributes at
+    most `bucket_cap` postings per bucket; a global re-cap happens on
+    the next full rebuild).
+
+    The batch's digest tagging, exact pre-pass, minhash signatures and
+    capped postings are built ONCE and shared between the pair
+    generation and the deltas — they are the same frames. With
+    `cache_deltas` (default), bands_delta is persisted because the
+    streaming caller runs the pairs write and the deltas write as
+    SEPARATE actions: without the cache each action would re-digest
+    and re-signature the whole batch, doubling the dominant per-batch
+    cost. The caller unpersists after its writes."""
     tagged = (new_df.select(F.col(id_col).alias("id"),
                             F.col(text_col).alias("text"))
               .withColumn("digest", F.md5(F.col("text").cast("binary"))))
@@ -552,8 +589,11 @@ def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
                               F.col("id").alias("id_b"),
                               F.lit(1.0).alias("est_jaccard")))
     remaining = (j.where(F.col("keep_id").isNull())
-                 .select("id", "text"))
-    reps, links = _exact_prepass(remaining, "id", "text")
+                 .select("id", "text", "digest"))
+    digests_delta = (remaining.groupBy("digest")
+                     .agg(F.min("id").alias("keep_id")))
+    reps, links = _exact_prepass(remaining.select("id", "text"),
+                                 "id", "text")
     exact_in_batch = links.withColumn("est_jaccard", F.lit(1.0))
     sigs = with_minhash(reps, "text")
     new_bands = (
@@ -564,12 +604,16 @@ def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
             "band_sig",
             F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1,"
                    f" {ROWS_PER_BAND})")))
-    est = F.expr(_EST_AGREE.format(a="minhash", b="minhash_new"))
     # cap BOTH sides of the (band, band_sig) join: the stored index is
     # capped at build time, and the batch side here — so a flood of
     # near-identical arrivals bounds the collision join at
-    # cap × cap per bucket instead of going quadratic
+    # cap × cap per bucket instead of going quadratic. new_capped IS
+    # bands_delta: the postings the batch contributes to the store are
+    # exactly the postings its own pair generation probes with.
     new_capped = _cap_buckets(new_bands, ["band", "band_sig"], bucket_cap)
+    if cache_deltas:
+        new_capped = new_capped.persist()
+    est = F.expr(_EST_AGREE.format(a="minhash", b="minhash_new"))
     cross = (index_bands
              .join(new_capped.select(F.col("id").alias("id_new"),
                                      F.col("minhash").alias("minhash_new"),
@@ -602,54 +646,15 @@ def lsh_incremental_pairs(new_df: DataFrame, index_bands: DataFrame,
         .select("p.id_a", "p.id_b", "p.est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"]))
-    return (exact_vs_store.unionByName(exact_in_batch)
-            .unionByName(cross).unionByName(within))
+    pairs = (exact_vs_store.unionByName(exact_in_batch)
+             .unionByName(cross).unionByName(within))
+    return pairs, new_capped, digests_delta
 
 
-def lsh_batch_deltas(new_df: DataFrame, index_bands: DataFrame,
-                     index_digests: DataFrame,
-                     id_col: str = "doc_id", text_col: str = "text",
-                     threshold: float = 0.5,
-                     bucket_cap: int = BUCKET_CAP
-                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """`lsh_incremental_pairs` plus the index APPEND deltas that make
-    the store reflect the batch: (pairs, bands_delta, digests_delta).
-
-    This is the micro-batch step of a continuously-deduped corpus
-    (streaming/windows.streaming_incremental_dedup): append
-    `bands_delta` to the stored postings and `digests_delta` to the
-    digest map after emitting `pairs`, and the next batch dedups
-    against everything seen so far. Deltas preserve the index
-    invariants: digests_delta holds only digests NOT already stored
-    (first-seen-wins keeper = min id within the batch that introduced
-    the digest), bands_delta holds only batch representatives' capped
-    postings — so appending never creates duplicate digest keys and
-    the per-bucket cap degrades gracefully (each batch contributes at
-    most `bucket_cap` postings per bucket; a global re-cap happens on
-    the next full rebuild)."""
-    pairs = lsh_incremental_pairs(new_df, index_bands, index_digests,
-                                  id_col, text_col, threshold, bucket_cap)
-    tagged = (new_df.select(F.col(id_col).alias("id"),
-                            F.col(text_col).alias("text"))
-              .withColumn("digest", F.md5(F.col("text").cast("binary"))))
-    remaining = (tagged.join(index_digests, "digest", "left")
-                 .where(F.col("keep_id").isNull())
-                 .select("id", "text", "digest"))
-    digests_delta = (remaining.groupBy("digest")
-                     .agg(F.min("id").alias("keep_id")))
-    reps, _links = _exact_prepass(remaining.select("id", "text"),
-                                  "id", "text")
-    sigs = with_minhash(reps, "text")
-    bands_delta = (
-        sigs.select(
-            "id", "minhash",
-            F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"))
-        .withColumn(
-            "band_sig",
-            F.expr(f"slice(minhash, band * {ROWS_PER_BAND} + 1,"
-                   f" {ROWS_PER_BAND})")))
-    bands_delta = _cap_buckets(bands_delta, ["band", "band_sig"], bucket_cap)
-    return pairs, bands_delta, digests_delta
+# bumped whenever the persisted-index layout or any constant baked into
+# its contents changes (banding geometry, signature scheme, bucket cap,
+# on-disk layout) — load_lsh_index fails closed on mismatch
+_INDEX_PARAMS = ["v2", BANDS, ROWS_PER_BAND, BUCKET_CAP]
 
 
 def persist_lsh_index(bands: DataFrame, digests: DataFrame,
@@ -666,17 +671,20 @@ def persist_lsh_index(bands: DataFrame, digests: DataFrame,
     from iq_to_hdl_migration_spark.sources.bucketed import (
         _source_fingerprint)
 
-    bands.write.mode("overwrite").partitionBy("band") \
-        .parquet(os.path.join(path, "bands"))
-    digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
-    meta = {"src_fp": _source_fingerprint(source_df)}
-    # meta via the Hadoop FileSystem API, not open(): the index path
-    # is an hdfs:// or s3a:// URI in production, invisible to the
-    # driver's local filesystem
     spark = bands.sparkSession
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_meta.json"))
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # delete the meta FIRST: between here and the final meta write the
+    # index is (correctly) unreadable — a reader that raced a
+    # half-overwritten bands dir with the OLD meta still present would
+    # pass the fingerprint check and read a torn index
+    fs.delete(p, False)
+    bands.write.mode("overwrite").partitionBy("band") \
+        .parquet(os.path.join(path, "bands"))
+    digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
+    meta = {"src_fp": _source_fingerprint(source_df),
+            "params": _INDEX_PARAMS}
     out = fs.create(p, True)
     try:
         out.write(bytearray(json.dumps(meta).encode("utf-8")))
@@ -708,6 +716,12 @@ def load_lsh_index(spark, source_df: DataFrame,
         stream.close()
     meta = json.loads(raw.decode("utf-8"))
     if meta.get("src_fp") != _source_fingerprint(source_df):
+        return None
+    # format/parameter version: an index persisted by a build with
+    # different banding/cap/signature constants (or an older layout)
+    # passes the source check but holds incompatible state — e.g. the
+    # round-6 switch to build-time bucket capping. Fail closed.
+    if meta.get("params") != _INDEX_PARAMS:
         return None
     return (spark.read.parquet(os.path.join(path, "bands")),
             spark.read.parquet(os.path.join(path, "digests")))

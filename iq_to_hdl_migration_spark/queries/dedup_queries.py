@@ -255,9 +255,16 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index relations stay resident for the session (an index a batch
     # job holds open), re-guarded only when the session or source
     # changes.
+    import hashlib
+    # the path must be unique per FULL source dir, not its basename —
+    # two datasets both named sf0.01 must never share an index (and
+    # memo keyed on a colliding path would bypass the staleness guard)
+    sf_tag = hashlib.md5(
+        os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:10]
     idx_path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_lsh_index_{os.path.basename(sf_dir.rstrip('/'))}")
+        f"spark_graft_lsh_index_{sf_tag}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}")
     memo_key = (spark.sparkContext.applicationId, idx_path)
     cached = _INDEX_MEMO.get(memo_key)
     if cached is None:

@@ -41,6 +41,18 @@ def table_path(sf_dir: str, name: str) -> str:
 _RELATION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _staged_listing_fingerprint(staged: str) -> str:
+    """Digest of the staged dir's (name, mtime_ns, size) listing —
+    tens of files, sub-millisecond; any rewrite changes it."""
+    import hashlib
+    entries = []
+    with os.scandir(staged) as it:
+        for e in it:
+            st = e.stat()
+            entries.append(f"{e.name}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(sorted(entries)).encode()).hexdigest()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes events.ts (stored as TIMESTAMP(NANOS),
     which different Spark versions decode differently) to a canonical
@@ -58,10 +70,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if wh:
         staged = os.path.join(wh, os.path.basename(sf_dir.rstrip("/")), name)
         if os.path.isdir(staged):
-            # memo keyed by the staged dir's mtime: re-staging rewrites
-            # the directory, so a stale plan can never be served
+            # memo keyed by the staged dir's full file listing
+            # (name, mtime_ns, size): an in-place overwrite of a part
+            # file does NOT bump the directory mtime, so the key must
+            # come from the files themselves for restaging (of any
+            # form) to invalidate the cached plan
             skey = (spark.sparkContext.applicationId, staged,
-                    str(os.path.getmtime(staged)))
+                    _staged_listing_fingerprint(staged))
             memo = _RELATION_MEMO.get(skey)
             if memo is not None:
                 return memo

@@ -349,7 +349,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     batch1 = docs.where(F.col("doc_id") <= cut)
     batch2 = docs.where(F.col("doc_id") > cut)
 
+    import atexit
     work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    # the work dir must outlive this call (the returned DataFrame reads
+    # the pairs parquet lazily) but not the process — otherwise every
+    # suite/driver invocation leaks an arrival copy of 40% of documents
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     bands_dir = os.path.join(work, "bands")
     digests_dir = os.path.join(work, "digests")
     arrivals_dir = os.path.join(work, "arrivals")
@@ -362,9 +367,16 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     bands.write.parquet(os.path.join(bands_dir, "base"))
     digests.write.parquet(os.path.join(digests_dir, "base"))
 
-    def _read_all(path):
-        return (spark.read.option("recursiveFileLookup", "true")
-                .parquet(path))
+    def _read_parts(path, exclude_batch=None):
+        """Union of the base + per-batch subdirs under `path`,
+        EXCLUDING the given batch's own subdir. A replay of a crashed
+        batch (deltas written, checkpoint not committed) must compute
+        against the PRE-batch index state: reading its own half-written
+        deltas would make `remaining` empty, overwrite the good deltas
+        with empty frames, and emit digest self-pairs."""
+        subs = sorted(d for d in os.listdir(path)
+                      if d != f"b{exclude_batch}")
+        return spark.read.parquet(*[os.path.join(path, d) for d in subs])
 
     # id-contiguous arrival files, one per intended micro-batch, with
     # strictly increasing mtimes so the file source drains them in
@@ -386,15 +398,18 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     schema = spark.read.parquet(arrivals_dir).schema
 
     def _process(batch_df, batch_id) -> None:
-        index_bands = _read_all(bands_dir)
-        index_digests = _read_all(digests_dir)
+        # exclude_batch makes replay deterministic: the index read never
+        # contains this batch's own (possibly half-written) deltas, so
+        # recomputation yields byte-identical frames and the overwrites
+        # below are true idempotent re-executions
+        index_bands = _read_parts(bands_dir, exclude_batch=batch_id)
+        index_digests = _read_parts(digests_dir, exclude_batch=batch_id)
         pairs, bands_delta, digests_delta = lsh_batch_deltas(
             batch_df, index_bands, index_digests)
-        # replay hardening: if a crash landed between the delta write
-        # and the checkpoint commit, the replayed batch sees its own
-        # postings in the index and a within-batch pair would surface
-        # through both the cross join and the bucket explode
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        # belt-and-braces: a digest self-match (only possible if the
+        # index somehow contains this batch) must never emit (X, X)
+        pairs = (pairs.where(F.col("id_a") != F.col("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
         # every write is an OVERWRITE of a batch_id-scoped subdir, so a
         # checkpoint replay of a half-finished batch is idempotent —
         # no duplicate pairs, no double-appended index deltas
@@ -404,6 +419,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
             os.path.join(bands_dir, f"b{batch_id}"))
         digests_delta.write.mode("overwrite").parquet(
             os.path.join(digests_dir, f"b{batch_id}"))
+        bands_delta.unpersist()
 
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", 1)
@@ -414,4 +430,4 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
          .queryName(_query_name)
          .start())
     q.awaitTermination()
-    return _read_all(pairs_dir)
+    return _read_parts(pairs_dir)

@@ -58,17 +58,20 @@ def main() -> None:
             [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
             env={"SPARK_GRAFT_TEST_SF_DIR": "/root/testdata/sf0.01"})
 
-    # 4. plan audit
+    # 4. plan audit — JSON handed off via a temp file, not stdout (a
+    # live SparkSession can interleave log lines with the payload)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        audit_out = tf.name
     out = subprocess.run(
-        [sys.executable, "scripts/plan_audit.py"],
+        [sys.executable, "scripts/plan_audit.py", f"--out={audit_out}"],
         cwd=ROOT, capture_output=True, text=True)
     if out.returncode != 0:
         print(out.stdout[-2000:], out.stderr[-2000:])
         sys.exit(out.returncode)
-    # plan_audit prints ONLY flagged queries as a (possibly multi-line)
-    # JSON object — parse from the first brace, not the last line
-    text = out.stdout
-    flags = json.loads(text[text.index("{"):])
+    with open(audit_out) as f:
+        flags = json.load(f)
+    os.unlink(audit_out)
     bad = {k: v for k, v in flags.items() if v}
     print(f"plan audit: {len(bad)} flagged (audit prints flagged only)")
     if bad:

@@ -58,9 +58,19 @@ def audit(spark, sf_dir: str) -> dict[str, list[str]]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--out=")]
+    out_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--out=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit")
-    print(json.dumps(audit(spark, sf_dir), indent=1))
+    payload = json.dumps(audit(spark, sf_dir), indent=1)
+    if out_path:
+        # file handoff for scripted callers (scripts/check.py): stdout
+        # under a live SparkSession can interleave JVM/log lines with
+        # the JSON and break a stdout parse
+        with open(out_path, "w") as f:
+            f.write(payload)
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -386,28 +386,40 @@ def no_auto_broadcast(spark):
             spark.conf.set(k, v)
 
 
-@pytest.mark.parametrize("name,scaled_tables", [
-    ("q3_shipping_priority", ["customer"]),
-    ("q5_region_volume", ["customer", "supplier"]),
-    ("q9_product_profit", ["part", "supplier"]),
-    ("q10_returned_items", ["customer"]),
-    ("q21_sole_return_suppliers", ["supplier"]),
-    ("trade_flow_matrix", ["customer", "supplier"]),
+@pytest.mark.parametrize("name,n_const_hints", [
+    # n_const_hints = the number of const_dim/F.broadcast hints the
+    # query's source carries (nation/region/1-row aggregates ONLY)
+    ("q3_shipping_priority", 0),
+    ("q5_region_volume", 2),          # nation + region
+    ("q9_product_profit", 1),         # nation
+    ("q10_returned_items", 1),        # nation
+    ("q21_sole_return_suppliers", 0),
+    ("trade_flow_matrix", 2),         # supplier-nation + customer-nation
 ])
 def test_no_hardcoded_broadcast_on_scaled_tables(
-        spark, sf_dir, no_auto_broadcast, name, scaled_tables):
+        spark, sf_dir, no_auto_broadcast, name, n_const_hints):
     spec = REGISTRY.get(name)
     if spec is None:  # registry name drift — fail loudly elsewhere
         pytest.skip(f"{name} not in registry")
     plan = final_plan(spec.fn(spark, sf_dir))
-    # With auto-broadcast disabled, any BroadcastHashJoin left in the
-    # plan comes from an explicit hint. Hints are only allowed on
-    # constant dims, so every broadcast EXCHANGE input must be tiny;
-    # the scaled tables must arrive via shuffle (SMJ/SHJ).
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
-        f"{name}: expected the {scaled_tables} join(s) to fall back to a "
-        "shuffle join with auto-broadcast off — a hardcoded broadcast "
-        "hint on an sf-scaled table is a 100 TB hard-failure")
+    final_section = plan.split("== Initial Plan ==")[0]
+    # With auto-broadcast disabled, EVERY BroadcastHashJoin left in the
+    # plan comes from an explicit hint — so the count must be exactly
+    # the number of constant-dim hints. One more means someone
+    # re-introduced a hardcoded broadcast on an sf-scaled table (the
+    # 100 TB 8 GB-limit hard failure this gate exists to lock out);
+    # a mere "some shuffle join exists" check would pass vacuously
+    # because each of these queries also has an unhinted fact x fact
+    # join that always shuffles.
+    got = final_section.count("BroadcastHashJoin")
+    assert got == n_const_hints, (
+        f"{name}: {got} broadcast joins with auto-broadcast off, "
+        f"expected exactly {n_const_hints} (const-dim hints only) — "
+        "a surplus means a hardcoded hint on an sf-scaled table")
+    # and the scaled-table joins actually fell back to a shuffle join
+    assert ("SortMergeJoin" in final_section
+            or "ShuffledHashJoin" in final_section), (
+        f"{name}: no shuffle join in plan with auto-broadcast off")
 
 
 @pytest.mark.parametrize("name", ["q5_region_volume", "q9_product_profit"])
