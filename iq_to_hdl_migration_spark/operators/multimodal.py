@@ -153,3 +153,38 @@ def audio_chunk_features(df: DataFrame, chunk_bytes: int = 1024,
                                               "energy", "n_bytes"])
 
     return src.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+HIST_SCHEMA = "doc_id bigint, n_bytes bigint, hist array<bigint>"
+
+
+def extract_byte_histogram(df: DataFrame, bins: int = 16,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched content-feature extraction: a `bins`-bucket
+    histogram of payload byte values (mod `bins`) per document — the
+    stand-in for a real embedding/feature extractor, with the same
+    plumbing (numpy over Arrow record batches inside mapInPandas, no
+    per-row Python). Unlike the hash features elsewhere in this
+    module, the histogram is a CONTENT-SHAPE feature: near-identical
+    payloads produce near-identical vectors, so it feeds genuine
+    near-dup similarity search downstream."""
+    import numpy as np
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, "payload").repartition(n)
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            ids, lens, hists = [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                ids.append(did)
+                lens.append(int(b.size))
+                hists.append(
+                    np.bincount(b % bins, minlength=bins)
+                    .astype("int64").tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": lens, "hist": hists})
+
+    return src.mapInPandas(batches, schema=HIST_SCHEMA)

@@ -133,3 +133,92 @@ def mm_payload_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("payload_sha256")
             .agg(F.count(F.lit(1)).alias("n_copies"),
                  F.min("doc_id").alias("keeper_id")))
+
+
+@register(
+    "mm_content_histogram_neardup",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+               list_transform(range(1, length(text) + 1),
+                              i -> ord(substr(text, i, 1)) % 16) AS m
+        FROM documents
+    ),
+    hist AS (
+        SELECT doc_id, n_bytes,
+               list_transform(range(0, 16),
+                              b -> CAST(len(list_filter(m, c -> c = b))
+                                        AS BIGINT)) AS hist
+        FROM ch
+    ),
+    sig AS (
+        SELECT doc_id, n_bytes, hist,
+               list_transform(hist,
+                              h -> h * 8 // greatest(n_bytes, 1)) AS sig
+        FROM hist
+    ),
+    capped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id)
+                   AS rn
+        FROM sig
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           list_dot_product(a.hist::DOUBLE[], b.hist::DOUBLE[])
+             / (sqrt(list_dot_product(a.hist::DOUBLE[], a.hist::DOUBLE[]))
+                * sqrt(list_dot_product(b.hist::DOUBLE[], b.hist::DOUBLE[])))
+               AS cosine
+    FROM capped a JOIN capped b
+      ON a.sig = b.sig AND a.doc_id < b.doc_id
+    WHERE a.rn <= 256 AND b.rn <= 256
+      AND list_dot_product(a.hist::DOUBLE[], b.hist::DOUBLE[])
+            / (sqrt(list_dot_product(a.hist::DOUBLE[], a.hist::DOUBLE[]))
+               * sqrt(list_dot_product(b.hist::DOUBLE[], b.hist::DOUBLE[])))
+          >= 0.999
+    """,
+    doc="multimodal -> similarity composition: Arrow-batched numpy "
+        "feature extraction (16-bin byte histogram of the binary "
+        "payload, mapInPandas — the real embedding-extractor plumbing "
+        "with a deterministic feature) -> integer-quantized shape "
+        "signature buckets (never all-pairs; per-bucket cap 256, the "
+        "dedup family's flood discipline) -> exact cosine verify "
+        "within buckets at >= 0.999. Near-identical media payloads "
+        "land in the same quantized-shape bucket and verify; the "
+        "whole pipeline, including the Python-extracted features, is "
+        "value-hash-checked against a DuckDB restatement (ASCII "
+        "payloads: byte histogram == codepoint histogram).",
+)
+def mm_content_histogram_neardup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators import similarity as sim
+
+    docs = mm.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = mm.extract_byte_histogram(docs)
+    sigd = feats.withColumn(
+        "sig",
+        F.expr("transform(hist, h -> (h * 8) div greatest(n_bytes, 1L))"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("sig").orderBy("doc_id")
+    capped = (sigd.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= 256)
+              .withColumn("histd",
+                          F.expr("transform(hist, h -> CAST(h AS DOUBLE))")))
+    buckets = (capped.groupBy("sig")
+               .agg(F.collect_list(F.struct("doc_id", "histd"))
+                    .alias("members"))
+               .where(F.size("members") > 1))
+    pairs = (buckets.select(
+        F.explode(F.expr("""
+            flatten(transform(members, (x, i) ->
+                transform(slice(members, i + 2, size(members)), y ->
+                    struct(least(x.doc_id, y.doc_id) AS id_a,
+                           greatest(x.doc_id, y.doc_id) AS id_b,
+                           x.histd AS h_a, y.histd AS h_b))))
+        """)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.h_a", "p.h_b"))
+    cosine = (sim.dot_expr("h_a", "h_b")
+              / (F.sqrt(sim.dot_expr("h_a", "h_a"))
+                 * F.sqrt(sim.dot_expr("h_b", "h_b"))))
+    return (pairs.withColumn("cosine", cosine)
+            .where(F.col("cosine") >= 0.999)
+            .select("id_a", "id_b", "cosine"))
