@@ -90,6 +90,15 @@ NOTES = {
         "accumulates as BIGINT fixed-point (1e-4 units) — exact, and "
         "long-backed where sum(decimal(14,4)) would widen to a "
         "BigDecimal-backed decimal(24,4).",
+    "sketch_hll_overlap_matrix":
+        "One events-scale shuffle to 64-register state per type; the "
+        "pair matrix is register arithmetic on a broadcast grid of "
+        "types x 64 rows. The exact-overlap column is the "
+        "verification harness; production moves only sketches.",
+    "sketch_histogram_percentiles":
+        "Map-side partial aggregation to (type, bin) — the shuffle "
+        "carries at most types x 512 partial counts per task, never "
+        "raw values; percentiles read off cumulative bins.",
     "dedup_incremental_pairs":
         "Batch-vs-stored-index incremental dedup: signatures for the "
         "batch only; the store joins on (band, band_sig); per-batch "
