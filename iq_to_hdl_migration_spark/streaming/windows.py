@@ -431,3 +431,78 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return _read_parts(pairs_dir)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf runtime for its
+    state-server protocol; this container ships pyspark without it, so
+    the operator below is environment-gated (the brief's import-try
+    rule) — on a full install the equality test in
+    tests/test_streaming.py runs instead of skipping."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def user_spend_stream_tws(events: DataFrame) -> DataFrame:
+    """Per-user running purchase totals via transformWithStateInPandas
+    (Spark 4.x's arbitrary-state API, successor to
+    applyInPandasWithState — which stream_sessionization covers and
+    the driver checks): ValueState holds (n, cents) per user; each
+    micro-batch emits the updated running totals. Spend accumulates as
+    integer cents (round(value * 100) per row), exactly like the
+    fixed-point aggregates elsewhere, so the drained result is
+    value-comparable to a batch SQL oracle. Requires protobuf (see
+    tws_available); not a registry entry because this container cannot
+    run it — the registered arbitrary-state coverage is the
+    applyInPandasWithState twin."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class _Spend(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "tot", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+            n, cents = 0, 0
+            if self._st.exists():
+                prev = self._st.get()
+                n, cents = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].astype("float64")
+                             .mul(100.0).round().astype("int64").sum())
+            self._st.update((n, cents))
+            yield pd.DataFrame({"user_id": [int(key[0])],
+                                "n_purchases": [n],
+                                "spend_cents": [cents]})
+
+        def close(self) -> None:
+            pass
+
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").cast("bigint").alias("user_id"),
+                         F.col("value").cast("double").alias("value")))
+    return purchases.groupBy("user_id").transformWithStateInPandas(
+        _Spend(),
+        outputStructType=("user_id bigint, n_purchases bigint, "
+                          "spend_cents bigint"),
+        outputMode="append",
+        timeMode="none")
+
+
+def streaming_user_spend_tws(spark: SparkSession, sf_dir: str,
+                             _query_name: str = "stream_tws_spend"
+                             ) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(user_spend_stream_tws(events), _query_name, "append")
+    # running totals are monotone non-decreasing (counts; values >= 0),
+    # so the final per-user state is the max of the emitted rows
+    return (spark.table(_query_name)
+            .groupBy("user_id")
+            .agg(F.max("n_purchases").alias("n_purchases"),
+                 F.max("spend_cents").alias("spend_cents")))

@@ -115,3 +115,27 @@ def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
         reg["dedup_incremental_pairs"].fn(spark, sf_dir)
         .select("id_a", "id_b", "est_jaccard").collect())
     assert got == want and len(got) > 0
+
+
+def test_tws_user_spend_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas twin == batch per-user purchase
+    totals. Skips where the protobuf runtime the state server needs is
+    absent (this container); runs on a full install."""
+    import pytest
+
+    if not W.tws_available():
+        pytest.skip("protobuf runtime absent: transformWithState "
+                    "state server cannot start in this container")
+    import pyspark.sql.functions as F
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    got = sorted(map(tuple, W.streaming_user_spend_tws(spark, sf_dir)
+                     .collect()))
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(map(tuple, (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+             .cast("bigint").alias("spend_cents"))).collect()))
+    assert got == want
