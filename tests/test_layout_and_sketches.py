@@ -167,3 +167,30 @@ def test_histogram_rollup_merge_identity(spark, sf_dir):
                 F.col("n").cast("bigint").alias("n"),
                 "p50_ub", "p99_ub").collect())
     assert rolled == oneshot and len(rolled) > 0
+
+
+def test_histogram_percentile_upper_bound_property(spark, sf_dir):
+    """The histogram percentile is defined as the value ceiling of the
+    first bin reaching rank ceil(q*n): it must sit AT or ABOVE the
+    exact discrete quantile, by strictly less than one bin width —
+    the visible error bar the query reports."""
+    import duckdb
+
+    from iq_to_hdl_migration_spark.queries import load_all
+    from iq_to_hdl_migration_spark.sources.tables import table_path
+
+    reg = load_all()
+    got = {r["event_type"]: r for r in
+           reg["sketch_histogram_percentiles"].fn(spark, sf_dir).collect()}
+    exact = dict(duckdb.sql(
+        f"""SELECT event_type,
+                   [quantile_disc(value, 0.5), quantile_disc(value, 0.95),
+                    quantile_disc(value, 0.99)]
+            FROM read_parquet('{table_path(sf_dir, "events")}')
+            GROUP BY event_type""").fetchall())
+    assert got and set(got) == set(exact)
+    for et, row in got.items():
+        w = row["bin_width"]
+        for ub, ex in zip((row["p50_ub"], row["p95_ub"], row["p99_ub"]),
+                          exact[et]):
+            assert 0 <= ub - ex < w + 1e-9, (et, ub, ex, w)
