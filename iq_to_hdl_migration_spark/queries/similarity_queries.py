@@ -902,3 +902,126 @@ def sim_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_hits", "recall_at_5"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: dense (embedding cosine) + sparse (lexical Jaccard)
+# legs fused by reciprocal-rank fusion — the production RAG retrieval
+# pattern (Cormack et al., SIGIR'09 RRF). vec_id and doc_id share one
+# [0, N) domain in the testdata, so embedding i IS document i and the
+# two legs rank the same corpus. Both legs broadcast the query set and
+# scan the corpus once; fusion is rank arithmetic on 2 x K_LEG rows per
+# query. RRF scores are doubles, but every input is an integer rank
+# and both engines evaluate the identical expression tree, so the
+# whole fused ranking value-hash-matches.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HY_K_LEG = 20
+_HY_K_OUT = 5
+_HY_TOKS = r"list_distinct(string_split_regex(lower(trim(text)), '\s+'))"
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    dense AS (
+        SELECT query_id, cand_id, rd FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.vec, c.vec)
+                                / (q.norm * c.norm) DESC, c.vec_id) AS rd
+            FROM v q JOIN v c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {_N_QUERIES}) t
+        WHERE rd <= {_HY_K_LEG}
+    ),
+    toks AS (
+        SELECT doc_id, {_HY_TOKS} AS tok FROM documents
+    ),
+    sparse AS (
+        SELECT query_id, cand_id, rs FROM (
+            SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.doc_id
+                       ORDER BY
+                           CAST(len(list_intersect(c.tok, q.tok)) AS DOUBLE)
+                           / CAST(greatest(len(c.tok) + len(q.tok)
+                                  - len(list_intersect(c.tok, q.tok)), 1)
+                                  AS DOUBLE) DESC, c.doc_id) AS rs
+            FROM toks q JOIN toks c ON c.doc_id != q.doc_id
+            WHERE q.doc_id < {_N_QUERIES}) t
+        WHERE rs <= {_HY_K_LEG}
+    ),
+    fused AS (
+        SELECT coalesce(d.query_id, s.query_id) AS query_id,
+               coalesce(d.cand_id, s.cand_id) AS cand_id,
+               coalesce(1.0 / ({_RRF_K}.0 + rd), 0.0)
+                 + coalesce(1.0 / ({_RRF_K}.0 + rs), 0.0) AS rrf
+        FROM dense d FULL OUTER JOIN sparse s
+          ON d.query_id = s.query_id AND d.cand_id = s.cand_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_id AS BIGINT) AS cand_id, rrf,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, cand_id) AS rnk
+          FROM fused) t
+    WHERE rnk <= {_HY_K_OUT}
+    """,
+    doc="hybrid retrieval (the production RAG pattern): dense "
+        "embedding-cosine top-20 and sparse lexical-Jaccard top-20 per "
+        "query doc, fused by reciprocal-rank fusion (k=60) to a top-5 "
+        "— query set broadcast on both legs, one corpus scan each, "
+        "fusion is rank arithmetic; fully value-hash-checked including "
+        "the fused float scores (integer ranks -> identical expression "
+        "tree in both engines)",
+    bench=True,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    dense = (sim.brute_force_topk(emb, queries, k=_HY_K_LEG)
+             .select("query_id", "cand_id", F.col("rnk").alias("rd")))
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(r"split(lower(trim(text)), '\\s+')")).alias("tok"))
+    qt = (toks.where(F.col("doc_id") < _N_QUERIES)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("tok").alias("qtok")))
+    inter = F.size(F.array_intersect("tok", "qtok"))
+    union = F.size("tok") + F.size("qtok") - inter
+    scored = (toks.crossJoin(F.broadcast(qt))
+              .where(F.col("doc_id") != F.col("query_id"))
+              .withColumn("jac", inter.cast("double")
+                          / F.greatest(union, F.lit(1)).cast("double")))
+    w_s = Window.partitionBy("query_id").orderBy(F.desc("jac"),
+                                                 F.asc("doc_id"))
+    sparse = (scored.withColumn("rs", F.row_number().over(w_s))
+              .where(F.col("rs") <= _HY_K_LEG)
+              .select("query_id", F.col("doc_id").alias("cand_id"), "rs"))
+    rrf = (F.coalesce(F.lit(1.0)
+                      / (F.lit(float(_RRF_K)) + F.col("rd").cast("double")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0)
+                        / (F.lit(float(_RRF_K)) + F.col("rs").cast("double")),
+                        F.lit(0.0)))
+    fused = (dense.join(sparse, ["query_id", "cand_id"], "full_outer")
+             .withColumn("rrf", rrf))
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"),
+                                                 F.asc("cand_id"))
+    return (fused.withColumn("rnk", F.row_number().over(w_f))
+            .where(F.col("rnk") <= _HY_K_OUT)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("cand_id").cast("bigint").alias("cand_id"),
+                    "rrf", F.col("rnk").cast("int").alias("rnk")))
