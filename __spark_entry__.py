@@ -46,7 +46,7 @@ _SAMPLE_PRIORITY = [
     "q_top_parts_by_revenue", "q_nation_revenue_rank",
     "q_nation_revenue_dense_top3", "ship_latency_by_nation",
     "nation_pareto_8020", "customer_order_cadence",
-    "supplier_hhi_by_nation", "ols_qty_vs_discount_by_brand",
+    "supplier_hhi_by_nation",
     "text_contamination_13gram",
     # round 6: rule tables / HLL day_idx / incremental-LSH cap /
     # PPJoin prefix slack
@@ -56,7 +56,7 @@ _SAMPLE_PRIORITY = [
     "dedup_minhash_lsh_pairs",
     # round 6 additions
     "stream_incremental_dedup", "sim_ann_multiprobe2_topk",
-    "sketch_hll_overlap_matrix",
+    "sketch_hll_overlap_matrix", "hybrid_retrieval_rrf",
     # round-5 additions without a driver row yet
     "dedup_containment_pairs", "curation_grand_funnel",
     "sim_ivf_fixedpoint_topk", "sim_quantized_topk",
