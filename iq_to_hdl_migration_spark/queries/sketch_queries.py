@@ -630,3 +630,237 @@ def sketch_histogram_weekly_rollup(spark: SparkSession,
             .select(F.col("week_idx").cast("bigint").alias("week_idx"),
                     F.col("n").cast("bigint").alias("n"),
                     "p50_ub", "p99_ub"))
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable count-min sketch — heavy-hitter token counts without
+# a full token-dictionary shuffle.  At 100 TB the groupBy(token) key
+# domain is billions of distinct tokens; the CMS build instead
+# partially aggregates (seed, bucket) cells in-partition, so the
+# shuffle carries at most d*w rows *per input partition* regardless of
+# token cardinality, and the finished sketch is d*w integer cells that
+# merge by plain addition (per-day sketches sum to the monthly one).
+# Everything is md5-prefix integer hashing + BIGINT counters, so the
+# whole report — including each estimate — value-hash-matches the
+# DuckDB restatement.  The exact counts ride along only to expose the
+# classic CMS property (estimate >= truth, overestimate bounded by
+# collisions), which tests/test_sketches.py locks.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # hash rows (seeds)
+_CMS_W = 512     # buckets per row
+_CMS_TOPK = 20   # heavy hitters reported
+
+_CMS_SEEDS_DUCK = "[" + ", ".join(str(s) for s in range(_CMS_D)) + "]"
+_CMS_SEEDS_SPARK = ("array(" + ", ".join(str(s) for s in range(_CMS_D))
+                    + ")")
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT t.token
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  AS token
+              FROM documents) t
+        WHERE t.token <> ''
+    ),
+    cells AS (
+        SELECT s.seed,
+               CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':'
+                                       || tok.token), 1, 15)
+                    AS BIGINT) % {_CMS_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok, (SELECT unnest({_CMS_SEEDS_DUCK}) AS seed) s
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM tok GROUP BY token
+    ),
+    cand AS (
+        SELECT token, n_exact FROM exact
+        ORDER BY n_exact DESC, token LIMIT {_CMS_TOPK}
+    )
+    SELECT cand.token, cand.n_exact,
+           MIN(cl.c) AS cms_estimate,
+           MIN(cl.c) - cand.n_exact AS overestimate
+    FROM cand,
+         (SELECT unnest({_CMS_SEEDS_DUCK}) AS seed) s,
+         cells cl
+    WHERE cl.seed = s.seed
+      AND cl.bucket = CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR)
+                                              || ':' || cand.token), 1, 15)
+                           AS BIGINT) % {_CMS_W}
+    GROUP BY cand.token, cand.n_exact
+    """,
+    doc="engine-portable count-min sketch (d=4, w=512): token "
+        "heavy-hitter estimates from a fixed d*w cell table built with "
+        "in-partition partial aggregation — the 100 TB substitute for "
+        "a full token-dictionary shuffle; estimates (min over rows) "
+        "are integer-exact and value-hash-checked, with the exact "
+        "count alongside so every row shows its overestimate",
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = (docs.select(F.explode(
+        F.expr(r"split(lower(trim(text)), '\\s+')")).alias("token"))
+        .where(F.col("token") != ""))
+    # sketch build: explode each occurrence into d (seed, bucket)
+    # increments; hash-partial-agg keeps the shuffle at <= d*w rows
+    # per input partition no matter how many distinct tokens exist
+    cells = (tok.select(
+        "token",
+        F.explode(F.expr(_CMS_SEEDS_SPARK)).alias("seed"))
+        .select(
+            "seed",
+            (F.expr("CAST(conv(substr(md5(CAST(seed AS STRING) || ':' "
+                    "|| token), 1, 15), 16, 10) AS BIGINT)")
+             % _CMS_W).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c")))
+    # verification side only: exact counts to report the overestimate
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    cand = (exact.orderBy(F.desc("n_exact"), "token").limit(_CMS_TOPK))
+    probes = (cand.select(
+        "token", "n_exact",
+        F.explode(F.expr(_CMS_SEEDS_SPARK)).alias("seed"))
+        .select(
+            "token", "n_exact", "seed",
+            (F.expr("CAST(conv(substr(md5(CAST(seed AS STRING) || ':' "
+                    "|| token), 1, 15), 16, 10) AS BIGINT)")
+             % _CMS_W).alias("bucket")))
+    # cells is d*w rows at most — broadcast side of the probe join
+    return (probes.join(F.broadcast(cells), ["seed", "bucket"])
+            .groupBy("token", "n_exact")
+            .agg(F.min("c").alias("cms_estimate"))
+            .select("token", "n_exact", "cms_estimate",
+                    (F.col("cms_estimate") - F.col("n_exact"))
+                    .alias("overestimate")))
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable Bloom-filter semi-join prefilter.  The 100 TB
+# pattern: instead of broadcasting the build side's KEY SET (which
+# grows with the data), aggregate it into a fixed-size bit array —
+# here 256 words x 63 usable bits (DuckDB raises on BIGINT<<63, so
+# the portable formulation packs 63 bits per word) — broadcast THAT,
+# and drop non-matching probe rows before the expensive shuffle join.
+# No false negatives by construction; false positives are quantified
+# in the output because the exact semi-join rides along.  All hashing
+# is the md5-prefix trick, all state BIGINT, so every number in the
+# report value-hash-matches DuckDB.
+# ---------------------------------------------------------------------------
+
+_BF_WORDS = 256                  # filter words
+_BF_BITS = _BF_WORDS * 63        # usable bits (63 per word, see above)
+_BF_K = 3                        # hash functions
+
+
+@register(
+    "join_bloom_prefilter_stats",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+    bpos AS (
+        SELECT CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                                       || CAST(k AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_BF_BITS} AS pos
+        FROM build, seeds
+    ),
+    filt AS (
+        SELECT pos // 63 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER))
+                   AS bits
+        FROM bpos GROUP BY 1
+    ),
+    probe AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+    ),
+    ppos AS (
+        SELECT probe.k, seeds.seed,
+               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                                       || CAST(k AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_BF_BITS} AS pos
+        FROM probe, seeds
+    ),
+    hits AS (
+        SELECT p.k,
+               SUM(CASE WHEN f.bits IS NOT NULL
+                         AND (f.bits & (CAST(1 AS BIGINT)
+                                        << CAST(p.pos % 63 AS INTEGER)))
+                             <> 0
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM ppos p LEFT JOIN filt f ON p.pos // 63 = f.word
+        GROUP BY p.k
+    ),
+    pass AS (SELECT k FROM hits WHERE n_hit = {_BF_K}),
+    truth AS (SELECT k FROM probe WHERE k IN (SELECT k FROM build))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_bloom_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_match,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pass)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+               AS n_false_positive
+    """,
+    doc="portable Bloom-filter semi-join prefilter (16k-bit, k=3): "
+        "urgent-order custkeys aggregated to a 256-word bit array via "
+        "bit_or, probe side filtered by k md5-hash probes before the "
+        "exact semi-join — the fixed-size alternative to broadcasting "
+        "a key set that grows with the data; zero false negatives by "
+        "construction (locked in tests), false positives counted in "
+        "the report",
+)
+def join_bloom_prefilter_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    build = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+             .select(F.col("o_custkey").cast("bigint").alias("k"))
+             .distinct())
+    seeds = F.explode(F.expr("array(0, 1, 2)")).alias("seed")
+
+    def pos_col():
+        return (F.expr("CAST(conv(substr(md5(CAST(seed AS STRING) || ':' "
+                       "|| CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+                % _BF_BITS)
+
+    # the filter: <= 256 rows regardless of how many build keys exist
+    filt = (build.select("k", seeds)
+            .select(pos_col().alias("pos"))
+            .select(F.expr("pos div 63").alias("word"),
+                    F.expr("CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)")
+                    .alias("mask"))
+            .groupBy("word").agg(F.expr("bit_or(mask)").alias("bits")))
+    probe = cust.select(F.col("c_custkey").cast("bigint").alias("k"))
+    ppos = (probe.select("k", seeds)
+            .select("k", pos_col().alias("pos")))
+    hits = (ppos.join(F.broadcast(filt),
+                      F.expr("pos div 63") == F.col("word"), "left")
+            .select("k", F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(
+                    F.expr("CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)"))
+                   != 0), 1).otherwise(0).alias("hit"))
+            .groupBy("k").agg(F.sum("hit").alias("n_hit")))
+    bloom_pass = hits.where(F.col("n_hit") == _BF_K).select("k")
+    truth = probe.join(build, "k", "left_semi")
+    counts = [
+        build.agg(F.count(F.lit(1)).alias("n_build_keys")),
+        probe.agg(F.count(F.lit(1)).alias("n_probe_rows")),
+        bloom_pass.agg(F.count(F.lit(1)).alias("n_bloom_pass")),
+        truth.agg(F.count(F.lit(1)).alias("n_true_match")),
+    ]
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(F.broadcast(c))
+    return row.select(
+        "n_build_keys", "n_probe_rows", "n_bloom_pass", "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match"))
+        .alias("n_false_positive"))

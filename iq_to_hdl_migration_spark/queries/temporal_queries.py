@@ -131,3 +131,87 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "event_type",
                 F.col("value").cast("double").alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history builder: collapse each user's event-type timeline into
+# type-2 slowly-changing-dimension rows [valid_from, valid_to) with a
+# version counter and an is_current flag — the standard
+# dimension-history operator of a warehouse ingest, built from the
+# gaps-and-islands pattern (lag -> change flag -> running sum ->
+# per-run aggregate).  One shuffle on user_id; every window in the
+# chain shares that partitioning so Spark reuses a single exchange.
+# Validity bounds are emitted as epoch micros (BIGINT) so the row
+# hash is timezone-proof across engines.
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP),
+                                              event_id) AS prev_type
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(CASE WHEN prev_type IS NULL
+                          OR prev_type <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS version
+        FROM e
+    ),
+    hist AS (
+        SELECT user_id, version, event_type,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, version, event_type
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(version AS BIGINT) AS version,
+           event_type,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(lead(valid_from)
+                    OVER (PARTITION BY user_id ORDER BY version))
+               AS valid_to_us,
+           n_events,
+           (lead(valid_from)
+                OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+               AS is_current
+    FROM hist
+    """,
+    doc="SCD2 dimension history: per-user event-type runs as "
+        "[valid_from, valid_to) type-2 rows with version + is_current "
+        "— gaps-and-islands (lag, running sum, per-run min/count, "
+        "lead) over one user_id exchange; bounds as epoch micros so "
+        "the hash is tz-proof",
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (ev.withColumn("prev_type", F.lag("event_type").over(w_seq))
+            .withColumn(
+                "version",
+                F.sum(F.when(F.col("prev_type").isNull()
+                             | (F.col("prev_type") != F.col("event_type")),
+                             1).otherwise(0)).over(w_seq)))
+    hist = (runs.groupBy("user_id", "version", "event_type")
+            .agg(F.min("ts").alias("valid_from"),
+                 F.count(F.lit(1)).alias("n_events")))
+    w_ver = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(w_ver)
+    return (hist
+            .withColumn("valid_to", nxt)
+            .select(
+                F.col("user_id").cast("bigint").alias("user_id"),
+                F.col("version").cast("bigint").alias("version"),
+                "event_type",
+                F.unix_micros("valid_from").alias("valid_from_us"),
+                F.unix_micros("valid_to").alias("valid_to_us"),
+                "n_events",
+                F.col("valid_to").isNull().alias("is_current")))

@@ -194,3 +194,83 @@ def test_histogram_percentile_upper_bound_property(spark, sf_dir):
         for ub, ex in zip((row["p50_ub"], row["p95_ub"], row["p99_ub"]),
                           exact[et]):
             assert 0 <= ub - ex < w + 1e-9, (et, ub, ex, w)
+
+
+def test_countmin_overestimates_and_merges(spark, sf_dir):
+    """CMS invariants: (1) every reported estimate >= the exact count
+    (min over d rows can only overcount via collisions, never under);
+    (2) the cell table is mergeable by addition — per-source sketches
+    summed cell-wise equal the one-shot global sketch."""
+    rows = REGISTRY["sketch_countmin_heavy_hitters"].fn(
+        spark, sf_dir).collect()
+    assert rows, "heavy-hitter report empty"
+    for r in rows:
+        assert r.cms_estimate >= r.n_exact, r
+        assert r.overestimate == r.cms_estimate - r.n_exact
+
+    from iq_to_hdl_migration_spark.queries.sketch_queries import (
+        _CMS_SEEDS_SPARK, _CMS_W)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select(
+        "source",
+        F.explode(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .alias("token"))
+        .where(F.col("token") != ""))
+    cells = (tok.select(
+        "source",
+        F.explode(F.expr(_CMS_SEEDS_SPARK)).alias("seed"),
+        "token")
+        .select(
+            "source", "seed",
+            (F.expr("CAST(conv(substr(md5(CAST(seed AS STRING) || ':' "
+                    "|| token), 1, 15), 16, 10) AS BIGINT)")
+             % _CMS_W).alias("bucket")))
+    per_source_summed = (cells.groupBy("source", "seed", "bucket")
+                         .agg(F.count(F.lit(1)).alias("c"))
+                         .groupBy("seed", "bucket")
+                         .agg(F.sum("c").alias("c")))
+    one_shot = (cells.groupBy("seed", "bucket")
+                .agg(F.count(F.lit(1)).alias("c")))
+    diff = (per_source_summed.alias("a")
+            .join(one_shot.alias("b"), ["seed", "bucket"], "full")
+            .where((F.col("a.c").isNull()) | (F.col("b.c").isNull())
+                   | (F.col("a.c") != F.col("b.c"))))
+    assert diff.count() == 0, "cell-wise sum of per-source sketches " \
+        "must equal the global sketch"
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Bloom semi-join prefilter: every true match must pass the
+    filter (no false negatives), pass count bounded by probe count,
+    and the reported false-positive figure is internally consistent."""
+    row = REGISTRY["join_bloom_prefilter_stats"].fn(
+        spark, sf_dir).collect()[0]
+    assert row.n_true_match <= row.n_bloom_pass <= row.n_probe_rows
+    assert row.n_false_positive == row.n_bloom_pass - row.n_true_match
+    assert row.n_false_positive >= 0
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    """SCD2 output invariants: per user the intervals abut exactly
+    (valid_to == next valid_from), versions are contiguous from 1,
+    and exactly one row per user is current (valid_to IS NULL)."""
+    from pyspark.sql import Window
+
+    hist = REGISTRY["scd2_user_type_history"].fn(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("version")
+    chk = (hist
+           .withColumn("next_from", F.lead("valid_from_us").over(w))
+           .withColumn("prev_ver", F.lag("version").over(w)))
+    bad_abut = chk.where(
+        F.col("next_from").isNotNull()
+        & (F.col("valid_to_us") != F.col("next_from"))).count()
+    assert bad_abut == 0, "intervals must abut exactly"
+    bad_ver = chk.where(
+        (F.col("prev_ver").isNull() & (F.col("version") != 1))
+        | (F.col("prev_ver").isNotNull()
+           & (F.col("version") != F.col("prev_ver") + 1))).count()
+    assert bad_ver == 0, "versions must be contiguous from 1"
+    cur = (hist.groupBy("user_id")
+           .agg(F.sum(F.col("is_current").cast("int")).alias("n_cur"))
+           .where(F.col("n_cur") != 1).count())
+    assert cur == 0, "exactly one current row per user"
