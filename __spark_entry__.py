@@ -40,9 +40,11 @@ _SAMPLE_PRIORITY = [
     "q10_returned_items", "q16_supplier_part_counts",
     "q21_sole_return_suppliers", "trade_flow_matrix",
     "nation_trade_balance", "q7_nation_volume", "q8_market_share",
-    "q2_min_price_supplier", "q14_promo_revenue_share",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_bracketed_revenue", "q20_bulk_part_suppliers",
+    # (q14/q17/q19/q20 trimmed from the sample: single-row aggregates
+    # that drew green driver rows in r5; the sf0.01 local gate still
+    # covers them, and the slots buy first driver rows for round-5/6
+    # additions below)
+    "q2_min_price_supplier", "q18_large_volume_customers",
     "q_top_parts_by_revenue", "q_nation_revenue_rank",
     "q_nation_revenue_dense_top3", "ship_latency_by_nation",
     "nation_pareto_8020", "customer_order_cadence",
@@ -57,6 +59,8 @@ _SAMPLE_PRIORITY = [
     # round 6 additions
     "stream_incremental_dedup", "sim_ann_multiprobe2_topk",
     "sketch_hll_overlap_matrix", "hybrid_retrieval_rrf",
+    "sketch_countmin_heavy_hitters", "join_bloom_prefilter_stats",
+    "scd2_user_type_history",
     # round-5 additions without a driver row yet
     "dedup_containment_pairs", "curation_grand_funnel",
     "sim_ivf_fixedpoint_topk", "sim_quantized_topk",
