@@ -864,3 +864,124 @@ def join_bloom_prefilter_stats(spark: SparkSession,
         "n_build_keys", "n_probe_rows", "n_bloom_pass", "n_true_match",
         (F.col("n_bloom_pass") - F.col("n_true_match"))
         .alias("n_false_positive"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) join-cardinality estimation — the planning
+# sketch behind "how big is this join going to be?" at 100 TB.  Each
+# side's distinct-key set is summarized by its k smallest md5-prefix
+# hashes (a per-partition top-k then a k-row merge — no key-domain
+# shuffle); distinct counts come from the k-th minimum ((k-1)*M/h_k),
+# and the intersection via the standard KMV rho estimator over the
+# union sketch.  The sketch state is BIGINT hashes and the estimates
+# are single mult/div chains, so the whole report value-hash-matches
+# DuckDB.  Exact counts ride along to expose the estimation error.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_M = 1 << 60   # hash space: 15 hex chars = 60 bits
+
+
+@register(
+    "sketch_kmv_join_cardinality",
+    oracle=f"""
+    WITH a_keys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k
+                    FROM orders),
+    b_keys AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k
+               FROM customer),
+    a_sk AS (
+        SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM a_keys ORDER BY hv LIMIT {_KMV_K}
+    ),
+    b_sk AS (
+        SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM b_keys ORDER BY hv LIMIT {_KMV_K}
+    ),
+    u_sk AS (
+        SELECT hv FROM (SELECT hv FROM a_sk UNION SELECT hv FROM b_sk)
+        ORDER BY hv LIMIT {_KMV_K}
+    ),
+    rho AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM u_sk
+        WHERE hv IN (SELECT hv FROM a_sk)
+          AND hv IN (SELECT hv FROM b_sk)
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a_keys)
+               AS n_orders_keys_exact,
+           CAST({_KMV_K - 1} AS DOUBLE) * CAST({_KMV_M} AS DOUBLE)
+               / CAST((SELECT MAX(hv) FROM a_sk) AS DOUBLE)
+               AS n_orders_keys_est,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b_keys)
+               AS n_customer_keys_exact,
+           CAST({_KMV_K - 1} AS DOUBLE) * CAST({_KMV_M} AS DOUBLE)
+               / CAST((SELECT MAX(hv) FROM b_sk) AS DOUBLE)
+               AS n_customer_keys_est,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a_keys
+            WHERE k IN (SELECT k FROM b_keys)) AS n_common_keys_exact,
+           (SELECT CAST(n_both AS DOUBLE) FROM rho)
+               / CAST({_KMV_K} AS DOUBLE)
+               * (CAST({_KMV_K - 1} AS DOUBLE)
+                  * CAST({_KMV_M} AS DOUBLE)
+                  / CAST((SELECT MAX(hv) FROM u_sk) AS DOUBLE))
+               AS n_common_keys_est
+    """,
+    doc="KMV(128) join-cardinality planning sketch: per-side k-minimum "
+        "md5 hashes -> distinct-key and key-intersection estimates "
+        "with the exact counts alongside — join-size estimation "
+        "without shuffling either key domain; estimates are portable "
+        "mult/div chains so even they value-hash-match DuckDB",
+)
+def sketch_kmv_join_cardinality(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    k, M = _KMV_K, _KMV_M
+
+    def sk(keys: DataFrame) -> DataFrame:
+        # distinct -> hash -> global k smallest (TakeOrdered: top-k
+        # per partition, k-row merge on the driver side of the plan)
+        return (keys.distinct()
+                .select(F.expr("CAST(conv(substr(md5(CAST(k AS STRING)),"
+                               " 1, 15), 16, 10) AS BIGINT)").alias("hv"))
+                .orderBy("hv").limit(k))
+
+    a_keys = orders.select(F.col("o_custkey").cast("bigint").alias("k"))
+    b_keys = cust.select(F.col("c_custkey").cast("bigint").alias("k"))
+    a_sk, b_sk = sk(a_keys), sk(b_keys)
+    u_sk = (a_sk.union(b_sk).distinct().orderBy("hv").limit(k))
+    rho = (u_sk.join(a_sk, "hv", "left_semi")
+           .join(b_sk, "hv", "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_both")))
+
+    def est(sketch: DataFrame, name: str) -> DataFrame:
+        return sketch.agg(
+            (F.lit(float(k - 1)) * F.lit(float(M))
+             / F.max("hv").cast("double")).alias(name))
+
+    exact_a = a_keys.distinct().agg(
+        F.count(F.lit(1)).alias("n_orders_keys_exact"))
+    exact_b = b_keys.distinct().agg(
+        F.count(F.lit(1)).alias("n_customer_keys_exact"))
+    exact_common = (a_keys.distinct().join(b_keys.distinct(), "k",
+                                           "left_semi")
+                    .agg(F.count(F.lit(1)).alias("n_common_keys_exact")))
+    u_est = u_sk.agg(F.max("hv").alias("u_hk"))
+    parts = [exact_a, est(a_sk, "n_orders_keys_est"),
+             exact_b, est(b_sk, "n_customer_keys_est"),
+             exact_common, rho, u_est]
+    row = parts[0]
+    for p in parts[1:]:
+        row = row.crossJoin(F.broadcast(p))
+    return row.select(
+        F.lit(k).cast("bigint").alias("k"),
+        "n_orders_keys_exact", "n_orders_keys_est",
+        "n_customer_keys_exact", "n_customer_keys_est",
+        "n_common_keys_exact",
+        (F.col("n_both").cast("double") / F.lit(float(k))
+         * (F.lit(float(k - 1)) * F.lit(float(M))
+            / F.col("u_hk").cast("double")))
+        .alias("n_common_keys_est"))

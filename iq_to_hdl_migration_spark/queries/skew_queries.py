@@ -83,3 +83,62 @@ def bucketed_colocated_join_revenue(spark: SparkSession,
     joined = bucketed_join(spark, sf_dir, "orders", "lineitem",
                            "o_orderkey", "l_orderkey")
     return _agg(joined)
+
+
+# ---------------------------------------------------------------------------
+# Skew advisor: the diagnostic that decides WHICH mitigation above a
+# join needs.  For each candidate lineitem join key it reports the
+# exact distinct-key count, the widest key's row count and share, and
+# rows-per-distinct-key — the numbers that tell you whether AQE's
+# skew-join split suffices (mild skew) or the key needs salting /
+# hot-key isolation (top-share >> 1/ndv).  One groupBy per key,
+# partially aggregated map-side; no collect-driven logic.
+
+@register(
+    "skew_key_diagnostics",
+    oracle="""
+    WITH per_key AS (
+        SELECT 'l_orderkey' AS join_key, l_orderkey AS k,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+        UNION ALL
+        SELECT 'l_partkey', l_partkey, CAST(COUNT(*) AS BIGINT)
+        FROM lineitem GROUP BY 1, 2
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey, CAST(COUNT(*) AS BIGINT)
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT join_key,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(MAX(c) AS BIGINT) AS top_key_rows,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS top_key_share,
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS rows_per_key
+    FROM per_key GROUP BY join_key
+    """,
+    doc="skew advisor: per candidate join key the exact ndv, hottest-"
+        "key row count/share and rows-per-key — the decision inputs "
+        "for AQE-split vs salting vs hot-key isolation; one map-side-"
+        "combined groupBy per key",
+)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey")
+
+    def diag(col: str) -> DataFrame:
+        per_key = li.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(col).alias("join_key"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct_keys"),
+            F.max("c").alias("top_key_rows"),
+            (F.max("c").cast("double")
+             / F.sum("c").cast("double")).alias("top_key_share"),
+            (F.sum("c").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("rows_per_key"))
+
+    return diag("l_orderkey").union(diag("l_partkey")).union(
+        diag("l_suppkey"))

@@ -379,3 +379,68 @@ def layout_dictionary_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recommend_dict",
         F.when(F.col("est_dict_bytes") < F.col("est_plain_bytes"), 1)
         .otherwise(0))
+
+
+# ---------------------------------------------------------------------------
+# Deletion-propagation (right-to-erasure) audit: given a cohort of
+# customers to forget, report exactly how many rows in each dependent
+# table the cascade touches BEFORE running the destructive delete —
+# the dry-run a compliance pipeline runs against 100 TB.  Pure
+# semi-join fan-out along the FK chain (customer -> orders ->
+# lineitem): each hop is one shuffle on its join key, the target-key
+# set never leaves the cluster, and the counts are map-side partials.
+
+@register(
+    "retention_cascade_audit",
+    oracle="""
+    WITH targets AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    hit_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM targets)
+    )
+    SELECT * FROM (
+        SELECT 'customer' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM targets)
+                   AS n_rows_cascade,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+                   AS n_rows_total
+        UNION ALL
+        SELECT 'orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hit_orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM hit_orders)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+    )
+    """,
+    doc="deletion-propagation dry-run: per-table cascade row counts "
+        "for a forget-cohort along the customer->orders->lineitem FK "
+        "chain — semi-join fan-out, one shuffle per hop, counts only "
+        "(no data movement); the compliance precheck before a "
+        "destructive delete",
+)
+def retention_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    targets = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    hit_orders = orders.join(
+        targets, orders["o_custkey"] == targets["c_custkey"],
+        "left_semi").select("o_orderkey")
+    hit_li = li.join(hit_orders, li["l_orderkey"] == hit_orders["o_orderkey"],
+                     "left_semi")
+
+    def row(name: str, cascade: DataFrame, total: DataFrame) -> DataFrame:
+        c = cascade.agg(F.count(F.lit(1)).alias("n_rows_cascade"))
+        t = total.agg(F.count(F.lit(1)).alias("n_rows_total"))
+        return (c.crossJoin(F.broadcast(t))
+                .select(F.lit(name).alias("table_name"),
+                        "n_rows_cascade", "n_rows_total"))
+
+    return (row("customer", targets, cust)
+            .union(row("orders", hit_orders, orders))
+            .union(row("lineitem", hit_li, li)))

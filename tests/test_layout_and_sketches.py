@@ -274,3 +274,18 @@ def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
            .agg(F.sum(F.col("is_current").cast("int")).alias("n_cur"))
            .where(F.col("n_cur") != 1).count())
     assert cur == 0, "exactly one current row per user"
+
+
+def test_kmv_estimates_within_error_bound(spark, sf_dir):
+    """KMV(128) relative standard error is ~1/sqrt(k-2) = 8.9%; lock
+    a 4-sigma envelope on the side estimates plus positivity and the
+    intersection-bounded-by-union sanity."""
+    r = REGISTRY["sketch_kmv_join_cardinality"].fn(
+        spark, sf_dir).collect()[0]
+    for est, exact in [(r.n_orders_keys_est, r.n_orders_keys_exact),
+                       (r.n_customer_keys_est, r.n_customer_keys_exact)]:
+        assert exact > 0 and est > 0
+        assert abs(est - exact) / exact < 0.36, (est, exact)
+    assert r.n_common_keys_exact <= min(r.n_orders_keys_exact,
+                                        r.n_customer_keys_exact)
+    assert r.n_common_keys_est >= 0
