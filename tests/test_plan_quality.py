@@ -451,3 +451,51 @@ def test_sketch_histogram_partial_agg(spark, sf_dir):
     plan = final_plan(df)
     assert "partial_count" in plan, "no map-side partial aggregation"
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_stays_broadcast(spark, sf_dir):
+    """The bloom filter (<=256 words) must reach the probe side as a
+    broadcast — if it shuffle-joins, the fixed-size-filter design
+    point is lost — and nothing in the query may go cartesian except
+    the final 1-row stat stitching."""
+    plan = final_plan(REGISTRY["join_bloom_prefilter_stats"].fn(
+        spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "probe join must not shuffle"
+
+
+def test_countmin_cells_broadcast_probe(spark, sf_dir):
+    """CMS probe joins the d*w cell table (fixed size) — it must be
+    the broadcast side; the sketch build itself must partially
+    aggregate (map-side combine) before its shuffle."""
+    plan = final_plan(REGISTRY["sketch_countmin_heavy_hitters"].fn(
+        spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # partial aggregation on the cell build: HashAggregate appears
+    # both before and after the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    """All three windows + the run aggregate share the user_id
+    partitioning: the plan must contain exactly one shuffle of the
+    events scan (plus AQE reads), not one per window."""
+    plan = final_plan(REGISTRY["scd2_user_type_history"].fn(
+        spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, (
+        f"expected the window chain to reuse one user_id exchange, "
+        f"saw {n_exchanges}:\n{plan}")
+
+
+def test_kmv_sketch_topk_not_global_sort(spark, sf_dir):
+    """The k-minimum selection must compile to TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a full global Sort of
+    the key domain."""
+    plan = final_plan(REGISTRY["sketch_kmv_join_cardinality"].fn(
+        spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" \
+        in plan  # 1-row stat stitching is broadcast-nested-loop
