@@ -40,15 +40,14 @@ _SAMPLE_PRIORITY = [
     "q10_returned_items", "q16_supplier_part_counts",
     "q21_sole_return_suppliers", "trade_flow_matrix",
     "nation_trade_balance", "q7_nation_volume", "q8_market_share",
-    # (q14/q17/q19/q20 trimmed from the sample: single-row aggregates
+    # (q2/q14/q17/q18/q19/q20 trimmed from the sample: TPC-H shapes
     # that drew green driver rows in r5; the sf0.01 local gate still
     # covers them, and the slots buy first driver rows for round-5/6
     # additions below)
-    "q2_min_price_supplier", "q18_large_volume_customers",
     "q_top_parts_by_revenue", "q_nation_revenue_rank",
+    # (nation_pareto/customer_cadence/supplier_hhi also trimmed:
+    # r5-green, only const-dim hints touched)
     "q_nation_revenue_dense_top3", "ship_latency_by_nation",
-    "nation_pareto_8020", "customer_order_cadence",
-    "supplier_hhi_by_nation",
     "text_contamination_13gram",
     # round 6: rule tables / HLL day_idx / incremental-LSH cap /
     # PPJoin prefix slack
@@ -60,7 +59,9 @@ _SAMPLE_PRIORITY = [
     "stream_incremental_dedup", "sim_ann_multiprobe2_topk",
     "sketch_hll_overlap_matrix", "hybrid_retrieval_rrf",
     "sketch_countmin_heavy_hitters", "join_bloom_prefilter_stats",
-    "scd2_user_type_history",
+    "scd2_user_type_history", "stream_scd2_history",
+    "entity_resolution_clusters", "sketch_kmv_join_cardinality",
+    "skew_key_diagnostics", "retention_cascade_audit",
     # round-5 additions without a driver row yet
     "dedup_containment_pairs", "curation_grand_funnel",
     "sim_ivf_fixedpoint_topk", "sim_quantized_topk",

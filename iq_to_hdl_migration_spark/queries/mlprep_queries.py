@@ -674,3 +674,76 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k then a k-row merge, never a single-partition global window
     return (p.orderBy("priority", "doc_id").limit(100)
             .select("doc_id", "source", "n_chars", "priority"))
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: the fuzzy blocking join above feeds
+# connected components (operators/components.py: iterative min-label
+# propagation, each round one join + groupBy on vertex id), and each
+# component becomes one resolved entity with a canonical name (the
+# lexicographic minimum — deterministic), its member list, and the
+# total row mass it maps back to.  At 100 TB the quadratic step stays
+# confined to |distinct names per block|; components iterate on the
+# (much smaller) matched-name graph only.  Oracle: DuckDB recursive
+# CTE computing reachability-min labels — an independent formulation
+# of the same clustering.
+
+@register(
+    "entity_resolution_clusters",
+    oracle="""
+    WITH RECURSIVE p AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1
+    ),
+    b AS (SELECT p_name, n, string_split(p_name, ' ')[1] AS blk FROM p),
+    e0 AS (
+        SELECT a.p_name AS u, c.p_name AS v
+        FROM b a JOIN b c
+          ON a.blk = c.blk AND a.p_name < c.p_name
+        WHERE levenshtein(a.p_name, c.p_name) <= 3
+    ),
+    e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    nodes AS (SELECT DISTINCT u AS name FROM e),
+    reach(name, other) AS (
+        SELECT name, name FROM nodes
+        UNION
+        SELECT r.name, e.v FROM reach r JOIN e ON e.u = r.other
+    ),
+    comp AS (
+        SELECT name, MIN(other) AS canonical FROM reach GROUP BY name
+    )
+    SELECT comp.canonical AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(p.n) AS BIGINT) AS n_rows_total,
+           string_agg(comp.name, '|' ORDER BY comp.name) AS member_names
+    FROM comp JOIN p ON p.p_name = comp.name
+    GROUP BY comp.canonical
+    """,
+    doc="entity resolution: blocked levenshtein matching -> iterative "
+        "min-label connected components -> one row per resolved "
+        "entity (canonical = lexicographic min, member list, mapped "
+        "row mass); oracle is a DuckDB recursive-CTE reachability-min "
+        "clustering — an independent formulation",
+)
+def entity_resolution_clusters(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.components import (
+        connected_components)
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(0)))
+    a, b = names.alias("a"), names.alias("b")
+    edges = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.p_name") < F.col("b.p_name")))
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(F.col("a.p_name").alias("id_a"),
+                F.col("b.p_name").alias("id_b")))
+    comp = connected_components(edges)
+    return (comp.join(names.select(F.col("p_name").alias("id"), "n"), "id")
+            .groupBy(F.col("component").alias("canonical_name"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum("n").cast("bigint").alias("n_rows_total"),
+                 F.array_join(F.array_sort(F.collect_list("id")), "|")
+                 .alias("member_names")))

@@ -280,3 +280,59 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("id_a").cast("bigint").alias("id_a"),
                      F.col("id_b").cast("bigint").alias("id_b"),
                      F.col("est_jaccard").cast("double").alias("est_jaccard"))
+
+
+@register(
+    "stream_scd2_history",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP),
+                                              event_id) AS prev_type
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(CASE WHEN prev_type IS NULL
+                          OR prev_type <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS version
+        FROM e
+    ),
+    hist AS (
+        SELECT user_id, version, event_type,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, version, event_type
+    ),
+    full_hist AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(version AS BIGINT) AS version,
+               event_type,
+               epoch_us(valid_from) AS valid_from_us,
+               epoch_us(lead(valid_from)
+                        OVER (PARTITION BY user_id ORDER BY version))
+                   AS valid_to_us,
+               n_events
+        FROM hist
+    )
+    SELECT * FROM full_hist WHERE valid_to_us IS NOT NULL
+    """,
+    doc="streaming SCD2 (applyInPandasWithState, constant per-key "
+        "state: one open run) drained end-to-end; emits each history "
+        "row as its run closes — checked against the batch "
+        "gaps-and-islands twin restricted to closed rows, which is "
+        "exactly what an append-mode CDC history log contains",
+)
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_scd2_{next(_seq)}"
+    df = W.streaming_scd2(spark, sf_dir, name)
+    return df.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("version").cast("bigint").alias("version"),
+        "event_type",
+        F.col("valid_from_us").cast("bigint").alias("valid_from_us"),
+        F.col("valid_to_us").cast("bigint").alias("valid_to_us"),
+        F.col("n_events").cast("bigint").alias("n_events"))

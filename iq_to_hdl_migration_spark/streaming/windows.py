@@ -506,3 +506,77 @@ def streaming_user_spend_tws(spark: SparkSession, sf_dir: str,
             .groupBy("user_id")
             .agg(F.max("n_purchases").alias("n_purchases"),
                  F.max("spend_cents").alias("spend_cents")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: the change-data-capture shape of the batch
+# gaps-and-islands history builder (queries/temporal_queries.py::
+# scd2_user_type_history).  State per user is ONE open run (last type,
+# version counter, run start, run length) — constant size per key, the
+# honest streaming formulation (carrying the full history in state
+# would grow without bound).  A type change CLOSES the open run and
+# appends it as a finished [valid_from, valid_to) history row; the
+# still-open run lives only in state, exactly like the "current" row
+# of a warehouse dimension that hasn't versioned yet.  The batch twin
+# restricted to closed rows (valid_to IS NOT NULL) is the oracle.
+
+SCD2_OUT_SCHEMA = ("user_id bigint, version bigint, event_type string, "
+                   "valid_from_us bigint, valid_to_us bigint, "
+                   "n_events bigint")
+SCD2_STATE_SCHEMA = ("cur_type string, version bigint, run_start_us bigint, "
+                     "run_n bigint")
+
+
+def _scd2_fn(key: tuple, pdfs: "Iterator", state: GroupState) -> "Iterator":
+    import pandas as pd
+
+    if state.exists:
+        cur_type, version, run_start_us, run_n = state.get
+    else:
+        cur_type, version, run_start_us, run_n = None, 0, None, 0
+    out: list[tuple] = []
+    rows: list[tuple] = []
+    for pdf in pdfs:
+        rows.extend(zip((int(v) for v in pdf["us"]),
+                        (int(v) for v in pdf["event_id"]),
+                        pdf["event_type"]))
+    # ts order (event_id tiebreak) within the drained batch — matches
+    # the batch twin's window ordering
+    for us, _eid, etype in sorted(rows):
+        if cur_type is None:
+            cur_type, version, run_start_us, run_n = etype, 1, us, 1
+        elif etype == cur_type:
+            run_n += 1
+        else:
+            out.append((key[0], version, cur_type, run_start_us, us,
+                        run_n))
+            cur_type, version, run_start_us, run_n = (etype, version + 1,
+                                                      us, 1)
+    state.update((cur_type, version, run_start_us, run_n))
+    cols = ["user_id", "version", "event_type", "valid_from_us",
+            "valid_to_us", "n_events"]
+    yield pd.DataFrame(out, columns=cols)
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState SCD2 run-tracker keyed by user: appends a
+    history row each time an event-type run closes."""
+    keyed = (events.select("user_id", "event_id", "event_type",
+                           F.unix_micros("ts").alias("us"))
+             .groupBy("user_id"))
+    return keyed.applyInPandasWithState(
+        _scd2_fn,
+        outputStructType=SCD2_OUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_scd2(spark: SparkSession, sf_dir: str,
+                   _query_name: str = "stream_scd2") -> DataFrame:
+    """End-to-end: event stream -> stateful SCD2 run closing ->
+    append-mode memory sink of finished history rows."""
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(scd2_stream(events), _query_name, "append")
+    return spark.table(_query_name)
