@@ -45,9 +45,9 @@ _SAMPLE_PRIORITY = [
     # covers them, and the slots buy first driver rows for round-5/6
     # additions below)
     "q_top_parts_by_revenue", "q_nation_revenue_rank",
-    # (nation_pareto/customer_cadence/supplier_hhi also trimmed:
-    # r5-green, only const-dim hints touched)
-    "q_nation_revenue_dense_top3", "ship_latency_by_nation",
+    # (nation_pareto/customer_cadence/supplier_hhi/dense_top3/
+    # ship_latency also trimmed: r5-green, only const-dim hints
+    # touched)
     "text_contamination_13gram",
     # round 6: rule tables / HLL day_idx / incremental-LSH cap /
     # PPJoin prefix slack
@@ -62,6 +62,7 @@ _SAMPLE_PRIORITY = [
     "scd2_user_type_history", "stream_scd2_history",
     "entity_resolution_clusters", "sketch_kmv_join_cardinality",
     "skew_key_diagnostics", "retention_cascade_audit",
+    "mlprep_doc_chunks", "mlprep_chunk_dedup_stats",
     # round-5 additions without a driver row yet
     "dedup_containment_pairs", "curation_grand_funnel",
     "sim_ivf_fixedpoint_topk", "sim_quantized_topk",

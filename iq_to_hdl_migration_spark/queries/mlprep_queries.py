@@ -747,3 +747,104 @@ def entity_resolution_clusters(spark: SparkSession,
                  F.sum("n").cast("bigint").alias("n_rows_total"),
                  F.array_join(F.array_sort(F.collect_list("id")), "|")
                  .alias("member_names")))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking for training windows: fixed token windows with
+# overlap (W=32, stride 24 -> 25% overlap), each chunk carrying a
+# portable md5-prefix fingerprint so downstream chunk-level dedup /
+# contamination checks need no re-tokenization.  Pure JVM expressions
+# (split -> sequence -> explode -> slice) — no Python in the path, no
+# shuffle at all until whatever consumes the chunks; at 100 TB this
+# is a map-only stage that scales with input bytes.
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@register(
+    "mlprep_doc_chunks",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(generate_series(0, len(toks) - 1, {_CHUNK_S})) AS s
+        FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_token,
+           CAST(least({_CHUNK_W}, n - s) AS BIGINT) AS n_chunk_tokens,
+           CAST('0x' || substr(md5(array_to_string(
+                    list_slice(toks, s + 1, s + {_CHUNK_W}), ' ')), 1, 15)
+                AS BIGINT) AS chunk_fp
+    FROM c
+    """,
+    doc="overlapping token-window chunker (W=32, stride 24) with a "
+        "portable md5-prefix fingerprint per chunk — the training-"
+        "window prep stage as a map-only JVM pipeline (split, "
+        "sequence, explode, slice); fingerprints value-hash-checked",
+)
+def mlprep_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select(
+        "doc_id",
+        F.expr(r"split(lower(trim(text)), '\\s+')").alias("toks"))
+    c = t.select(
+        "doc_id", "toks", F.size("toks").alias("n"),
+        F.explode(F.expr(
+            f"sequence(0, size(toks) - 1, {_CHUNK_S})")).alias("s"))
+    return c.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(f"CAST(s div {_CHUNK_S} AS BIGINT)").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_token"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("s"))
+        .cast("bigint").alias("n_chunk_tokens"),
+        F.expr(f"CAST(conv(substr(md5(array_join(slice(toks, s + 1, "
+               f"{_CHUNK_W}), ' ')), 1, 15), 16, 10) AS BIGINT)")
+        .alias("chunk_fp"))
+
+
+@register(
+    "mlprep_chunk_dedup_stats",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(generate_series(0, len(toks) - 1, {_CHUNK_S})) AS s
+        FROM t
+    ),
+    f AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST('0x' || substr(md5(array_to_string(
+                        list_slice(toks, s + 1, s + {_CHUNK_W}), ' ')),
+                    1, 15) AS BIGINT) AS chunk_fp
+        FROM c
+    )
+    SELECT chunk_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM f GROUP BY chunk_fp HAVING COUNT(*) > 1
+    """,
+    doc="chunk-level exact dedup over the chunker's fingerprints: "
+        "repeated 32-token windows (cross-document boilerplate) with "
+        "occurrence/document counts — one groupBy on a 60-bit "
+        "fingerprint, the map-side-combinable consumer of "
+        "mlprep_doc_chunks",
+)
+def mlprep_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = mlprep_doc_chunks(spark, sf_dir)
+    return (chunks.groupBy("chunk_fp")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .where(F.col("n_occurrences") > 1))
