@@ -764,6 +764,7 @@ _CHUNK_S = 24
 
 @register(
     "mlprep_doc_chunks",
+    bench=True,
     oracle=rf"""
     WITH t AS (
         SELECT doc_id,
@@ -840,6 +841,7 @@ def mlprep_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "occurrence/document counts — one groupBy on a 60-bit "
         "fingerprint, the map-side-combinable consumer of "
         "mlprep_doc_chunks",
+    bench=True,
 )
 def mlprep_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = mlprep_doc_chunks(spark, sf_dir)

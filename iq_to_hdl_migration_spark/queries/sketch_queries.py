@@ -658,6 +658,7 @@ _CMS_SEEDS_SPARK = ("array(" + ", ".join(str(s) for s in range(_CMS_D))
 
 @register(
     "sketch_countmin_heavy_hitters",
+    bench=True,
     oracle=rf"""
     WITH tok AS (
         SELECT t.token
@@ -761,6 +762,7 @@ _BF_K = 3                        # hash functions
 
 @register(
     "join_bloom_prefilter_stats",
+    bench=True,
     oracle=f"""
     WITH build AS (
         SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k
