@@ -444,3 +444,99 @@ def retention_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (row("customer", targets, cust)
             .union(row("orders", hit_orders, orders))
             .union(row("lineitem", hit_li, li)))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift report: the monitoring query a production pipeline
+# runs between two ingests — did the value distribution move?  Two
+# date-sliced snapshots of orders are binned on a fixed price grid
+# (fixed bins, not quantiles, so the report is mergeable and two
+# engines agree bit-for-bit); per bin the report carries exact counts,
+# shares, share drift, and a chi-square-style contribution
+# ((sa-sb)^2/(sa+sb)) whose division chain is engine-portable.  Two
+# map-side-combined aggregations, one tiny (10-row) join — no state
+# that grows with data volume.
+
+_DRIFT_BIN_W = 50_000
+_DRIFT_NBINS = 10
+_DRIFT_SPLIT = "1998-01-01"
+
+
+@register(
+    "drift_snapshot_report",
+    oracle=f"""
+    WITH a AS (
+        SELECT least(CAST(floor(o_totalprice / {_DRIFT_BIN_W}) AS BIGINT),
+                     {_DRIFT_NBINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM orders WHERE o_orderdate < DATE '{_DRIFT_SPLIT}'
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT least(CAST(floor(o_totalprice / {_DRIFT_BIN_W}) AS BIGINT),
+                     {_DRIFT_NBINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM orders WHERE o_orderdate >= DATE '{_DRIFT_SPLIT}'
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT SUM(n_a) FROM a) AS ta,
+               (SELECT SUM(n_b) FROM b) AS tb
+    )
+    SELECT COALESCE(a.bin, b.bin) AS bin,
+           COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+           CAST(COALESCE(n_a, 0) AS DOUBLE) / CAST(ta AS DOUBLE)
+               AS share_a,
+           CAST(COALESCE(n_b, 0) AS DOUBLE) / CAST(tb AS DOUBLE)
+               AS share_b,
+           (CAST(COALESCE(n_a, 0) AS DOUBLE) / CAST(ta AS DOUBLE))
+             - (CAST(COALESCE(n_b, 0) AS DOUBLE) / CAST(tb AS DOUBLE))
+               AS share_drift,
+           CASE WHEN COALESCE(n_a, 0) + COALESCE(n_b, 0) = 0 THEN 0.0
+                ELSE ((CAST(COALESCE(n_a, 0) AS DOUBLE)
+                           / CAST(ta AS DOUBLE))
+                      - (CAST(COALESCE(n_b, 0) AS DOUBLE)
+                           / CAST(tb AS DOUBLE)))
+                     * ((CAST(COALESCE(n_a, 0) AS DOUBLE)
+                             / CAST(ta AS DOUBLE))
+                        - (CAST(COALESCE(n_b, 0) AS DOUBLE)
+                             / CAST(tb AS DOUBLE)))
+                     / ((CAST(COALESCE(n_a, 0) AS DOUBLE)
+                             / CAST(ta AS DOUBLE))
+                        + (CAST(COALESCE(n_b, 0) AS DOUBLE)
+                             / CAST(tb AS DOUBLE)))
+           END AS chi2_contrib
+    FROM a FULL JOIN b ON a.bin = b.bin, tot
+    """,
+    doc="snapshot drift monitor: two date-sliced order snapshots on a "
+        "fixed price grid — exact per-bin counts, shares, drift, and "
+        "a portable chi-square-style contribution; fixed bins keep "
+        "the report mergeable and engine-agreeing (quantile bins "
+        "would not be)",
+)
+def drift_snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(F.expr(f"CAST(floor(o_totalprice / {_DRIFT_BIN_W}) AS BIGINT)"),
+                F.lit(_DRIFT_NBINS - 1)).alias("bin"),
+        F.col("o_orderdate"))
+    a = (binned.where(F.col("o_orderdate") < F.lit(_DRIFT_SPLIT))
+         .groupBy("bin").agg(F.count(F.lit(1)).alias("n_a")))
+    b = (binned.where(F.col("o_orderdate") >= F.lit(_DRIFT_SPLIT))
+         .groupBy("bin").agg(F.count(F.lit(1)).alias("n_b")))
+    ta = a.agg(F.sum("n_a").alias("ta"))
+    tb = b.agg(F.sum("n_b").alias("tb"))
+    j = (a.join(b, "bin", "full")
+         .select("bin",
+                 F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).alias("n_b"))
+         .crossJoin(F.broadcast(ta.crossJoin(tb))))
+    sa = F.col("n_a").cast("double") / F.col("ta").cast("double")
+    sb = F.col("n_b").cast("double") / F.col("tb").cast("double")
+    return j.select(
+        "bin", "n_a", "n_b",
+        sa.alias("share_a"), sb.alias("share_b"),
+        (sa - sb).alias("share_drift"),
+        F.when(F.col("n_a") + F.col("n_b") == 0, F.lit(0.0))
+        .otherwise((sa - sb) * (sa - sb) / (sa + sb))
+        .alias("chi2_contrib"))
