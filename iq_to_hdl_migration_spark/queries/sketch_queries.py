@@ -640,20 +640,29 @@ def sketch_histogram_weekly_rollup(spark: SparkSession,
 # shuffle carries at most d*w rows *per input partition* regardless of
 # token cardinality, and the finished sketch is d*w integer cells that
 # merge by plain addition (per-day sketches sum to the monthly one).
-# Everything is md5-prefix integer hashing + BIGINT counters, so the
-# whole report — including each estimate — value-hash-matches the
-# DuckDB restatement.  The exact counts ride along only to expose the
-# classic CMS property (estimate >= truth, overestimate bounded by
-# collisions), which tests/test_sketches.py locks.
+# The d hash rows are independent 15-bit fields of ONE md5-prefix
+# hash (Kirsch–Mitzenmacher-style derived hashing): one md5 per token
+# occurrence, not d — this is the hot-path cost at 100 TB.  All state
+# is BIGINT, so the whole report — including each estimate —
+# value-hash-matches the DuckDB restatement.  The exact counts ride
+# along only to expose the classic CMS property (estimate >= truth,
+# overestimate bounded by collisions), locked in tests.
 # ---------------------------------------------------------------------------
 
-_CMS_D = 4       # hash rows (seeds)
-_CMS_W = 512     # buckets per row
+_CMS_D = 4       # hash rows (15-bit fields of the 60-bit hash)
+_CMS_W = 512     # buckets per row (<= 2^15 so fields stay independent)
 _CMS_TOPK = 20   # heavy hitters reported
 
+# seed i reads bits [15i, 15i+15) of the hash:  (hv div 2^(15i)) % w
+_CMS_BUCKETS_SPARK = ", ".join(
+    f"CAST((hv div {1 << (15 * i)}) % {_CMS_W} AS BIGINT)"
+    for i in range(_CMS_D))
+_CMS_STACK_SPARK = ("stack(" + str(_CMS_D) + ", " + ", ".join(
+    f"{i}, CAST((hv div {1 << (15 * i)}) % {_CMS_W} AS BIGINT)"
+    for i in range(_CMS_D)) + ") AS (seed, bucket)")
 _CMS_SEEDS_DUCK = "[" + ", ".join(str(s) for s in range(_CMS_D)) + "]"
-_CMS_SEEDS_SPARK = ("array(" + ", ".join(str(s) for s in range(_CMS_D))
-                    + ")")
+_CMS_HV_DUCK = ("CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)")
+_CMS_HV_SPARK = ("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
 
 
 @register(
@@ -667,13 +676,13 @@ _CMS_SEEDS_SPARK = ("array(" + ", ".join(str(s) for s in range(_CMS_D))
               FROM documents) t
         WHERE t.token <> ''
     ),
+    hashed AS (SELECT {_CMS_HV_DUCK} AS hv FROM tok),
     cells AS (
         SELECT s.seed,
-               CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':'
-                                       || tok.token), 1, 15)
-                    AS BIGINT) % {_CMS_W} AS bucket,
+               (hv // (CAST(1 AS BIGINT) << (15 * s.seed))) % {_CMS_W}
+                   AS bucket,
                CAST(COUNT(*) AS BIGINT) AS c
-        FROM tok, (SELECT unnest({_CMS_SEEDS_DUCK}) AS seed) s
+        FROM hashed, (SELECT unnest({_CMS_SEEDS_DUCK}) AS seed) s
         GROUP BY 1, 2
     ),
     exact AS (
@@ -681,7 +690,7 @@ _CMS_SEEDS_SPARK = ("array(" + ", ".join(str(s) for s in range(_CMS_D))
         FROM tok GROUP BY token
     ),
     cand AS (
-        SELECT token, n_exact FROM exact
+        SELECT token, n_exact, {_CMS_HV_DUCK} AS hv FROM exact
         ORDER BY n_exact DESC, token LIMIT {_CMS_TOPK}
     )
     SELECT cand.token, cand.n_exact,
@@ -691,17 +700,18 @@ _CMS_SEEDS_SPARK = ("array(" + ", ".join(str(s) for s in range(_CMS_D))
          (SELECT unnest({_CMS_SEEDS_DUCK}) AS seed) s,
          cells cl
     WHERE cl.seed = s.seed
-      AND cl.bucket = CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR)
-                                              || ':' || cand.token), 1, 15)
-                           AS BIGINT) % {_CMS_W}
+      AND cl.bucket = (cand.hv
+                       // (CAST(1 AS BIGINT) << (15 * s.seed)))
+                      % {_CMS_W}
     GROUP BY cand.token, cand.n_exact
     """,
     doc="engine-portable count-min sketch (d=4, w=512): token "
         "heavy-hitter estimates from a fixed d*w cell table built with "
         "in-partition partial aggregation — the 100 TB substitute for "
-        "a full token-dictionary shuffle; estimates (min over rows) "
-        "are integer-exact and value-hash-checked, with the exact "
-        "count alongside so every row shows its overestimate",
+        "a full token-dictionary shuffle; ONE md5 per occurrence "
+        "(rows are independent 15-bit hash fields), estimates "
+        "integer-exact and value-hash-checked, with the exact count "
+        "alongside so every row shows its overestimate",
 )
 def sketch_countmin_heavy_hitters(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -709,30 +719,20 @@ def sketch_countmin_heavy_hitters(spark: SparkSession,
     tok = (docs.select(F.explode(
         F.expr(r"split(lower(trim(text)), '\\s+')")).alias("token"))
         .where(F.col("token") != ""))
-    # sketch build: explode each occurrence into d (seed, bucket)
-    # increments; hash-partial-agg keeps the shuffle at <= d*w rows
-    # per input partition no matter how many distinct tokens exist
-    cells = (tok.select(
-        "token",
-        F.explode(F.expr(_CMS_SEEDS_SPARK)).alias("seed"))
-        .select(
-            "seed",
-            (F.expr("CAST(conv(substr(md5(CAST(seed AS STRING) || ':' "
-                    "|| token), 1, 15), 16, 10) AS BIGINT)")
-             % _CMS_W).alias("bucket"))
-        .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).alias("c")))
+    # sketch build: one md5 per occurrence, stack() fans the d
+    # (seed, bucket) increments out of its bit-fields; hash-partial-agg
+    # keeps the shuffle at <= d*w rows per input partition no matter
+    # how many distinct tokens exist
+    cells = (tok.select(F.expr(_CMS_HV_SPARK).alias("hv"))
+             .select(F.expr(_CMS_STACK_SPARK))
+             .groupBy("seed", "bucket")
+             .agg(F.count(F.lit(1)).alias("c")))
     # verification side only: exact counts to report the overestimate
     exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
     cand = (exact.orderBy(F.desc("n_exact"), "token").limit(_CMS_TOPK))
-    probes = (cand.select(
-        "token", "n_exact",
-        F.explode(F.expr(_CMS_SEEDS_SPARK)).alias("seed"))
-        .select(
-            "token", "n_exact", "seed",
-            (F.expr("CAST(conv(substr(md5(CAST(seed AS STRING) || ':' "
-                    "|| token), 1, 15), 16, 10) AS BIGINT)")
-             % _CMS_W).alias("bucket")))
+    probes = (cand.select("token", "n_exact",
+                          F.expr(_CMS_HV_SPARK).alias("hv"))
+              .select("token", "n_exact", F.expr(_CMS_STACK_SPARK)))
     # cells is d*w rows at most — broadcast side of the probe join
     return (probes.join(F.broadcast(cells), ["seed", "bucket"])
             .groupBy("token", "n_exact")

@@ -209,22 +209,15 @@ def test_countmin_overestimates_and_merges(spark, sf_dir):
         assert r.overestimate == r.cms_estimate - r.n_exact
 
     from iq_to_hdl_migration_spark.queries.sketch_queries import (
-        _CMS_SEEDS_SPARK, _CMS_W)
+        _CMS_HV_SPARK, _CMS_STACK_SPARK)
     docs = load_table(spark, sf_dir, "documents")
     tok = (docs.select(
         "source",
         F.explode(F.expr(r"split(lower(trim(text)), '\\s+')"))
         .alias("token"))
         .where(F.col("token") != ""))
-    cells = (tok.select(
-        "source",
-        F.explode(F.expr(_CMS_SEEDS_SPARK)).alias("seed"),
-        "token")
-        .select(
-            "source", "seed",
-            (F.expr("CAST(conv(substr(md5(CAST(seed AS STRING) || ':' "
-                    "|| token), 1, 15), 16, 10) AS BIGINT)")
-             % _CMS_W).alias("bucket")))
+    cells = (tok.select("source", F.expr(_CMS_HV_SPARK).alias("hv"))
+             .select("source", F.expr(_CMS_STACK_SPARK)))
     per_source_summed = (cells.groupBy("source", "seed", "bucket")
                          .agg(F.count(F.lit(1)).alias("c"))
                          .groupBy("seed", "bucket")
