@@ -85,6 +85,10 @@ EXTRA = [
     "text_winnowing_similarity", "orders_backlog_daily",
     "events_gap_powerlaw_histogram", "nation_trade_balance",
     "sketch_hll_portable_rollup", "sim_ann_recall_matrix",
+    # round-6 additions (bench-flagged ones are picked up automatically)
+    "scd2_user_type_history", "sketch_kmv_join_cardinality",
+    "skew_key_diagnostics", "retention_cascade_audit",
+    "entity_resolution_clusters", "drift_snapshot_report",
 ]
 
 
