@@ -503,3 +503,41 @@ def stats_mad_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
                      F.col("d"))).alias("mad_qty"))
     return med.join(mad, "flag").select("flag", "median_qty", "mad_qty")
+
+
+# ---------------------------------------------------------------------------
+# Distribution-position report: cume_dist / percent_rank over customer
+# account balances within market segment — the remaining ranked-window
+# coverage (rank/dense_rank/row_number/ntile-free deciles are covered
+# elsewhere).  Both functions are rational counts (rank/n), so the
+# doubles are single divisions and hash-stable across engines.
+
+@register(
+    "customer_balance_position",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+           cume_dist() OVER w AS bal_cume_dist,
+           percent_rank() OVER w AS bal_percent_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey)
+    QUALIFY cume_dist() OVER w >= 0.95
+    """,
+    doc="top-5%-by-balance report per market segment via cume_dist + "
+        "percent_rank (rational rank/n doubles, hash-stable); one "
+        "shuffle on the segment key",
+)
+def customer_balance_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"))
+    w = Window.partitionBy("c_mktsegment").orderBy("acctbal", "c_custkey")
+    return (cust
+            .withColumn("bal_cume_dist", F.cume_dist().over(w))
+            .withColumn("bal_percent_rank", F.percent_rank().over(w))
+            .where(F.col("bal_cume_dist") >= 0.95))

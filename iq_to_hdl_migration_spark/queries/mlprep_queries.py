@@ -850,3 +850,47 @@ def mlprep_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("doc_id").alias("n_docs"),
                  F.min("doc_id").alias("first_doc"))
             .where(F.col("n_occurrences") > 1))
+
+
+# ---------------------------------------------------------------------------
+# Consistent bottom-k sampling: per group keep the k documents with the
+# smallest content hash.  Unlike Bernoulli sampling (sample_stratified_
+# docs) the sample size is EXACT, and unlike random sampling the
+# result is consistent across engines, reruns, and reshards — and
+# mergeable: bottom-k of a union is bottom-k of the per-partition
+# bottom-ks, so at 100 TB each partition contributes at most k rows to
+# a tiny shuffle.  The same primitive underlies the KMV sketch above;
+# here it is exposed as the sampling operator a curation pipeline uses
+# for eval slices and human review queues.
+
+_BK_K = 5
+
+
+@register(
+    "sample_bottomk_per_lang",
+    oracle=f"""
+    SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS hv
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT), doc_id) <= {_BK_K}
+    """,
+    doc="consistent bottom-k sample (k=5 per language) by content "
+        "hash: exact-size, engine/reshard-stable, and mergeable "
+        "(bottom-k of per-partition bottom-ks) — the deterministic "
+        "eval-slice sampler; WindowGroupLimit keeps per-group state "
+        "at k rows",
+)
+def sample_bottomk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), "
+               "16, 10) AS BIGINT)").alias("hv"))
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= _BK_K).drop("_rn"))
