@@ -37,7 +37,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["write_snapshot", "read_snapshot", "versions", "rollback",
-           "vacuum", "current_version"]
+           "vacuum", "current_version", "diff_snapshots"]
 
 
 def _local_dir(table_dir: str) -> pathlib.Path:
@@ -182,3 +182,21 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
                 shutil.rmtree(d)
     return {"n_files_deleted": n_files, "n_bytes_freed": n_bytes,
             "n_manifests_dropped": len(drop)}
+
+
+def diff_snapshots(spark: SparkSession, table_dir: str,
+                   v_old: int, v_new: int) -> DataFrame:
+    """Row-level change feed between two versions: the CDC view of a
+    snapshot history.  Returns new-version rows absent from the old
+    version tagged `insert`, and old-version rows absent from the new
+    tagged `delete` (an update surfaces as delete+insert, the
+    standard multiset-diff CDC convention).  exceptAll compiles to a
+    hash anti-semantics shuffle on the full row — at 100 TB, diff a
+    PARTITION's snapshots, not the whole table, exactly like the
+    per-table content diff in operators/diff.py (V11)."""
+    new_df = read_snapshot(spark, table_dir, v_new)
+    old_df = read_snapshot(spark, table_dir, v_old)
+    from pyspark.sql import functions as F
+    ins = new_df.exceptAll(old_df).withColumn("_change", F.lit("insert"))
+    dels = old_df.exceptAll(new_df).withColumn("_change", F.lit("delete"))
+    return ins.unionByName(dels)

@@ -90,3 +90,25 @@ def test_guards(spark, sf_dir, tmp_path):
     # unknown version
     with pytest.raises(ValueError, match="no snapshot v9"):
         read_snapshot(spark, tdir, version=9)
+
+
+def test_snapshot_diff_is_a_cdc_feed(spark, sf_dir, tmp_path):
+    """diff(v1, v2) of an append is exactly the appended batch; an
+    overwrite shows up as inserts of the new content + deletes of the
+    old — snapshots + diff compose into a change feed."""
+    from iq_to_hdl_migration_spark.sources.snapshots import diff_snapshots
+
+    tdir = str(tmp_path / "tbl")
+    write_snapshot(_nations(spark, sf_dir, 0, 9), tdir)          # v1
+    write_snapshot(_nations(spark, sf_dir, 10, 14), tdir)        # v2
+    d12 = diff_snapshots(spark, tdir, 1, 2)
+    assert d12.where("_change = 'delete'").count() == 0
+    got = sorted(r.n_nationkey
+                 for r in d12.where("_change = 'insert'").collect())
+    assert got == list(range(10, 15))
+
+    write_snapshot(_nations(spark, sf_dir, 20, 24), tdir,
+                   mode="overwrite")                             # v3
+    d23 = diff_snapshots(spark, tdir, 2, 3)
+    assert d23.where("_change = 'insert'").count() == 5
+    assert d23.where("_change = 'delete'").count() == 15
