@@ -734,3 +734,81 @@ def text_zipf_constancy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("rf").cast("bigint").alias("max_rank_freq"),
                  (F.max("rf").cast("double") / F.min("rf").cast("double"))
                  .alias("zipf_constancy_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Token-rarity quality proxy with a BOUNDED dictionary: per-document
+# mean frequency rank + out-of-vocabulary rate against the corpus's
+# top-K tokens.  The 100 TB design point is the cap: only the top
+# _RANK_K tokens get ranks (a fixed-size frame — broadcastable at any
+# corpus size), everything else collapses into one OOV bucket with
+# rank K+1, so the scoring join never shuffles the unbounded vocabulary.
+# High mean rank / OOV rate flags gibberish and boilerplate-free noise
+# — the rarity signal quality filters use without needing a (libm,
+# non-portable) log-perplexity model.  All counts and ranks integer;
+# the two ratios are single divisions, so every value hash-matches.
+
+_RANK_K = 4096
+
+
+@register(
+    "text_token_rarity_scores",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.token
+        FROM (SELECT doc_id, unnest({{toks}}) AS token FROM documents) t
+        WHERE t.token <> ''
+    ),
+    vocab AS (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+                   AS rank
+        FROM tok GROUP BY token
+        QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)
+                <= {_RANK_K}
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(v.rank, {_RANK_K + 1})) AS BIGINT)
+               AS sum_rank,
+           CAST(SUM(COALESCE(v.rank, {_RANK_K + 1})) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_rank,
+           CAST(SUM(CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+    FROM tok LEFT JOIN vocab v ON v.token = tok.token
+    GROUP BY tok.doc_id
+    """.replace("{toks}", _TOKS_DUCK),
+    doc="token-rarity quality scores against a bounded top-4096 "
+        "dictionary (broadcastable at any corpus size; tail collapses "
+        "to one OOV rank) — mean rank + OOV rate per document, the "
+        "portable substitute for log-perplexity quality filtering",
+)
+def text_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (docs.select(
+        "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+        .where(F.col("token") != ""))
+    # top-K first (TakeOrdered: per-partition top-k + k-row merge), so
+    # the ranking window only ever sees _RANK_K rows — never a
+    # single-partition sort of the unbounded vocabulary
+    w = Window.orderBy(F.desc("cnt"), "token")
+    vocab = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), "token").limit(_RANK_K)
+             .withColumn("rank", F.row_number().over(w))
+             .drop("cnt"))
+    rank = F.coalesce(F.col("rank"), F.lit(_RANK_K + 1))
+    return (tok.join(F.broadcast(vocab), "token", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(rank).cast("bigint").alias("sum_rank"),
+                 (F.sum(rank).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("mean_rank"),
+                 F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"),
+                 (F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0))
+                  .cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("oov_ratio")))
