@@ -139,3 +139,57 @@ def test_tws_user_spend_equals_batch(spark, sf_dir):
              F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
              .cast("bigint").alias("spend_cents"))).collect()))
     assert got == want
+
+
+def test_scd2_state_survives_restart(spark, sf_dir, tmp_path):
+    """The CDC contract: land half the events, drain, STOP; land the
+    rest, drain again over the SAME checkpoint. Per-user open runs
+    must carry across the restart in state, so the union of both
+    drains' closed rows equals the batch SCD2 history's closed rows
+    over the full dataset — no duplicates, no holes at the seam."""
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.queries import load_all
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    from iq_to_hdl_migration_spark.streaming.windows import scd2_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    split_us = ev.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP "
+               "(ORDER BY unix_micros(ts))")).collect()[0][0]
+    land = tmp_path / "land"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = ev.schema
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(str(land)))
+        q = (scd2_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    (ev.where(F.unix_micros("ts") <= split_us)
+     .coalesce(1).write.parquet(str(land / "batch1")))
+    drain()
+    n_first = spark.read.parquet(sink).count()
+    (ev.where(F.unix_micros("ts") > split_us)
+     .coalesce(1).write.parquet(str(land / "batch2")))
+    drain()
+
+    got = spark.read.parquet(sink)
+    n_total = got.count()
+    assert 0 < n_first < n_total, "both drains must emit closed rows"
+
+    batch = (load_all()["scd2_user_type_history"].fn(spark, sf_dir)
+             .where(F.col("valid_to_us").isNotNull())
+             .select("user_id", "version", "event_type",
+                     "valid_from_us", "valid_to_us", "n_events"))
+    sym_diff = (got.select(*batch.columns).exceptAll(batch)
+                .unionAll(batch.exceptAll(got.select(*batch.columns))))
+    assert sym_diff.count() == 0, \
+        "restarted streaming history must equal the batch history"
