@@ -37,17 +37,16 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLE_PRIORITY = [
     # round 6: scaled_dim broadcast policy touched these
     "q3_shipping_priority", "q5_region_volume", "q9_product_profit",
-    "q10_returned_items", "q16_supplier_part_counts",
+    "q10_returned_items",
     "q21_sole_return_suppliers", "trade_flow_matrix",
     "nation_trade_balance", "q7_nation_volume", "q8_market_share",
     # (q2/q14/q17/q18/q19/q20 trimmed from the sample: TPC-H shapes
     # that drew green driver rows in r5; the sf0.01 local gate still
     # covers them, and the slots buy first driver rows for round-5/6
     # additions below)
-    "q_top_parts_by_revenue", "q_nation_revenue_rank",
     # (nation_pareto/customer_cadence/supplier_hhi/dense_top3/
-    # ship_latency also trimmed: r5-green, only const-dim hints
-    # touched)
+    # ship_latency/q16/top_parts/revenue_rank also trimmed: r5-green,
+    # only const-dim hints touched)
     "text_contamination_13gram",
     # round 6: rule tables / HLL day_idx / incremental-LSH cap /
     # PPJoin prefix slack
@@ -63,6 +62,8 @@ _SAMPLE_PRIORITY = [
     "entity_resolution_clusters", "sketch_kmv_join_cardinality",
     "skew_key_diagnostics", "retention_cascade_audit",
     "mlprep_doc_chunks", "mlprep_chunk_dedup_stats",
+    "drift_snapshot_report", "text_token_rarity_scores",
+    "sample_bottomk_per_lang",
     # round-5 additions without a driver row yet
     "dedup_containment_pairs", "curation_grand_funnel",
     "sim_ivf_fixedpoint_topk", "sim_quantized_topk",
