@@ -215,3 +215,95 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.unix_micros("valid_to").alias("valid_to_us"),
                 "n_events",
                 F.col("valid_to").isNull().alias("is_current")))
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (versioned) join: enrich a fact stream with the
+# dimension version that was CURRENT at each fact's timestamp — the
+# correctness-critical join of a warehouse with SCD2 dimensions
+# (joining to "latest" silently rewrites history).  Facts here are
+# purchase events; the dimension is the SCD2 type history above.  The
+# interval predicate [valid_from, valid_to) matches each fact to
+# exactly one version, implemented as an equi-join on user_id plus a
+# range filter — one shuffle on the join key; the interval filter
+# prunes inside the joined partitions.
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP),
+                                              event_id) AS prev_type
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(CASE WHEN prev_type IS NULL
+                          OR prev_type <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS version
+        FROM e
+    ),
+    hist AS (
+        SELECT user_id, version, event_type AS era_type,
+               epoch_us(MIN(ts)) AS valid_from_us,
+               epoch_us(lead(MIN(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY version)) AS valid_to_us
+        FROM runs GROUP BY user_id, version, event_type
+    ),
+    purchases AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.event_id AS BIGINT) AS event_id,
+           p.ts_us,
+           CAST(h.version AS BIGINT) AS era_version,
+           h.era_type
+    FROM purchases p JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.ts_us >= h.valid_from_us
+     AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)
+    """,
+    doc="point-in-time join: each purchase event matched to the SCD2 "
+        "dimension version current AT ITS TIMESTAMP (closed-open "
+        "interval), not the latest — equi-join on user_id + interval "
+        "filter, one shuffle; the version-correct enrichment a "
+        "warehouse needs",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (ev.withColumn("prev_type", F.lag("event_type").over(w_seq))
+            .withColumn(
+                "version",
+                F.sum(F.when(F.col("prev_type").isNull()
+                             | (F.col("prev_type") != F.col("event_type")),
+                             1).otherwise(0)).over(w_seq)))
+    w_ver = Window.partitionBy("user_id").orderBy("version")
+    hist = (runs.groupBy("user_id", "version",
+                         F.col("event_type").alias("era_type"))
+            .agg(F.unix_micros(F.min("ts")).alias("valid_from_us"))
+            .withColumn("valid_to_us",
+                        F.lead("valid_from_us").over(w_ver)))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id",
+                         F.unix_micros("ts").alias("ts_us")))
+    return (purchases.alias("p")
+            .join(hist.alias("h"), "user_id")
+            .where((F.col("ts_us") >= F.col("valid_from_us"))
+                   & (F.col("valid_to_us").isNull()
+                      | (F.col("ts_us") < F.col("valid_to_us"))))
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.col("event_id").cast("bigint").alias("event_id"),
+                    "ts_us",
+                    F.col("version").cast("bigint").alias("era_version"),
+                    "era_type"))

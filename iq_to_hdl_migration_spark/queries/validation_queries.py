@@ -540,3 +540,91 @@ def drift_snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_a") + F.col("n_b") == 0, F.lit(0.0))
         .otherwise((sa - sb) * (sa - sb) / (sa + sb))
         .alias("chi2_contrib"))
+
+
+@register(
+    "drift_ks_statistic",
+    oracle=f"""
+    WITH a AS (
+        SELECT least(CAST(floor(o_totalprice / {_DRIFT_BIN_W}) AS BIGINT),
+                     {_DRIFT_NBINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM orders WHERE o_orderdate < DATE '{_DRIFT_SPLIT}'
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT least(CAST(floor(o_totalprice / {_DRIFT_BIN_W}) AS BIGINT),
+                     {_DRIFT_NBINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM orders WHERE o_orderdate >= DATE '{_DRIFT_SPLIT}'
+        GROUP BY 1
+    ),
+    grid AS (
+        SELECT COALESCE(a.bin, b.bin) AS bin,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM a FULL JOIN b ON a.bin = b.bin
+    ),
+    cum AS (
+        SELECT bin,
+               SUM(n_a) OVER (ORDER BY bin) AS ca,
+               SUM(n_b) OVER (ORDER BY bin) AS cb,
+               (SELECT SUM(n_a) FROM grid) AS ta,
+               (SELECT SUM(n_b) FROM grid) AS tb
+        FROM grid
+    ),
+    dev AS (
+        SELECT bin,
+               abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) AS d
+        FROM cum
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a_total,
+           CAST(tb AS BIGINT) AS n_b_total,
+           (SELECT MAX(d) FROM dev) AS ks_stat,
+           (SELECT CAST(MIN(bin) AS BIGINT) FROM dev
+            WHERE d = (SELECT MAX(d) FROM dev)) AS ks_bin
+    FROM cum LIMIT 1
+    """,
+    doc="Kolmogorov-Smirnov drift summary on the same fixed grid as "
+        "drift_snapshot_report: max |cumulative-share gap| between the "
+        "two snapshots plus the bin where it peaks — cumulative INTEGER "
+        "counts with one division each, so even the KS statistic "
+        "value-hash-matches",
+)
+def drift_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(F.expr(f"CAST(floor(o_totalprice / {_DRIFT_BIN_W}) "
+                       "AS BIGINT)"),
+                F.lit(_DRIFT_NBINS - 1)).alias("bin"),
+        F.col("o_orderdate"))
+    a = (binned.where(F.col("o_orderdate") < F.lit(_DRIFT_SPLIT))
+         .groupBy("bin").agg(F.count(F.lit(1)).alias("n_a")))
+    b = (binned.where(F.col("o_orderdate") >= F.lit(_DRIFT_SPLIT))
+         .groupBy("bin").agg(F.count(F.lit(1)).alias("n_b")))
+    grid = (a.join(b, "bin", "full")
+            .select("bin",
+                    F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                    F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    # the grid is <= _DRIFT_NBINS rows — a single-partition cumulative
+    # window over it is a 10-row sort, not a data-volume hazard
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (grid
+           .withColumn("ca", F.sum("n_a").over(w))
+           .withColumn("cb", F.sum("n_b").over(w))
+           .withColumn("ta", F.sum("n_a").over(wall))
+           .withColumn("tb", F.sum("n_b").over(wall)))
+    dev = cum.select(
+        "bin", "ta", "tb",
+        F.abs(F.col("ca").cast("double") / F.col("ta").cast("double")
+              - F.col("cb").cast("double") / F.col("tb").cast("double"))
+        .alias("d"))
+    return (dev.agg(
+        F.max("ta").cast("bigint").alias("n_a_total"),
+        F.max("tb").cast("bigint").alias("n_b_total"),
+        F.max("d").alias("ks_stat"),
+        F.min_by("bin", F.struct(F.negate(F.col("d")), F.col("bin")))
+        .cast("bigint").alias("ks_bin")))
