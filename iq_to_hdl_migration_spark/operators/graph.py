@@ -113,3 +113,36 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 10,
     return ranks.select(
         "node", F.col("q").alias("rank_q"),
         (F.col("q").cast("double") / F.lit(float(PR_SCALE))).alias("rank"))
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 3,
+                      src: str = "u", dst: str = "v") -> DataFrame:
+    """Synchronous label propagation (community detection): each round
+    every node adopts its neighbors' most frequent label, ties broken
+    by the smaller label — fully deterministic, unlike the classic
+    async/random-tie formulation, so the result is oracle-checkable.
+    One join + one grouped vote + one rank per round, all shuffling on
+    the node key; labels start as the node ids.
+
+    Returns DataFrame[node, label] after `n_iter` rounds."""
+    from pyspark.sql import Window
+
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct())
+    sym = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("u").orderBy(F.desc("c"), "lab")
+    for _ in range(n_iter):
+        votes = (sym.join(labels.select(F.col("node").alias("v"),
+                                        F.col("label").alias("lab")), "v")
+                 .groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1)
+                  .select(F.col("u").alias("node"),
+                          F.col("lab").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels

@@ -577,3 +577,86 @@ def events_conversion_latency_percentiles(spark: SparkSession,
         pick(9, 10).alias("p90_latency_us"),
         pick(99, 100).alias("p99_latency_us"),
         F.max("latency_us").alias("max_latency_us"))
+
+
+# ---------------------------------------------------------------------------
+# Community detection over the part co-purchase graph: parts that ship
+# in the same order are edges; 3 rounds of DETERMINISTIC synchronous
+# label propagation (most-frequent neighbor label, min-label ties —
+# operators/graph.py:label_propagation) assign communities.  The edge
+# build is the one data-sized shuffle (pairs within an order, bounded
+# by order width); each LPA round shuffles only the node->label table.
+# Oracle: the 3 vote/adopt rounds unrolled as a DuckDB CTE chain — the
+# same rigor as the fixed-point PageRank oracle.
+
+@register(
+    "graph_part_copurchase_communities",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+    v1 AS (
+        SELECT e.u, l.label AS lab, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l0 l ON l.node = e.v
+        GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT u AS node, lab AS label FROM v1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+                                   ORDER BY c DESC, lab) = 1
+    ),
+    v2 AS (
+        SELECT e.u, l.label AS lab, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l1 l ON l.node = e.v
+        GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT u AS node, lab AS label FROM v2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+                                   ORDER BY c DESC, lab) = 1
+    ),
+    v3 AS (
+        SELECT e.u, l.label AS lab, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l2 l ON l.node = e.v
+        GROUP BY 1, 2
+    ),
+    l3 AS (
+        SELECT u AS node, lab AS label FROM v3
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+                                   ORDER BY c DESC, lab) = 1
+    )
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_member,
+           CAST(MAX(node) AS BIGINT) AS max_member
+    FROM l3 GROUP BY label HAVING COUNT(*) >= 3
+    """,
+    doc="deterministic synchronous label propagation (3 rounds, "
+        "most-frequent-neighbor with min-label ties) over the part "
+        "co-purchase graph; communities >= 3 members with exact size "
+        "and id-range — oracled via the fully unrolled vote/adopt CTE "
+        "chain",
+)
+def graph_part_copurchase_communities(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("u"),
+                     F.col("b.l_partkey").alias("v"))
+             .distinct())
+    labels = label_propagation(edges, n_iter=3)
+    return (labels.groupBy(F.col("label").cast("bigint")
+                           .alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("node").cast("bigint").alias("min_member"),
+                 F.max("node").cast("bigint").alias("max_member"))
+            .where(F.col("n_members") >= 3))
