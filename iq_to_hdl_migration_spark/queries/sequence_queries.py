@@ -660,3 +660,69 @@ def graph_part_copurchase_communities(spark: SparkSession,
                  F.min("node").cast("bigint").alias("min_member"),
                  F.max("node").cast("bigint").alias("max_member"))
             .where(F.col("n_members") >= 3))
+
+
+# ---------------------------------------------------------------------------
+# Path motifs: the top 3-step journeys users actually take — trigrams
+# of consecutive event types within one session (both gaps under the
+# 30-minute session threshold), counted across all users.  One window
+# pass (two leads) over the user_id exchange, then a motif groupBy
+# whose key domain is |event_types|^3 — bounded, so the count shuffle
+# is tiny at any event volume.  The product-analytics complement of
+# the pairwise Markov transition matrix.
+
+_MOTIF_GAP_US = 30 * 60 * 1_000_000
+_MOTIF_TOPK = 20
+
+
+@register(
+    "events_path_motifs",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lead(event_type) OVER w AS t2,
+               lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS us2,
+               lead(event_type, 2) OVER w AS t3,
+               lead(epoch_us(CAST(ts AS TIMESTAMP)), 2) OVER w AS us3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    motifs AS (
+        SELECT event_type || '>' || t2 || '>' || t3 AS motif
+        FROM o
+        WHERE t3 IS NOT NULL
+          AND us2 - us <= {_MOTIF_GAP_US}
+          AND us3 - us2 <= {_MOTIF_GAP_US}
+    )
+    SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM motifs GROUP BY motif
+    ORDER BY n_occurrences DESC, motif LIMIT {_MOTIF_TOPK}
+    """,
+    doc="top-20 3-step session path motifs (trigrams of consecutive "
+        "event types, both gaps within the 30-min session threshold) "
+        "— one two-lead window pass + a bounded-domain motif count; "
+        "the trigram complement of events_markov_transitions",
+)
+def events_path_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"), "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (ev
+         .withColumn("t2", F.lead("event_type").over(w))
+         .withColumn("us2", F.lead("us").over(w))
+         .withColumn("t3", F.lead("event_type", 2).over(w))
+         .withColumn("us3", F.lead("us", 2).over(w)))
+    motifs = (o.where(F.col("t3").isNotNull()
+                      & (F.col("us2") - F.col("us") <= _MOTIF_GAP_US)
+                      & (F.col("us3") - F.col("us2") <= _MOTIF_GAP_US))
+              .select(F.concat_ws(">", "event_type", "t2", "t3")
+                      .alias("motif")))
+    return (motifs.groupBy("motif")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "motif")
+            .limit(_MOTIF_TOPK))
