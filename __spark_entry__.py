@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash-green under the driver) and (b) additions from recent rounds
 # that have never drawn a driver row. Everything else follows in
 # registry order; local tests/test_registry_vs_oracle.py still covers
-# all 237 at whatever sf the suite runs.
+# all 263 at whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
     # round 6: scaled_dim broadcast policy touched these
     "q3_shipping_priority", "q5_region_volume", "q9_product_profit",
