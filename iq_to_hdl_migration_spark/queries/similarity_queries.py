@@ -1025,3 +1025,197 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("query_id").cast("bigint").alias("query_id"),
                     F.col("cand_id").cast("bigint").alias("cand_id"),
                     "rrf", F.col("rnk").cast("int").alias("rnk")))
+
+
+K_CAND, K_OUT = 8, 4
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified retrieval: greedy
+# reranking of the quantized top-8 so each next pick maximizes
+# relevance MINUS its similarity to what is already picked (lambda =
+# 1/2, which reduces argmax to rel - max_sim) — the standard RAG
+# de-redundancy step.  The greedy loop runs on the per-query top-8
+# frame (constant size at any corpus scale; the corpus-sized work is
+# the candidate retrieval above it), and the oracle unrolls all four
+# selection steps as CTE stages — the same technique as the
+# fixed-point PageRank and label-propagation oracles.
+
+@register(
+    "sim_mmr_diversified_topk",
+    oracle=f"""
+    WITH {_QUANT_CTE},
+    cand AS (
+        SELECT query_id, cand_id, cosine_q AS rel
+        FROM qscored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_q DESC, cand_id)
+                <= 8
+    ),
+    psim AS (
+        SELECT ca.query_id, ca.cand_id AS a, cb.cand_id AS b,
+               list_dot_product(x.qv, y.qv) / (x.qnorm * y.qnorm) AS sim
+        FROM cand ca
+        JOIN cand cb ON ca.query_id = cb.query_id
+                    AND ca.cand_id != cb.cand_id
+        JOIN qn x ON x.vec_id = ca.cand_id
+        JOIN qn y ON y.vec_id = cb.cand_id
+    ),
+    s1 AS (
+        SELECT query_id, cand_id, rel, rel AS score, 1 AS pos
+        FROM cand
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rel DESC, cand_id) = 1
+    ),
+    sel1 AS (SELECT * FROM s1),
+    rem2 AS (
+        SELECT c.query_id, c.cand_id, c.rel
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+                          WHERE s.query_id = c.query_id
+                            AND s.cand_id = c.cand_id)
+    ),
+    ms2 AS (
+        SELECT r.query_id, r.cand_id, r.rel,
+               MAX(p.sim) AS maxsim
+        FROM rem2 r JOIN psim p
+          ON p.query_id = r.query_id AND p.a = r.cand_id
+        WHERE p.b IN (SELECT cand_id FROM sel1 s
+                      WHERE s.query_id = r.query_id)
+        GROUP BY r.query_id, r.cand_id, r.rel
+    ),
+    s2 AS (
+        SELECT query_id, cand_id, rel, rel - maxsim AS score,
+               2 AS pos
+        FROM ms2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rel - maxsim DESC,
+                                            cand_id) = 1
+    ),
+    sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    rem3 AS (
+        SELECT c.query_id, c.cand_id, c.rel
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 s
+                          WHERE s.query_id = c.query_id
+                            AND s.cand_id = c.cand_id)
+    ),
+    ms3 AS (
+        SELECT r.query_id, r.cand_id, r.rel,
+               MAX(p.sim) AS maxsim
+        FROM rem3 r JOIN psim p
+          ON p.query_id = r.query_id AND p.a = r.cand_id
+        WHERE p.b IN (SELECT cand_id FROM sel2 s
+                      WHERE s.query_id = r.query_id)
+        GROUP BY r.query_id, r.cand_id, r.rel
+    ),
+    s3 AS (
+        SELECT query_id, cand_id, rel, rel - maxsim AS score,
+               3 AS pos
+        FROM ms3
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rel - maxsim DESC,
+                                            cand_id) = 1
+    ),
+    sel3 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+    rem4 AS (
+        SELECT c.query_id, c.cand_id, c.rel
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sel3 s
+                          WHERE s.query_id = c.query_id
+                            AND s.cand_id = c.cand_id)
+    ),
+    ms4 AS (
+        SELECT r.query_id, r.cand_id, r.rel,
+               MAX(p.sim) AS maxsim
+        FROM rem4 r JOIN psim p
+          ON p.query_id = r.query_id AND p.a = r.cand_id
+        WHERE p.b IN (SELECT cand_id FROM sel3 s
+                      WHERE s.query_id = r.query_id)
+        GROUP BY r.query_id, r.cand_id, r.rel
+    ),
+    s4 AS (
+        SELECT query_id, cand_id, rel, rel - maxsim AS score,
+               4 AS pos
+        FROM ms4
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rel - maxsim DESC,
+                                            cand_id) = 1
+    )
+    SELECT query_id, CAST(pos AS INTEGER) AS pos, cand_id, rel, score
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+    """,
+    doc="MMR-diversified top-4 per probe over the quantized top-8 "
+        "candidates (lambda=1/2: score = relevance - max similarity "
+        "to the picked set, min-id ties) — greedy selection fully "
+        "unrolled in the DuckDB oracle; constant-size rerank frame "
+        "at any scale",
+)
+def sim_mmr_diversified_topk(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = _quantized_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"),
+                                               F.asc("cand_id"))
+    cand = (scored.withColumn("_rnk", F.row_number().over(w))
+            .where(F.col("_rnk") <= K_CAND)
+            .select("query_id", "cand_id",
+                    F.col("cosine_q").alias("rel"))
+            .localCheckpoint(eager=True))
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
+         .withColumn("scale", F.expr(
+             "greatest(array_max(transform(vec, x -> abs(x))) / 127.0D, "
+             "1e-30D)"))
+         .withColumn("qv", F.expr(
+             "transform(vec, x -> floor(x / scale + 0.5D))"))
+         .withColumn("qnorm", F.sqrt(sim.dot_expr("qv", "qv")))
+         .select("vec_id", "qv", "qnorm"))
+    ca, cb = cand.alias("ca"), cand.alias("cb")
+    psim = (ca.join(cb, (F.col("ca.query_id") == F.col("cb.query_id"))
+                    & (F.col("ca.cand_id") != F.col("cb.cand_id")))
+            .join(d.alias("x"),
+                  F.col("x.vec_id") == F.col("ca.cand_id"))
+            .join(d.alias("y"),
+                  F.col("y.vec_id") == F.col("cb.cand_id"))
+            .select(F.col("ca.query_id").alias("query_id"),
+                    F.col("ca.cand_id").alias("a"),
+                    F.col("cb.cand_id").alias("b"),
+                    (sim.dot_expr("x.qv", "y.qv")
+                     / (F.col("x.qnorm") * F.col("y.qnorm")))
+                    .alias("sim"))
+            .localCheckpoint(eager=True))
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"),
+                                                F.asc("cand_id"))
+    selected = (cand.withColumn("_rn", F.row_number().over(w1))
+                .where(F.col("_rn") == 1).drop("_rn")
+                .select("query_id", "cand_id", "rel",
+                        F.col("rel").alias("score"),
+                        F.lit(1).alias("pos")))
+    for pos in range(2, K_OUT + 1):
+        rem = cand.join(selected.select("query_id", "cand_id"),
+                        ["query_id", "cand_id"], "left_anti")
+        sel_ids = selected.select(F.col("query_id").alias("sq"),
+                                  F.col("cand_id").alias("sb"))
+        sims_to_sel = (psim.join(
+            sel_ids, (psim["query_id"] == F.col("sq"))
+            & (psim["b"] == F.col("sb")), "left_semi")
+            .groupBy("query_id", "a")
+            .agg(F.max("sim").alias("maxsim")))
+        ms = rem.join(
+            sims_to_sel.select(F.col("query_id").alias("mq"),
+                               F.col("a").alias("ma"), "maxsim"),
+            (F.col("mq") == rem["query_id"])
+            & (F.col("ma") == rem["cand_id"])
+        ).select("query_id", "cand_id", "rel", "maxsim")
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc(F.col("rel") - F.col("maxsim")), F.asc("cand_id"))
+        nxt = (ms.withColumn("_rn", F.row_number().over(ws))
+               .where(F.col("_rn") == 1)
+               .select("query_id", "cand_id", "rel",
+                       (F.col("rel") - F.col("maxsim")).alias("score"),
+                       F.lit(pos).alias("pos")))
+        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+    return selected.select("query_id", F.col("pos").cast("int").alias("pos"),
+                           "cand_id", "rel", "score")
