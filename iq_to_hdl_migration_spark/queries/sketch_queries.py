@@ -769,11 +769,15 @@ _BF_K = 3                        # hash functions
         FROM orders WHERE o_orderpriority = '1-URGENT'
     ),
     seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+    bhash AS (
+        SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM build
+    ),
     bpos AS (
-        SELECT CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
-                                       || CAST(k AS VARCHAR)), 1, 15)
-                    AS BIGINT) % {_BF_BITS} AS pos
-        FROM build, seeds
+        SELECT ((hv // 1073741824)
+                + seed * (2 * (hv % 1073741824) + 1)) % {_BF_BITS} AS pos
+        FROM bhash, seeds
     ),
     filt AS (
         SELECT pos // 63 AS word,
@@ -784,12 +788,16 @@ _BF_K = 3                        # hash functions
     probe AS (
         SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
     ),
+    phash AS (
+        SELECT k, CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS hv
+        FROM probe
+    ),
     ppos AS (
-        SELECT probe.k, seeds.seed,
-               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
-                                       || CAST(k AS VARCHAR)), 1, 15)
-                    AS BIGINT) % {_BF_BITS} AS pos
-        FROM probe, seeds
+        SELECT phash.k, seeds.seed,
+               ((hv // 1073741824)
+                + seed * (2 * (hv % 1073741824) + 1)) % {_BF_BITS} AS pos
+        FROM phash, seeds
     ),
     hits AS (
         SELECT p.k,
@@ -827,21 +835,28 @@ def join_bloom_prefilter_stats(spark: SparkSession,
              .select(F.col("o_custkey").cast("bigint").alias("k"))
              .distinct())
     seeds = F.explode(F.expr("array(0, 1, 2)")).alias("seed")
+    hv = F.expr("CAST(conv(substr(md5(CAST(k AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT)").alias("hv")
 
     def pos_col():
-        return (F.expr("CAST(conv(substr(md5(CAST(seed AS STRING) || ':' "
-                       "|| CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        # Kirsch-Mitzenmacher double hashing: the k positions are
+        # h1 + seed*h2 from ONE 60-bit md5 (h2 forced odd) — one hash
+        # evaluation per key in the hot path, not k
+        return (F.expr("((hv div 1073741824) "
+                       "+ seed * (2 * (hv % 1073741824) + 1))")
                 % _BF_BITS)
 
     # the filter: <= 256 rows regardless of how many build keys exist
-    filt = (build.select("k", seeds)
+    filt = (build.select(hv)
+            .select("hv", seeds)
             .select(pos_col().alias("pos"))
             .select(F.expr("pos div 63").alias("word"),
                     F.expr("CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)")
                     .alias("mask"))
             .groupBy("word").agg(F.expr("bit_or(mask)").alias("bits")))
     probe = cust.select(F.col("c_custkey").cast("bigint").alias("k"))
-    ppos = (probe.select("k", seeds)
+    ppos = (probe.select("k", hv)
+            .select("k", "hv", seeds)
             .select("k", pos_col().alias("pos")))
     hits = (ppos.join(F.broadcast(filt),
                       F.expr("pos div 63") == F.col("word"), "left")
