@@ -628,3 +628,58 @@ def drift_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("ks_stat"),
         F.min_by("bin", F.struct(F.negate(F.col("d")), F.col("bin")))
         .cast("bigint").alias("ks_bin")))
+
+
+@register(
+    "dq_freshness_report",
+    oracle="""
+    WITH t AS (
+        SELECT 'orders' AS table_name,
+               epoch_us(MAX(CAST(o_orderdate AS TIMESTAMP))) AS max_ts_us,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem',
+               epoch_us(MAX(CAST(l_shipdate AS TIMESTAMP))),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events',
+               epoch_us(MAX(CAST(ts AS TIMESTAMP))),
+               CAST(COUNT(*) AS BIGINT)
+        FROM events
+    )
+    SELECT table_name, max_ts_us, n_rows,
+           (SELECT MAX(max_ts_us) FROM t) - max_ts_us
+               AS staleness_us,
+           max_ts_us = (SELECT MAX(max_ts_us) FROM t) AS is_freshest
+    FROM t
+    """,
+    doc="ingest freshness report: per time-bearing table the max "
+        "timestamp, row count, and staleness relative to the freshest "
+        "table (a deterministic reference — no wall clock) — the "
+        "monitoring row a load scheduler checks before kicking "
+        "downstream jobs; three map-side-combined aggregates",
+)
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def leg(name: str, df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.unix_micros(F.max(F.col(col).cast("timestamp")))
+            .alias("max_ts_us"),
+            F.count(F.lit(1)).alias("n_rows"))
+
+    t = (leg("orders", orders, "o_orderdate")
+         .union(leg("lineitem", li, "l_shipdate"))
+         .union(leg("events", ev, "ts")))
+    top = t.agg(F.max("max_ts_us").alias("freshest_us"))
+    return (t.crossJoin(F.broadcast(top))
+            .select("table_name", "max_ts_us", "n_rows",
+                    (F.col("freshest_us") - F.col("max_ts_us"))
+                    .alias("staleness_us"),
+                    (F.col("max_ts_us") == F.col("freshest_us"))
+                    .alias("is_freshest")))
