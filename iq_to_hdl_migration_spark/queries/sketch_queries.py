@@ -1002,3 +1002,92 @@ def sketch_kmv_join_cardinality(spark: SparkSession,
          * (F.lit(float(k - 1)) * F.lit(float(M))
             / F.col("u_hk").cast("double")))
         .alias("n_common_keys_est"))
+
+
+@register(
+    "sketch_countmin_weekly_rollup",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day_idx,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events
+    ),
+    daily AS (
+        SELECT day_idx, s.seed,
+               (hv // (CAST(1 AS BIGINT) << (15 * s.seed)))
+                   % {_CMS_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM ev, (SELECT unnest({_CMS_SEEDS_DUCK}) AS seed) s
+        GROUP BY 1, 2, 3
+    ),
+    weekly AS (
+        SELECT day_idx // 7 AS week_idx, seed, bucket,
+               CAST(SUM(c) AS BIGINT) AS c
+        FROM daily GROUP BY 1, 2, 3
+    ),
+    exact AS (
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) // 7
+                   AS week_idx,
+               user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT week_idx, user_id, n_exact,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM exact
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY week_idx
+                                   ORDER BY n_exact DESC, user_id) <= 5
+    )
+    SELECT cand.week_idx, CAST(cand.user_id AS BIGINT) AS user_id,
+           cand.n_exact,
+           MIN(w.c) AS cms_estimate
+    FROM cand,
+         (SELECT unnest({_CMS_SEEDS_DUCK}) AS seed) s,
+         weekly w
+    WHERE w.week_idx = cand.week_idx
+      AND w.seed = s.seed
+      AND w.bucket = (cand.hv
+                      // (CAST(1 AS BIGINT) << (15 * s.seed)))
+                     % {_CMS_W}
+    GROUP BY 1, 2, 3
+    """,
+    doc="two-level count-min rollup: per-day (seed,bucket) cells "
+        "summed to weekly sketches WITHOUT rescanning raw events — "
+        "the merge-by-addition property as a driver-checked query "
+        "(top-5 users per week with exact count + weekly-merged "
+        "estimate); completes the mergeable-sketch trio with the "
+        "HLL and histogram rollups",
+)
+def sketch_countmin_weekly_rollup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_idx"),
+        "user_id",
+        F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT)").alias("hv"))
+    daily = (ev.select("day_idx", F.expr(_CMS_STACK_SPARK))
+             .groupBy("day_idx", "seed", "bucket")
+             .agg(F.count(F.lit(1)).alias("c")))
+    weekly = (daily.groupBy(F.expr("day_idx div 7").alias("week_idx"),
+                            "seed", "bucket")
+              .agg(F.sum("c").cast("bigint").alias("c")))
+    exact = (ev.select(F.expr("day_idx div 7").alias("week_idx"),
+                       "user_id", "hv")
+             .groupBy("week_idx", "user_id", "hv")
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    w = Window.partitionBy("week_idx").orderBy(F.desc("n_exact"),
+                                               "user_id")
+    cand = (exact.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 5)
+            .select("week_idx", "user_id", "n_exact",
+                    F.expr(_CMS_STACK_SPARK)))
+    return (cand.join(F.broadcast(weekly), ["week_idx", "seed", "bucket"])
+            .groupBy("week_idx",
+                     F.col("user_id").cast("bigint").alias("user_id"),
+                     "n_exact")
+            .agg(F.min("c").alias("cms_estimate")))
