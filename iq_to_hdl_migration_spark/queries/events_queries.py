@@ -485,7 +485,7 @@ def _pagerank_fixedpoint_oracle(iters: int) -> str:
         LEFT JOIN c{k} c ON c.dst = no.node
     )""")
     return (head + "," + ",".join(its) + f"""
-    SELECT node AS user_id, q AS rank_q,
+    SELECT node AS user_id, CAST(q AS BIGINT) AS rank_q,
            CAST(q AS DOUBLE) / {float(PR_SCALE)!r} AS rank
     FROM r{iters}
     ORDER BY q DESC, node

@@ -599,8 +599,9 @@ def mlprep_seqlen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok
     )
     SELECT source, doc_id, n_tok,
-           (cum_incl - n_tok) // {_PACK_MAX_LEN} AS chunk_id,
-           (cum_incl - n_tok) % {_PACK_MAX_LEN} AS offset_in_chunk,
+           CAST((cum_incl - n_tok) // {_PACK_MAX_LEN} AS BIGINT) AS chunk_id,
+           CAST((cum_incl - n_tok) % {_PACK_MAX_LEN} AS BIGINT)
+               AS offset_in_chunk,
            CASE WHEN (cum_incl - n_tok) // {_PACK_MAX_LEN}
                      != (cum_incl - 1) // {_PACK_MAX_LEN}
                 THEN 1 ELSE 0 END AS spans_boundary

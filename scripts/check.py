@@ -49,6 +49,11 @@ def main() -> None:
     assert len(qs) >= 200 and set(osql) <= set(qs), "contract shape"
     print(f"contract: {len(qs)} queries, {len(osql)} oracles")
 
+    # 1b. oracle result-type lint (DESCRIBE-only, seconds) — catches
+    # HUGEINT leaks that pass local value compares but fail the
+    # driver's type-sensitive value hash (round-6 bug class)
+    run("oracle-type lint", [sys.executable, "scripts/lint_oracle_types.py"])
+
     # 2. suite at the default sf
     run("suite@sf0.001", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
 

@@ -16,14 +16,36 @@ from iq_to_hdl_migration_spark.sources.tables import TABLES, table_path
 _EPS = 1e-9  # relative; guards platform-libm differences only
 
 
-def run_oracle(sql: str, sf_dir: str):
+# DuckDB types that are invisible locally but break the DRIVER's value
+# hash: int128 fetches as Python int (== int64 values), yet the driver's
+# fetch path renders it as a non-int64 and the hash diverges (round-6
+# red rows rank_q / chunk_id).  Every SUM-descended oracle column must
+# be CAST(... AS BIGINT); this assertion makes the local gate catch it.
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def oracle_connection(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    return con
+
+
+def assert_oracle_types_portable(types, cols, name: str = "?"):
+    bad = [(c, str(t)) for c, t in zip(cols, types)
+           if str(t).upper() in _FORBIDDEN_ORACLE_TYPES]
+    assert not bad, (
+        f"{name}: oracle emits driver-hash-unsafe DuckDB types {bad}; "
+        f"wrap SUM-derived columns in CAST(... AS BIGINT)")
+
+
+def run_oracle(sql: str, sf_dir: str, name: str = "?"):
+    con = oracle_connection(sf_dir)
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    assert_oracle_types_portable(rel.types, cols, name)
+    return cols, rel.fetchall()
 
 
 def _norm(v):
@@ -44,7 +66,7 @@ def assert_matches_oracle(spark, fn, sql: str, sf_dir: str, name: str = "?"):
     sdf = fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    ocols, orows = run_oracle(sql, sf_dir)
+    ocols, orows = run_oracle(sql, sf_dir, name=name)
     assert sorted(scols) == sorted(ocols), (
         f"{name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}")
     assert len(srows) == len(orows), (
