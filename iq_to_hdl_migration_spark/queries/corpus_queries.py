@@ -578,8 +578,6 @@ def text_contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deterministic tie-break",
 )
 def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     w = (docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("tok"))
          .select(F.concat(F.col("tok"), F.lit("_")).alias("ww"))
@@ -589,9 +587,10 @@ def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> substring(ww, i, 2))")).alias("pair"))
     counts = pairs.groupBy("pair").agg(
         F.count(F.lit(1)).alias("n_occurrences"))
-    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
-    return (counts.withColumn("rn", F.row_number().over(wr))
-            .where(F.col("rn") <= 20)
+    # top-20 via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # top-k + 20-row merge), never a WindowExec over the pair domain
+    return (counts.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(20)
             .select("pair", "n_occurrences"))
 
 

@@ -545,11 +545,18 @@ def ols_qty_vs_discount_by_brand(spark: SparkSession,
     doc="exact first-click -> first-purchase latency percentiles over "
         "converting users (integer-rank percentiles, epoch-micros "
         "arithmetic) — time-to-convert product analytics without "
-        "interpolation; the global rank window runs over one row per "
-        "converting user, not per event",
+        "interpolation. Scale design (round-6 verdict item 4): the "
+        "former single-partition rank window over all converting users "
+        "is replaced by 2-pass exact binning (decile_binned_revenue "
+        "pattern): pass 1 bins latencies into 4096 fixed-width integer "
+        "buckets and locates each target rank's bucket from the "
+        "4096-row cumulative table; pass 2 ranks ONLY inside the <=3 "
+        "target buckets (~n/4096 rows each, partitioned per target). "
+        "No window ever sees the full converting-user frame.",
 )
 def events_conversion_latency_percentiles(spark: SparkSession,
                                           sf_dir: str) -> DataFrame:
+    NBINS = 4096
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     fc = (ev.where(F.col("event_type") == "click")
@@ -563,20 +570,58 @@ def events_conversion_latency_percentiles(spark: SparkSession,
            .select("user_id",
                    (F.col("buy_us") - F.col("click_us"))
                    .alias("latency_us")))
-    w = Window.orderBy("latency_us", "user_id")
-    r = (lat.withColumn("rn", F.row_number().over(w))
-         .withColumn("n", F.count(F.lit(1)).over(
-             Window.partitionBy())))
-    pick = lambda num, den: F.max(
-        F.when(F.col("rn") == F.expr(f"({num} * n + {num}) div {den}"),
-               F.col("latency_us")))
-    return r.agg(
-        F.max("n").cast("bigint").alias("n_converting_users"),
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
-                     F.col("latency_us"))).alias("p50_latency_us"),
-        pick(9, 10).alias("p90_latency_us"),
-        pick(99, 100).alias("p99_latency_us"),
-        F.max("latency_us").alias("max_latency_us"))
+
+    # pass 0: 1-row bounds frame (n, lo, hi) — broadcast, never collected
+    stats = lat.agg(F.count(F.lit(1)).alias("n"),
+                    F.min("latency_us").alias("lo"),
+                    F.max("latency_us").alias("hi"))
+
+    # pass 1: fixed-width integer binning; (hi-lo) < ~1e13 us so the
+    # *4096 product stays far under int64
+    lat_b = (lat.crossJoin(F.broadcast(stats))
+             .select("user_id", "latency_us",
+                     F.expr(f"least(((latency_us - lo) * {NBINS}) div "
+                            f"(hi - lo + 1), {NBINS - 1})").alias("bin")))
+    bins = lat_b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    # cumulative table: <=4096 rows — a bounded single-partition frame
+    cum = bins.withColumn("cum_prev",
+                          F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+
+    # target ranks from the 1-row stats frame (3 rows)
+    targets = stats.select(F.explode(F.array(
+        F.struct(F.lit("p50").alias("pname"),
+                 F.expr("(n + 1) div 2").alias("r")),
+        F.struct(F.lit("p90").alias("pname"),
+                 F.expr("(9 * n + 9) div 10").alias("r")),
+        F.struct(F.lit("p99").alias("pname"),
+                 F.expr("(99 * n + 99) div 100").alias("r")),
+    )).alias("t")).select("t.pname", "t.r")
+    tbins = (targets.join(F.broadcast(cum),
+                          (F.col("r") > F.col("cum_prev"))
+                          & (F.col("r") <= F.col("cum_prev")
+                             + F.col("cnt")))
+             .select("pname", "bin",
+                     (F.col("r") - F.col("cum_prev")).alias("local_r")))
+
+    # pass 2: rank only inside the <=3 target buckets (~n/4096 rows
+    # each); the window partitions per target — never the full frame
+    wloc = Window.partitionBy("pname").orderBy("latency_us", "user_id")
+    picked = (lat_b.join(F.broadcast(tbins), "bin")
+              .withColumn("rn", F.row_number().over(wloc))
+              .where(F.col("rn") == F.col("local_r")))
+    pick = lambda p: F.max(F.when(F.col("pname") == p,
+                                  F.col("latency_us")))
+    pvals = picked.agg(pick("p50").alias("p50_latency_us"),
+                       pick("p90").alias("p90_latency_us"),
+                       pick("p99").alias("p99_latency_us"))
+    return (stats.crossJoin(pvals)
+            .select(F.when(F.col("n") > 0, F.col("n")).cast("bigint")
+                    .alias("n_converting_users"),
+                    "p50_latency_us", "p90_latency_us",
+                    "p99_latency_us",
+                    F.col("hi").alias("max_latency_us")))
 
 
 # ---------------------------------------------------------------------------

@@ -499,3 +499,30 @@ def test_kmv_sketch_topk_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" \
         in plan  # 1-row stat stitching is broadcast-nested-loop
+
+
+def test_conversion_latency_no_global_rank_window(spark, sf_dir):
+    """Round-6 verdict item 4: the per-user rank must never run in a
+    single-partition window over all converting users. The 2-pass
+    binning design allows (a) the 4096-row cumulative-bin window and
+    (b) row_number windows partitioned per target percentile — any
+    unpartitioned row_number over the latency frame is a regression."""
+    import re
+    plan = final_plan(
+        REGISTRY["events_conversion_latency_percentiles"].fn(
+            spark, sf_dir))
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^,]*),",
+                         plan):
+        first = m.group(1)
+        assert "pname" in first, (
+            f"row_number window not partitioned per target "
+            f"(first spec arg {first!r}):\n{plan[:3000]}")
+
+
+def test_bpe_first_merges_takeordered(spark, sf_dir):
+    """Top-20 merge candidates must compile to TakeOrderedAndProject,
+    not a WindowExec row_number over every distinct character pair."""
+    plan = final_plan(REGISTRY["text_bpe_first_merges"].fn(
+        spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
