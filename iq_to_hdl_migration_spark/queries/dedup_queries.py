@@ -265,7 +265,16 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"spark_graft_lsh_index_{sf_tag}_"
         f"{os.path.basename(sf_dir.rstrip('/'))}")
-    memo_key = (spark.sparkContext.applicationId, idx_path)
+    # the memo key carries the driver-side source fingerprint (cheap:
+    # path/size/mtime digest, no data read) — without it a first
+    # resolution would pin the index for the whole session and a
+    # mid-session rewrite of sf_dir would silently serve stale state;
+    # with it a changed source misses the memo and goes back through
+    # load_lsh_index's fail-closed staleness guard
+    from iq_to_hdl_migration_spark.sources.bucketed import (
+        _source_fingerprint)
+    memo_key = (spark.sparkContext.applicationId, idx_path,
+                _source_fingerprint(docs))
     cached = _INDEX_MEMO.get(memo_key)
     if cached is None:
         loaded = load_lsh_index(spark, docs, idx_path)
@@ -273,6 +282,9 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands, digests = build_lsh_index(batch1)
             persist_lsh_index(bands, digests, docs, idx_path)
             loaded = load_lsh_index(spark, docs, idx_path)
+        # evict superseded entries for this path (stale fingerprints)
+        for k in [k for k in _INDEX_MEMO if k[:2] == memo_key[:2]]:
+            del _INDEX_MEMO[k]
         cached = _INDEX_MEMO[memo_key] = loaded
     bands, digests = cached
     return lsh_incremental_pairs(batch2, bands, digests)

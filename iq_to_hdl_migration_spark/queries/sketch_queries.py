@@ -488,8 +488,8 @@ _HIST_W_C = (_HIST_HI_C - _HIST_LO_C) // _HIST_BINS
     oracle=f"""
     WITH c AS (
         SELECT event_type,
-               least(CAST(round(value * 100) AS BIGINT)
-                     // {_HIST_W_C}, {_HIST_BINS - 1}) AS bin
+               greatest(least(CAST(round(value * 100) AS BIGINT)
+                     // {_HIST_W_C}, {_HIST_BINS - 1}), 0) AS bin
         FROM events
     ),
     hist AS (
@@ -531,8 +531,10 @@ def sketch_histogram_percentiles(spark: SparkSession,
     w, nb = _HIST_W_C, _HIST_BINS
     binned = ev.select(
         "event_type",
-        F.least(F.expr(f"CAST(round(value * 100) AS BIGINT) div {w}"),
-                F.lit(nb - 1)).alias("bin"))
+        F.greatest(
+            F.least(F.expr(f"CAST(round(value * 100) AS BIGINT) div {w}"),
+                    F.lit(nb - 1)),
+            F.lit(0)).alias("bin"))
     hist = binned.groupBy("event_type", "bin").agg(
         F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window
@@ -562,8 +564,8 @@ def sketch_histogram_percentiles(spark: SparkSession,
     oracle=f"""
     WITH c AS (
         SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) AS day_idx,
-               least(CAST(round(value * 100) AS BIGINT)
-                     // {_HIST_W_C}, {_HIST_BINS - 1}) AS bin
+               greatest(least(CAST(round(value * 100) AS BIGINT)
+                     // {_HIST_W_C}, {_HIST_BINS - 1}), 0) AS bin
         FROM events
     ),
     daily AS (  -- the persisted per-day partial sketches
@@ -605,8 +607,10 @@ def sketch_histogram_weekly_rollup(spark: SparkSession,
     w, nb = _HIST_W_C, _HIST_BINS
     binned = ev.select(
         F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_idx"),
-        F.least(F.expr(f"CAST(round(value * 100) AS BIGINT) div {w}"),
-                F.lit(nb - 1)).alias("bin"))
+        F.greatest(
+            F.least(F.expr(f"CAST(round(value * 100) AS BIGINT) div {w}"),
+                    F.lit(nb - 1)),
+            F.lit(0)).alias("bin"))
     daily = binned.groupBy("day_idx", "bin").agg(
         F.count(F.lit(1)).alias("cnt"))
     weekly = (daily.groupBy(F.expr("day_idx div 7").alias("week_idx"),

@@ -315,6 +315,12 @@ def streaming_curation_counts(spark: SparkSession, sf_dir: str,
     return spark.table(_query_name)
 
 
+# live work dir per (applicationId, query, source dir) for the
+# incremental-dedup stream — re-invocations replace (and remove) the
+# previous invocation's dir instead of accumulating one per call
+_STREAM_WORK_DIRS: dict = {}
+
+
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
                                 _query_name: str = "stream_inc_dedup",
                                 n_batches: int = 3) -> DataFrame:
@@ -350,10 +356,24 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     batch2 = docs.where(F.col("doc_id") > cut)
 
     import atexit
-    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+
     # the work dir must outlive this call (the returned DataFrame reads
-    # the pairs parquet lazily) but not the process — otherwise every
-    # suite/driver invocation leaks an arrival copy of 40% of documents
+    # the pairs parquet lazily) but not the process — and a long-lived
+    # session that re-invokes this query (bench + correctness + retries)
+    # must not accumulate one arrival-copy-of-40%-of-documents dir per
+    # invocation. Keyed per (app, query, source): a re-invocation for
+    # the same source removes the previous invocation's dir (its lazily
+    # returned frame is superseded by the fresh one), so at most one
+    # work dir per key exists at any time; atexit covers process exit.
+    # NOT keyed on _query_name: the registry wrapper mints a fresh
+    # stream name per invocation (q_stream_incdedup_<seq>), which would
+    # make every call a distinct key and resurrect the leak
+    wkey = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     bands_dir = os.path.join(work, "bands")
     digests_dir = os.path.join(work, "digests")

@@ -282,3 +282,34 @@ def test_kmv_estimates_within_error_bound(spark, sf_dir):
     assert r.n_common_keys_exact <= min(r.n_orders_keys_exact,
                                         r.n_customer_keys_exact)
     assert r.n_common_keys_est >= 0
+
+
+def test_histogram_bin_clamp_negative_domain(spark):
+    """Round-6 ADVICE: a negative events.value must land in bin 0 —
+    identically in Spark and DuckDB — not in a negative bin that would
+    silently corrupt cumulative ranks while still hash-matching. Runs
+    the exact binning expressions both engines use over a domain that
+    includes negatives and the upper overflow."""
+    import duckdb
+
+    from iq_to_hdl_migration_spark.queries.sketch_queries import (
+        _HIST_BINS, _HIST_W_C)
+    import pyspark.sql.functions as F
+
+    vals = [-1234.5, -195.0, -1.0, -0.004, 0.0, 0.004, 1.0,
+            195.0, 999.99, 1000.0, 5_000_000.0]
+    sdf = spark.createDataFrame([(v,) for v in vals], "value double")
+    got_spark = [r.bin for r in sdf.select(
+        F.greatest(
+            F.least(F.expr(f"CAST(round(value * 100) AS BIGINT)"
+                           f" div {_HIST_W_C}"),
+                    F.lit(_HIST_BINS - 1)),
+            F.lit(0)).alias("bin")).collect()]
+    got_duck = [r[0] for r in duckdb.sql(
+        f"""SELECT greatest(least(CAST(round(v * 100) AS BIGINT)
+                                  // {_HIST_W_C}, {_HIST_BINS - 1}), 0)
+            FROM (SELECT unnest({vals!r}) AS v)""").fetchall()]
+    assert got_spark == got_duck
+    assert all(0 <= b <= _HIST_BINS - 1 for b in got_spark)
+    assert got_spark[0] == got_spark[1] == got_spark[2] == 0  # negatives
+    assert got_spark[-1] == _HIST_BINS - 1                    # overflow
