@@ -708,6 +708,113 @@ def graph_part_copurchase_communities(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph — the classic
+# degree-ordered orientation (count each triangle once at its
+# lowest-(degree, id) corner): orient every edge from its lower- to
+# its higher-(degree, id) endpoint, wedge-join the oriented adjacency
+# on the shared low corner, and close wedges against the undirected
+# edge set. Orientation caps oriented out-degree at ~sqrt(2m)
+# (arboricity bound), so the wedge join is skew-bounded no matter how
+# hot the hottest part is — the formulation that survives a 100x
+# scale-up where the naive 3-way self-join on raw adjacency explodes
+# on hub nodes. Also reports wedges and the global clustering
+# coefficient (one integer/integer division — bit-stable).
+
+@register(
+    "graph_triangle_counts",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY node
+    ),
+    oe AS (
+        SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+                    THEN e0.u ELSE e0.v END AS a,
+               CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+                    THEN e0.v ELSE e0.u END AS b
+        FROM e0 JOIN deg du ON du.node = e0.u
+                JOIN deg dv ON dv.node = e0.v
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM oe w1 JOIN oe w2 ON w1.a = w2.a AND w1.b < w2.b
+        JOIN e0 ON e0.u = w1.b AND e0.v = w2.b
+    ),
+    wdg AS (
+        SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    odeg AS (
+        SELECT CAST(MAX(c) AS BIGINT) AS max_oriented_outdeg FROM (
+            SELECT a, COUNT(*) AS c FROM oe GROUP BY a)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+           tri.n_triangles, wdg.n_wedges, odeg.max_oriented_outdeg,
+           CAST(3 * tri.n_triangles AS DOUBLE)
+               / CAST(wdg.n_wedges AS DOUBLE) AS global_clustering
+    FROM tri, wdg, odeg
+    """,
+    doc="triangle + wedge census of the part co-purchase graph via "
+        "degree-ordered orientation (each triangle counted once at "
+        "its min-(degree,id) corner; oriented out-degree bounded by "
+        "~sqrt(2m), so the wedge join is hub-skew-proof); reports the "
+        "global clustering coefficient",
+    bench=True,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").alias("u"),
+                  F.col("b.l_partkey").alias("v"))
+          .distinct())
+    deg = (e0.select(F.col("u").alias("node"))
+           .unionAll(e0.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    lower = ((F.col("du") < F.col("dv"))
+             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    oe = (e0.join(deg.select(F.col("node").alias("u"),
+                             F.col("d").alias("du")), "u")
+          .join(deg.select(F.col("node").alias("v"),
+                           F.col("d").alias("dv")), "v")
+          .select(F.when(lower, F.col("u")).otherwise(F.col("v"))
+                  .alias("a"),
+                  F.when(lower, F.col("v")).otherwise(F.col("u"))
+                  .alias("b")))
+    w1 = oe.select(F.col("a"), F.col("b").alias("b1"))
+    w2 = oe.select(F.col("a"), F.col("b").alias("b2"))
+    tri = (w1.join(w2, "a")
+           .where(F.col("b1") < F.col("b2"))
+           .join(e0, (F.col("b1") == F.col("u"))
+                 & (F.col("b2") == F.col("v")), "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    wdg = deg.agg(F.sum(F.expr("d * (d - 1) div 2")).cast("bigint")
+                  .alias("n_wedges"))
+    odeg = (oe.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").cast("bigint").alias("max_oriented_outdeg")))
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (nn.crossJoin(ne).crossJoin(tri).crossJoin(wdg).crossJoin(odeg)
+            .select(F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                    F.col("n_edges").cast("bigint").alias("n_edges"),
+                    F.col("n_triangles").cast("bigint")
+                    .alias("n_triangles"),
+                    "n_wedges", "max_oriented_outdeg",
+                    ((F.lit(3) * F.col("n_triangles")).cast("double")
+                     / F.col("n_wedges").cast("double"))
+                    .alias("global_clustering")))
+
+
+# ---------------------------------------------------------------------------
 # Path motifs: the top 3-step journeys users actually take — trigrams
 # of consecutive event types within one session (both gaps under the
 # 30-minute session threshold), counted across all users.  One window

@@ -667,8 +667,13 @@ _IVF_PROBE = 2
 _IVF_SCALE = 1048576.0   # 2^20
 
 
-def _ivf_fixedpoint_oracle() -> str:
-    k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
+def _fp_kmeans_ctes(k: int, iters: int, final_update: bool) -> str:
+    """WITH-chain prefix shared by every fixed-point k-means oracle:
+    2^-20-quantized vectors `v`, seed centroids `c0` (vec_id < k), and
+    per-iteration dist{{i}}/a{{i}} (+ u{{i}}/c{{i}} centroid updates).
+    `final_update=False` stops at the last assignment a{{iters}} —
+    consumers that never probe updated centroids (SemDeDup) skip the
+    dead u/c CTEs so DuckDB doesn't materialize them."""
     parts = [f"""
     WITH v AS MATERIALIZED (
         SELECT e.vec_id, d.dim,
@@ -694,7 +699,9 @@ def _ivf_fixedpoint_oracle() -> str:
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY d2, cid) AS rn
             FROM dist{i}) t WHERE rn = 1
-    ),
+    )""")
+        if i < iters or final_update:
+            parts.append(f"""
     u{i} AS MATERIALIZED (
         SELECT a.cid, v.dim,
                CAST(FLOOR(CAST(SUM(v.qv) AS DOUBLE)
@@ -707,6 +714,12 @@ def _ivf_fixedpoint_oracle() -> str:
         FROM c{p} p LEFT JOIN u{i} u
           ON u.cid = p.cid AND u.dim = p.dim
     )""")
+    return ",".join(parts)
+
+
+def _ivf_fixedpoint_oracle() -> str:
+    k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
+    parts = [_fp_kmeans_ctes(k, iters, final_update=True)]
     parts.append(f"""
     qdist AS MATERIALIZED (
         SELECT v.vec_id AS query_id, c.cid,
@@ -747,20 +760,15 @@ def _ivf_fixedpoint_oracle() -> str:
     return ",".join(parts)
 
 
-@register(
-    "sim_ivf_fixedpoint_topk",
-    oracle=_ivf_fixedpoint_oracle(),
-    doc="IVF ANN with INTEGER k-means (2^-20 quantized vectors, "
-        "BIGINT distances, floor-mean centroid updates, deterministic "
-        "tie-breaks): 3 Lloyd iterations + 2-probe top-5, value-hash-"
-        "checked against an unrolled MATERIALIZED DuckDB CTE chain — "
-        "the cross-engine-verifiable twin of the float sim_ivf_topk",
-)
-def sim_ivf_fixedpoint_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int):
+    """Spark twin of _fp_kmeans_ctes: integer Lloyd iterations over
+    2^-20-quantized per-dim rows. Returns (v, cents, assign) where
+    assign is a{iters} (computed against c{iters-1}) and cents is
+    c{iters}. Centroid tables are k*DIM rows (broadcast); the per-
+    iteration shuffle is the vec-sized dist groupBy — linear in the
+    corpus, never pairwise."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
     v = (emb.select("vec_id",
                     F.posexplode(F.expr(sim.as_double_array("embedding")))
                     .alias("pos", "x"))
@@ -790,6 +798,24 @@ def sim_ivf_fixedpoint_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("cid", "dim",
                          F.coalesce("ucq", "cq").alias("cq"))
                  .localCheckpoint())
+    return v, cents, assign
+
+
+@register(
+    "sim_ivf_fixedpoint_topk",
+    oracle=_ivf_fixedpoint_oracle(),
+    doc="IVF ANN with INTEGER k-means (2^-20 quantized vectors, "
+        "BIGINT distances, floor-mean centroid updates, deterministic "
+        "tie-breaks): 3 Lloyd iterations + 2-probe top-5, value-hash-"
+        "checked against an unrolled MATERIALIZED DuckDB CTE chain — "
+        "the cross-engine-verifiable twin of the float sim_ivf_topk",
+)
+def sim_ivf_fixedpoint_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
+    v, cents, assign = _fp_kmeans_assign(emb, k, iters)
     qdist = (v.where(F.col("vec_id") < _N_QUERIES)
              .join(cents.hint("broadcast"), "dim")
              .groupBy(F.col("vec_id").alias("query_id"), F.col("cid"))
@@ -1219,3 +1245,124 @@ def sim_mmr_diversified_topk(spark: SparkSession,
         selected = selected.unionByName(nxt).localCheckpoint(eager=True)
     return selected.select("query_id", F.col("pos").cast("int").alias("pos"),
                            "cand_id", "rel", "score")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023, public): cluster
+# the corpus with k-means, then look for near-duplicate pairs ONLY
+# within each cluster — the cluster assignment replaces the quadratic
+# all-pairs scan, which is what makes semantic dedup feasible at
+# 100 TB (k grows with the corpus so per-cluster size stays bounded).
+# Made value-hash-checkable by reusing the integer fixed-point k-means
+# (_fp_kmeans_ctes / _fp_kmeans_assign): assignment is exact both
+# engines; pair cosine runs over the same quantized BIGINT vectors, so
+# dot/norm sums are exact integers (<= 64 * 2^40 < 2^53 — every
+# partial sum is exactly representable, hence order-invariant) and the
+# final cosine is one deterministic mult/sqrt/div chain.
+# Survivorship is deterministic min-id: drop x iff some y < x in the
+# same cluster has cos(x, y) >= tau.
+# ---------------------------------------------------------------------------
+
+_SD_K = 8
+_SD_ITERS = 2
+_SD_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    k, iters, tau = _SD_K, _SD_ITERS, _SD_TAU
+    return f"""
+    {_fp_kmeans_ctes(k, iters, final_update=False)},
+    qa AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * {_IVF_SCALE!r}) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    pr AS MATERIALIZED (
+        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[])
+                 / (sqrt(list_dot_product(x.q::DOUBLE[], x.q::DOUBLE[]))
+                    * sqrt(list_dot_product(y.q::DOUBLE[], y.q::DOUBLE[])))
+                   AS cos
+        FROM a{iters} a JOIN a{iters} b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN qa x ON x.vec_id = a.vec_id
+        JOIN qa y ON y.vec_id = b.vec_id
+    ),
+    dup AS (SELECT cid, id_a, id_b, cos FROM pr WHERE cos >= {tau!r}),
+    members AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM a{iters} GROUP BY cid
+    ),
+    dstat AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+               CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped,
+               MAX(cos) AS max_cos
+        FROM dup GROUP BY cid
+    )
+    SELECT m.cid, m.n_members,
+           COALESCE(d.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           m.n_members - COALESCE(d.n_dropped, 0) AS n_kept,
+           d.max_cos
+    FROM members m LEFT JOIN dstat d ON d.cid = m.cid
+    """
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup-style semantic dedup: integer fixed-point k-means "
+        "(k=8, 2 Lloyd iterations, 2^-20-quantized) assigns clusters; "
+        "near-dup pairs (quantized cosine >= 0.35) are searched ONLY "
+        "within clusters — never all-pairs; deterministic min-id "
+        "survivorship. Per-cluster report: members, dup pairs, "
+        "dropped, kept, max cosine — every column value-hash-checked "
+        "against the unrolled DuckDB CTE chain.",
+    bench=True,
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, assign = _fp_kmeans_assign(emb, _SD_K, _SD_ITERS)
+    qa = emb.select(
+        "vec_id",
+        F.expr(f"transform({sim.as_double_array('embedding')}, "
+               f"x -> CAST(FLOOR(x * {_IVF_SCALE!r}) AS BIGINT))")
+        .alias("q"))
+    # integer dot/norm folds: every partial sum is an exact double, so
+    # the fold order can't change the result (see header note)
+    withq = (assign.join(qa, "vec_id")
+             .withColumn("n2", F.expr(
+                 "aggregate(q, 0L, (acc, x) -> acc + x * x)")))
+    a = withq.select(F.col("cid"), F.col("vec_id").alias("id_a"),
+                     F.col("q").alias("qa_"), F.col("n2").alias("na"))
+    b = withq.select(F.col("cid").alias("cid_b"),
+                     F.col("vec_id").alias("id_b"),
+                     F.col("q").alias("qb_"), F.col("n2").alias("nb"))
+    pr = (a.join(b, (F.col("cid") == F.col("cid_b"))
+                 & (F.col("id_a") < F.col("id_b")))
+          .withColumn("dot", F.expr(
+              "aggregate(zip_with(qa_, qb_, (x, y) -> x * y), 0L, "
+              "(acc, v) -> acc + v)"))
+          .select("cid", "id_a", "id_b",
+                  (F.col("dot").cast("double")
+                   / F.sqrt(F.col("na").cast("double")
+                            * F.col("nb").cast("double"))).alias("cos")))
+    dup = pr.where(F.col("cos") >= F.lit(_SD_TAU))
+    members = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    dstat = dup.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+        F.max("cos").alias("max_cos"))
+    return (members.join(dstat, "cid", "left")
+            .select("cid", "n_members",
+                    F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint")
+                    .alias("n_dup_pairs"),
+                    F.coalesce("n_dropped", F.lit(0)).cast("bigint")
+                    .alias("n_dropped"),
+                    (F.col("n_members") - F.coalesce("n_dropped",
+                                                     F.lit(0)))
+                    .cast("bigint").alias("n_kept"),
+                    "max_cos"))
