@@ -99,8 +99,19 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 10,
             .select("dst", F.expr("(q * w) div out_w").alias("cc"))
             .groupBy("dst").agg(F.sum("cc").alias("c"))
         ).localCheckpoint()
-        prev_total = ranks.agg(F.sum("q")).collect()[0][0]
-        s = contrib.agg(F.sum("c")).collect()[0][0] or 0
+        # both fixed-point scalars in ONE driver round-trip: union the
+        # two frames tagged, conditional-sum, single collect (was two
+        # jobs per iteration — pure latency, identical integer values)
+        tot = (ranks.select(F.col("q").alias("x"),
+                            F.lit(True).alias("is_rank"))
+               .unionAll(contrib.select(F.col("c").alias("x"),
+                                        F.lit(False).alias("is_rank")))
+               .agg(F.sum(F.when(F.col("is_rank"), F.col("x")))
+                    .alias("prev_total"),
+                    F.sum(F.when(~F.col("is_rank"), F.col("x")))
+                    .alias("s"))
+               .collect()[0])
+        prev_total, s = tot["prev_total"], tot["s"] or 0
         dangling_share = (prev_total - s) // n
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")

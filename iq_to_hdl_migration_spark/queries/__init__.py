@@ -34,6 +34,7 @@ _QUERY_MODULES = [
     "corpus_queries",
     "mlprep_queries",
     "sketch_queries",
+    "snapshot_queries",
     "streaming_queries",
     "ddl_queries",
     "multimodal_queries",

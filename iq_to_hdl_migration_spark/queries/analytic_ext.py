@@ -600,6 +600,7 @@ def customer_balance_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         "then median pairwise slope + median-residual intercept by "
         "exact rank picks — outlier-robust, no double summation, "
         "estimate hash-checked",
+    bench=True,
 )
 def trend_theil_sen_monthly_revenue(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:

@@ -685,6 +685,7 @@ def events_conversion_latency_percentiles(spark: SparkSession,
         "co-purchase graph; communities >= 3 members with exact size "
         "and id-range — oracled via the fully unrolled vote/adopt CTE "
         "chain",
+    bench=True,
 )
 def graph_part_copurchase_communities(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:

@@ -1176,6 +1176,7 @@ K_CAND, K_OUT = 8, 4
         "to the picked set, min-id ties) — greedy selection fully "
         "unrolled in the DuckDB oracle; constant-size rerank frame "
         "at any scale",
+    bench=True,
 )
 def sim_mmr_diversified_topk(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

@@ -1064,6 +1064,7 @@ def sketch_kmv_join_cardinality(spark: SparkSession,
         "(top-5 users per week with exact count + weekly-merged "
         "estimate); completes the mergeable-sketch trio with the "
         "HLL and histogram rollups",
+    bench=True,
 )
 def sketch_countmin_weekly_rollup(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
