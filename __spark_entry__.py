@@ -35,45 +35,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order; local tests/test_registry_vs_oracle.py still covers
 # all 263 at whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 6: scaled_dim broadcast policy touched these
-    "q3_shipping_priority", "q5_region_volume", "q9_product_profit",
-    "q10_returned_items",
-    "q21_sole_return_suppliers", "trade_flow_matrix",
-    "nation_trade_balance", "q7_nation_volume", "q8_market_share",
-    # (q2/q14/q17/q18/q19/q20 trimmed from the sample: TPC-H shapes
-    # that drew green driver rows in r5; the sf0.01 local gate still
-    # covers them, and the slots buy first driver rows for round-5/6
-    # additions below)
-    # (nation_pareto/customer_cadence/supplier_hhi/dense_top3/
-    # ship_latency/q16/top_parts/revenue_rank also trimmed: r5-green,
-    # only const-dim hints touched)
-    "text_contamination_13gram",
-    # round 6: rule tables / HLL day_idx / incremental-LSH cap /
-    # PPJoin prefix slack
-    "s13_hosparams_rules_intersection", "j16_options_rules_intersection",
-    "f13_permanent_mpx_options", "sketch_hll_portable_rollup",
-    "dedup_incremental_pairs", "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    # round 6 additions
-    "stream_incremental_dedup", "sim_ann_multiprobe2_topk",
-    "sketch_hll_overlap_matrix", "hybrid_retrieval_rrf",
-    "sketch_countmin_heavy_hitters", "join_bloom_prefilter_stats",
-    "scd2_user_type_history", "stream_scd2_history",
-    "entity_resolution_clusters", "sketch_kmv_join_cardinality",
-    "skew_key_diagnostics", "retention_cascade_audit",
-    "mlprep_doc_chunks", "mlprep_chunk_dedup_stats",
-    "drift_snapshot_report", "text_token_rarity_scores",
-    "sample_bottomk_per_lang",
-    # round-5 additions without a driver row yet
-    "dedup_containment_pairs", "curation_grand_funnel",
-    "sim_ivf_fixedpoint_topk", "sim_quantized_topk",
-    "sim_quantized_recall", "sim_ann_recall_matrix",
-    "graph_user_pagerank_fixedpoint_top20",
-    "text_bm25_topk", "text_winnowing_match_pairs",
-    "mlprep_packing_assignments", "mlprep_seqlen_percentiles",
-    "sample_weighted_priority", "docs_simhash_bit_drift",
-    "text_zipf_constancy", "dq_referential_integrity",
-    "v11_content_diff_report",
+    # round 7, tier 1: the two r6 hash-red rows (HUGEINT oracle casts
+    # fixed) — must re-prove green under the driver's own hash
+    "graph_user_pagerank_fixedpoint_top20", "mlprep_packing_assignments",
+    # round 7, tier 2: code changed this round (window rewrites, bin
+    # clamp, memo/workdir fixes, k-means refactor) — regression proof
+    "events_conversion_latency_percentiles", "text_bpe_first_merges",
+    "sketch_histogram_percentiles", "sketch_histogram_weekly_rollup",
+    "stream_incremental_dedup", "dedup_incremental_pairs",
+    "sim_ivf_fixedpoint_topk",
+    # round 7, tier 3: new this round — first driver rows
+    "graph_triangle_counts", "dedup_semdedup_clusters",
+    "snapshot_version_diff", "snapshot_time_travel_audit",
+    "sim_pq_adc_topk", "graph_kcore_census",
+    "trend_mann_kendall_monthly_revenue",
+    # round-6 additions that never drew a driver row (VERDICT item 3)
+    "sim_mmr_diversified_topk", "sketch_countmin_weekly_rollup",
+    "dq_freshness_report", "trend_theil_sen_monthly_revenue",
+    "graph_part_copurchase_communities", "events_path_motifs",
+    "scd2_point_in_time_join", "drift_ks_statistic",
+    "sim_label_centroid_cosine",
+    # never-sampled SURVEY §2 rows: catalog/planning/validation/DDL
+    # surface so the reference-parity families carry driver evidence
+    "j3_master_inventory", "j8_view_dependencies",
+    "a5_view_transitive_closure", "f18_migratable_tables",
+    "j13_login_policy_options", "o2_lpt_assignment",
+    "v5_ledger_integrity", "v10_preflight_checks", "s7_generated_ddl",
+    "fn_scalar_suite", "ddl_output_digest", "assessment_report",
+    # never-sampled multimodal plumbing
+    "mm_binary_features", "mm_payload_dedup_groups",
+    "mm_content_histogram_neardup",
+    # never-sampled dedup/text/similarity/mlprep/stream classics
+    "dedup_simhash_pairs", "text_pii_scan", "text_repetition_scores",
+    "text_langid_heuristic", "sim_bruteforce_topk",
+    "mix_temperature_sampling", "split_train_test",
+    "sketch_value_percentiles", "stream_sessionization",
+    "events_markov_transitions",
 ]
 
 

@@ -640,3 +640,108 @@ def trend_theil_sen_monthly_revenue(spark: SparkSession,
             .crossJoin(F.broadcast(intercept))
             .select("n_months", "n_pairs", "theil_sen_slope",
                     "theil_sen_intercept"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test — the nonparametric significance companion
+# to the Theil-Sen estimator above (same monthly series, same
+# two-stage shape: exact-DECIMAL monthly aggregation first, then the
+# pairwise statistic over a CONSTANT ~80-point frame at any scale).
+# S and the tie-corrected variance are pure integers (sign
+# comparisons on DECIMAL sums are exact in both engines; var is kept
+# as 18*Var(S) to stay in BIGINT); only the final z is a single
+# sub/sqrt/div chain — bit-stable, so the whole row hash-checks.
+
+@register(
+    "trend_mann_kendall_monthly_revenue",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(o_orderdate AS TIMESTAMP))
+                    AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS y
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM m a JOIN m b ON a.x < b.x
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                    AS BIGINT) AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM m GROUP BY y HAVING COUNT(*) > 1) g
+    ),
+    v AS (
+        SELECT n.n,
+               n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS var18
+        FROM n, ties
+    )
+    SELECT v.n AS n_months, s.s_stat,
+           CAST(v.var18 AS BIGINT) AS var_s18,
+           CASE WHEN s.s_stat > 0
+                THEN CAST(s.s_stat - 1 AS DOUBLE)
+                     / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                WHEN s.s_stat < 0
+                THEN CAST(s.s_stat + 1 AS DOUBLE)
+                     / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z_score,
+           CASE WHEN s.s_stat > 0 AND CAST(s.s_stat - 1 AS DOUBLE)
+                     / sqrt(CAST(v.var18 AS DOUBLE) / 18.0) > 1.96
+                THEN 'increasing'
+                WHEN s.s_stat < 0 AND CAST(s.s_stat + 1 AS DOUBLE)
+                     / sqrt(CAST(v.var18 AS DOUBLE) / 18.0) < -1.96
+                THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM s, v
+    """,
+    doc="Mann-Kendall trend test on monthly revenue: integer S over "
+        "all month pairs (exact DECIMAL sign comparisons), "
+        "tie-corrected variance kept as BIGINT 18*Var(S), "
+        "continuity-corrected z and a significance label — pairs with "
+        "trend_theil_sen_monthly_revenue as the test/estimator duo",
+)
+def trend_mann_kendall_monthly_revenue(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint").alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("y")))
+    a, b = m.alias("a"), m.alias("b")
+    s = (a.join(b, F.col("a.x") < F.col("b.x"))
+         .agg(F.sum(F.when(F.col("b.y") > F.col("a.y"), 1)
+                    .when(F.col("b.y") < F.col("a.y"), -1)
+                    .otherwise(0)).cast("bigint").alias("s_stat")))
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+    ties = (m.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+            .where(F.col("t") > 1)
+            .agg(F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+                .cast("bigint").alias("tie_term")))
+    v = (n.crossJoin(F.broadcast(ties))
+         .select(F.col("n"),
+                 (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                  - F.col("tie_term")).alias("var18")))
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double")
+                / F.sqrt(F.col("var18").cast("double") / 18.0))
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1).cast("double")
+               / F.sqrt(F.col("var18").cast("double") / 18.0))
+         .otherwise(F.lit(0.0)))
+    return (s.crossJoin(F.broadcast(v))
+            .select(F.col("n").cast("bigint").alias("n_months"),
+                    F.col("s_stat"),
+                    F.col("var18").cast("bigint").alias("var_s18"),
+                    z.alias("z_score"),
+                    F.when((F.col("s_stat") > 0) & (z > 1.96),
+                           "increasing")
+                    .when((F.col("s_stat") < 0) & (z < -1.96),
+                          "decreasing")
+                    .otherwise("no_trend").alias("trend")))

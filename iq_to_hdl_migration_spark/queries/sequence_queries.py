@@ -879,3 +879,95 @@ def events_path_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), "motif")
             .limit(_MOTIF_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling census over the part co-purchase graph: repeatedly
+# drop nodes whose degree in the CURRENT induced subgraph is < K, a
+# fixed number of rounds (unrolled, so the DuckDB oracle is the same
+# computation as a CTE chain — the fixed-point-iteration oracle
+# technique used for PageRank/label propagation).  Each round is one
+# semi-join (edge retention) + one groupBy (degrees) — linear in
+# edges, shuffling on the node key; no adjacency is ever collected.
+# Output is the per-round census (nodes / edges surviving), the shape
+# a curation pipeline reads to pick a core threshold.
+
+_KCORE_K = 48
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    parts = [f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nd0 AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+    ee0 AS (SELECT u, v FROM e0)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+    nd{i} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT u AS node FROM ee{p}
+                UNION ALL SELECT v FROM ee{p}) t
+            GROUP BY node) t WHERE d >= {k}
+    ),
+    ee{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM ee{p} e
+        JOIN nd{i} a ON a.node = e.u
+        JOIN nd{i} b ON b.node = e.v
+    )""")
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS round, "
+        f"CAST((SELECT COUNT(*) FROM nd{i}) AS BIGINT) AS n_nodes, "
+        f"CAST((SELECT COUNT(*) FROM ee{i}) AS BIGINT) AS n_edges"
+        for i in range(0, rounds + 1))
+    parts.append(f" census AS ({rows}) SELECT CAST(round AS INTEGER)"
+                 " AS round, n_nodes, n_edges FROM census")
+    return ",".join(parts)
+
+
+@register(
+    "graph_kcore_census",
+    oracle=_kcore_oracle(),
+    doc=f"k-core peeling (K={_KCORE_K}, {_KCORE_ROUNDS} unrolled "
+        "rounds) over the part co-purchase graph: per-round surviving "
+        "node/edge census; each round one degree groupBy + one "
+        "two-sided semi-join, linear in edges — the distributed "
+        "formulation that replaces in-memory bucket peeling at scale",
+    bench=True,
+)
+def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ee = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").alias("u"),
+                  F.col("b.l_partkey").alias("v"))
+          .distinct().localCheckpoint())
+    nd = (ee.select(F.col("u").alias("node"))
+          .union(ee.select(F.col("v").alias("node"))).distinct())
+    census = [(0, nd, ee)]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = (ee.select(F.col("u").alias("node"))
+               .unionAll(ee.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        nd = deg.where(F.col("d") >= _KCORE_K).select("node")
+        ee = (ee.join(nd.withColumnRenamed("node", "u"), "u", "left_semi")
+              .join(nd.withColumnRenamed("node", "v"), "v", "left_semi")
+              .select("u", "v").localCheckpoint())
+        census.append((i, nd, ee))
+    out = None
+    for i, nd_i, ee_i in census:
+        row = (nd_i.agg(F.count(F.lit(1)).alias("n_nodes"))
+               .crossJoin(ee_i.agg(F.count(F.lit(1)).alias("n_edges")))
+               .select(F.lit(i).cast("int").alias("round"),
+                       F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                       F.col("n_edges").cast("bigint").alias("n_edges")))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1367,3 +1367,157 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      F.lit(0)))
                     .cast("bigint").alias("n_kept"),
                     "max_cos"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — Jégou et al. 2011 (public): split
+# each vector into M subspaces, run k-means PER SUBSPACE, store every
+# corpus vector as M small codes, and answer queries by Asymmetric
+# Distance Computation: one (sub, cid) -> partial-d2 lookup table per
+# query, summed over the M codes.  The 100 TB story is compression —
+# the scan reads M bytes per vector instead of 4*DIM, the codebook
+# (M*k*dim_sub rows) and the per-query ADC tables (M*k rows) are
+# broadcast, and the corpus is never shuffled.  Integer fixed-point
+# arithmetic end-to-end (2^-20 quantization, floor-mean updates,
+# deterministic (d2, cid) tie-breaks) so every stage is value-hash-
+# checkable against the unrolled DuckDB CTE chain, like the IVF twin.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces (64 dims -> 8 dims each)
+_PQ_K = 4          # codes per subspace; seeds = vec_id 0..3 sub-vectors
+_PQ_ITERS = 2
+_PQ_SUB = None     # derived: sim.DIM // _PQ_M
+
+
+def _pq_oracle() -> str:
+    m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
+    dsub = sim.DIM // m
+    parts = [f"""
+    WITH v AS MATERIALIZED (
+        SELECT e.vec_id, d.dim, (d.dim - 1) // {dsub} AS sub,
+               CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE)
+                          * {_IVF_SCALE!r}) AS BIGINT) AS qv
+        FROM embeddings e, (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim) d
+    ),
+    pc0 AS MATERIALIZED (
+        SELECT sub, vec_id AS cid, dim, qv AS cq FROM v WHERE vec_id < {k}
+    )"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+    pd{i} AS MATERIALIZED (
+        SELECT v.vec_id, v.sub, c.cid,
+               SUM((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+        FROM v JOIN pc{p} c ON c.dim = v.dim
+        GROUP BY v.vec_id, v.sub, c.cid
+    ),
+    pa{i} AS MATERIALIZED (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM pd{i}) t WHERE rn = 1
+    ),
+    pu{i} AS MATERIALIZED (
+        SELECT a.sub, a.cid, v.dim,
+               CAST(FLOOR(CAST(SUM(v.qv) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+        FROM pa{i} a JOIN v ON v.vec_id = a.vec_id AND v.sub = a.sub
+        GROUP BY a.sub, a.cid, v.dim
+    ),
+    pc{i} AS MATERIALIZED (
+        SELECT p.sub, p.cid, p.dim, COALESCE(u.cq, p.cq) AS cq
+        FROM pc{p} p LEFT JOIN pu{i} u
+          ON u.sub = p.sub AND u.cid = p.cid AND u.dim = p.dim
+    )""")
+    parts.append(f"""
+    adctab AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.sub, c.cid,
+               SUM((q.qv - c.cq) * (q.qv - c.cq)) AS d2
+        FROM v q JOIN pc{iters} c ON c.dim = q.dim
+        WHERE q.vec_id < {_N_QUERIES}
+        GROUP BY q.vec_id, c.sub, c.cid
+    ),
+    adc AS MATERIALIZED (
+        SELECT t.query_id, a.vec_id AS cand_id, SUM(t.d2) AS adc_d2
+        FROM pa{iters} a
+        JOIN adctab t ON t.sub = a.sub AND t.cid = a.cid
+        WHERE a.vec_id != t.query_id
+        GROUP BY t.query_id, a.vec_id
+    )
+    SELECT query_id, cand_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT query_id, cand_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, cand_id) AS rnk
+        FROM adc) t
+    WHERE rnk <= 5
+    """)
+    return ",".join(parts)
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_oracle(),
+    doc="product-quantization ANN (Jegou et al. 2011): integer k-means "
+        "per 8-dim subspace (k=4, 2 Lloyd iterations, 2^-20 fixed "
+        "point), corpus stored as 8 codes/vector, queries answered by "
+        "Asymmetric Distance Computation over a broadcast (sub, cid) "
+        "lookup table — the compressed-scan member of the ANN family "
+        "(vs LSH buckets and IVF lists); every stage hash-checked "
+        "against the unrolled DuckDB CTE chain",
+    bench=True,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
+    dsub = sim.DIM // m
+    v = (emb.select("vec_id",
+                    F.posexplode(F.expr(sim.as_double_array("embedding")))
+                    .alias("pos", "x"))
+         .select("vec_id", (F.col("pos") + 1).alias("dim"),
+                 (F.col("pos") / dsub).cast("int").alias("sub"),
+                 F.floor(F.col("x") * F.lit(_IVF_SCALE))
+                 .cast("bigint").alias("qv"))
+         .localCheckpoint())
+    cents = (v.where(F.col("vec_id") < k)
+             .select("sub", F.col("vec_id").alias("cid"), "dim",
+                     F.col("qv").alias("cq")))
+    codes = None
+    for _ in range(iters):
+        dist = (v.join(cents.hint("broadcast"), ["sub", "dim"])
+                .groupBy("vec_id", "sub", "cid")
+                .agg(F.sum((F.col("qv") - F.col("cq"))
+                           * (F.col("qv") - F.col("cq"))).alias("d2")))
+        wa = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+        codes = (dist.withColumn("rn", F.row_number().over(wa))
+                 .where(F.col("rn") == 1).select("vec_id", "sub", "cid")
+                 .localCheckpoint())
+        upd = (codes.join(v, ["vec_id", "sub"])
+               .groupBy("sub", "cid", "dim")
+               .agg(F.floor(F.sum("qv").cast("double")
+                            / F.count(F.lit(1)).cast("double"))
+                    .cast("bigint").alias("ucq")))
+        cents = (cents.join(upd, ["sub", "cid", "dim"], "left")
+                 .select("sub", "cid", "dim",
+                         F.coalesce("ucq", "cq").alias("cq"))
+                 .localCheckpoint())
+    adctab = (v.where(F.col("vec_id") < _N_QUERIES)
+              .withColumnRenamed("vec_id", "query_id")
+              .join(cents.hint("broadcast"), ["sub", "dim"])
+              .groupBy("query_id", "sub", "cid")
+              .agg(F.sum((F.col("qv") - F.col("cq"))
+                         * (F.col("qv") - F.col("cq"))).alias("d2")))
+    adc = (codes.join(adctab.hint("broadcast"), ["sub", "cid"])
+           .where(F.col("vec_id") != F.col("query_id"))
+           .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+           .agg(F.sum("d2").alias("adc_d2")))
+    wr = Window.partitionBy("query_id").orderBy("adc_d2", "cand_id")
+    return (adc.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= 5)
+            .select("query_id", "cand_id",
+                    F.col("adc_d2").cast("bigint").alias("adc_d2"),
+                    F.col("rnk").cast("int").alias("rnk")))
