@@ -45,6 +45,9 @@ _SAMPLE_PRIORITY = [
     "stream_incremental_dedup", "dedup_incremental_pairs",
     "sim_ivf_fixedpoint_topk",
     # round 7, tier 3: new this round — first driver rows
+    "graph_link_prediction_ra", "text_dsir_importance_weights",
+    "trend_spearman_acf_monthly_revenue", "dq_benford_first_digit",
+    "sim_ivf_incremental_topk",
     "graph_triangle_counts", "dedup_semdedup_clusters",
     "snapshot_version_diff", "snapshot_time_travel_audit",
     "sim_pq_adc_topk", "graph_kcore_census",
@@ -67,10 +70,7 @@ _SAMPLE_PRIORITY = [
     "mm_content_histogram_neardup",
     # never-sampled dedup/text/similarity/mlprep/stream classics
     "dedup_simhash_pairs", "text_pii_scan", "text_repetition_scores",
-    "text_langid_heuristic", "sim_bruteforce_topk",
-    "mix_temperature_sampling", "split_train_test",
-    "sketch_value_percentiles", "stream_sessionization",
-    "events_markov_transitions",
+    "text_langid_heuristic", "mix_temperature_sampling",
 ]
 
 

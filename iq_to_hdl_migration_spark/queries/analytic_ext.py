@@ -745,3 +745,89 @@ def trend_mann_kendall_monthly_revenue(spark: SparkSession,
                     .when((F.col("s_stat") < 0) & (z < -1.96),
                           "decreasing")
                     .otherwise("no_trend").alias("trend")))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank autocorrelation of the monthly revenue series at lags
+# 1..6 — seasonality detection companion to the Theil-Sen/Mann-Kendall
+# trend pair above, and deliberately SPEARMAN rather than Pearson so
+# the whole statistic stays hash-portable: ranks are integers, the
+# d^2 sum is a BIGINT, and rho = 1 - 6*sum_d2/(n(n^2-1)) is one
+# mult/div chain on doubles (bit-stable).  Ranks use row_number with
+# a month tiebreak (exact-DECIMAL revenues make real ties
+# vanishingly unlikely; the tiebreak keeps both engines identical if
+# one occurs).  Same 100 TB shape as its siblings: the fact table
+# collapses to ~80 exact-DECIMAL monthly points FIRST, so the lag
+# join and the per-lag rank windows run on a constant-size frame at
+# any scale.
+
+@register(
+    "trend_spearman_acf_monthly_revenue",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(o_orderdate AS TIMESTAMP))
+                    AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT b.x - a.x AS lag, a.x AS ax, a.y AS ay, b.y AS by_
+        FROM m a JOIN m b ON b.x - a.x BETWEEN 1 AND 6
+    ),
+    ranked AS (
+        SELECT lag,
+               ROW_NUMBER() OVER (PARTITION BY lag ORDER BY ay, ax)
+                   AS r1,
+               ROW_NUMBER() OVER (PARTITION BY lag ORDER BY by_, ax)
+                   AS r2
+        FROM pairs
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+           1.0 - (6.0 * CAST(SUM((r1 - r2) * (r1 - r2)) AS DOUBLE))
+                 / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+               AS spearman_rho
+    FROM ranked GROUP BY lag ORDER BY lag
+    """,
+    doc="Spearman rank autocorrelation of monthly revenue at lags "
+        "1..6: exact-DECIMAL monthly points first (constant ~80-row "
+        "frame at any scale), integer ranks + BIGINT d^2 sums per "
+        "lag, rho as one double mult/div chain — seasonality "
+        "detection with full hash parity",
+)
+def trend_spearman_acf_monthly_revenue(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint").alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("y")))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (a.join(b, (F.col("b.x") - F.col("a.x")).between(1, 6))
+             .select((F.col("b.x") - F.col("a.x")).alias("lag"),
+                     F.col("a.x").alias("ax"),
+                     F.col("a.y").alias("ay"),
+                     F.col("b.y").alias("by_")))
+    ranked = pairs.select(
+        "lag",
+        F.row_number().over(
+            Window.partitionBy("lag").orderBy("ay", "ax")).alias("r1"),
+        F.row_number().over(
+            Window.partitionBy("lag").orderBy("by_", "ax")).alias("r2"))
+    d2 = ((F.col("r1") - F.col("r2"))
+          * (F.col("r1") - F.col("r2"))).cast("bigint")
+    g = ranked.groupBy(F.col("lag").cast("bigint").alias("lag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(d2).cast("bigint").alias("sum_d2"))
+    n = F.col("n_pairs")
+    return (g.select(
+        "lag", "n_pairs", "sum_d2",
+        (F.lit(1.0) - (F.lit(6.0) * F.col("sum_d2").cast("double"))
+         / (n * (n * n - 1)).cast("double")).alias("spearman_rho"))
+        .orderBy("lag"))

@@ -811,3 +811,101 @@ def text_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0))
                   .cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("oov_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling" — public paper):
+# hash every token into a fixed feature space (1024 buckets via the
+# portable 60-bit md5 idiom), estimate the target distribution from
+# an in-corpus target slice (lang='en') and the source distribution
+# from the whole corpus, then score each document by how much more
+# target-like than source-like its hashed unigram profile is.  Kept
+# hash-portable by replacing the paper's sum-of-log-ratios with the
+# rational pair (numer, denom) = (sum of add-1-smoothed target hits,
+# sum of add-1-smoothed source hits) — pure BIGINT sums — and ONE
+# final double division for the ranking weight (IEEE division of two
+# int64-backed doubles is bit-stable across engines).
+#
+# 100 TB shape: the bucket frequency tables are <= 1024 rows however
+# big the corpus is — broadcast both; the only data-sized shuffles are
+# the (doc, bucket) partial-count aggregation and the per-doc rollup;
+# top-100 compiles to TakeOrderedAndProject.
+
+_DSIR_BUCKETS = 1024
+_DSIR_TOPK = 100
+_DSIR_HV_DUCK = ("CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)"
+                 f" % {_DSIR_BUCKETS}")
+_DSIR_HV_SPARK = ("CAST(conv(substr(md5(CAST(token AS BINARY)), 1, 15),"
+                  f" 16, 10) AS BIGINT) % {_DSIR_BUCKETS}")
+
+
+@register(
+    "text_dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               {_DSIR_HV_DUCK} AS bucket
+        FROM (SELECT doc_id, lang, unnest({_TOKS_DUCK}) AS token
+              FROM documents)
+    ),
+    src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS src_c
+            FROM tok GROUP BY bucket),
+    tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tgt_c
+            FROM tok WHERE lang = 'en' GROUP BY bucket),
+    db AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY doc_id, bucket),
+    scored AS (
+        SELECT db.doc_id,
+               CAST(SUM(db.c * (COALESCE(tgt.tgt_c, 0) + 1))
+                    AS BIGINT) AS numer,
+               CAST(SUM(db.c * (src.src_c + 1)) AS BIGINT) AS denom
+        FROM db JOIN src ON src.bucket = db.bucket
+                LEFT JOIN tgt ON tgt.bucket = db.bucket
+        GROUP BY db.doc_id
+    )
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id, d.lang, s.numer,
+           s.denom,
+           CAST(s.numer AS DOUBLE) / CAST(s.denom AS DOUBLE)
+               AS dsir_weight
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY dsir_weight DESC, s.doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+    doc="DSIR-style hashed-unigram importance weights: 1024-bucket "
+        "portable md5 feature space, target = lang='en' slice, source "
+        "= whole corpus; per-doc rational (numer, denom) in BIGINT "
+        "with add-1 smoothing and one final double division; bucket "
+        "tables broadcast (constant 1024 rows at any corpus size), "
+        "top-100 via TakeOrderedAndProject",
+    bench=True,
+)
+def text_dsir_importance_weights(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr(_TOKS_SPARK)).alias("token")).select(
+        "doc_id", "lang", F.expr(_DSIR_HV_SPARK).alias("bucket"))
+    src = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("src_c"))
+    tgt = (tok.where(F.col("lang") == "en").groupBy("bucket")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("tgt_c")))
+    db = tok.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    scored = (db.join(F.broadcast(src), "bucket")
+              .join(F.broadcast(tgt), "bucket", "left")
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("c") * (F.coalesce(F.col("tgt_c"),
+                                                  F.lit(0)) + 1))
+                   .cast("bigint").alias("numer"),
+                   F.sum(F.col("c") * (F.col("src_c") + 1))
+                   .cast("bigint").alias("denom")))
+    return (scored.join(docs.select("doc_id", "lang"), "doc_id")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "lang", "numer", "denom",
+                    (F.col("numer").cast("double")
+                     / F.col("denom").cast("double"))
+                    .alias("dsir_weight"))
+            .orderBy(F.desc("dsir_weight"), "doc_id")
+            .limit(_DSIR_TOPK))

@@ -971,3 +971,96 @@ def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_edges").cast("bigint").alias("n_edges")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the part co-purchase graph: the
+# resource-allocation (RA) index.  For every non-adjacent pair (u, v)
+# at distance 2, RA = sum over common neighbors z of 1/deg(z) — kept
+# fully in integers as SUM(10^12 div deg(z)) so the score hash-matches
+# across engines (no double summation).  The scale move: wedges are
+# generated only through intermediaries with deg(z) <= 64.  That is
+# not just a cap for tractability — it is principled for RA, whose
+# whole design is that high-degree hubs contribute ~nothing (1/deg),
+# and it bounds the wedge join at 64^2 pairs per intermediary no
+# matter how hot the hottest part is, the same skew-safety shape as
+# the degree-ordered triangle orientation above.  Filter runs BEFORE
+# the self-join (hub rows never shuffle).  Top-50 via orderBy+limit
+# (TakeOrderedAndProject, no global window).
+
+_RA_SCALE = 10 ** 12
+_RA_MAX_DEG = 64
+_RA_TOPK = 50
+
+
+@register(
+    "graph_link_prediction_ra",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY u),
+    mid AS (SELECT node, d FROM deg WHERE d <= {_RA_MAX_DEG}),
+    wedge AS (
+        SELECT x.v AS u, y.v AS v,
+               CAST({_RA_SCALE} // m.d AS BIGINT) AS w
+        FROM e x JOIN mid m ON m.node = x.u
+                 JOIN e y ON y.u = x.u AND x.v < y.v
+    ),
+    cand AS (
+        SELECT u, v, CAST(SUM(w) AS BIGINT) AS ra_scaled,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM wedge GROUP BY u, v
+    )
+    SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+           c.ra_scaled, c.common_neighbors
+    FROM cand c LEFT JOIN e0 ON e0.u = c.u AND e0.v = c.v
+    WHERE e0.u IS NULL
+    ORDER BY c.ra_scaled DESC, c.u, c.v
+    LIMIT {_RA_TOPK}
+    """,
+    doc="resource-allocation link prediction on the co-purchase "
+        "graph: integer RA score SUM(1e12 div deg(z)) over common "
+        "neighbors, wedges routed only through deg<=64 intermediaries "
+        "(hub rows pruned before the self-join; RA discounts hubs by "
+        "design), existing edges anti-joined away, top-50 via "
+        "orderBy+limit",
+    bench=True,
+)
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").alias("u"),
+                  F.col("b.l_partkey").alias("v"))
+          .distinct().localCheckpoint())
+    e = e0.unionAll(e0.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d"))
+    mid = deg.where(F.col("d") <= _RA_MAX_DEG)
+    # adjacency restricted to low-degree centers, weight attached once
+    ez = (e.join(mid.withColumnRenamed("node", "u"), "u")
+          .select("u", "v",
+                  F.expr(f"CAST({_RA_SCALE} div d AS BIGINT)").alias("w")))
+    x, y = ez.alias("x"), e.alias("y")
+    wedge = (x.join(y, (F.col("y.u") == F.col("x.u"))
+                    & (F.col("x.v") < F.col("y.v")))
+             .select(F.col("x.v").alias("u"), F.col("y.v").alias("v"),
+                     F.col("x.w").alias("w")))
+    cand = wedge.groupBy("u", "v").agg(
+        F.sum("w").cast("bigint").alias("ra_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+    open_pairs = cand.join(e0, ["u", "v"], "left_anti")
+    return (open_pairs
+            .select(F.col("u").cast("bigint").alias("u"),
+                    F.col("v").cast("bigint").alias("v"),
+                    "ra_scaled", "common_neighbors")
+            .orderBy(F.desc("ra_scaled"), "u", "v")
+            .limit(_RA_TOPK))

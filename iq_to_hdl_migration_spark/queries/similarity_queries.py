@@ -667,30 +667,48 @@ _IVF_PROBE = 2
 _IVF_SCALE = 1048576.0   # 2^20
 
 
-def _fp_kmeans_ctes(k: int, iters: int, final_update: bool) -> str:
+def _fp_kmeans_ctes(k: int, iters: int, final_update: bool,
+                    train_pred: str | None = None) -> str:
     """WITH-chain prefix shared by every fixed-point k-means oracle:
     2^-20-quantized vectors `v`, seed centroids `c0` (vec_id < k), and
     per-iteration dist{{i}}/a{{i}} (+ u{{i}}/c{{i}} centroid updates).
     `final_update=False` stops at the last assignment a{{iters}} —
     consumers that never probe updated centroids (SemDeDup) skip the
-    dead u/c CTEs so DuckDB doesn't materialize them."""
+    dead u/c CTEs so DuckDB doesn't materialize them.
+    `train_pred` restricts the TRAINING corpus (Lloyd iterations and
+    seeds — the k lowest ids satisfying the predicate) while `v`
+    still quantizes every vector, so later stages can probe held-out
+    batches and queries; None keeps the historical all-corpus text."""
+    tv = "v" if train_pred is None else "tv"
     parts = [f"""
     WITH v AS MATERIALIZED (
         SELECT e.vec_id, d.dim,
                CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE)
                           * {_IVF_SCALE!r}) AS BIGINT) AS qv
         FROM embeddings e, (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim) d
-    ),
+    )"""]
+    if train_pred is None:
+        parts.append(f"""
     c0 AS MATERIALIZED (
         SELECT vec_id AS cid, dim, qv AS cq FROM v WHERE vec_id < {k}
-    )"""]
+    )""")
+    else:
+        parts.append(f"""
+    tv AS MATERIALIZED (
+        SELECT * FROM v WHERE {train_pred}
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id AS cid, dim, qv AS cq FROM tv
+        WHERE vec_id IN (SELECT DISTINCT vec_id FROM tv
+                         ORDER BY vec_id LIMIT {k})
+    )""")
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(f"""
     dist{i} AS MATERIALIZED (
         SELECT v.vec_id, c.cid,
                SUM((v.qv - c.cq) * (v.qv - c.cq)) AS d2
-        FROM v JOIN c{p} c ON c.dim = v.dim
+        FROM {tv} v JOIN c{p} c ON c.dim = v.dim
         GROUP BY v.vec_id, c.cid
     ),
     a{i} AS MATERIALIZED (
@@ -706,7 +724,7 @@ def _fp_kmeans_ctes(k: int, iters: int, final_update: bool) -> str:
         SELECT a.cid, v.dim,
                CAST(FLOOR(CAST(SUM(v.qv) AS DOUBLE)
                           / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
-        FROM a{i} a JOIN v ON v.vec_id = a.vec_id
+        FROM a{i} a JOIN {tv} v ON v.vec_id = a.vec_id
         GROUP BY a.cid, v.dim
     ),
     c{i} AS MATERIALIZED (
@@ -760,13 +778,16 @@ def _ivf_fixedpoint_oracle() -> str:
     return ",".join(parts)
 
 
-def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int):
+def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
+                      train_pred=None):
     """Spark twin of _fp_kmeans_ctes: integer Lloyd iterations over
     2^-20-quantized per-dim rows. Returns (v, cents, assign) where
     assign is a{iters} (computed against c{iters-1}) and cents is
     c{iters}. Centroid tables are k*DIM rows (broadcast); the per-
     iteration shuffle is the vec-sized dist groupBy — linear in the
-    corpus, never pairwise."""
+    corpus, never pairwise. `train_pred` (a Column predicate)
+    restricts the training corpus and seeds to match the oracle's
+    train_pred; None trains on everything with vec_id < k seeds."""
     from pyspark.sql import Window
 
     v = (emb.select("vec_id",
@@ -776,12 +797,22 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int):
                  F.floor(F.col("x") * F.lit(_IVF_SCALE)).cast("bigint")
                  .alias("qv"))
          .cache())
-    cents = (v.where(F.col("vec_id") < k)
-             .select(F.col("vec_id").alias("cid"), "dim",
-                     F.col("qv").alias("cq")))
+    if train_pred is None:
+        tv = v
+        cents = (v.where(F.col("vec_id") < k)
+                 .select(F.col("vec_id").alias("cid"), "dim",
+                         F.col("qv").alias("cq")))
+    else:
+        tv = v.where(train_pred)
+        seed_ids = (tv.select("vec_id").distinct()
+                    .orderBy("vec_id").limit(k))
+        cents = (tv.join(F.broadcast(seed_ids), "vec_id")
+                 .select(F.col("vec_id").alias("cid"), "dim",
+                         F.col("qv").alias("cq")))
+    v_train = tv
     assign = None
     for _ in range(iters):
-        dist = (v.join(cents.hint("broadcast"), "dim")
+        dist = (v_train.join(cents.hint("broadcast"), "dim")
                 .groupBy("vec_id", "cid")
                 .agg(F.sum((F.col("qv") - F.col("cq"))
                            * (F.col("qv") - F.col("cq"))).alias("d2")))
@@ -789,7 +820,7 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int):
         assign = (dist.withColumn("rn", F.row_number().over(wa))
                   .where(F.col("rn") == 1).select("vec_id", "cid")
                   .localCheckpoint())
-        upd = (assign.join(v, "vec_id")
+        upd = (assign.join(v_train, "vec_id")
                .groupBy("cid", "dim")
                .agg(F.floor(F.sum("qv").cast("double")
                             / F.count(F.lit(1)).cast("double"))
@@ -1521,3 +1552,143 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "cand_id",
                     F.col("adc_d2").cast("bigint").alias("adc_d2"),
                     F.col("rnk").cast("int").alias("rnk")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF: the ANN twin of dedup_incremental_pairs.  The
+# index (integer k-means centroids + posting lists) is trained on the
+# BASE corpus only; an arriving batch is folded in with ONE nearest-
+# centroid assignment pass against the frozen centroids — no retrain,
+# per-batch work linear in the batch — and queries probe the merged
+# posting lists, proving newly ingested vectors are immediately
+# retrievable.  `from_batch` marks hits that only exist because of
+# the incremental fold.  100 TB shape: centroids are k*DIM rows
+# (broadcast); batch assignment never touches the base corpus; the
+# exact re-rank runs on probe-bounded candidates.
+
+_INC_BASE_PRED = f"vec_id >= {_N_QUERIES} AND vec_id % 5 != 0"
+_INC_BATCH_PRED = f"vec_id >= {_N_QUERIES} AND vec_id % 5 = 0"
+
+
+def _ivf_incremental_oracle() -> str:
+    k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
+    parts = [_fp_kmeans_ctes(k, iters, final_update=True,
+                             train_pred=_INC_BASE_PRED)]
+    parts.append(f"""
+    bdist AS MATERIALIZED (
+        SELECT v.vec_id, c.cid,
+               SUM((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+        FROM v JOIN c{iters} c ON c.dim = v.dim
+        WHERE {_INC_BATCH_PRED}
+        GROUP BY v.vec_id, c.cid
+    ),
+    bassign AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM bdist) t WHERE rn = 1
+    ),
+    postings AS MATERIALIZED (
+        SELECT vec_id, cid FROM a{iters}
+        UNION ALL SELECT vec_id, cid FROM bassign
+    ),
+    qdist AS MATERIALIZED (
+        SELECT v.vec_id AS query_id, c.cid,
+               SUM((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+        FROM v JOIN c{iters} c ON c.dim = v.dim
+        WHERE v.vec_id < {_N_QUERIES}
+        GROUP BY v.vec_id, c.cid
+    ),
+    probes AS MATERIALIZED (
+        SELECT query_id, cid FROM (
+            SELECT query_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, cid) AS rn
+            FROM qdist) t WHERE rn <= {probe}
+    ),
+    cand AS MATERIALIZED (
+        SELECT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN postings a ON a.cid = p.cid
+        WHERE a.vec_id != p.query_id
+    ),
+    pair AS MATERIALIZED (
+        SELECT c.query_id, c.cand_id,
+               SUM((q.qv - x.qv) * (q.qv - x.qv)) AS qdist
+        FROM cand c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v x ON x.vec_id = c.cand_id AND x.dim = q.dim
+        GROUP BY c.query_id, c.cand_id
+    )
+    SELECT query_id, cand_id, CAST(qdist AS BIGINT) AS qdist,
+           CAST(rnk AS INTEGER) AS rnk,
+           CAST(cand_id % 5 = 0 AS INTEGER) AS from_batch
+    FROM (
+        SELECT query_id, cand_id, qdist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdist, cand_id) AS rnk
+        FROM pair) t
+    WHERE rnk <= 5
+    """)
+    return ",".join(parts)
+
+
+@register(
+    "sim_ivf_incremental_topk",
+    oracle=_ivf_incremental_oracle(),
+    doc="incremental IVF ANN: integer k-means index trained on the "
+        "base corpus only; an arriving batch (vec_id % 5 = 0) folded "
+        "in by one nearest-centroid pass against frozen centroids; "
+        "queries probe the merged postings and the exact re-rank "
+        "flags batch-sourced hits — per-batch work independent of "
+        "corpus size, hash-checked against the fully unrolled oracle",
+    bench=True,
+)
+def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
+    base_pred = ((F.col("vec_id") >= _N_QUERIES)
+                 & (F.col("vec_id") % 5 != 0))
+    v, cents, assign = _fp_kmeans_assign(emb, k, iters,
+                                         train_pred=base_pred)
+    batch = v.where((F.col("vec_id") >= _N_QUERIES)
+                    & (F.col("vec_id") % 5 == 0))
+    bdist = (batch.join(cents.hint("broadcast"), "dim")
+             .groupBy("vec_id", "cid")
+             .agg(F.sum((F.col("qv") - F.col("cq"))
+                        * (F.col("qv") - F.col("cq"))).alias("d2")))
+    wb = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    bassign = (bdist.withColumn("rn", F.row_number().over(wb))
+               .where(F.col("rn") == 1).select("vec_id", "cid"))
+    postings = assign.unionByName(bassign)
+    qdist = (v.where(F.col("vec_id") < _N_QUERIES)
+             .join(cents.hint("broadcast"), "dim")
+             .groupBy(F.col("vec_id").alias("query_id"), F.col("cid"))
+             .agg(F.sum((F.col("qv") - F.col("cq"))
+                        * (F.col("qv") - F.col("cq"))).alias("d2")))
+    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (qdist.withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= probe).select("query_id", "cid"))
+    cand = (probes.join(postings.withColumnRenamed("vec_id", "cand_id"),
+                        "cid")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id"))
+    qv_q = v.select(F.col("vec_id").alias("query_id"), "dim",
+                    F.col("qv").alias("qq"))
+    qv_c = v.select(F.col("vec_id").alias("cand_id"), "dim",
+                    F.col("qv").alias("qc"))
+    pair = (cand.join(qv_q.hint("broadcast"), "query_id")
+            .join(qv_c, ["cand_id", "dim"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum((F.col("qq") - F.col("qc"))
+                       * (F.col("qq") - F.col("qc"))).alias("qdist")))
+    wr = Window.partitionBy("query_id").orderBy("qdist", "cand_id")
+    return (pair.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= 5)
+            .select("query_id", "cand_id",
+                    F.col("qdist").cast("bigint").alias("qdist"),
+                    F.col("rnk").cast("int").alias("rnk"),
+                    (F.col("cand_id") % 5 == 0).cast("int")
+                    .alias("from_batch")))

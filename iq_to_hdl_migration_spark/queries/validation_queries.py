@@ -683,3 +683,68 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("staleness_us"),
                     (F.col("max_ts_us") == F.col("freshest_us"))
                     .alias("is_freshest")))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance over order totals — a classic
+# data-quality / fraud screen for financial fact columns.  Expected
+# frequencies log10(1+1/d) are pre-scaled integer constants
+# (parts-per-million, floor — identical literals in both engines), so
+# observed-vs-expected deviation is pure BIGINT algebra; each digit's
+# chi-square contribution is a short double mult/div chain on two
+# int64-backed doubles (bit-stable), never a cross-row double sum.
+# 100 TB shape: one map-side-combined groupBy on a 9-value key; the
+# output is always exactly 9 rows.
+
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+                6: 66946, 7: 57991, 8: 51152, 9: 45757}
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()) + " END")
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs)
+    SELECT obs.digit, obs.observed,
+           CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+           CAST(obs.observed * 1000000 - tot.n * {_BENFORD_CASE}
+                AS BIGINT) AS dev_ppm,
+           (CAST(obs.observed * 1000000 - tot.n * {_BENFORD_CASE}
+                 AS DOUBLE) / 1000000.0)
+           * (CAST(obs.observed * 1000000 - tot.n * {_BENFORD_CASE}
+                   AS DOUBLE) / 1000000.0)
+           / (CAST(tot.n * {_BENFORD_CASE} AS DOUBLE) / 1000000.0)
+               AS chi2_contrib
+    FROM obs, tot ORDER BY obs.digit
+    """,
+    doc="Benford first-digit screen on o_totalprice: integer ppm "
+        "expected-frequency constants, BIGINT deviation, per-digit "
+        "chi-square contribution as a bit-stable double chain; one "
+        "9-key map-side-combined aggregation at any scale",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (orders.select(
+        F.expr("CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+               " AS STRING), 1, 1) AS BIGINT)").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("observed")))
+    tot = obs.agg(F.sum("observed").cast("bigint").alias("n"))
+    j = obs.crossJoin(F.broadcast(tot)).withColumn(
+        "expected_ppm", F.expr(_BENFORD_CASE).cast("bigint"))
+    dev = (F.col("observed") * 1000000
+           - F.col("n") * F.col("expected_ppm")).cast("bigint")
+    dev_d = dev.cast("double") / F.lit(1000000.0)
+    exp_d = ((F.col("n") * F.col("expected_ppm")).cast("double")
+             / F.lit(1000000.0))
+    return (j.select("digit", "observed", "expected_ppm",
+                     dev.alias("dev_ppm"),
+                     (dev_d * dev_d / exp_d).alias("chi2_contrib"))
+            .orderBy("digit"))
