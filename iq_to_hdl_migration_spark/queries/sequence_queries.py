@@ -712,14 +712,16 @@ def graph_part_copurchase_communities(spark: SparkSession,
 # Triangle counting over the part co-purchase graph — the classic
 # degree-ordered orientation (count each triangle once at its
 # lowest-(degree, id) corner): orient every edge from its lower- to
-# its higher-(degree, id) endpoint, wedge-join the oriented adjacency
-# on the shared low corner, and close wedges against the undirected
-# edge set. Orientation caps oriented out-degree at ~sqrt(2m)
-# (arboricity bound), so the wedge join is skew-bounded no matter how
-# hot the hottest part is — the formulation that survives a 100x
-# scale-up where the naive 3-way self-join on raw adjacency explodes
-# on hub nodes. Also reports wedges and the global clustering
-# coefficient (one integer/integer division — bit-stable).
+# its higher-(degree, id) endpoint, then close with the edge
+# iterator: per oriented edge (a, b), count common out-neighbors as
+# |N+(a) ∩ N+(b)| over sorted oriented adjacency arrays. Orientation
+# caps oriented out-degree at ~sqrt(2m) (arboricity bound), so the
+# arrays are skew-bounded no matter how hot the hottest part is, and
+# the intersection form never materializes the wedge set (41M rows at
+# sf0.1 under the earlier wedge-join formulation — 1.9x slower) — the
+# shape that survives a 100x scale-up where a naive 3-way self-join
+# on raw adjacency explodes on hub nodes. Also reports wedges and the
+# global clustering coefficient (one integer division — bit-stable).
 
 @register(
     "graph_triangle_counts",
@@ -765,22 +767,28 @@ def graph_part_copurchase_communities(spark: SparkSession,
     doc="triangle + wedge census of the part co-purchase graph via "
         "degree-ordered orientation (each triangle counted once at "
         "its min-(degree,id) corner; oriented out-degree bounded by "
-        "~sqrt(2m), so the wedge join is hub-skew-proof); reports the "
-        "global clustering coefficient",
+        "~sqrt(2m)) closed by the edge-iterator: per oriented edge, "
+        "|N+(a) ∩ N+(b)| over sorted adjacency arrays — the wedge "
+        "set is never materialized or shuffled; reports the global "
+        "clustering coefficient",
     bench=True,
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # e0 feeds SIX downstream branches (deg, oe, the closing semi-join,
+    # n_edges, wedges, nodes): materialize the expensive self-join +
+    # distinct ONCE instead of letting each branch recompute it
     e0 = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                  & (F.col("a.l_partkey") < F.col("b.l_partkey")))
           .select(F.col("a.l_partkey").alias("u"),
                   F.col("b.l_partkey").alias("v"))
-          .distinct())
+          .distinct().localCheckpoint())
     deg = (e0.select(F.col("u").alias("node"))
            .unionAll(e0.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint())
     lower = ((F.col("du") < F.col("dv"))
              | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
     oe = (e0.join(deg.select(F.col("node").alias("u"),
@@ -790,14 +798,22 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.when(lower, F.col("u")).otherwise(F.col("v"))
                   .alias("a"),
                   F.when(lower, F.col("v")).otherwise(F.col("u"))
-                  .alias("b")))
-    w1 = oe.select(F.col("a"), F.col("b").alias("b1"))
-    w2 = oe.select(F.col("a"), F.col("b").alias("b2"))
-    tri = (w1.join(w2, "a")
-           .where(F.col("b1") < F.col("b2"))
-           .join(e0, (F.col("b1") == F.col("u"))
-                 & (F.col("b2") == F.col("v")), "left_semi")
-           .agg(F.count(F.lit(1)).alias("n_triangles")))
+                  .alias("b"))
+          .localCheckpoint())
+    # edge-iterator closure: per oriented edge (a, b), triangles are
+    # |N+(a) ∩ N+(b)| over the oriented adjacency arrays (bounded by
+    # ~sqrt(2m) via the orientation).  This never materializes the
+    # wedge set — at sf0.1 that is 41M wedge rows the old wedge-join
+    # formulation shuffled into the closing semi-join; here the only
+    # shuffles are edge-sized joins carrying bounded arrays.
+    adj = oe.groupBy("a").agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs"))
+    tri = (oe.join(adj.select(F.col("a"), F.col("nbrs").alias("na")),
+                   "a")
+           .join(adj.select(F.col("a").alias("b"),
+                            F.col("nbrs").alias("nb")), "b")
+           .select(F.size(F.array_intersect("na", "nb")).alias("t"))
+           .agg(F.sum("t").cast("bigint").alias("n_triangles")))
     wdg = deg.agg(F.sum(F.expr("d * (d - 1) div 2")).cast("bigint")
                   .alias("n_wedges"))
     odeg = (oe.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
