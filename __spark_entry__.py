@@ -47,7 +47,8 @@ _SAMPLE_PRIORITY = [
     # round 7, tier 3: new this round — first driver rows
     "graph_link_prediction_ra", "text_dsir_importance_weights",
     "trend_spearman_acf_monthly_revenue", "dq_benford_first_digit",
-    "sim_ivf_incremental_topk",
+    "sim_ivf_incremental_topk", "stream_dsir_gate",
+    "mlprep_dedup_aware_weights",
     "graph_triangle_counts", "dedup_semdedup_clusters",
     "snapshot_version_diff", "snapshot_time_travel_audit",
     "sim_pq_adc_topk", "graph_kcore_census",
@@ -64,12 +65,12 @@ _SAMPLE_PRIORITY = [
     "a5_view_transitive_closure", "f18_migratable_tables",
     "j13_login_policy_options", "o2_lpt_assignment",
     "v5_ledger_integrity", "v10_preflight_checks", "s7_generated_ddl",
-    "fn_scalar_suite", "ddl_output_digest", "assessment_report",
+    "fn_scalar_suite", "ddl_output_digest",
     # never-sampled multimodal plumbing
     "mm_binary_features", "mm_payload_dedup_groups",
     "mm_content_histogram_neardup",
     # never-sampled dedup/text/similarity/mlprep/stream classics
-    "dedup_simhash_pairs", "text_pii_scan", "text_repetition_scores",
+    "dedup_simhash_pairs", "text_pii_scan",
     "text_langid_heuristic", "mix_temperature_sampling",
 ]
 

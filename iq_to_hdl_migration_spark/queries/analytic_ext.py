@@ -320,19 +320,22 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT date_trunc('month', o_orderdate) AS month_ts,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
-                   AS rev
+               SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_dec
         FROM orders GROUP BY 1
     )
-    SELECT month_ts, rev,
-           SUM(rev) OVER (ORDER BY month_ts
+    SELECT month_ts, CAST(rev_dec AS DOUBLE) AS rev,
+           CAST(SUM(rev_dec) OVER (ORDER BY month_ts
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               / SUM(rev) OVER () AS cum_share
+                AS DOUBLE)
+               / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS cum_share
     FROM m
     """,
     doc="cumulative revenue share by month: heavy aggregation first "
         "(one shuffle to ~84 month rows), then the unpartitioned window "
-        "runs on the tiny aggregate — never a global sort of the fact",
+        "runs on the tiny aggregate — never a global sort of the fact; "
+        "the running sum stays DECIMAL-exact through the window (a "
+        "windowed SUM(double) accumulates in engine-specific order — "
+        "not bit-stable) with ONE double division at the end",
 )
 def orders_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
@@ -340,14 +343,15 @@ def orders_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         od.withColumn("month_ts", F.trunc(F.col("o_orderdate"), "month"))
         .groupBy("month_ts")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-             .cast("double").alias("rev"))
+             .alias("rev_dec"))
     )
     w_cum = Window.orderBy("month_ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy()
     return monthly.select(
-        "month_ts", "rev",
-        (F.sum("rev").over(w_cum) / F.sum("rev").over(w_all))
+        "month_ts", F.col("rev_dec").cast("double").alias("rev"),
+        (F.sum("rev_dec").over(w_cum).cast("double")
+         / F.sum("rev_dec").over(w_all).cast("double"))
         .alias("cum_share"))
 
 
@@ -355,19 +359,28 @@ def orders_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_qty_price_correlation",
     oracle="""
     WITH m AS (
+        -- every moment leaves DECIMAL as float(unscaled_int)/10^scale:
+        -- a single-rounded int->double cast (correctly rounded in both
+        -- engines) followed by one division — the direct DECIMAL(38,4)
+        -- -> DOUBLE cast path differs between engines once the
+        -- unscaled value passes 2^53 (r7 bit-exact gate catch)
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
-                   AS sy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
-                        * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) * 100
+                         AS HUGEINT) AS DOUBLE) / 100.0 AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+                         AS HUGEINT) AS DOUBLE) / 100.0 AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+                        * CAST(l_quantity AS DECIMAL(14,2))) * 10000
+                         AS HUGEINT) AS DOUBLE) / 10000.0
                    AS sxx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-                        * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * CAST(l_extendedprice AS DECIMAL(14,2))) * 10000
+                         AS HUGEINT) AS DOUBLE) / 10000.0
                    AS syy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
-                        * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+                        * CAST(l_extendedprice AS DECIMAL(14,2))) * 10000
+                         AS HUGEINT) AS DOUBLE) / 10000.0
                    AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
@@ -386,13 +399,19 @@ def stats_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(14,2)")
     y = F.col("l_extendedprice").cast("decimal(14,2)")
+    def viaint(col, scale):
+        # float(unscaled)/10^scale — the single-rounded int->double
+        # path shared with the oracle (see oracle comment)
+        return ((col * scale).cast("decimal(38,0)").cast("double")
+                / F.lit(float(scale)))
+
     m = (li.groupBy("l_returnflag")
          .agg(F.count(F.lit(1)).cast("double").alias("n"),
-              F.sum(x).cast("double").alias("sx"),
-              F.sum(y).cast("double").alias("sy"),
-              F.sum(x * x).cast("double").alias("sxx"),
-              F.sum(y * y).cast("double").alias("syy"),
-              F.sum(x * y).cast("double").alias("sxy")))
+              viaint(F.sum(x), 100).alias("sx"),
+              viaint(F.sum(y), 100).alias("sy"),
+              viaint(F.sum(x * x), 10000).alias("sxx"),
+              viaint(F.sum(y * y), 10000).alias("syy"),
+              viaint(F.sum(x * y), 10000).alias("sxy")))
     corr = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
             / (F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
                * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))))

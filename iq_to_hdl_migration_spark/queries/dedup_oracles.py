@@ -418,3 +418,46 @@ def grand_funnel_oracle() -> str:
         FROM flags
     ) s
     """
+
+
+def dedup_weights_oracle(threshold: float = 0.7) -> str:
+    """Twin of mlprep_dedup_aware_weights: soft dedup — every document
+    keeps a training weight of 1e6 // near-dup-cluster-size ppm
+    (singletons weigh 1.0), aggregated per source. Reuses the
+    minhash-clusters transitive closure; weights are exact integers
+    and the effective-document ratio is one double division."""
+    return f"""
+    WITH RECURSIVE {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    pairs AS (
+        SELECT id_a, id_b FROM cand WHERE est_jaccard >= {threshold}
+        UNION
+        SELECT keep_id AS id_a, id AS id_b FROM base WHERE id != keep_id
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach (u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+              FROM labels GROUP BY component),
+    w AS (
+        SELECT d.source,
+               CAST(1000000 // COALESCE(s.csize, 1) AS BIGINT) AS w_ppm
+        FROM documents d
+        LEFT JOIN labels l ON l.id = d.doc_id
+        LEFT JOIN sizes s ON s.component = l.component
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w_ppm) AS BIGINT) AS sum_weight_ppm,
+           CAST(SUM(w_ppm) AS DOUBLE) / 1e6 AS effective_docs,
+           1.0 - (CAST(SUM(w_ppm) AS DOUBLE) / 1e6)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_tax
+    FROM w GROUP BY source
+    """

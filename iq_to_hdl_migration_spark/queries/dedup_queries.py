@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iq_to_hdl_migration_spark.operators import dedup
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
+    dedup_weights_oracle,
     grand_funnel_oracle,
     incremental_pairs_oracle,
     lsh_bucket_census_oracle,
@@ -404,3 +405,41 @@ def curation_grand_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("total").cast("double"))
                     .alias("survival_rate")))
 
+
+
+@register(
+    "mlprep_dedup_aware_weights",
+    oracle=dedup_weights_oracle(threshold=0.7),
+    doc="soft dedup for training mixes: instead of dropping near-dups, "
+        "every document keeps weight 1e6 // cluster_size ppm (the "
+        "SlimPajama-style downweighting alternative); per-source "
+        "report of raw docs, exact integer weight mass, effective "
+        "document count and the duplication tax — LSH clusters via "
+        "the same flood-safe pipeline as dedup_minhash_clusters, "
+        "weights pure BIGINT, ratios one double division each",
+)
+def mlprep_dedup_aware_weights(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.components import (
+        connected_components)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    pairs = dedup.lsh_candidate_pairs(docs.select("doc_id", "text"),
+                                      threshold=0.7)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize"))
+    w = (docs.join(comp.withColumnRenamed("id", "doc_id"),
+                   "doc_id", "left")
+         .join(sizes, "component", "left")
+         .select("source",
+                 F.expr("CAST(1000000 div coalesce(csize, 1L) AS BIGINT)")
+                 .alias("w_ppm")))
+    eff = F.sum("w_ppm").cast("double") / F.lit(1e6)
+    return (w.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("w_ppm").cast("bigint").alias("sum_weight_ppm"),
+                 eff.alias("effective_docs"),
+                 (F.lit(1.0) - eff / F.count(F.lit(1)).cast("double"))
+                 .alias("dup_tax")))

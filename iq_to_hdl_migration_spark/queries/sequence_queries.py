@@ -160,28 +160,35 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sr AS (
         SELECT s_nationkey, l_suppkey,
-               CAST(SUM({_EP} * (1 - {_DISC})) AS DECIMAL(18,2)) AS rev
+               SUM({_EP} * (1 - {_DISC})) AS rev
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey, l_suppkey
-    ), sc AS (
-        -- exact integer cents (int128) so the square cannot overflow;
-        -- the 100x scale cancels in the HHI ratio
-        SELECT s_nationkey, rev, CAST(rev * 100 AS HUGEINT) AS rc
-        FROM sr
+    ), tot AS (
+        SELECT s_nationkey, SUM(CAST(rev * 10000 AS HUGEINT)) AS tot_rc
+        FROM sr GROUP BY s_nationkey
+    ), sh AS (
+        -- per-supplier revenue share in exact floor-ppm: HUGEINT
+        -- units so no value ever rounds through a >2^53 double
+        SELECT sr.s_nationkey, sr.rev,
+               CAST(CAST(sr.rev * 10000 AS HUGEINT) * 1000000
+                    // tot.tot_rc AS BIGINT) AS share_ppm
+        FROM sr JOIN tot ON tot.s_nationkey = sr.s_nationkey
     )
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
            CAST(SUM(rev) AS DOUBLE) AS nation_revenue,
-           CAST(SUM(rc * rc) AS DOUBLE)
-               / (CAST(SUM(rc) AS DOUBLE) * CAST(SUM(rc) AS DOUBLE))
-               AS hhi
-    FROM sc JOIN nation ON s_nationkey = n_nationkey
+           CAST(SUM(share_ppm * share_ppm) AS DOUBLE) / 1e12 AS hhi
+    FROM sh JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     """,
     doc="Market-concentration (Herfindahl) of supplier revenue within "
-        "each nation. HHI = SUM(rev_i^2)/SUM(rev_i)^2 — computed from "
-        "exact decimal sums with a single double division so both "
-        "engines agree bitwise. SURVEY §2.11.",
+        "each nation: HHI = SUM(share_i^2) with shares floor-quantized "
+        "to exact integer ppm (sum of squares <= 1e12 — always BIGINT, "
+        "never a >2^53 integer squeezed through a double, which the "
+        "r7 bit-exact audit showed DuckDB and the JVM round "
+        "differently); per-supplier revenue stays full-scale DECIMAL "
+        "(the old DECIMAL(18,2) recast hit a half-up/half-even cent "
+        "boundary). SURVEY §2.11.",
 )
 def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -194,25 +201,29 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(scaled_dim(s.select("s_suppkey", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_nationkey", "l_suppkey")
-        .agg(F.sum("item_rev").cast("decimal(18,2)").alias("rev"))
+        .agg(F.sum("item_rev").alias("rev"))
     )
-    # Exact integer cents (DECIMAL(38,0) ~ DuckDB's HUGEINT) so the
-    # square stays exact; the 100x scale cancels in the HHI ratio.
+    # exact scale-4 integer units (DECIMAL(38,0) ~ DuckDB HUGEINT)
     sc = sr.withColumn(
-        "rc", (F.col("rev") * F.lit(100)).cast("decimal(38,0)"))
+        "rc", (F.col("rev") * F.lit(10000)).cast("decimal(38,0)"))
+    tot = sc.groupBy(F.col("s_nationkey").alias("tk")).agg(
+        F.sum("rc").alias("tot_rc"))
+    sh = (sc.join(tot, F.col("s_nationkey") == F.col("tk"))
+          .select("s_nationkey", "rev",
+                  F.expr("CAST((rc * 1000000) div tot_rc AS BIGINT)")
+                  .alias("share_ppm")))
     agg = (
-        sc.join(F.broadcast(n.select("n_nationkey", "n_name")),
+        sh.join(F.broadcast(n.select("n_nationkey", "n_name")),
                 F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
              F.sum("rev").cast("double").alias("nation_revenue"),
-             F.sum(F.col("rc") * F.col("rc")).alias("sum_sq"),
-             F.sum("rc").alias("tot_rc"))
+             F.sum(F.col("share_ppm") * F.col("share_ppm"))
+             .cast("bigint").alias("hhi_ppm2"))
     )
-    tot_d = F.col("tot_rc").cast("double")
     return agg.select(
         "n_name", "n_suppliers", "nation_revenue",
-        (F.col("sum_sq").cast("double") / (tot_d * tot_d)).alias("hhi"),
+        (F.col("hhi_ppm2").cast("double") / F.lit(1e12)).alias("hhi"),
     )
 
 

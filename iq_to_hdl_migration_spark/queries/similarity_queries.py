@@ -299,22 +299,27 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_embedding_stats",
     oracle="""
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CAST(embedding[1] AS DECIMAL(20,10))) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e10)
+                         AS BIGINT)) AS DOUBLE) / 1e10
                / CAST(COUNT(*) AS DOUBLE) AS avg_first,
            CAST(MIN(embedding[1]) AS DOUBLE) AS min_first,
            CAST(MAX(embedding[1]) AS DOUBLE) AS max_first
     FROM embeddings
     GROUP BY label
     """,
-    doc="per-label embedding stats (decimal-exact sum keeps the shuffle "
-        "order-insensitive and the hash stable)",
+    doc="per-label embedding stats; the mean goes through 1e-10-floor-"
+        "quantized BIGINT sums (float->DECIMAL casts round differently "
+        "per engine — the r7 bit-exact audit caught it; float->DOUBLE "
+        "widening + floor is exact everywhere) with one double "
+        "division chain at the end",
 )
 def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     first = F.element_at("embedding", 1)
+    q = F.floor(first.cast("double") * F.lit(1e10)).cast("bigint")
     return (emb.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
-                 (F.sum(first.cast("decimal(20,10)")).cast("double")
+                 (F.sum(q).cast("double") / F.lit(1e10)
                   / F.count(F.lit(1)).cast("double")).alias("avg_first"),
                  F.min(first).cast("double").alias("min_first"),
                  F.max(first).cast("double").alias("max_first")))

@@ -336,3 +336,83 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from_us").cast("bigint").alias("valid_from_us"),
         F.col("valid_to_us").cast("bigint").alias("valid_to_us"),
         F.col("n_events").cast("bigint").alias("n_events"))
+
+
+@register(
+    "stream_dsir_gate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, source,
+               CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                   % 1024 AS bucket
+        FROM (SELECT doc_id, lang, source,
+                     unnest(string_split_regex(lower(trim(text)),
+                                               '\\s+')) AS token
+              FROM documents)
+    ),
+    src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS src_c
+            FROM tok GROUP BY bucket),
+    tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tgt_c
+            FROM tok WHERE lang = 'en' GROUP BY bucket),
+    db AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY doc_id, bucket),
+    scored AS (
+        SELECT db.doc_id,
+               CAST(SUM(db.c * (COALESCE(tgt.tgt_c, 0) + 1))
+                    AS BIGINT) AS numer,
+               CAST(SUM(db.c * (src.src_c + 1)) AS BIGINT) AS denom
+        FROM db JOIN src ON src.bucket = db.bucket
+                LEFT JOIN tgt ON tgt.bucket = db.bucket
+        GROUP BY db.doc_id
+    ),
+    kppm AS (
+        SELECT CAST(1000000 * (SELECT COUNT(*) FROM tok
+                               WHERE lang = 'en')
+                    // (SELECT COUNT(*) FROM tok) AS BIGINT) AS k
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(len(string_split_regex(lower(trim(d.text)),
+                                           '\\s+'))) AS BIGINT)
+               AS n_tokens_kept
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id, kppm
+    WHERE CAST(s.numer AS HUGEINT) * 1000000
+          >= CAST(s.denom AS HUGEINT) * kppm.k
+    GROUP BY d.source
+    """,
+    doc="streaming DSIR quality gate: the hashed-unigram bucket "
+        "tables of text_dsir_importance_weights are precomputed from "
+        "the base corpus (1024 integers — the index an offline job "
+        "ships to ingest), baked into the stream as literal arrays, "
+        "and every arriving document is admitted by the stateless "
+        "integer cross-multiplication numer * 1e6 >= denom * keep_ppm "
+        "(keep_ppm = corpus-average target ratio, DECIMAL(38,0)-safe); "
+        "running per-source kept counts over the bounded source key "
+        "set — the streaming pass admits exactly the batch-scored "
+        "set, checked by the shared oracle",
+)
+def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.queries.corpus_queries import (
+        _DSIR_BUCKETS, _DSIR_HV_SPARK, _TOKS_SPARK)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    name = f"q_stream_dsir_{next(_seq)}"
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.expr(_TOKS_SPARK)).alias("token")).select(
+        "lang", F.expr(_DSIR_HV_SPARK).alias("bucket"))
+    # bounded bucket tables (<= 1024 rows at ANY corpus size): collect
+    # to plain lists, the "persisted index" the stream gates against
+    src_rows = (tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+                .collect())
+    tgt_rows = (tok.where(F.col("lang") == "en").groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("c")).collect())
+    src_arr = [0] * _DSIR_BUCKETS
+    tgt_arr = [0] * _DSIR_BUCKETS
+    for r in src_rows:
+        src_arr[int(r["bucket"])] = int(r["c"])
+    for r in tgt_rows:
+        tgt_arr[int(r["bucket"])] = int(r["c"])
+    keep_ppm = 1_000_000 * sum(tgt_arr) // sum(src_arr)
+    return W.streaming_dsir_gate(spark, sf_dir, tgt_arr, src_arr,
+                                 _DSIR_BUCKETS, keep_ppm, name)

@@ -731,11 +731,14 @@ _BENFORD_CASE = ("CASE digit " + " ".join(
 )
 def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # materialize the 9-row digit histogram once: obs feeds both the
+    # output and the total, and without this the plan scans orders 3x
     obs = (orders.select(
         F.expr("CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
                " AS STRING), 1, 1) AS BIGINT)").alias("digit"))
         .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("observed")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+        .localCheckpoint())
     tot = obs.agg(F.sum("observed").cast("bigint").alias("n"))
     j = obs.crossJoin(F.broadcast(tot)).withColumn(
         "expected_ppm", F.expr(_BENFORD_CASE).cast("bigint"))

@@ -600,3 +600,48 @@ def streaming_scd2(spark: SparkSession, sf_dir: str,
     events = read_events_stream(spark, sf_dir)
     run_to_memory(scd2_stream(events), _query_name, "append")
     return spark.table(_query_name)
+
+
+def streaming_dsir_gate(spark: SparkSession, sf_dir: str,
+                        tgt_counts: list, src_counts: list,
+                        n_buckets: int, keep_ppm: int,
+                        _query_name: str = "stream_dsir") -> DataFrame:
+    """Streaming DSIR quality gate: documents arrival stream ->
+    per-document target-affinity score against PRECOMPUTED hashed-
+    unigram bucket tables (the index an offline job ships to the
+    ingest path) -> integer keep decision -> running per-source kept
+    counts (complete mode over the bounded source key set).
+
+    The bucket tables arrive as plain lists (<= n_buckets entries —
+    constant at any corpus size) and are baked into the expression as
+    literal arrays, so the whole score is stateless per document: no
+    stream-side aggregation, no shuffle before the final bounded
+    groupBy. The keep rule is the INTEGER cross-multiplication
+    numer * 1e6 >= denom * keep_ppm — admit documents whose add-1-
+    smoothed target/source affinity exceeds the corpus-average ratio
+    keep_ppm = floor(1e6 * target_tokens / source_tokens) — carried
+    in DECIMAL(38,0) so the products can never wrap however large the
+    corpus counts grow; streaming and batch admit exactly the same
+    documents, and that equality is the registered oracle check."""
+    docs = read_documents_stream(spark, sf_dir)
+    tgt_sql = "array(" + ",".join(f"{int(x)}L" for x in tgt_counts) + ")"
+    src_sql = "array(" + ",".join(f"{int(x)}L" for x in src_counts) + ")"
+    bks = (r"transform(split(lower(trim(text)), '\\s+'), "
+           r"t -> CAST(conv(substr(md5(CAST(t AS BINARY)), 1, 15), "
+           f"16, 10) AS BIGINT) % {n_buckets})")
+    numer = (f"aggregate({bks}, 0L, (acc, b) -> "
+             f"acc + element_at({tgt_sql}, CAST(b + 1 AS INT)) + 1L)")
+    denom = (f"aggregate({bks}, 0L, (acc, b) -> "
+             f"acc + element_at({src_sql}, CAST(b + 1 AS INT)) + 1L)")
+    kept = (docs.withColumn("numer", F.expr(numer))
+            .withColumn("denom", F.expr(denom))
+            .where(F.expr(f"CAST(numer AS DECIMAL(38,0)) * 1000000 >= "
+                          f"CAST(denom AS DECIMAL(38,0)) * {keep_ppm}"))
+            .select("source",
+                    F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+                    .cast("bigint").alias("nt")))
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("nt").cast("bigint").alias("n_tokens_kept"))
+    run_to_memory(agg, _query_name, "complete")
+    return spark.table(_query_name)

@@ -1,20 +1,20 @@
 """Local replica of the driver's Spark-vs-DuckDB correctness compare:
 row count, column-name set, and order-insensitive value equality after
-sorting columns by name. Exact float equality on purpose — queries are
-designed for bit-stable results (decimal-exact aggregation), and any
-drift should fail loudly here before the driver sees it.
+sorting columns by name. Floats compare BIT-EXACT (struct-packed) —
+the driver's value hash is exact on doubles, so a query that is equal
+to 1e-9 but not bit-equal (sqrt(a*b) vs sqrt(a)*sqrt(b), windowed
+SUM(double), float->DECIMAL casts, >2^53 int->double casts) is a red
+driver row; the round-7 audit found and fixed four such queries, and
+this gate now fails loudly before the driver sees the next one.
 """
 
 from __future__ import annotations
 
-import math
+import struct
 
 import duckdb
 
 from iq_to_hdl_migration_spark.sources.tables import TABLES, table_path
-
-_EPS = 1e-9  # relative; guards platform-libm differences only
-
 
 # DuckDB types that are invisible locally but break the DRIVER's value
 # hash: int128 fetches as Python int (== int64 values), yet the driver's
@@ -76,10 +76,12 @@ def assert_matches_oracle(spark, fn, sql: str, sf_dir: str, name: str = "?"):
     for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
         for a, b in zip(sr, orow):
             if isinstance(a, float) and isinstance(b, float):
-                if math.isclose(a, b, rel_tol=_EPS, abs_tol=_EPS):
+                if struct.pack("d", a) == struct.pack("d", b):
                     continue
-                raise AssertionError(f"{name}: row {i} float {a!r} != {b!r}\n"
-                                     f"spark={sr}\noracle={orow}")
+                raise AssertionError(
+                    f"{name}: row {i} float not BIT-exact {a!r} != {b!r} "
+                    f"(driver-hash red even if numerically close)\n"
+                    f"spark={sr}\noracle={orow}")
             if a != b:
                 raise AssertionError(f"{name}: row {i} value {a!r} != {b!r}\n"
                                      f"spark={sr}\noracle={orow}")

@@ -526,3 +526,56 @@ def test_bpe_first_merges_takeordered(spark, sf_dir):
         spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
+
+
+def test_triangle_counts_no_wedge_materialization(spark, sf_dir):
+    # round-7 rewrite: triangles close via sorted-adjacency
+    # array_intersect per oriented edge — the plan must show the
+    # intersect expression and must NOT contain a cartesian or a
+    # nested-loop that would betray an all-pairs/wedge blow-up
+    plan = final_plan(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
+    assert "array_intersect" in plan, "expected adjacency-intersect closure"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "crossJoin" not in plan
+
+
+def test_link_prediction_hub_prune_before_selfjoin(spark, sf_dir):
+    # the deg<=64 filter must run BEFORE the wedge self-join (hub rows
+    # never shuffle into the join) — visible as a Filter on d pushed
+    # under the join, and no cartesian anywhere
+    df = REGISTRY["graph_link_prediction_ra"].fn(spark, sf_dir)
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "(d#" in plan or "d <= 64" in plan.replace("L", ""), (
+        "expected the degree cap to appear as a filter in the plan")
+
+
+def test_dsir_bucket_tables_broadcast(spark, sf_dir):
+    # the 1024-row bucket frequency tables must broadcast; the only
+    # sort-merge-scale joins allowed are the per-doc aggregations
+    plan = final_plan(
+        REGISTRY["text_dsir_importance_weights"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, (
+        "top-100 must compile to TakeOrderedAndProject, not a global sort")
+
+
+def test_benford_single_aggregation_pass(spark, sf_dir):
+    # one 9-key aggregate over the scan; the totals row joins back as
+    # a broadcast (1 row) — no second scan of orders
+    df = REGISTRY["dq_benford_first_digit"].fn(spark, sf_dir)
+    plan = final_plan(df)
+    assert plan.count("FileScan parquet") <= 2, (
+        "benford should scan orders once (plus nothing else)")
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_incremental_batch_never_joins_base_corpus(spark, sf_dir):
+    # the arriving batch is assigned against BROADCAST centroids only;
+    # no plan node may join batch vectors against the base corpus rows
+    plan = final_plan(
+        REGISTRY["sim_ivf_incremental_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, (
+        "centroid probes must broadcast (k*DIM rows)")
