@@ -48,7 +48,8 @@ _SAMPLE_PRIORITY = [
     "graph_link_prediction_ra", "text_dsir_importance_weights",
     "trend_spearman_acf_monthly_revenue", "dq_benford_first_digit",
     "sim_ivf_incremental_topk", "stream_dsir_gate",
-    "mlprep_dedup_aware_weights",
+    "mlprep_dedup_aware_weights", "sketch_kmv_set_ops",
+    "mm_scene_cuts", "events_cusum_changepoints",
     "graph_triangle_counts", "dedup_semdedup_clusters",
     "snapshot_version_diff", "snapshot_time_travel_audit",
     "sim_pq_adc_topk", "graph_kcore_census",
@@ -67,10 +68,8 @@ _SAMPLE_PRIORITY = [
     "v5_ledger_integrity", "v10_preflight_checks", "s7_generated_ddl",
     "fn_scalar_suite", "ddl_output_digest",
     # never-sampled multimodal plumbing
-    "mm_binary_features", "mm_payload_dedup_groups",
-    "mm_content_histogram_neardup",
+    "mm_binary_features", "mm_content_histogram_neardup",
     # never-sampled dedup/text/similarity/mlprep/stream classics
-    "dedup_simhash_pairs", "text_pii_scan",
     "text_langid_heuristic", "mix_temperature_sampling",
 ]
 

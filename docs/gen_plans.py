@@ -140,7 +140,10 @@ def main() -> None:
         df = reg[name].fn(spark, SF_DIR)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        out += [f"## {name}", "", NOTES.get(name, ""), "", "```",
+        # fall back to the registry doc string — every query carries
+        # its scale rationale there, so new bench entries are never
+        # silently note-less
+        out += [f"## {name}", "", NOTES.get(name, reg[name].doc), "", "```",
                 plan.strip()[:4000], "```", ""]
     with open("docs/PLANS.md", "w") as f:
         f.write("\n".join(out))

@@ -417,6 +417,7 @@ def curation_grand_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "document count and the duplication tax — LSH clusters via "
         "the same flood-safe pipeline as dedup_minhash_clusters, "
         "weights pure BIGINT, ratios one double division each",
+    bench=True,
 )
 def mlprep_dedup_aware_weights(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

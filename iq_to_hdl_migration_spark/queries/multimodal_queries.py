@@ -222,3 +222,70 @@ def mm_content_histogram_neardup(spark: SparkSession,
     return (pairs.withColumn("cosine", cosine)
             .where(F.col("cosine") >= 0.999)
             .select("id_a", "id_b", "cosine"))
+
+
+@register(
+    "mm_scene_cuts",
+    oracle="""
+    WITH params AS (
+        -- documents text is ASCII, so VARCHAR substr == byte slicing
+        -- and ord(char) == byte value
+        SELECT doc_id, text AS b,
+               CAST(CEIL(length(text) / 8.0) AS INTEGER) AS step
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, i, substr(b, 1 + i * step, step) AS chunk
+        FROM params CROSS JOIN (SELECT unnest(range(0, 8)) AS i) t
+        WHERE length(substr(b, 1 + i * step, step)) > 0
+    ),
+    chars AS (
+        SELECT doc_id, i, chunk,
+               unnest(range(1, length(chunk) + 1)) AS pos
+        FROM frames
+    ),
+    hist0 AS (
+        SELECT doc_id, i, ord(substr(chunk, pos, 1)) % 16 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars GROUP BY 1, 2, 3
+    ),
+    flen AS (SELECT doc_id, i, CAST(length(chunk) AS BIGINT) AS flen
+             FROM frames),
+    grid AS (
+        SELECT f.doc_id, f.i, g.bucket FROM flen f
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+    ),
+    dense AS (
+        SELECT g.doc_id, g.i, g.bucket, COALESCE(h.c, 0) AS c
+        FROM grid g LEFT JOIN hist0 h
+          ON h.doc_id = g.doc_id AND h.i = g.i AND h.bucket = g.bucket
+    ),
+    l1 AS (
+        SELECT a.doc_id, a.i AS boundary,
+               CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS l1_delta
+        FROM dense a JOIN dense b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         AND b.bucket = a.bucket
+        GROUP BY a.doc_id, a.i
+    )
+    SELECT CAST(l1.doc_id AS BIGINT) AS doc_id,
+           CAST(l1.boundary AS INTEGER) AS boundary, l1.l1_delta,
+           fa.flen AS len_a, fb.flen AS len_b,
+           CAST(2 * l1.l1_delta >= fa.flen + fb.flen AS INTEGER)
+               AS is_cut
+    FROM l1 JOIN flen fa ON fa.doc_id = l1.doc_id
+                        AND fa.i = l1.boundary
+            JOIN flen fb ON fb.doc_id = l1.doc_id
+                        AND fb.i = l1.boundary + 1
+    """,
+    doc="video-style scene-cut detection: 8 contiguous payload frames "
+        "-> 16-bucket byte histograms (numpy over Arrow batches, the "
+        "real frame-feature plumbing) -> integer L1 delta per "
+        "consecutive boundary, cut when 2*l1 >= len_a+len_b — one row "
+        "per boundary so the curation job can pick frames around "
+        "cuts; pure-integer output, fully hash-checked",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.scene_cut_deltas(mm.attach_binary_payload(docs),
+                               n_frames=8, bins=16)

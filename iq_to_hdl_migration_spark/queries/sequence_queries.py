@@ -206,9 +206,11 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact scale-4 integer units (DECIMAL(38,0) ~ DuckDB HUGEINT)
     sc = sr.withColumn(
         "rc", (F.col("rev") * F.lit(10000)).cast("decimal(38,0)"))
+    # per-nation totals: bounded by the nation domain (25 rows) —
+    # broadcast back onto the per-supplier frame
     tot = sc.groupBy(F.col("s_nationkey").alias("tk")).agg(
         F.sum("rc").alias("tot_rc"))
-    sh = (sc.join(tot, F.col("s_nationkey") == F.col("tk"))
+    sh = (sc.join(F.broadcast(tot), F.col("s_nationkey") == F.col("tk"))
           .select("s_nationkey", "rev",
                   F.expr("CAST((rc * 1000000) div tot_rc AS BIGINT)")
                   .alias("share_ppm")))
@@ -1091,3 +1093,101 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "ra_scaled", "common_neighbors")
             .orderBy(F.desc("ra_scaled"), "u", "v")
             .limit(_RA_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint / level-shift detection over the hourly event-rate
+# series — the monitoring companion to events_anomaly_zscore (which
+# scores points independently; CUSUM accumulates small sustained
+# shifts).  s_t = max(0, s_{t-1} + x_t - k) with k = floor(mean
+# hourly count) and alarm at s_t >= 5k — all BIGINT, so the whole
+# series hash-checks.  The sequential recurrence runs over the hourly
+# aggregate, whose length is bounded by the RETENTION WINDOW (hours
+# of calendar), not by data volume: at 100 TB the fact table
+# collapses to the same few-thousand-point series, folded in one
+# aggregate() pass over a sorted array on a single row; the oracle
+# states the identical recurrence as a recursive CTE.
+
+@register(
+    "events_cusum_changepoints",
+    oracle="""
+    WITH RECURSIVE h AS (
+        SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS hour_us,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT hour_us, c,
+               CAST(ROW_NUMBER() OVER (ORDER BY hour_us) AS BIGINT) AS i,
+               CAST((SUM(c) OVER () + COUNT(*) OVER () - 1)
+                    // COUNT(*) OVER () AS BIGINT) AS k
+        FROM h
+    ),
+    p AS (
+        -- ceil-mean + 5% slack: negative expected drift, so the
+        -- statistic returns to 0 between genuine sustained shifts
+        SELECT hour_us, c, i, k,
+               k + GREATEST(1, k // 20) AS ref
+        FROM idx
+    ),
+    s AS (
+        SELECT i, hour_us, c, k,
+               GREATEST(CAST(0 AS BIGINT), c - ref) AS cusum, ref
+        FROM p WHERE i = 1
+        UNION ALL
+        SELECT p.i, p.hour_us, p.c, p.k,
+               GREATEST(CAST(0 AS BIGINT), s.cusum + p.c - p.ref), p.ref
+        FROM s JOIN p ON p.i = s.i + 1
+    )
+    SELECT hour_us, c, CAST(k AS BIGINT) AS k,
+           CAST(cusum AS BIGINT) AS cusum,
+           CAST(cusum >= 2 * k AS INTEGER) AS is_alarm
+    FROM s
+    """,
+    doc="CUSUM level-shift detection on the hourly event rate: "
+        "s_t = max(0, s_t-1 + x_t - ref), ref = ceil-mean + 5% slack "
+        "(negative drift so s returns to 0 between shifts), alarm at "
+        "2x mean — accumulates sustained small shifts the pointwise "
+        "z-score misses; pure BIGINT; the recurrence folds over the "
+        "hourly aggregate (bounded by the retention window's hours, "
+        "not data volume) via one aggregate() pass, oracled as the "
+        "identical recursive CTE",
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy(F.expr("CAST(unix_micros(date_trunc('hour', ts))"
+                           " AS BIGINT)").alias("hour_us"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    one = h.agg(
+        F.sort_array(F.collect_list(F.struct("hour_us", "c"))).alias("hs"),
+        F.expr("CAST((sum(c) + count(1) - 1) div count(1) AS BIGINT)")
+        .alias("k"))
+    folded = one.select(
+        "k",
+        F.expr("k + greatest(1L, k div 20)").alias("ref"),
+        F.expr("""
+            aggregate(
+                hs,
+                struct(CAST(array() AS array<struct<hour_us: bigint,
+                                                    c: bigint,
+                                                    cusum: bigint>>) AS out,
+                       CAST(0 AS BIGINT) AS prev),
+                (acc, x) -> struct(
+                    concat(acc.out, array(struct(
+                        x.hour_us AS hour_us, x.c AS c,
+                        greatest(CAST(0 AS BIGINT),
+                                 acc.prev + x.c
+                                 - (k + greatest(1L, k div 20)))
+                            AS cusum))),
+                    greatest(CAST(0 AS BIGINT),
+                             acc.prev + x.c
+                             - (k + greatest(1L, k div 20))) AS prev),
+                acc -> acc.out) AS ser
+        """))
+    return (folded.select("k", F.explode("ser").alias("r"))
+            .select(F.col("r.hour_us").alias("hour_us"),
+                    F.col("r.c").alias("c"), "k",
+                    F.col("r.cusum").alias("cusum"),
+                    (F.col("r.cusum") >= 2 * F.col("k")).cast("int")
+                    .alias("is_alarm")))

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iq_to_hdl_migration_spark.operators import similarity as sim
-from iq_to_hdl_migration_spark.queries import register
+from iq_to_hdl_migration_spark.queries import REGISTRY, register
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
 _N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -916,17 +916,32 @@ def _RECALL_LEGS():
     guidance column: legs whose recall@5 on the structureless random
     corpus sits below a usable-retrieval bar (~70%) are labeled
     candidate_generation — use them to feed an exact re-ranker, not as
-    the final answer; retrieval legs stand on their own."""
+    the final answer; retrieval legs stand on their own.
+
+    Tolerant of not-yet-registered legs (pq_adc / ivf_incremental are
+    defined AFTER the matrix in this module): the matrix oracle is
+    rebuilt with the full leg set at module end."""
     from iq_to_hdl_migration_spark.queries import REGISTRY
+    legs = _raw_recall_legs()
+    return [(m, REGISTRY[n].oracle, role) for m, n, role in legs
+            if n in REGISTRY]
+
+
+def _raw_recall_legs():
     return [
-        ("lsh", REGISTRY["sim_ann_lsh_topk"].oracle,
+        ("lsh", "sim_ann_lsh_topk", "candidate_generation"),
+        ("multiprobe", "sim_ann_multiprobe_topk",
          "candidate_generation"),
-        ("multiprobe", REGISTRY["sim_ann_multiprobe_topk"].oracle,
+        ("multiprobe2", "sim_ann_multiprobe2_topk", "retrieval"),
+        ("ivf_fixedpoint", "sim_ivf_fixedpoint_topk", "retrieval"),
+        # 8-subspace PQ on structureless random vectors quantizes away
+        # most of the signal (recall@5 16%) — honest label: feed a
+        # re-ranker, never the final answer
+        ("pq_adc", "sim_pq_adc_topk", "candidate_generation"),
+        # index trained on the base corpus only; batch folded in by
+        # one frozen-centroid pass — recall@5 40% on this corpus
+        ("ivf_incremental", "sim_ivf_incremental_topk",
          "candidate_generation"),
-        ("multiprobe2", REGISTRY["sim_ann_multiprobe2_topk"].oracle,
-         "retrieval"),
-        ("ivf_fixedpoint", REGISTRY["sim_ivf_fixedpoint_topk"].oracle,
-         "retrieval"),
     ]
 
 
@@ -934,22 +949,18 @@ def _RECALL_LEGS():
     "sim_ann_recall_matrix",
     oracle=_recall_matrix_oracle(),
     doc="recall@5 vs exact float cosine for every oracled ANN method "
-        "(bucket LSH, Hamming-1 multi-probe, integer fixed-point IVF) — "
-        "unlike sim_ann_recall (rows-only, includes float k-means), "
-        "every leg of this dashboard is value-hash-checked end-to-end",
+        "(bucket LSH, Hamming-1/-2 multi-probe, integer fixed-point "
+        "IVF, PQ-ADC, incremental IVF — 6 legs) with the honest role "
+        "column; unlike sim_ann_recall (rows-only, includes float "
+        "k-means), every leg of this dashboard is value-hash-checked "
+        "end-to-end",
 )
 def sim_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (sim_bruteforce_topk(spark, sf_dir)
              .select("query_id", "cand_id"))
-    methods = {
-        "lsh": (sim_ann_lsh_topk(spark, sf_dir), "candidate_generation"),
-        "multiprobe": (sim_ann_multiprobe_topk(spark, sf_dir),
-                       "candidate_generation"),
-        "multiprobe2": (sim_ann_multiprobe2_topk(spark, sf_dir),
-                        "retrieval"),
-        "ivf_fixedpoint": (sim_ivf_fixedpoint_topk(spark, sf_dir),
-                           "retrieval"),
-    }
+    # leg registry names double as this module's function names
+    methods = {m: (globals()[name](spark, sf_dir), role)
+               for m, name, role in _raw_recall_legs()}
     out = None
     for m, (df, role) in methods.items():
         q = df.select(F.col("query_id").alias("qq"),
@@ -1713,3 +1724,10 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rnk").cast("int").alias("rnk"),
                     (F.col("cand_id") % 5 == 0).cast("int")
                     .alias("from_batch")))
+
+
+# The recall matrix's oracle was first built mid-module, before the
+# pq_adc / ivf_incremental legs existed; now that every leg is
+# registered, rebuild it with the full set (the Spark fn reads
+# _raw_recall_legs() at call time, so both sides agree).
+REGISTRY["sim_ann_recall_matrix"].oracle = _recall_matrix_oracle()

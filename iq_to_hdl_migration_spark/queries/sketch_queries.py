@@ -1096,3 +1096,175 @@ def sketch_countmin_weekly_rollup(spark: SparkSession,
                      F.col("user_id").cast("bigint").alias("user_id"),
                      "n_exact")
             .agg(F.min("c").alias("cms_estimate")))
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: pairwise audience union / intersection / Jaccard
+# between event-type populations computed ONLY from the stored
+# K-minimum-value sketches — the mergeability story that makes KMV a
+# warehouse primitive: |A∪B| comes from the K smallest of the two
+# sketches' values concatenated (no raw data revisit), |A∩B| by
+# inclusion-exclusion, and every estimate is the deterministic chain
+# (K-1) * 2^60 / kth_min on exact integers (if a sketch holds fewer
+# than K values the estimate degrades to the exact count — also the
+# standard rule).  The exact union count rides along so the report
+# shows its own estimation error.  100 TB shape: sketches are <= K
+# rows per type however large events grows; the pairwise stage works
+# on bounded frames only.
+
+_KMV_TYPES_BOUND = 64  # event_type domain is bounded (report caps there)
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH ut AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, hv FROM (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY hv) AS rn
+            FROM ut) t WHERE rn <= {_KMV_K}
+    ),
+    stat AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MAX(hv) AS BIGINT) AS kth
+        FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM stat a JOIN stat b ON a.event_type < b.event_type
+    ),
+    usk AS (
+        SELECT p.type_a, p.type_b, s.hv,
+               ROW_NUMBER() OVER (PARTITION BY p.type_a, p.type_b
+                                  ORDER BY s.hv) AS rn
+        FROM pairs p JOIN (SELECT DISTINCT event_type, hv FROM sk) s
+          ON s.event_type IN (p.type_a, p.type_b)
+        GROUP BY p.type_a, p.type_b, s.hv
+    ),
+    ustat AS (
+        SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS ucnt,
+               CAST(MAX(CASE WHEN rn <= {_KMV_K} THEN hv END)
+                    AS BIGINT) AS ukth,
+               CAST(SUM(CASE WHEN rn <= {_KMV_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ufill
+        FROM usk GROUP BY type_a, type_b
+    ),
+    exact_u AS (
+        SELECT p.type_a, p.type_b,
+               CAST(COUNT(DISTINCT u.hv) AS BIGINT) AS exact_union
+        FROM pairs p JOIN ut u ON u.event_type IN (p.type_a, p.type_b)
+        GROUP BY p.type_a, p.type_b
+    ),
+    est AS (
+        SELECT u.type_a, u.type_b,
+               CASE WHEN sa.cnt < {_KMV_K}
+                    THEN CAST(sa.cnt AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                         * CAST({_KMV_M} AS DOUBLE)
+                         / CAST(sa.kth AS DOUBLE) END AS a_est,
+               CASE WHEN sb.cnt < {_KMV_K}
+                    THEN CAST(sb.cnt AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                         * CAST({_KMV_M} AS DOUBLE)
+                         / CAST(sb.kth AS DOUBLE) END AS b_est,
+               CASE WHEN u.ufill < {_KMV_K}
+                    THEN CAST(u.ufill AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                         * CAST({_KMV_M} AS DOUBLE)
+                         / CAST(u.ukth AS DOUBLE) END AS union_est,
+               x.exact_union
+        FROM ustat u
+        JOIN stat sa ON sa.event_type = u.type_a
+        JOIN stat sb ON sb.event_type = u.type_b
+        JOIN exact_u x ON x.type_a = u.type_a AND x.type_b = u.type_b
+    )
+    SELECT type_a, type_b, CAST({_KMV_K} AS BIGINT) AS k,
+           a_est, b_est, union_est,
+           a_est + b_est - union_est AS intersect_est,
+           (a_est + b_est - union_est) / union_est AS jaccard_est,
+           exact_union
+    FROM est
+    """,
+    doc="KMV(128) set algebra: pairwise audience union / intersection "
+        "/ Jaccard between event-type populations from the stored "
+        "sketches alone (union = K smallest of the concatenated "
+        "sketch values — the mergeability property), inclusion-"
+        "exclusion intersection, deterministic (K-1)*2^60/kth chains, "
+        "below-K sketches degrade to exact counts; exact union count "
+        "alongside so the report displays its own error",
+    bench=True,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    k, M = _KMV_K, _KMV_M
+    ut = (ev.select("event_type",
+                    F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)),"
+                           " 1, 15), 16, 10) AS BIGINT)").alias("hv"))
+          .distinct())
+    wk = Window.partitionBy("event_type").orderBy("hv")
+    sk = (ut.withColumn("rn", F.row_number().over(wk))
+          .where(F.col("rn") <= k).select("event_type", "hv")
+          .localCheckpoint())
+    stat = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.max("hv").cast("bigint").alias("kth"))
+    a = stat.select(F.col("event_type").alias("type_a"),
+                    F.col("cnt").alias("cnt_a"),
+                    F.col("kth").alias("kth_a"))
+    b = stat.select(F.col("event_type").alias("type_b"),
+                    F.col("cnt").alias("cnt_b"),
+                    F.col("kth").alias("kth_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    # union sketch: K smallest of the two sketches' values, merged
+    # from the STORED sketches only (<= 2K rows per pair)
+    ska = sk.select(F.col("event_type").alias("type_a"), "hv")
+    skb = sk.select(F.col("event_type").alias("type_b"), "hv")
+    merged = (pairs.select("type_a", "type_b").join(ska, "type_a")
+              .unionByName(pairs.select("type_a", "type_b")
+                           .join(skb, "type_b")
+                           .select("type_a", "type_b", "hv"))
+              .distinct())
+    wu = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    um = merged.withColumn("rn", F.row_number().over(wu))
+    ustat = um.groupBy("type_a", "type_b").agg(
+        F.max(F.when(F.col("rn") <= k, F.col("hv"))).cast("bigint")
+        .alias("ukth"),
+        F.sum(F.when(F.col("rn") <= k, 1).otherwise(0)).cast("bigint")
+        .alias("ufill"))
+    # exact union rides along for the error display (one distinct agg)
+    uta = ut.select(F.col("event_type").alias("type_a"), "hv")
+    utb = ut.select(F.col("event_type").alias("type_b"), "hv")
+    exact = (pairs.select("type_a", "type_b").join(uta, "type_a")
+             .unionByName(pairs.select("type_a", "type_b")
+                          .join(utb, "type_b")
+                          .select("type_a", "type_b", "hv"))
+             .groupBy("type_a", "type_b")
+             .agg(F.countDistinct("hv").cast("bigint")
+                  .alias("exact_union")))
+
+    def est(cnt, kth):
+        return (F.when(cnt < k, cnt.cast("double"))
+                .otherwise(F.lit(float(k - 1)) * F.lit(float(M))
+                           / kth.cast("double")))
+
+    j = (ustat.join(pairs, ["type_a", "type_b"])
+         .join(exact, ["type_a", "type_b"]))
+    a_est = est(F.col("cnt_a"), F.col("kth_a"))
+    b_est = est(F.col("cnt_b"), F.col("kth_b"))
+    u_est = est(F.col("ufill"), F.col("ukth"))
+    return j.select(
+        "type_a", "type_b", F.lit(k).cast("bigint").alias("k"),
+        a_est.alias("a_est"), b_est.alias("b_est"),
+        u_est.alias("union_est"),
+        (a_est + b_est - u_est).alias("intersect_est"),
+        ((a_est + b_est - u_est) / u_est).alias("jaccard_est"),
+        "exact_union")

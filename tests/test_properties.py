@@ -123,3 +123,43 @@ def test_rewrite_idempotent_on_own_output(lines):
     first = E.rewrite(list(lines), BASE_RULES)
     second = E.rewrite(list(first.lines), BASE_RULES)
     assert second.lines == first.lines
+
+
+# ---------------------------------------------------------------------------
+# round-7 properties: exactness claims behind the GEMM/sketch rewrites
+
+
+@given(st.lists(st.lists(st.integers(min_value=-(1 << 20),
+                                     max_value=1 << 20),
+                         min_size=8, max_size=8),
+                min_size=2, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_float64_gemm_exact_for_quantized_vectors(vecs):
+    """The SemDeDup claim: float64 BLAS GEMM over 2^-20-quantized
+    integer vectors equals exact integer dot products in ANY
+    summation order — every partial product |q*q| <= 2^40 and every
+    partial sum <= dims * 2^40 < 2^53 is exactly representable."""
+    import numpy as np
+
+    q = np.array(vecs, dtype=np.int64)
+    exact = q @ q.T                       # int64: exact
+    viaf = q.astype(np.float64) @ q.astype(np.float64).T
+    assert (viaf == exact.astype(np.float64)).all()
+
+
+@given(st.sets(st.integers(min_value=0, max_value=(1 << 60) - 1),
+               min_size=1, max_size=400),
+       st.sets(st.integers(min_value=0, max_value=(1 << 60) - 1),
+               min_size=1, max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_kmv_union_merge_property(a_vals, b_vals):
+    """The sketch_kmv_set_ops mergeability claim: the K smallest of
+    (sketch(A) ∪ sketch(B)) equal the K smallest of (A ∪ B) — stored
+    sketches alone answer the union question exactly as a rescan
+    would."""
+    k = 128
+    sk_a = sorted(a_vals)[:k]
+    sk_b = sorted(b_vals)[:k]
+    from_sketches = sorted(set(sk_a) | set(sk_b))[:k]
+    from_rescan = sorted(a_vals | b_vals)[:k]
+    assert from_sketches == from_rescan
