@@ -50,6 +50,7 @@ _SAMPLE_PRIORITY = [
     "sim_ivf_incremental_topk", "stream_dsir_gate",
     "mlprep_dedup_aware_weights", "sketch_kmv_set_ops",
     "mm_scene_cuts", "events_cusum_changepoints",
+    "text_pii_redact",
     "graph_triangle_counts", "dedup_semdedup_clusters",
     "snapshot_version_diff", "snapshot_time_travel_audit",
     "sim_pq_adc_topk", "graph_kcore_census",
@@ -70,7 +71,7 @@ _SAMPLE_PRIORITY = [
     # never-sampled multimodal plumbing
     "mm_binary_features", "mm_content_histogram_neardup",
     # never-sampled dedup/text/similarity/mlprep/stream classics
-    "text_langid_heuristic", "mix_temperature_sampling",
+    "mix_temperature_sampling",
 ]
 
 

@@ -136,8 +136,6 @@ def label_propagation(edges: DataFrame, n_iter: int = 3,
     the node key; labels start as the node ids.
 
     Returns DataFrame[node, label] after `n_iter` rounds."""
-    from pyspark.sql import Window
-
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
@@ -146,14 +144,17 @@ def label_propagation(edges: DataFrame, n_iter: int = 3,
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
-    w = Window.partitionBy("u").orderBy(F.desc("c"), "lab")
     for _ in range(n_iter):
         votes = (sym.join(labels.select(F.col("node").alias("v"),
                                         F.col("label").alias("lab")), "v")
                  .groupBy("u", "lab").agg(F.count(F.lit(1)).alias("c")))
-        labels = (votes.withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") == 1)
-                  .select(F.col("u").alias("node"),
-                          F.col("lab").alias("label"))
+        # adopt = argmax (c, -lab): most-frequent label, min-label tie
+        # — max_by over a struct keeps it ONE hash aggregate instead
+        # of a sort-window per round (same deterministic result)
+        labels = (votes.groupBy("u")
+                  .agg(F.max_by("lab", F.struct(
+                      F.col("c"), (-F.col("lab")).alias("nl")))
+                      .alias("label"))
+                  .select(F.col("u").alias("node"), "label")
                   .localCheckpoint(eager=True))
     return labels

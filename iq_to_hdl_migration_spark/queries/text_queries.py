@@ -538,3 +538,58 @@ def text_winnowing_similarity(spark: SparkSession,
                     (F.col("n_shared").cast("double")
                      / F.least("n_fp_a", "n_fp_b").cast("double"))
                     .alias("similarity")))
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH red AS (
+        SELECT doc_id, source, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   {_EMAIL_RE_D}, '<EMAIL>', 'g'),
+                   {_URL_RE}, '<URL>', 'g'),
+                   {_LONGNUM_RE}, '<NUM>', 'g') AS redacted
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN redacted != text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_redacted_docs,
+           CAST(SUM(CAST(length(text) AS BIGINT)
+                    - CAST(length(redacted) AS BIGINT))
+                AS BIGINT) AS chars_removed,
+           md5(string_agg(md5(redacted), '' ORDER BY doc_id))
+               AS redacted_digest
+    FROM red GROUP BY source
+    """,
+    doc="PII redaction APPLY step (the scan's sibling): emails/URLs/"
+        "long digit runs replaced with typed placeholder tokens in one "
+        "JVM regexp_replace chain — map-only, no shuffle before the "
+        "per-source rollup; the per-source content digest (md5 chain "
+        "over ordered per-doc md5s) proves byte-identical redaction "
+        "across engines without hashing megabytes of text rows",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    red = docs.select(
+        "doc_id", "source", "text",
+        F.expr(f"regexp_replace(regexp_replace(regexp_replace(text,"
+               f" {_EMAIL_RE_S}, '<EMAIL>'),"
+               f" {_URL_RE}, '<URL>'),"
+               f" {_LONGNUM_RE}, '<NUM>')").alias("redacted"))
+    return (red.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("redacted") != F.col("text"), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_redacted_docs"),
+                 F.sum(F.length("text").cast("bigint")
+                       - F.length("redacted").cast("bigint"))
+                 .cast("bigint").alias("chars_removed"),
+                 F.md5(F.concat_ws(
+                     "", F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("doc_id",
+                                      F.md5(F.col("redacted").cast("binary"))
+                                      .alias("h")))),
+                         lambda s: s["h"])).cast("binary"))
+                 .alias("redacted_digest")))
