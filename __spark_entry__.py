@@ -50,7 +50,7 @@ _SAMPLE_PRIORITY = [
     "sim_ivf_incremental_topk", "stream_dsir_gate",
     "mlprep_dedup_aware_weights", "sketch_kmv_set_ops",
     "mm_scene_cuts", "events_cusum_changepoints",
-    "text_pii_redact",
+    "text_pii_redact", "stream_bottomk_sample",
     "graph_triangle_counts", "dedup_semdedup_clusters",
     "snapshot_version_diff", "snapshot_time_travel_audit",
     "sim_pq_adc_topk", "graph_kcore_census",
@@ -70,8 +70,6 @@ _SAMPLE_PRIORITY = [
     "fn_scalar_suite", "ddl_output_digest",
     # never-sampled multimodal plumbing
     "mm_binary_features", "mm_content_histogram_neardup",
-    # never-sampled dedup/text/similarity/mlprep/stream classics
-    "mix_temperature_sampling",
 ]
 
 

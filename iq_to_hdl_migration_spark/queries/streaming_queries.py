@@ -416,3 +416,36 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_ppm = 1_000_000 * sum(tgt_arr) // sum(src_arr)
     return W.streaming_dsir_gate(spark, sf_dir, tgt_arr, src_arr,
                                  _DSIR_BUCKETS, keep_ppm, name)
+
+
+def _bottomk_oracle() -> str:
+    from iq_to_hdl_migration_spark.queries.mlprep_queries import _BK_K
+    return f"""
+    SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS hv
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT), doc_id) <= {_BK_K}
+    """
+
+
+@register(
+    "stream_bottomk_sample",
+    oracle=_bottomk_oracle(),
+    doc="streaming twin of sample_bottomk_per_lang: the corpus arrives "
+        "as id-contiguous micro-batches and each batch folds into an "
+        "on-disk per-lang bottom-k-by-hash snapshot (merge = bottom-k "
+        "of snapshot ∪ batch — the mergeability the batch sampler "
+        "advertises, exercised with real micro-batch state); state is "
+        "k rows per lang forever, replay recomputes from the prior "
+        "snapshot so re-execution is byte-identical; the final "
+        "snapshot equals the single-shot batch sample (shared oracle)",
+)
+def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.queries.mlprep_queries import _BK_K
+
+    name = f"q_stream_bottomk_{next(_seq)}"
+    return W.streaming_bottomk_sample(spark, sf_dir, _BK_K, name)

@@ -645,3 +645,95 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str,
         F.sum("nt").cast("bigint").alias("n_tokens_kept"))
     run_to_memory(agg, _query_name, "complete")
     return spark.table(_query_name)
+
+
+def streaming_bottomk_sample(spark: SparkSession, sf_dir: str, k: int,
+                             _query_name: str = "stream_bottomk",
+                             n_batches: int = 4) -> DataFrame:
+    """Streaming twin of the consistent bottom-k-by-hash sampler: the
+    documents corpus arrives as id-contiguous micro-batches; each
+    batch folds into an on-disk per-lang bottom-k snapshot (merge =
+    bottom-k of previous-snapshot ∪ batch's bottom-k — the
+    mergeability property the batch query advertises and
+    tests/test_properties.py locks for KMV, exercised here end-to-end
+    with real micro-batch state).  Replay-safe: batch i always
+    recomputes from snapshot i-1 (never its own half-written output),
+    so re-execution is a byte-identical rewrite; state per lang is k
+    rows forever, independent of stream length.  The final snapshot
+    equals the single-shot batch sample — that equality is the
+    registered oracle check."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), "
+               "16, 10) AS BIGINT)").alias("hv"))
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "bottomk")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+
+    # empty initial snapshot (sorts before every numbered one)
+    docs.limit(0).write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    # id-contiguous arrival files with increasing mtimes so the file
+    # source drains them in arrival order
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    span = max(1, (hi + n_batches) // n_batches)
+    for i in range(n_batches):
+        lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)
+        slice_df = docs.where(F.col("doc_id").between(lo_i, hi_i))
+        tmp_i = os.path.join(work, f"slice_{i}")
+        slice_df.coalesce(1).write.parquet(tmp_i)
+        part = next(f for f in os.listdir(tmp_i)
+                    if f.startswith("part-"))
+        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp_i, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp_i)
+
+    schema = spark.read.parquet(arrivals_dir).schema
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+
+    def _bottomk(df: DataFrame) -> DataFrame:
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k).drop("_rn"))
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _process(batch_df, batch_id) -> None:
+        prev_snap = spark.read.parquet(_latest_before(batch_id))
+        merged = _bottomk(prev_snap.unionByName(
+            _bottomk(batch_df.select("lang", "doc_id", "hv"))))
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    return spark.read.parquet(os.path.join(snap_dir, final))
