@@ -709,6 +709,23 @@ def streaming_bottomk_sample(spark: SparkSession, sf_dir: str, k: int,
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))
         shutil.rmtree(tmp_i)
 
+    run_bottomk_fold(spark, arrivals_dir, snap_dir, ckpt_dir, k)
+    final = sorted(os.listdir(snap_dir))[-1]
+    return spark.read.parquet(os.path.join(snap_dir, final))
+
+
+def run_bottomk_fold(spark: SparkSession, arrivals_dir: str,
+                     snap_dir: str, ckpt_dir: str, k: int) -> None:
+    """Drain the arrivals dir (one file per micro-batch, availableNow)
+    folding each batch into the per-lang bottom-k snapshot chain under
+    snap_dir. Resumable: a later call with the same checkpoint dir
+    picks up where the stream left off (the restart test locks this),
+    and a replayed batch recomputes from the PRIOR snapshot, so
+    re-execution rewrites its own snapshot byte-identically."""
+    import os
+
+    from pyspark.sql import Window
+
     schema = spark.read.parquet(arrivals_dir).schema
     w = Window.partitionBy("lang").orderBy("hv", "doc_id")
 
@@ -734,6 +751,3 @@ def streaming_bottomk_sample(spark: SparkSession, sf_dir: str, k: int,
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-
-    final = sorted(os.listdir(snap_dir))[-1]
-    return spark.read.parquet(os.path.join(snap_dir, final))

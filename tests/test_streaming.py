@@ -193,3 +193,56 @@ def test_scd2_state_survives_restart(spark, sf_dir, tmp_path):
                 .unionAll(batch.exceptAll(got.select(*batch.columns))))
     assert sym_diff.count() == 0, \
         "restarted streaming history must equal the batch history"
+
+
+def test_bottomk_snapshot_survives_restart(spark, sf_dir, tmp_path):
+    """Two separate stream starts over one checkpoint: half the corpus
+    arrives, the stream drains and STOPS; the rest arrives and a fresh
+    start resumes from the checkpoint. The final snapshot must equal
+    the single-shot batch bottom-k over the whole corpus — the
+    snapshot chain, not the process, is the state."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    k = 5
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), "
+               "16, 10) AS BIGINT)").alias("hv"))
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    docs.limit(0).write.parquet(os.path.join(snaps, "00000_init"))
+
+    cut = docs.agg(F.expr("CAST(max(doc_id) / 2 AS BIGINT)")).first()[0]
+
+    def arrive(df, name, mtime):
+        tmp = str(tmp_path / f"slice_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(arrivals, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    arrive(docs.where(F.col("doc_id") <= cut), "arr_000", 1_000_000)
+    W.run_bottomk_fold(spark, arrivals, snaps, ckpt, k)
+    mid = sorted(os.listdir(snaps))[-1]
+    assert mid != "00000_init", "first drain must write a snapshot"
+
+    arrive(docs.where(F.col("doc_id") > cut), "arr_001", 1_000_001)
+    W.run_bottomk_fold(spark, arrivals, snaps, ckpt, k)  # resumes
+
+    final = spark.read.parquet(
+        os.path.join(snaps, sorted(os.listdir(snaps))[-1]))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    expect = (docs.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= k).drop("_rn"))
+    got = sorted(tuple(r) for r in final.collect())
+    want = sorted(tuple(r) for r in expect.collect())
+    assert got == want, "restarted fold must equal the batch sample"
