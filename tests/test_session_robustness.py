@@ -27,6 +27,12 @@ _SLICE = [
     "sim_quantized_recall",       # integer cosine + join
     "sim_ivf_fixedpoint_topk",    # integer Lloyd iterations
     "sample_weighted_priority",   # md5-uniform priorities + TakeOrdered
+    # round-7 shapes
+    "text_dsir_importance_weights",   # md5 buckets + rational weight
+    "sketch_kmv_set_ops",             # sketch merge + double chains
+    "events_cusum_changepoints",      # ts grain + aggregate() fold
+    "dedup_semdedup_clusters",        # applyInPandas GEMM under ANSI
+    "mm_scene_cuts",                  # mapInPandas numpy histograms
 ]
 
 _HOSTILE = {
