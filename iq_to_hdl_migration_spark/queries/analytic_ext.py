@@ -850,3 +850,112 @@ def trend_spearman_acf_monthly_revenue(spark: SparkSession,
         (F.lit(1.0) - (F.lit(6.0) * F.col("sum_d2").cast("double"))
          / (n * (n * n - 1)).cast("double")).alias("spearman_rho"))
         .orderBy("lag"))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast of monthly revenue — the projection verb
+# beside the Theil-Sen/Mann-Kendall/Spearman diagnostics: level and
+# trend smoothed with rational constants (alpha=1/5, beta=1/10) in
+# PURE INTEGER cents, every update a BIGINT div, so the recurrence is
+# bit-identical in both engines (float Holt would drift in the last
+# ulps).  The fold runs over the exact-DECIMAL monthly aggregate
+# (~80 points at any data volume — same constant-frame shape as its
+# trend siblings) via one aggregate() pass; the oracle restates the
+# identical recurrence as a recursive CTE.  Emits the smoothed
+# actuals plus a 3-month-ahead forecast (L_n + h * B_n).
+
+_HOLT_H = 3
+
+
+@register(
+    "trend_holt_forecast_monthly_revenue",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        SELECT CAST(date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(o_orderdate AS TIMESTAMP))
+                    AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM m
+    ),
+    s AS (
+        SELECT i, x, cents, n, cents AS lev, CAST(0 AS BIGINT) AS tr
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT idx.i, idx.x, idx.cents, idx.n,
+               (idx.cents + 4 * (s.lev + s.tr)) // 5,
+               (((idx.cents + 4 * (s.lev + s.tr)) // 5 - s.lev)
+                + 9 * s.tr) // 10
+        FROM s JOIN idx ON idx.i = s.i + 1
+    )
+    SELECT x, 'actual' AS kind, cents AS value_cents,
+           CAST(lev AS BIGINT) AS level_cents,
+           CAST(tr AS BIGINT) AS trend_cents
+    FROM s
+    UNION ALL
+    SELECT last.x + h.h, 'forecast',
+           CAST(last.lev + h.h * last.tr AS BIGINT),
+           CAST(last.lev AS BIGINT), CAST(last.tr AS BIGINT)
+    FROM (SELECT x, lev, tr FROM s WHERE i = (SELECT MAX(i) FROM s))
+         last
+    CROSS JOIN (SELECT unnest(range(1, {_HOLT_H} + 1)) AS h) h
+    """,
+    doc="Holt linear-trend forecast of monthly revenue in pure "
+        "integer cents (alpha=1/5, beta=1/10 as BIGINT div updates — "
+        "bit-identical recurrence in both engines); fold over the "
+        "constant ~80-point monthly frame, 3-month-ahead projection "
+        "L + h*B; oracled as the identical recursive CTE",
+)
+def trend_holt_forecast_monthly_revenue(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint").alias("x"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+              * 100).cast("bigint").alias("cents")))
+    one = m.agg(F.sort_array(F.collect_list(F.struct("x", "cents")))
+                .alias("ms"))
+    folded = one.select(F.expr("""
+        aggregate(
+            slice(ms, 2, size(ms) - 1),
+            struct(array(struct(ms[0].x AS x, ms[0].cents AS cents,
+                                ms[0].cents AS lev,
+                                CAST(0 AS BIGINT) AS tr)) AS out,
+                   ms[0].cents AS lev, CAST(0 AS BIGINT) AS tr),
+            (acc, e) -> struct(
+                concat(acc.out, array(struct(
+                    e.x AS x, e.cents AS cents,
+                    (e.cents + 4 * (acc.lev + acc.tr)) div 5 AS lev,
+                    (((e.cents + 4 * (acc.lev + acc.tr)) div 5
+                      - acc.lev) + 9 * acc.tr) div 10 AS tr))),
+                (e.cents + 4 * (acc.lev + acc.tr)) div 5 AS lev,
+                (((e.cents + 4 * (acc.lev + acc.tr)) div 5
+                  - acc.lev) + 9 * acc.tr) div 10 AS tr),
+            acc -> acc.out) AS ser
+    """))
+    actual = (folded.select(F.explode("ser").alias("r"))
+              .select(F.col("r.x").alias("x"),
+                      F.lit("actual").alias("kind"),
+                      F.col("r.cents").alias("value_cents"),
+                      F.col("r.lev").alias("level_cents"),
+                      F.col("r.tr").alias("trend_cents")))
+    last = (folded.select(F.expr("element_at(ser, -1)").alias("r"))
+            .select(F.col("r.x").alias("lx"),
+                    F.col("r.lev").alias("lev"),
+                    F.col("r.tr").alias("tr")))
+    fc = (last.select(F.explode(F.expr(
+            f"sequence(1L, {_HOLT_H}L)")).alias("h"), "lx", "lev", "tr")
+          .select((F.col("lx") + F.col("h")).alias("x"),
+                  F.lit("forecast").alias("kind"),
+                  (F.col("lev") + F.col("h") * F.col("tr"))
+                  .cast("bigint").alias("value_cents"),
+                  F.col("lev").cast("bigint").alias("level_cents"),
+                  F.col("tr").cast("bigint").alias("trend_cents")))
+    return actual.unionByName(fc)
