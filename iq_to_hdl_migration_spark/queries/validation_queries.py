@@ -751,3 +751,61 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      dev.alias("dev_ppm"),
                      (dev_d * dev_d / exp_d).alias("chi2_contrib"))
             .orderBy("digit"))
+
+
+# ---------------------------------------------------------------------------
+# Primary-key uniqueness audit across every table — the standard
+# warehouse DQ row beside referential integrity: per table, row count
+# vs distinct-PK count and the duplicate surplus (0 everywhere on a
+# healthy corpus; a nonzero row is the first thing an ingest
+# regression shows). Composite keys hash through the portable md5
+# idiom so the distinct is one shuffle of 16-byte digests per table.
+
+_PK_COLS = {
+    "region": ["r_regionkey"], "nation": ["n_nationkey"],
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"], "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"], "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _pk_uniqueness_oracle() -> str:
+    parts = []
+    for t, cols in _PK_COLS.items():
+        key = ("md5(" + " || '|' || ".join(
+            f"CAST({c} AS VARCHAR)" for c in cols) + ")")
+        parts.append(f"""
+        SELECT '{t}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_distinct_pk,
+               CAST(COUNT(*) - COUNT(DISTINCT {key}) AS BIGINT)
+                   AS n_dup_rows
+        FROM {t}""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_pk_uniqueness_audit",
+    oracle=_pk_uniqueness_oracle(),
+    doc="primary-key uniqueness audit over all 10 tables: rows vs "
+        "distinct PKs and the duplicate surplus per table; composite "
+        "keys digest through md5 so each table costs one 16-byte-key "
+        "distinct — the ingest-regression tripwire beside "
+        "dq_referential_integrity",
+)
+def dq_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _PK_COLS.items():
+        df = load_table(spark, sf_dir, t)
+        key = F.md5(F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in cols]).cast("binary"))
+        row = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(key).cast("bigint").alias("n_distinct_pk")
+        ).select(F.lit(t).alias("table_name"), "n_rows", "n_distinct_pk",
+                 (F.col("n_rows") - F.col("n_distinct_pk")).cast("bigint")
+                 .alias("n_dup_rows"))
+        out = row if out is None else out.unionByName(row)
+    return out
