@@ -1112,9 +1112,6 @@ def sketch_countmin_weekly_rollup(spark: SparkSession,
 # rows per type however large events grows; the pairwise stage works
 # on bounded frames only.
 
-_KMV_TYPES_BOUND = 64  # event_type domain is bounded (report caps there)
-
-
 @register(
     "sketch_kmv_set_ops",
     oracle=f"""
