@@ -42,7 +42,7 @@ def main() -> None:
     for name, spec in bench_specs.items():
         spec.fn(spark, sf_dir).collect()          # warm-up
         best = float("inf")
-        for _ in range(2):                        # best-of-2 damps host noise
+        for _ in range(3):                        # best-of-3 damps host noise
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
