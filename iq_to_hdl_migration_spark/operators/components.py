@@ -47,17 +47,16 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         neigh = (sym.join(labels.withColumnRenamed("id", "v"), "v")
                  .groupBy("u").agg(F.min("component").alias("n_min"))
                  .withColumnRenamed("u", "id"))
+        upd = F.least("component", F.coalesce("n_min", "component"))
+        # the changed flag rides inside the checkpointed frame, so the
+        # convergence probe below is a scan of materialized blocks —
+        # not a second labels-vs-labels join job per iteration
         new_labels = (labels.join(neigh, "id", "left")
-                      .select("id",
-                              F.least("component",
-                                      F.coalesce("n_min", "component"))
-                              .alias("component"))
+                      .select("id", upd.alias("component"),
+                              (upd != F.col("component")).alias("chg"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels
