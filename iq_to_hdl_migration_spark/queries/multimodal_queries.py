@@ -289,3 +289,87 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.scene_cut_deltas(mm.attach_binary_payload(docs),
                                n_frames=8, bins=16)
+
+
+@register(
+    "mm_audio_vad_segments",
+    oracle="""
+    WITH params AS (
+        -- ASCII text: substr == byte slicing, ord == byte value
+        SELECT doc_id, text AS b FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i,
+               substr(b, 1 + i * 32, 32) AS chunk
+        FROM params CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+        WHERE length(substr(b, 1 + i * 32, 32)) > 0
+    ),
+    chars AS (
+        SELECT doc_id, i, chunk,
+               unnest(range(1, length(chunk) + 1)) AS pos
+        FROM chunks
+    ),
+    csum AS (
+        SELECT doc_id, i,
+               CAST(SUM(ord(substr(chunk, pos, 1))) AS BIGINT) AS s,
+               CAST(MAX(length(chunk)) AS BIGINT) AS ln
+        FROM chars GROUP BY doc_id, i
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts,
+               CAST(SUM(ln) AS BIGINT) AS tl
+        FROM csum GROUP BY doc_id
+    ),
+    act AS (
+        SELECT c.doc_id, c.i, c.s, c.ln
+        FROM csum c JOIN tot t ON t.doc_id = c.doc_id
+        WHERE c.s * t.tl > t.ts * c.ln
+    ),
+    isl AS (
+        SELECT doc_id, i, s,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY i) AS sid
+        FROM act
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MIN(i) AS INTEGER) AS seg_start,
+           CAST(MAX(i) AS INTEGER) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(s) AS BIGINT) AS seg_sum
+    FROM isl GROUP BY doc_id, sid
+    """,
+    doc="audio-style voice-activity segmentation: 32-byte chunks with "
+        "integer energy sums (mapInPandas plumbing of a real frame/"
+        "hop VAD), a chunk is active when its mean beats the "
+        "document's mean (pure BIGINT cross-multiplication), and "
+        "consecutive active chunks merge into segments via "
+        "gaps-and-islands — the speech-segment extractor of an audio "
+        "training-data pipeline, fully hash-checked",
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.audio_chunk_features(mm.attach_binary_payload(docs),
+                                    chunk_bytes=32)
+    # energy = sum/len; energy * len recovers the integer byte sum but
+    # can sit ulps below it when len isn't a power of two (the short
+    # final chunk) — round, don't truncate (true value IS an integer)
+    cs = feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("i"),
+        F.round(F.col("energy") * F.col("n_bytes"), 0).cast("bigint")
+        .alias("s"),
+        F.col("n_bytes").cast("bigint").alias("ln"))
+    tot = cs.groupBy("doc_id").agg(F.sum("s").alias("ts"),
+                                   F.sum("ln").alias("tl"))
+    act = (cs.join(tot, "doc_id")
+           .where(F.col("s") * F.col("tl") > F.col("ts") * F.col("ln")))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = act.withColumn("sid", F.col("i") - F.row_number().over(w))
+    return (isl.groupBy("doc_id", "sid")
+            .agg(F.min("i").cast("int").alias("seg_start"),
+                 F.max("i").cast("int").alias("seg_end"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                 F.sum("s").cast("bigint").alias("seg_sum"))
+            .drop("sid"))
