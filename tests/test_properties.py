@@ -163,3 +163,60 @@ def test_kmv_union_merge_property(a_vals, b_vals):
     from_sketches = sorted(set(sk_a) | set(sk_b))[:k]
     from_rescan = sorted(a_vals | b_vals)[:k]
     assert from_sketches == from_rescan
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32,
+                                      max_codepoint=126),
+               min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_portable_hash60_matches_duckdb(s):
+    """The portable 60-bit hash idiom's DuckDB leg
+    (CAST('0x'||substr(md5(x),1,15) AS BIGINT)) equals the reference
+    computation int(md5(utf8)[0:15], 16) for arbitrary printable
+    input — the contract every sketch/bucket/sampler oracle rests on
+    (the Spark leg is locked against the same reference by the
+    registry gate)."""
+    import hashlib
+
+    import duckdb
+
+    expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    got = duckdb.connect().execute(
+        "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)",
+        [s]).fetchone()[0]
+    assert got == expect
+
+
+def test_benford_ppm_constants():
+    """dq_benford_first_digit's hardcoded expectations are
+    floor(log10(1+1/d) * 1e6) and cover ~100% of the mass."""
+    import math
+
+    from iq_to_hdl_migration_spark.queries.validation_queries import (
+        _BENFORD_PPM)
+
+    for d, ppm in _BENFORD_PPM.items():
+        assert ppm == math.floor(math.log10(1 + 1 / d) * 1_000_000)
+    assert 999_990 <= sum(_BENFORD_PPM.values()) <= 1_000_000
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3000),
+                min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_cusum_recurrence_reference(xs):
+    """The CUSUM oracle/fold recurrence against a direct Python
+    evaluation: s_t = max(0, s_{t-1} + x_t - ref) with the query's
+    ceil-mean + 5% slack reference — drains to 0 under the reference
+    level and is always non-negative."""
+    n = len(xs)
+    k = (sum(xs) + n - 1) // n
+    ref = k + max(1, k // 20)
+    s = 0
+    for x in xs:
+        s = max(0, s + x - ref)
+        assert s >= 0
+    # constant series at the reference level never alarms
+    s2 = 0
+    for _ in range(50):
+        s2 = max(0, s2 + k - ref)
+    assert s2 == 0
