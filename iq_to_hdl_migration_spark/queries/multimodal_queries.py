@@ -350,6 +350,22 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # The oracle enumerates chunk indexes 0..63 (<=2048 bytes) and
+    # slices with substr (substr == bytes only for ASCII). Both are
+    # properties of the CURRENT generator, not of this operator — so
+    # enforce them in-plan: a longer or non-ASCII document raises
+    # loudly here instead of silently diverging hash-red at the
+    # driver. octet_length == length <=> every char is 1 UTF-8 byte.
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            (F.octet_length("text") > 64 * 32)
+            | (F.octet_length("text") != F.length("text")),
+            F.raise_error(F.concat(
+                F.lit("mm_audio_vad_segments oracle assumes ASCII "
+                      "text <= 2048 bytes; violated by doc_id="),
+                F.col("doc_id").cast("string"))),
+        ).otherwise(F.col("text")))
     feats = mm.audio_chunk_features(mm.attach_binary_payload(docs),
                                     chunk_bytes=32)
     # energy = sum/len; energy * len recovers the integer byte sum but

@@ -650,9 +650,10 @@ def events_conversion_latency_percentiles(spark: SparkSession,
 # Session-scoped memo for the part co-purchase edge list (u < v,
 # distinct) — five graph queries derive from the SAME lineitem
 # self-join, and a production deployment materializes this edge table
-# once (it is the graph), not per query. Keyed like the relation memo
-# in sources/tables.py: (applicationId, sf_dir, staged-warehouse env)
-# so a session that re-stages or switches corpora never sees a stale
+# once (it is the graph), not per query. Keyed like _INDEX_MEMO in
+# dedup_queries.py: (applicationId, sf_dir, staged-warehouse env,
+# source fingerprint of lineitem) so a session that re-stages,
+# switches corpora, OR rewrites sf_dir in place never sees a stale
 # frame; the memo holds a localCheckpointed frame, so downstream
 # lineage is a scan of materialized blocks.
 _COPURCHASE_MEMO: dict = {}
@@ -660,13 +661,16 @@ _COPURCHASE_MEMO: dict = {}
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    from iq_to_hdl_migration_spark.sources.bucketed import (
+        _source_fingerprint)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
     key = (spark.sparkContext.applicationId, sf_dir,
-           os.environ.get("SPARK_GRAFT_WAREHOUSE", ""))
+           os.environ.get("SPARK_GRAFT_WAREHOUSE", ""),
+           _source_fingerprint(li))
     memo = _COPURCHASE_MEMO.get(key)
     if memo is not None:
         return memo
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     e0 = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                  & (F.col("a.l_partkey") < F.col("b.l_partkey")))
@@ -1104,7 +1108,7 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
 # series — the monitoring companion to events_anomaly_zscore (which
 # scores points independently; CUSUM accumulates small sustained
 # shifts).  s_t = max(0, s_{t-1} + x_t - k) with k = floor(mean
-# hourly count) and alarm at s_t >= 5k — all BIGINT, so the whole
+# hourly count) and alarm at s_t >= 2k — all BIGINT, so the whole
 # series hash-checks.  The sequential recurrence runs over the hourly
 # aggregate, whose length is bounded by the RETENTION WINDOW (hours
 # of calendar), not by data volume: at 100 TB the fact table

@@ -661,7 +661,14 @@ def streaming_bottomk_sample(spark: SparkSession, sf_dir: str, k: int,
     so re-execution is a byte-identical rewrite; state per lang is k
     rows forever, independent of stream length.  The final snapshot
     equals the single-shot batch sample — that equality is the
-    registered oracle check."""
+    registered oracle check.
+
+    Supersede-on-reinvoke contract: a second call for the same
+    (application, sf_dir) deletes the previous call's work dir —
+    including the snapshot files backing the previously returned
+    lazily-read DataFrame. Callers must not hold two live frames from
+    successive invocations; materialize (collect/write) before
+    re-invoking if the old result is still needed."""
     import atexit
     import os
     import shutil
@@ -696,6 +703,10 @@ def streaming_bottomk_sample(spark: SparkSession, sf_dir: str, k: int,
     # id-contiguous arrival files with increasing mtimes so the file
     # source drains them in arrival order
     hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        # empty corpus: nothing to stream — the empty init snapshot
+        # IS the final state (matches the batch sampler on 0 rows)
+        return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
     span = max(1, (hi + n_batches) // n_batches)
     for i in range(n_batches):
         lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)

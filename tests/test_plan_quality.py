@@ -536,7 +536,13 @@ def test_triangle_counts_no_wedge_materialization(spark, sf_dir):
     plan = final_plan(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
     assert "array_intersect" in plan, "expected adjacency-intersect closure"
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan or "crossJoin" not in plan
+    # explicit allowlist: the ONLY nested-loop joins are the four
+    # 1-row stat-stitching crossJoins (nodes x edges x triangles x
+    # wedges x outdeg). A data-sized nested loop would add a fifth.
+    # (count only the AQE final section — toString repeats the plan
+    # under "== Initial Plan ==")
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("BroadcastNestedLoopJoin") == 4, plan[:2000]
 
 
 def test_link_prediction_hub_prune_before_selfjoin(spark, sf_dir):
