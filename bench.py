@@ -25,6 +25,10 @@ def main() -> None:
     from iq_to_hdl_migration_spark.sources.tables import stage_warehouse
 
     spark = get_spark("iq_to_hdl_migration_spark-bench")
+    # timing run: WARN-level chatter (e.g. WindowExec notes on the
+    # bounded post-aggregation global windows) costs log I/O inside
+    # the timed loop and buries the JSON contract line
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Load phase (untimed, like any warehouse ingest): stage the
     # single-row-group source files into a multi-file layout so scan

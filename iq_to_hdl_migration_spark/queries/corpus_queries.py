@@ -501,10 +501,11 @@ def corpus_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source. SURVEY §2.11 decontamination, near-dup variant.",
 )
 def text_contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iq_to_hdl_migration_spark.operators import dedup
+    from iq_to_hdl_migration_spark.queries.dedup_queries import (
+        minhash_pairs)
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = minhash_pairs(spark, sf_dir)
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = docs.select(
         F.col("doc_id").cast("bigint").alias("id"), "source",
