@@ -127,7 +127,8 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 10,
 
 
 def label_propagation(edges: DataFrame, n_iter: int = 3,
-                      src: str = "u", dst: str = "v") -> DataFrame:
+                      src: str = "u", dst: str = "v",
+                      canonical: bool = False) -> DataFrame:
     """Synchronous label propagation (community detection): each round
     every node adopts its neighbors' most frequent label, ties broken
     by the smaller label — fully deterministic, unlike the classic
@@ -135,12 +136,20 @@ def label_propagation(edges: DataFrame, n_iter: int = 3,
     One join + one grouped vote + one rank per round, all shuffling on
     the node key; labels start as the node ids.
 
+    `canonical=True` declares the input already deduplicated with
+    src < dst on every row (the memoized co-purchase edge table's
+    contract) — then the union with the reversed copy cannot collide
+    and BOTH full-edge distinct shuffles are skipped.
+
     Returns DataFrame[node, label] after `n_iter` rounds."""
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-         .distinct())
-    sym = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-           .distinct().localCheckpoint(eager=True))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    if not canonical:
+        e = e.distinct()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not canonical:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))

@@ -740,7 +740,7 @@ def graph_part_copurchase_communities(spark: SparkSession,
     from iq_to_hdl_migration_spark.operators.graph import label_propagation
 
     edges = _copurchase_edges(spark, sf_dir)
-    labels = label_propagation(edges, n_iter=3)
+    labels = label_propagation(edges, n_iter=3, canonical=True)
     return (labels.groupBy(F.col("label").cast("bigint")
                            .alias("community"))
             .agg(F.count(F.lit(1)).alias("n_members"),
