@@ -254,3 +254,85 @@ def nation_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(hit).cast("bigint").alias("n_top80"),
                  (F.min(hit).cast("double")
                   / F.max("n_cust").cast("double")).alias("top80_share")))
+
+
+_BASKET_MIN_SUP = 2   # orders containing the pair
+_BASKET_TOPK = 50
+
+
+@register(
+    "orders_market_basket_lift",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_sup AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM baskets x JOIN baskets y USING (l_orderkey)
+        WHERE x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_BASKET_MIN_SUP}
+    ),
+    item_sup AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM baskets GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM baskets
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           a.n AS n_a, b.n AS n_b,
+           CAST(p.n_ab AS DOUBLE) / CAST(a.n AS DOUBLE) AS confidence_ab,
+           CAST(p.n_ab * t.n_orders AS DOUBLE)
+               / CAST(a.n * b.n AS DOUBLE) AS lift
+    FROM pair_sup p
+    JOIN item_sup a ON a.l_partkey = p.part_a
+    JOIN item_sup b ON b.l_partkey = p.part_b
+    CROSS JOIN tot t
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {_BASKET_TOPK}
+    """,
+    doc=f"market-basket association rules over orders: top-{_BASKET_TOPK} "
+        f"part pairs by lift (support >= {_BASKET_MIN_SUP} orders) with "
+        "confidence — the a-priori building block. Baskets come from ONE "
+        "groupBy(order).collect_set (pair generation bounded by order "
+        "width squared, never a corpus self-join — the same shape as "
+        "events_type_affinity); supports are exact BIGINT, lift/"
+        "confidence one double division each, top-k compiles to "
+        "TakeOrderedAndProject.",
+    bench=True,
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("parts")))
+    pair_sup = (baskets.select(
+        F.explode(F.expr("""
+            flatten(transform(parts, (x, i) ->
+                transform(slice(parts, i + 2, size(parts)), y ->
+                    struct(x AS part_a, y AS part_b))))
+        """)).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= _BASKET_MIN_SUP))
+    item_sup = (baskets.select(F.explode("parts").alias("l_partkey"))
+                .groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    out = (pair_sup
+           .join(item_sup.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("n").alias("n_a")), "part_a")
+           .join(item_sup.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("n").alias("n_b")), "part_b")
+           .join(F.broadcast(tot))
+           .select("part_a", "part_b", "n_ab", "n_a", "n_b",
+                   (F.col("n_ab").cast("double")
+                    / F.col("n_a").cast("double")).alias("confidence_ab"),
+                   ((F.col("n_ab") * F.col("n_orders")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double"))
+                   .alias("lift")))
+    return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(_BASKET_TOPK)

@@ -895,3 +895,57 @@ def sample_bottomk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("hv", "doc_id")
     return (docs.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= _BK_K).drop("_rn"))
+
+
+@register(
+    "mlprep_length_bucket_padding_waste",
+    oracle="""
+    WITH tok AS (
+        SELECT CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS nt
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT nt, ((nt + 63) // 64) * 64 AS bucket_len FROM tok
+    ),
+    per_bucket AS (
+        SELECT bucket_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS sum_tokens
+        FROM bucketed GROUP BY bucket_len
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs, sum_tokens,
+           CAST(n_docs * bucket_len AS BIGINT) AS padded_tokens,
+           CAST(n_docs * bucket_len - sum_tokens AS BIGINT)
+               AS wasted_tokens,
+           CAST(n_docs * bucket_len - sum_tokens AS DOUBLE)
+               / CAST(n_docs * bucket_len AS DOUBLE) AS waste_rate
+    FROM per_bucket
+    """,
+    doc="inference-batching padding audit: docs bucketed to the next "
+        "64-token boundary (the fixed-shape batching a serving stack "
+        "pads to); per bucket the real vs padded token mass and the "
+        "waste rate — the evidence for choosing bucket boundaries. "
+        "Pure BIGINT until one final double division; single groupBy "
+        "on a bounded bucket key (max_seqlen/64 buckets at any scale).",
+)
+def mlprep_length_bucket_padding_waste(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select(
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("nt"))
+    per_bucket = (nt.withColumn("bucket_len",
+                                F.expr("((nt + 63) div 64) * 64"))
+                  .groupBy("bucket_len")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                       F.sum("nt").cast("bigint").alias("sum_tokens")))
+    padded = (F.col("n_docs") * F.col("bucket_len")).cast("bigint")
+    return per_bucket.select(
+        F.col("bucket_len").cast("bigint").alias("bucket_len"),
+        "n_docs", "sum_tokens",
+        padded.alias("padded_tokens"),
+        (padded - F.col("sum_tokens")).cast("bigint")
+        .alias("wasted_tokens"),
+        ((padded - F.col("sum_tokens")).cast("double")
+         / padded.cast("double")).alias("waste_rate"))

@@ -1731,3 +1731,80 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered, rebuild it with the full set (the Spark fn reads
 # _raw_recall_legs() at call time, so both sides agree).
 REGISTRY["sim_ann_recall_matrix"].oracle = _recall_matrix_oracle()
+
+
+_RAG_K = 8            # candidates retrieved per query
+_RAG_BUDGET = 128     # context token budget per query
+
+
+@register(
+    "rag_context_packing",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cosine
+        FROM v q JOIN v c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+        SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rnk
+            FROM scored
+        ) t WHERE rnk <= {_RAG_K}
+    ),
+    tok AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT c.query_id, c.cand_id, c.rnk, c.cosine, t.n_tokens,
+               CAST(SUM(t.n_tokens) OVER (PARTITION BY c.query_id
+                                          ORDER BY c.rnk) AS BIGINT)
+                   AS cum_tokens
+        FROM cand c JOIN tok t ON t.doc_id = c.cand_id
+    )
+    SELECT query_id, cand_id, rnk, cosine, n_tokens, cum_tokens
+    FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+    """,
+    doc=f"RAG context assembly: per probe query the exact-cosine top-"
+        f"{_RAG_K} candidates are packed greedily in rank order until "
+        f"the {_RAG_BUDGET}-token context budget is hit (prefix rule: "
+        "a chunk enters iff the running total stays within budget) — "
+        "the retrieval->context step of a RAG/eval pipeline. Query "
+        "side broadcast twice (scoring, then the k-row candidate set "
+        "against the token table), corpus never shuffled; the packing "
+        "window is per-query over <= k rows.",
+    bench=True,
+)
+def rag_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    cand = sim.brute_force_topk(emb, queries, k=_RAG_K)
+    tok = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("n_tokens"))
+    # candidate set is <= N_QUERIES * K rows -> broadcast it against
+    # the corpus-sized token table (corpus side never shuffles)
+    j = tok.join(F.broadcast(cand), "cand_id")
+    w = (Window.partitionBy("query_id").orderBy("rnk")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (j.withColumn("cum_tokens",
+                         F.sum("n_tokens").over(w).cast("bigint"))
+            .where(F.col("cum_tokens") <= _RAG_BUDGET)
+            .select("query_id", "cand_id", "rnk", "cosine",
+                    "n_tokens", "cum_tokens"))

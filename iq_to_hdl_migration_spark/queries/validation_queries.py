@@ -809,3 +809,56 @@ def dq_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_dup_rows"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "dq_mad_outlier_docs",
+    oracle="""
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
+        FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.source, m.med_chars,
+               abs(d.n_chars - m.med_chars) AS adev
+        FROM documents d JOIN med m USING (source)
+    ),
+    mad AS (
+        SELECT source, quantile_cont(adev, 0.5) AS mad_chars
+        FROM dev GROUP BY source
+    )
+    SELECT v.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(v.med_chars) AS median_chars,
+           MAX(m.mad_chars) AS mad_chars,
+           CAST(SUM(CASE WHEN v.adev > 5 * m.mad_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev v JOIN mad m USING (source)
+    GROUP BY v.source
+    """,
+    doc="robust per-source length outlier audit: median + MAD (median "
+        "absolute deviation) of n_chars, flagging docs beyond 5 MAD — "
+        "the mean/stddev-free twin of the z-score audits, immune to "
+        "the very outliers it hunts. Two exact-percentile passes, each "
+        "one shuffle on source; deviations are exact binary halves so "
+        "every float is bit-stable cross-engine. Per-source medians "
+        "and MADs are source-count-bounded, so both join sides "
+        "broadcast at any corpus size.",
+)
+def dq_mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x"))
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(x, 0.5D)").alias("med_chars"))
+    dev = (docs.join(F.broadcast(med), "source")
+           .withColumn("adev", F.abs(F.col("x") - F.col("med_chars"))))
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad_chars"))
+    return (dev.join(F.broadcast(mad), "source")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.max("med_chars").alias("median_chars"),
+                 F.max("mad_chars").alias("mad_chars"),
+                 F.sum(F.when(F.col("adev") > 5 * F.col("mad_chars"),
+                              1).otherwise(0)).cast("bigint")
+                 .alias("n_outliers")))

@@ -585,3 +585,33 @@ def test_ivf_incremental_batch_never_joins_base_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, (
         "centroid probes must broadcast (k*DIM rows)")
+
+
+def test_market_basket_takeordered_no_selfjoin(spark, sf_dir):
+    # pairs come from an in-basket explode (bounded by order width),
+    # never a corpus self-join; top-50 must compile to TakeOrdered
+    plan = final_plan(
+        REGISTRY["orders_market_basket_lift"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k by lift must be TakeOrderedAndProject, not a global sort")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan, "expected in-basket pair explode"
+
+
+def test_rag_packing_corpus_never_shuffles(spark, sf_dir):
+    # the <= N_QUERIES*K candidate set joins broadcast against the
+    # token table; the packing window partitions by query_id (no
+    # single-partition Window over the corpus)
+    plan = final_plan(REGISTRY["rag_context_packing"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, (
+        "corpus must not shuffle into the candidate join")
+
+
+def test_mad_outlier_medians_broadcast(spark, sf_dir):
+    # per-source median/MAD tables are source-count-bounded: both
+    # joins back to the corpus must broadcast
+    plan = final_plan(REGISTRY["dq_mad_outlier_docs"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
