@@ -783,8 +783,19 @@ def _ivf_fixedpoint_oracle() -> str:
     return ",".join(parts)
 
 
+# Session-scoped memo for trained fixed-point k-means indexes: an IVF
+# index is a persistent artifact trained ONCE and served to every
+# query (exactly like the persisted LSH index), not re-fit per
+# invocation. Keyed on (applicationId, source fingerprint, k, iters,
+# pred_tag) — a changed corpus misses; the three (k, iters, pred)
+# configs in this module coexist (no clear-on-insert: the key space
+# is bounded by the config count, and each entry pins only k*DIM
+# centroid rows + one vec-sized assignment table).
+_KMEANS_MEMO: dict = {}
+
+
 def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
-                      train_pred=None):
+                      train_pred=None, pred_tag: str = ""):
     """Spark twin of _fp_kmeans_ctes: integer Lloyd iterations over
     2^-20-quantized per-dim rows. Returns (v, cents, assign) where
     assign is a{iters} (computed against c{iters-1}) and cents is
@@ -792,8 +803,21 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
     iteration shuffle is the vec-sized dist groupBy — linear in the
     corpus, never pairwise. `train_pred` (a Column predicate)
     restricts the training corpus and seeds to match the oracle's
-    train_pred; None trains on everything with vec_id < k seeds."""
+    train_pred; None trains on everything with vec_id < k seeds.
+    `pred_tag` names the predicate in the memo key (a Column isn't
+    hashable); callers with a train_pred MUST pass a distinct tag."""
     from pyspark.sql import Window
+
+    from iq_to_hdl_migration_spark.sources.bucketed import (
+        _source_fingerprint)
+
+    spark = emb.sparkSession
+    memo_key = (spark.sparkContext.applicationId,
+                _source_fingerprint(emb), k, iters,
+                pred_tag if train_pred is not None else "")
+    hit = _KMEANS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
 
     v = (emb.select("vec_id",
                     F.posexplode(F.expr(sim.as_double_array("embedding")))
@@ -834,6 +858,7 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
                  .select("cid", "dim",
                          F.coalesce("ucq", "cq").alias("cq"))
                  .localCheckpoint())
+    _KMEANS_MEMO[memo_key] = (v, cents, assign)
     return v, cents, assign
 
 
@@ -1684,7 +1709,8 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_pred = ((F.col("vec_id") >= _N_QUERIES)
                  & (F.col("vec_id") % 5 != 0))
     v, cents, assign = _fp_kmeans_assign(emb, k, iters,
-                                         train_pred=base_pred)
+                                         train_pred=base_pred,
+                                         pred_tag="base_no_mod5")
     batch = v.where((F.col("vec_id") >= _N_QUERIES)
                     & (F.col("vec_id") % 5 == 0))
     bdist = (batch.join(cents.hint("broadcast"), "dim")
