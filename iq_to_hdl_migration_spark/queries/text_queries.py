@@ -436,6 +436,32 @@ def text_winnowing_fingerprints(spark: SparkSession,
 _FP_BUCKET_CAP = 64   # same flood discipline as the LSH dedup family
 _MIN_SHARED = 5       # pairs must share >= this many fingerprints
 
+# Session-scoped memo for the winnowing fingerprint index — the match
+# and similarity reports consume the SAME (doc_id, fp) table, and a
+# production contamination scan materializes the fingerprint index
+# once (text_winnowing_fingerprints IS that build job; it keeps the
+# raw pipeline). Keyed like the pair-graph memo: app/sf_dir/warehouse/
+# source fingerprint, so corpus changes miss.
+_WINNOW_FPS_MEMO: dict = {}
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from iq_to_hdl_migration_spark.sources.bucketed import (
+        _source_fingerprint)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (spark.sparkContext.applicationId, sf_dir,
+           os.environ.get("SPARK_GRAFT_WAREHOUSE", ""),
+           _source_fingerprint(docs))
+    fps = _WINNOW_FPS_MEMO.get(key)
+    if fps is None:
+        fps = text_winnowing_fingerprints(spark, sf_dir).localCheckpoint()
+        _WINNOW_FPS_MEMO.clear()   # one live index per session
+        _WINNOW_FPS_MEMO[key] = fps
+    return fps
+
 
 @register(
     "text_winnowing_match_pairs",
@@ -470,7 +496,7 @@ def text_winnowing_match_pairs(spark: SparkSession,
     # pairs explode within <= cap-sized buckets only
     from pyspark.sql import Window
 
-    fps = text_winnowing_fingerprints(spark, sf_dir)
+    fps = _winnow_fps(spark, sf_dir)
     wcap = Window.partitionBy("fp").orderBy("doc_id")
     capped = (fps.withColumn("rn", F.row_number().over(wcap))
               .where(F.col("rn") <= _FP_BUCKET_CAP)
@@ -524,7 +550,7 @@ def text_winnowing_match_pairs(spark: SparkSession,
 )
 def text_winnowing_similarity(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    fps = text_winnowing_fingerprints(spark, sf_dir)
+    fps = _winnow_fps(spark, sf_dir)
     counts = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fp"))
     pairs = text_winnowing_match_pairs(spark, sf_dir)
