@@ -555,17 +555,32 @@ _QUANT_CTE = f"""
 """
 
 
-def _quantized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized int8-quantized corpus representation (vec_id, qv,
+    qnorm) — quantization is an INGEST step in production (the stored
+    index format), not per-query work; three retrieval queries and the
+    MMR rerank consume the same table."""
+    from iq_to_hdl_migration_spark.sources.memo import session_memo
+
     emb = load_table(spark, sf_dir, "embeddings")
-    d = (emb
-         .withColumn("vec", F.expr(sim.as_double_array("embedding")))
-         .withColumn("scale", F.expr(
-             "greatest(array_max(transform(vec, x -> abs(x))) / 127.0D, "
-             "1e-30D)"))
-         .withColumn("qv", F.expr(
-             "transform(vec, x -> floor(x / scale + 0.5D))"))
-         .withColumn("qnorm", F.sqrt(sim.dot_expr("qv", "qv")))
-         .select("vec_id", "qv", "qnorm"))
+
+    def build() -> DataFrame:
+        return (emb
+                .withColumn("vec", F.expr(sim.as_double_array("embedding")))
+                .withColumn("scale", F.expr(
+                    "greatest(array_max(transform(vec, x -> abs(x)))"
+                    " / 127.0D, 1e-30D)"))
+                .withColumn("qv", F.expr(
+                    "transform(vec, x -> floor(x / scale + 0.5D))"))
+                .withColumn("qnorm", F.sqrt(sim.dot_expr("qv", "qv")))
+                .select("vec_id", "qv", "qnorm")
+                .localCheckpoint())
+
+    return session_memo("quantized_corpus", spark, sf_dir, emb, build)
+
+
+def _quantized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _quantized_corpus(spark, sf_dir)
     probes = (d.where(F.col("vec_id") < _N_QUERIES)
               .select(F.col("vec_id").alias("query_id"),
                       F.col("qv").alias("qv_q"),
@@ -1262,15 +1277,7 @@ def sim_mmr_diversified_topk(spark: SparkSession,
             .select("query_id", "cand_id",
                     F.col("cosine_q").alias("rel"))
             .localCheckpoint(eager=True))
-    emb = load_table(spark, sf_dir, "embeddings")
-    d = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
-         .withColumn("scale", F.expr(
-             "greatest(array_max(transform(vec, x -> abs(x))) / 127.0D, "
-             "1e-30D)"))
-         .withColumn("qv", F.expr(
-             "transform(vec, x -> floor(x / scale + 0.5D))"))
-         .withColumn("qnorm", F.sqrt(sim.dot_expr("qv", "qv")))
-         .select("vec_id", "qv", "qnorm"))
+    d = _quantized_corpus(spark, sf_dir)
     ca, cb = cand.alias("ca"), cand.alias("cb")
     psim = (ca.join(cb, (F.col("ca.query_id") == F.col("cb.query_id"))
                     & (F.col("ca.cand_id") != F.col("cb.cand_id")))
@@ -1560,39 +1567,52 @@ def _pq_oracle() -> str:
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from iq_to_hdl_migration_spark.sources.memo import session_memo
+
     emb = load_table(spark, sf_dir, "embeddings")
     m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
     dsub = sim.DIM // m
-    v = (emb.select("vec_id",
-                    F.posexplode(F.expr(sim.as_double_array("embedding")))
-                    .alias("pos", "x"))
-         .select("vec_id", (F.col("pos") + 1).alias("dim"),
-                 (F.col("pos") / dsub).cast("int").alias("sub"),
-                 F.floor(F.col("x") * F.lit(_IVF_SCALE))
-                 .cast("bigint").alias("qv"))
-         .localCheckpoint())
-    cents = (v.where(F.col("vec_id") < k)
-             .select("sub", F.col("vec_id").alias("cid"), "dim",
-                     F.col("qv").alias("cq")))
-    codes = None
-    for _ in range(iters):
-        dist = (v.join(cents.hint("broadcast"), ["sub", "dim"])
-                .groupBy("vec_id", "sub", "cid")
-                .agg(F.sum((F.col("qv") - F.col("cq"))
-                           * (F.col("qv") - F.col("cq"))).alias("d2")))
-        wa = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
-        codes = (dist.withColumn("rn", F.row_number().over(wa))
-                 .where(F.col("rn") == 1).select("vec_id", "sub", "cid")
-                 .localCheckpoint())
-        upd = (codes.join(v, ["vec_id", "sub"])
-               .groupBy("sub", "cid", "dim")
-               .agg(F.floor(F.sum("qv").cast("double")
-                            / F.count(F.lit(1)).cast("double"))
-                    .cast("bigint").alias("ucq")))
-        cents = (cents.join(upd, ["sub", "cid", "dim"], "left")
-                 .select("sub", "cid", "dim",
-                         F.coalesce("ucq", "cq").alias("cq"))
-                 .localCheckpoint())
+
+    def train():
+        # PQ codebooks + corpus codes are the stored index format —
+        # trained once per corpus (session memo; persisted table at
+        # scale), never re-fit per query
+        v = (emb.select(
+                "vec_id",
+                F.posexplode(F.expr(sim.as_double_array("embedding")))
+                .alias("pos", "x"))
+             .select("vec_id", (F.col("pos") + 1).alias("dim"),
+                     (F.col("pos") / dsub).cast("int").alias("sub"),
+                     F.floor(F.col("x") * F.lit(_IVF_SCALE))
+                     .cast("bigint").alias("qv"))
+             .localCheckpoint())
+        cents = (v.where(F.col("vec_id") < k)
+                 .select("sub", F.col("vec_id").alias("cid"), "dim",
+                         F.col("qv").alias("cq")))
+        codes = None
+        for _ in range(iters):
+            dist = (v.join(cents.hint("broadcast"), ["sub", "dim"])
+                    .groupBy("vec_id", "sub", "cid")
+                    .agg(F.sum((F.col("qv") - F.col("cq"))
+                               * (F.col("qv") - F.col("cq"))).alias("d2")))
+            wa = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+            codes = (dist.withColumn("rn", F.row_number().over(wa))
+                     .where(F.col("rn") == 1)
+                     .select("vec_id", "sub", "cid")
+                     .localCheckpoint())
+            upd = (codes.join(v, ["vec_id", "sub"])
+                   .groupBy("sub", "cid", "dim")
+                   .agg(F.floor(F.sum("qv").cast("double")
+                                / F.count(F.lit(1)).cast("double"))
+                        .cast("bigint").alias("ucq")))
+            cents = (cents.join(upd, ["sub", "cid", "dim"], "left")
+                     .select("sub", "cid", "dim",
+                             F.coalesce("ucq", "cq").alias("cq"))
+                     .localCheckpoint())
+        return v, cents, codes
+
+    v, cents, codes = session_memo("pq_index", spark, sf_dir, emb, train,
+                                   extra=(m, k, iters))
     adctab = (v.where(F.col("vec_id") < _N_QUERIES)
               .withColumnRenamed("vec_id", "query_id")
               .join(cents.hint("broadcast"), ["sub", "dim"])
