@@ -38,6 +38,7 @@ _SAMPLE_PRIORITY = [
     # round 8, tier 1: brand-new queries — first driver rows
     "orders_market_basket_lift", "rag_context_packing",
     "dq_mad_outlier_docs", "mlprep_length_bucket_padding_waste",
+    "dedup_cluster_quality_report", "dedup_survivor_length_bias",
     # round 8, tier 2: code changed this round (pair-graph/components
     # memo, k-means index memo, LPA canonical fast path, copurchase
     # memo fingerprint, VAD in-plan guard) — regression proof
@@ -51,8 +52,7 @@ _SAMPLE_PRIORITY = [
     "stream_bottomk_sample",
     # round 8, tier 3: never-sampled rows across every remaining
     # family (140/288 had driver rows before this round) — breadth
-    "dedup_embedding_cosine_pairs", "dedup_exact_groups",
-    "dedup_lsh_bucket_census", "dedup_rate_by_source",
+    "dedup_embedding_cosine_pairs", "dedup_lsh_bucket_census",
     "dedup_simhash_pairs", "docs_cross_source_duplication",
     "sim_ann_lsh_topk", "sim_ann_multiprobe_topk",
     "sim_bruteforce_topk", "sim_lsh_bucket_stats",

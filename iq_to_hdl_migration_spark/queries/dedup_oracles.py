@@ -461,3 +461,37 @@ def dedup_weights_oracle(threshold: float = 0.7) -> str:
                  / CAST(COUNT(*) AS DOUBLE) AS dup_tax
     FROM w GROUP BY source
     """
+
+
+def cluster_quality_oracle(threshold: float = 0.7) -> str:
+    """Twin of dedup_cluster_quality_report: the minhash_clusters
+    closure joined back to documents for per-cluster composition
+    stats."""
+    return f"""
+    WITH RECURSIVE {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    pairs AS (
+        SELECT id_a, id_b FROM cand WHERE est_jaccard >= {threshold}
+        UNION
+        SELECT keep_id AS id_a, id AS id_b FROM base WHERE id != keep_id
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach (u, v) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT l.component AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(d.text)) AS BIGINT)
+               AS n_exact_dup_surplus
+    FROM labels l JOIN documents d ON d.doc_id = l.id
+    GROUP BY l.component HAVING COUNT(*) > 1
+    """

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iq_to_hdl_migration_spark.operators import dedup
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
+    cluster_quality_oracle,
     dedup_weights_oracle,
     grand_funnel_oracle,
     incremental_pairs_oracle,
@@ -509,3 +510,83 @@ def mlprep_dedup_aware_weights(spark: SparkSession,
                  eff.alias("effective_docs"),
                  (F.lit(1.0) - eff / F.count(F.lit(1)).cast("double"))
                  .alias("dup_tax")))
+
+
+@register(
+    "dedup_cluster_quality_report",
+    oracle=cluster_quality_oracle(threshold=0.7),
+    doc="near-dup cluster composition report: per cluster (>1 member) "
+        "the member count, distinct sources spanned, char-length range "
+        "and the exact-duplicate surplus — the triage view that tells "
+        "a curation job whether a cluster is template boilerplate "
+        "(many sources, tight lengths) or true duplication. Consumes "
+        "the memoized component table (the cluster structure is "
+        "materialized once per corpus); one join against documents, "
+        "one groupBy on cluster id.",
+)
+def dedup_cluster_quality_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    comp = minhash_components(spark, sf_dir, threshold=0.7)
+    j = comp.withColumnRenamed("id", "doc_id").join(docs, "doc_id")
+    return (j.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.countDistinct("source").cast("bigint")
+                 .alias("n_sources"),
+                 F.min("n_chars").cast("bigint").alias("min_chars"),
+                 F.max("n_chars").cast("bigint").alias("max_chars"),
+                 (F.count(F.lit(1))
+                  - F.countDistinct(F.md5(F.col("text").cast("binary"))))
+                 .cast("bigint").alias("n_exact_dup_surplus"))
+            .where(F.col("n_members") > 1))
+
+
+@register(
+    "dedup_survivor_length_bias",
+    oracle="""
+    WITH g AS (
+        SELECT source, n_chars, text,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                    THEN 1 ELSE 0 END AS is_keeper,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS nt
+        FROM documents
+    )
+    SELECT source, CAST(is_keeper AS INTEGER) AS is_keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_chars,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_tokens
+    FROM g GROUP BY source, is_keeper
+    """,
+    doc="dedup selection-bias audit: per (source, keeper-flag) the doc "
+        "count and char/token mass of what exact dedup KEEPS vs DROPS "
+        "— the check that min-id-wins dedup isn't systematically "
+        "discarding longer documents from some source. One content-"
+        "hash window + one groupBy; averages are a single double "
+        "division over BIGINT sums (bit-stable).",
+)
+def dedup_survivor_length_bias(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    g = docs.select(
+        "source", "n_chars",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0).alias("is_keeper"),
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("nt"))
+    return (g.groupBy("source", F.col("is_keeper").cast("int")
+                      .alias("is_keeper"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                 (F.sum("n_chars").cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("avg_chars"),
+                 F.sum("nt").cast("bigint").alias("sum_tokens"),
+                 (F.sum("nt").cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("avg_tokens")))
