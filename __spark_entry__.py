@@ -39,6 +39,7 @@ _SAMPLE_PRIORITY = [
     "orders_market_basket_lift", "rag_context_packing",
     "dq_mad_outlier_docs", "mlprep_length_bucket_padding_waste",
     "dedup_cluster_quality_report", "dedup_survivor_length_bias",
+    "stream_market_basket",
     # round 8, tier 2: code changed this round (pair-graph/components
     # memo, k-means index memo, LPA canonical fast path, copurchase
     # memo fingerprint, VAD in-plan guard) — regression proof
@@ -53,7 +54,7 @@ _SAMPLE_PRIORITY = [
     # round 8, tier 3: never-sampled rows across every remaining
     # family (140/288 had driver rows before this round) — breadth
     "dedup_embedding_cosine_pairs", "dedup_lsh_bucket_census",
-    "dedup_simhash_pairs", "docs_cross_source_duplication",
+    "dedup_simhash_pairs",
     "sim_ann_lsh_topk", "sim_ann_multiprobe_topk",
     "sim_bruteforce_topk", "sim_lsh_bucket_stats",
     "sim_embedding_quantize_stats", "events_json_extract",

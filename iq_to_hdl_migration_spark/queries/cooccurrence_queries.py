@@ -259,10 +259,9 @@ def nation_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BASKET_MIN_SUP = 2   # orders containing the pair
 _BASKET_TOPK = 50
 
-
-@register(
-    "orders_market_basket_lift",
-    oracle=f"""
+# shared with the streaming twin (stream_market_basket), whose folded
+# supports must reproduce this batch result exactly
+MARKET_BASKET_ORACLE = f"""
     WITH baskets AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
@@ -293,7 +292,12 @@ _BASKET_TOPK = 50
     CROSS JOIN tot t
     ORDER BY lift DESC, part_a, part_b
     LIMIT {_BASKET_TOPK}
-    """,
+    """
+
+
+@register(
+    "orders_market_basket_lift",
+    oracle=MARKET_BASKET_ORACLE,
     doc=f"market-basket association rules over orders: top-{_BASKET_TOPK} "
         f"part pairs by lift (support >= {_BASKET_MIN_SUP} orders) with "
         "confidence — the a-priori building block. Baskets come from ONE "
@@ -310,19 +314,34 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (li.groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("l_partkey"))
                     .alias("parts")))
-    pair_sup = (baskets.select(
+    pair_sup = (basket_pair_supports(baskets)
+                .where(F.col("n_ab") >= _BASKET_MIN_SUP))
+    item_sup = (baskets.select(F.explode("parts").alias("l_partkey"))
+                .groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    return basket_lift_report(pair_sup, item_sup, tot)
+
+
+def basket_pair_supports(baskets: DataFrame) -> DataFrame:
+    """(part_a < part_b, n_ab) pair supports from a basket frame with a
+    sorted `parts` array — the in-basket explode bounded by order
+    width; shared by the batch query and the streaming fold."""
+    return (baskets.select(
         F.explode(F.expr("""
             flatten(transform(parts, (x, i) ->
                 transform(slice(parts, i + 2, size(parts)), y ->
                     struct(x AS part_a, y AS part_b))))
         """)).alias("p"))
         .groupBy("p.part_a", "p.part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .where(F.col("n_ab") >= _BASKET_MIN_SUP))
-    item_sup = (baskets.select(F.explode("parts").alias("l_partkey"))
-                .groupBy("l_partkey")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
-    tot = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")))
+
+
+def basket_lift_report(pair_sup: DataFrame, item_sup: DataFrame,
+                       tot: DataFrame) -> DataFrame:
+    """confidence/lift top-k from support tables — the report tail the
+    streaming twin must reproduce bit-for-bit from its folded state
+    (supports are integers, so the two double divisions agree)."""
     out = (pair_sup
            .join(item_sup.select(F.col("l_partkey").alias("part_a"),
                                  F.col("n").alias("n_a")), "part_a")

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
+from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
+    MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
 from iq_to_hdl_migration_spark.streaming import windows as W
 
@@ -449,3 +451,20 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"q_stream_bottomk_{next(_seq)}"
     return W.streaming_bottomk_sample(spark, sf_dir, _BK_K, name)
+
+
+@register(
+    "stream_market_basket",
+    oracle=MARKET_BASKET_ORACLE,   # shared with orders_market_basket_lift
+    doc="streaming twin of orders_market_basket_lift: lineitem arrives "
+        "as orderkey-contiguous micro-batches (a basket is an atomic "
+        "order event) and each batch's pair/item/total supports fold "
+        "ADDITIVELY into a unified snapshot (merge = sum per key — "
+        "supports over disjoint order sets are additive, the "
+        "mergeability the batch one-pass design advertises); replay "
+        "recomputes from the prior snapshot; the final lift report "
+        "equals the single-shot batch result (shared oracle)",
+)
+def stream_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_basket_{next(_seq)}"
+    return W.streaming_market_basket(spark, sf_dir, name)

@@ -762,3 +762,134 @@ def run_bottomk_fold(spark: SparkSession, arrivals_dir: str,
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def streaming_market_basket(spark: SparkSession, sf_dir: str,
+                            _query_name: str = "stream_basket",
+                            n_batches: int = 4) -> DataFrame:
+    """Streaming twin of orders_market_basket_lift: lineitem arrives as
+    orderkey-contiguous micro-batches (a basket is an atomic order
+    event, so every order lands whole in exactly one batch) and each
+    batch folds ADDITIVELY into a unified support snapshot — rows
+    (part_a, part_b, n) where part_b IS NULL marks an item-support row
+    and both-NULL the order total. Merge = groupBy(keys).sum(n): pair/
+    item/total supports are all additive across disjoint order sets,
+    which is the mergeability the batch query's one-pass design
+    advertises. Replay-safe like the bottom-k fold (batch i recomputes
+    from snapshot i-1); the final report equals the single-shot batch
+    result (shared oracle). State grows with distinct pairs — the
+    production variant prunes below min-support with a lossy-counting
+    bound; at this corpus the pair domain is orders x width^2.
+
+    Supersede-on-reinvoke contract: same as streaming_bottomk_sample —
+    a second call for the same (application, sf_dir) deletes the
+    previous call's snapshot files."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
+        _BASKET_MIN_SUP, basket_lift_report, basket_pair_supports)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "basket")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+
+    empty = spark.createDataFrame(
+        [], "part_a bigint, part_b bigint, n bigint")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    hi = li.agg(F.max("l_orderkey")).first()[0]
+    if hi is None:
+        return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+    span = max(1, (hi + n_batches) // n_batches)
+    for i in range(n_batches):
+        lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)
+        slice_df = li.where(F.col("l_orderkey").between(lo_i, hi_i))
+        tmp_i = os.path.join(work, f"slice_{i}")
+        slice_df.coalesce(1).write.parquet(tmp_i)
+        part = next(f for f in os.listdir(tmp_i)
+                    if f.startswith("part-"))
+        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp_i, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp_i)
+
+    run_basket_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    pair_sup = (snap.where(F.col("part_b").isNotNull())
+                .select("part_a", "part_b", F.col("n").alias("n_ab"))
+                .where(F.col("n_ab") >= _BASKET_MIN_SUP))
+    item_sup = (snap.where(F.col("part_b").isNull()
+                           & F.col("part_a").isNotNull())
+                .select(F.col("part_a").alias("l_partkey"), "n"))
+    tot = (snap.where(F.col("part_a").isNull() & F.col("part_b").isNull())
+           .select(F.col("n").alias("n_orders")))
+    return basket_lift_report(pair_sup, item_sup, tot)
+
+
+def run_basket_fold(spark: SparkSession, arrivals_dir: str,
+                    snap_dir: str, ckpt_dir: str) -> None:
+    """Drain the arrivals dir folding each batch's basket supports into
+    the unified additive snapshot chain. Resumable under the same
+    checkpoint dir; a replayed batch recomputes from the PRIOR
+    snapshot, so re-execution rewrites its snapshot byte-identically."""
+    import os
+
+    from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
+        basket_pair_supports)
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        baskets = (batch_df.groupBy("l_orderkey")
+                   .agg(F.sort_array(F.collect_set("l_partkey"))
+                        .alias("parts")))
+        pairs = basket_pair_supports(baskets).select(
+            "part_a", "part_b", F.col("n_ab").alias("n"))
+        items = (baskets.select(F.explode("parts").alias("part_a"))
+                 .groupBy("part_a")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                 .select("part_a", F.lit(None).cast("bigint")
+                         .alias("part_b"), "n"))
+        tot = (baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+               .select(F.lit(None).cast("bigint").alias("part_a"),
+                       F.lit(None).cast("bigint").alias("part_b"), "n"))
+        return pairs.unionByName(items).unionByName(tot)
+
+    def _process(batch_df, batch_id) -> None:
+        prev_snap = spark.read.parquet(_latest_before(batch_id))
+        merged = (prev_snap.unionByName(_delta(batch_df))
+                  .groupBy("part_a", "part_b")
+                  .agg(F.sum("n").cast("bigint").alias("n")))
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

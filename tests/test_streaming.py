@@ -246,3 +246,65 @@ def test_bottomk_snapshot_survives_restart(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in final.collect())
     want = sorted(tuple(r) for r in expect.collect())
     assert got == want, "restarted fold must equal the batch sample"
+
+
+def test_basket_fold_survives_restart(spark, sf_dir, tmp_path):
+    """Additive-support restart contract: half the ORDERS arrive (whole
+    baskets — the atomicity the fold requires), the stream drains and
+    STOPS; the rest arrives and a fresh start resumes from the same
+    checkpoint. The folded supports must equal the single-shot batch
+    supports over all orders — sums across disjoint order sets, no
+    double counting at the seam."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
+        basket_pair_supports)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    spark.createDataFrame(
+        [], "part_a bigint, part_b bigint, n bigint"
+    ).write.parquet(os.path.join(snaps, "00000_init"))
+
+    cut = li.agg(F.expr("CAST(max(l_orderkey) / 2 AS BIGINT)")).first()[0]
+
+    def arrive(df, name, mtime):
+        tmp = str(tmp_path / f"slice_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(arrivals, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    arrive(li.where(F.col("l_orderkey") <= cut), "arr_000", 1_000_000)
+    W.run_basket_fold(spark, arrivals, snaps, ckpt)
+    assert sorted(os.listdir(snaps))[-1] != "00000_init"
+
+    arrive(li.where(F.col("l_orderkey") > cut), "arr_001", 1_000_001)
+    W.run_basket_fold(spark, arrivals, snaps, ckpt)  # resumes
+
+    snap = spark.read.parquet(
+        os.path.join(snaps, sorted(os.listdir(snaps))[-1]))
+    got_pairs = sorted(
+        tuple(r) for r in snap.where(F.col("part_b").isNotNull())
+        .select("part_a", "part_b", "n").collect())
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("parts")))
+    want_pairs = sorted(
+        tuple(r) for r in basket_pair_supports(baskets)
+        .select("part_a", "part_b", F.col("n_ab").alias("n")).collect())
+    assert got_pairs == want_pairs, (
+        "restarted fold's pair supports must equal the batch supports")
+    tot = snap.where(F.col("part_a").isNull()
+                     & F.col("part_b").isNull()).collect()
+    assert len(tot) == 1 and tot[0]["n"] == baskets.count(), (
+        "order total must fold additively across the restart seam")
