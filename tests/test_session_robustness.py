@@ -33,6 +33,10 @@ _SLICE = [
     "events_cusum_changepoints",      # ts grain + aggregate() fold
     "dedup_semdedup_clusters",        # applyInPandas GEMM under ANSI
     "mm_scene_cuts",                  # mapInPandas numpy histograms
+    # round-8 shapes
+    "orders_market_basket_lift",      # lift doubles + TakeOrdered ties
+    "rag_context_packing",            # cosine doubles + budget cutoff
+    "dq_mad_outlier_docs",            # two percentile passes
 ]
 
 _HOSTILE = {
