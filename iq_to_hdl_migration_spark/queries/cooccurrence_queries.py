@@ -355,3 +355,87 @@ def basket_lift_report(pair_sup: DataFrame, item_sup: DataFrame,
                     / (F.col("n_a") * F.col("n_b")).cast("double"))
                    .alias("lift")))
     return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(_BASKET_TOPK)
+
+
+@register(
+    "events_ab_test_report",
+    oracle="""
+    WITH users AS (
+        SELECT DISTINCT user_id FROM events
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    assigned AS (
+        SELECT u.user_id,
+               CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_conv
+        FROM users u LEFT JOIN conv c ON c.user_id = u.user_id
+    ),
+    agg AS (
+        SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+               CAST(SUM(in_a * is_conv) AS BIGINT) AS c_a,
+               CAST(SUM(1 - in_a) AS BIGINT) AS n_b,
+               CAST(SUM((1 - in_a) * is_conv) AS BIGINT) AS c_b
+        FROM assigned
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           -- pooled p = 0 or 1 (nobody / everybody converts) makes the
+           -- standard error exactly 0: define z = 0 (no evidence of a
+           -- difference) identically in both engines
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+                ELSE (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt((CAST(c_a + c_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                     / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE))) END AS z_score
+    FROM agg
+    """,
+    doc="A/B experiment report: users assigned to variants by an md5 "
+        "hash split (the same content-addressed assignment discipline "
+        "as split_train_test — deterministic, join-free, no assignment "
+        "table to persist), conversion = any purchase event; reports "
+        "per-variant counts/rates and the pooled two-proportion "
+        "z-statistic. Two distinct-shuffles on user_id then a 1-row "
+        "aggregate; the z's sqrt chain mirrors the oracle's op order "
+        "exactly so the double is bit-stable.",
+)
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    conv = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id").distinct()
+            .withColumn("is_conv", F.lit(1)))
+    assigned = (users.join(conv, "user_id", "left")
+                .select(
+                    F.when(F.substring(F.md5(F.col("user_id")
+                                             .cast("string")), 1, 1)
+                           < "8", 1).otherwise(0).alias("in_a"),
+                    F.coalesce("is_conv", F.lit(0)).alias("is_conv")))
+    agg = assigned.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("in_a") * F.col("is_conv")).cast("bigint").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
+        F.sum((F.lit(1) - F.col("in_a")) * F.col("is_conv"))
+        .cast("bigint").alias("c_b"))
+    rate_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pooled = ((F.col("c_a") + F.col("c_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")).cast("double"))
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a").cast("double")
+                   + F.lit(1.0) / F.col("n_b").cast("double")))
+    degenerate = ((F.col("c_a") + F.col("c_b") == 0)
+                  | (F.col("c_a") + F.col("c_b")
+                     == F.col("n_a") + F.col("n_b")))
+    return agg.select("n_a", "c_a", "n_b", "c_b",
+                      rate_a.alias("rate_a"), rate_b.alias("rate_b"),
+                      F.when(degenerate, F.lit(0.0))
+                      .otherwise((rate_a - rate_b) / se)
+                      .alias("z_score"))
