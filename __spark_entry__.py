@@ -57,7 +57,7 @@ _SAMPLE_PRIORITY = [
     "dedup_simhash_pairs",
     "sim_ann_lsh_topk", "sim_ann_multiprobe_topk",
     "sim_bruteforce_topk", "sim_lsh_bucket_stats",
-    "sim_embedding_quantize_stats", "events_json_extract",
+    "events_ab_test_report", "events_json_extract",
     "text_langid_heuristic", "text_quality_scores",
     "text_repetition_scores", "text_winnowing_fingerprints",
     "text_df_histogram", "text_tfidf_topk", "text_pii_scan",
