@@ -61,7 +61,7 @@ _SAMPLE_PRIORITY = [
     "text_langid_heuristic", "text_quality_scores",
     "text_repetition_scores", "text_winnowing_fingerprints",
     "text_df_histogram", "text_tfidf_topk", "text_pii_scan",
-    "text_bpe_token_estimate",
+    "trend_seasonal_decomposition_monthly",
     "events_sessionization", "events_funnel_counts",
     "events_retention_cohorts", "events_dau_wau",
     "events_markov_transitions", "events_peak_concurrency",

@@ -959,3 +959,92 @@ def trend_holt_forecast_monthly_revenue(spark: SparkSession,
                   F.col("lev").cast("bigint").alias("level_cents"),
                   F.col("tr").cast("bigint").alias("trend_cents")))
     return actual.unionByName(fc)
+
+
+# ---------------------------------------------------------------------------
+# Classic additive seasonal decomposition of the monthly revenue
+# series: trend = 13-month centered moving average, seasonal =
+# month-of-year mean of the detrended series, residual = the rest.
+# Scale shape: the fact table collapses to the ~80-month series FIRST
+# (exact DECIMAL sums, map-side combined); every window/group after
+# that is calendar-bounded. Float discipline: the moving-average sum
+# stays DECIMAL through the window (one double division at the end —
+# windowed SUM(double) accumulates in engine-specific order), and the
+# seasonal mean quantizes detrended values to integer cents before
+# summing so the group aggregation is exact BIGINT.
+
+@register(
+    "trend_seasonal_decomposition_monthly",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(o_orderdate AS TIMESTAMP))
+                    AS BIGINT) AS x,
+               CAST(date_part('month', CAST(o_orderdate AS TIMESTAMP))
+                    AS INTEGER) AS month_of_year,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ydec
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT x, month_of_year, CAST(ydec AS DOUBLE) AS y,
+               CAST(SUM(ydec) OVER w AS DOUBLE) / 13.0 AS trend,
+               COUNT(*) OVER w AS cnt
+        FROM m
+        WINDOW w AS (ORDER BY x ROWS BETWEEN 6 PRECEDING
+                                       AND 6 FOLLOWING)
+    ),
+    d AS (
+        SELECT x, month_of_year, y, trend, y - trend AS dtr
+        FROM t WHERE cnt = 13
+    ),
+    seas AS (
+        SELECT month_of_year,
+               CAST(SUM(CAST(floor(dtr * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+               / CAST(100 * COUNT(*) AS DOUBLE) AS seasonal
+        FROM d GROUP BY month_of_year
+    )
+    SELECT d.x, d.month_of_year, d.y AS revenue, d.trend, s.seasonal,
+           d.y - d.trend - s.seasonal AS residual
+    FROM d JOIN seas s ON s.month_of_year = d.month_of_year
+    """,
+    doc="additive seasonal decomposition of monthly revenue: 13-month "
+        "centered-MA trend (DECIMAL sum through the window, one double "
+        "division), month-of-year seasonal mean over cent-quantized "
+        "detrended values (exact BIGINT group sum), residual — the "
+        "series-diagnostics companion to the Theil-Sen/Holt/ACF "
+        "family; everything after the first aggregation is bounded by "
+        "the calendar",
+    bench=True,
+)
+def trend_seasonal_decomposition_monthly(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint").alias("x"),
+        F.month("o_orderdate").cast("int").alias("month_of_year"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("ydec")))
+    w = Window.orderBy("x").rowsBetween(-6, 6)
+    t = m.select(
+        "x", "month_of_year",
+        F.col("ydec").cast("double").alias("y"),
+        (F.sum("ydec").over(w).cast("double") / F.lit(13.0))
+        .alias("trend"),
+        F.count(F.lit(1)).over(w).alias("cnt"))
+    d = (t.where(F.col("cnt") == 13)
+         .select("x", "month_of_year", "y", "trend",
+                 (F.col("y") - F.col("trend")).alias("dtr")))
+    seas = (d.groupBy("month_of_year")
+            .agg((F.sum(F.floor(F.col("dtr") * 100.0 + 0.5)
+                        .cast("bigint")).cast("double")
+                  / (F.lit(100) * F.count(F.lit(1))).cast("double"))
+                 .alias("seasonal")))
+    return (d.join(F.broadcast(seas), "month_of_year")
+            .select("x", "month_of_year", F.col("y").alias("revenue"),
+                    "trend", "seasonal",
+                    (F.col("y") - F.col("trend") - F.col("seasonal"))
+                    .alias("residual")))
