@@ -352,6 +352,11 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents")
     cut = docs.agg(
         F.floor(F.max("doc_id") * 0.6).cast("bigint")).first()[0]
+    if cut is None:
+        # empty corpus: no arrivals to stream — return the empty pair
+        # frame the batch twin would produce (same schema)
+        return spark.createDataFrame(
+            [], "id_a bigint, id_b bigint, est_jaccard double")
     batch1 = docs.where(F.col("doc_id") <= cut)
     batch2 = docs.where(F.col("doc_id") > cut)
 
