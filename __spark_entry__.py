@@ -60,7 +60,7 @@ _SAMPLE_PRIORITY = [
     "events_ab_test_report", "events_json_extract",
     "text_langid_heuristic", "text_quality_scores",
     "text_repetition_scores", "text_winnowing_fingerprints",
-    "text_df_histogram", "text_tfidf_topk", "text_pii_scan",
+    "text_contamination_incremental", "text_tfidf_topk", "text_pii_scan",
     "trend_seasonal_decomposition_monthly",
     "events_sessionization", "events_funnel_counts",
     "events_retention_cohorts", "events_dau_wau",

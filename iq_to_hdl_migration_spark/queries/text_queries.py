@@ -379,6 +379,14 @@ _WINNOW_DUCK_CTE = f"""
 )
 def text_winnowing_fingerprints(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
+    return winnow_fps_frame(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_fps_frame(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprints of an arbitrary (doc_id, text) frame —
+    the transform behind text_winnowing_fingerprints, reusable for
+    corpus subsets (the incremental contamination scan fingerprints
+    the base corpus and the arriving batch separately)."""
     # Three formulation rules learned the hard way:
     #  * the norm -> grams stages sit behind a repartition barrier, or
     #    CollapseProject inlines the regexp into every gram lambda
@@ -398,7 +406,6 @@ def text_winnowing_fingerprints(spark: SparkSession,
     #    guarantees a non-empty gram array).
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     n = docs.sparkSession.sparkContext.defaultParallelism
     # only the (cheap) substring slicing runs inside the lambda; md5
     # runs as a codegen projection over the exploded rows (~15% faster
@@ -619,3 +626,70 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       .alias("h")))),
                          lambda s: s["h"])).cast("binary"))
                  .alias("redacted_digest")))
+
+
+@register(
+    "text_contamination_incremental",
+    oracle=f"""
+    WITH {_WINNOW_DUCK_CTE},
+    cut AS (
+        SELECT CAST(floor(MAX(doc_id) * 0.6) AS BIGINT) AS c
+        FROM documents
+    ),
+    base AS (
+        SELECT w.doc_id, w.fp,
+               ROW_NUMBER() OVER (PARTITION BY w.fp
+                                  ORDER BY w.doc_id) AS rn
+        FROM wfp w, cut WHERE w.doc_id <= cut.c
+    ),
+    batch AS (
+        SELECT w.doc_id, w.fp,
+               ROW_NUMBER() OVER (PARTITION BY w.fp
+                                  ORDER BY w.doc_id) AS rn
+        FROM wfp w, cut WHERE w.doc_id > cut.c
+    )
+    SELECT q.doc_id AS id_batch, b.doc_id AS id_base,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM batch q JOIN base b ON q.fp = b.fp
+    WHERE q.rn <= {_FP_BUCKET_CAP} AND b.rn <= {_FP_BUCKET_CAP}
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_MIN_SHARED}
+    """,
+    doc="incremental contamination scan: arrivals (doc_id above the "
+        "60%-of-max cut — the same harness convention as "
+        "dedup_incremental_pairs) fingerprinted and matched against "
+        "the BASE corpus's winnowing fingerprint store only — base "
+        "text is never re-read, per-batch work is O(batch + "
+        "collisions); both posting sides carry the id-ordered "
+        f"per-fingerprint cap {_FP_BUCKET_CAP} so boilerplate "
+        "fingerprints cannot explode the join. At scale the base side "
+        "is the persisted fingerprint table (DEPLOY_100TB.md) — the "
+        "decontaminate-at-ingest gate of a training pipeline",
+)
+def text_contamination_incremental(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.floor(F.max("doc_id") * 0.6).cast("bigint")
+                   ).first()[0]
+    if cut is None:
+        return spark.createDataFrame(
+            [], "id_batch bigint, id_base bigint, n_shared bigint")
+    # at scale: the base fps are the persisted index (one-time build);
+    # here both sides derive from the memoized whole-corpus index —
+    # fingerprints are per-document, so subsetting commutes
+    fps = _winnow_fps(spark, sf_dir)
+    wcap = Window.partitionBy("fp").orderBy("doc_id")
+
+    def capped(side: DataFrame) -> DataFrame:
+        return (side.withColumn("rn", F.row_number().over(wcap))
+                .where(F.col("rn") <= _FP_BUCKET_CAP).drop("rn"))
+
+    base = capped(fps.where(F.col("doc_id") <= cut))
+    batch = capped(fps.where(F.col("doc_id") > cut))
+    return (batch.select(F.col("doc_id").alias("id_batch"), "fp")
+            .join(base.select(F.col("doc_id").alias("id_base"), "fp"),
+                  "fp")
+            .groupBy("id_batch", "id_base")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= _MIN_SHARED))
