@@ -381,12 +381,18 @@ def basket_lift_report(pair_sup: DataFrame, item_sup: DataFrame,
         FROM assigned
     )
     SELECT n_a, c_a, n_b, c_b,
-           CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-           CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           -- an empty variant (every user hashed to one side) makes the
+           -- rate 0/0: Spark NULLs it while DuckDB yields nan — define
+           -- rate = 0.0 identically in both engines
+           CASE WHEN n_a = 0 THEN 0.0
+                ELSE CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+           CASE WHEN n_b = 0 THEN 0.0
+                ELSE CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
            -- pooled p = 0 or 1 (nobody / everybody converts) makes the
-           -- standard error exactly 0: define z = 0 (no evidence of a
-           -- difference) identically in both engines
-           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+           -- standard error exactly 0; an empty variant makes 1/n
+           -- infinite: define z = 0 (no evidence) identically in both
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
                 ELSE (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                       - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
                      / sqrt((CAST(c_a + c_b AS DOUBLE)
@@ -424,14 +430,17 @@ def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
         F.sum((F.lit(1) - F.col("in_a")) * F.col("is_conv"))
         .cast("bigint").alias("c_b"))
-    rate_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
-    rate_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    rate_a = F.when(F.col("n_a") == 0, F.lit(0.0)).otherwise(
+        F.col("c_a").cast("double") / F.col("n_a").cast("double"))
+    rate_b = F.when(F.col("n_b") == 0, F.lit(0.0)).otherwise(
+        F.col("c_b").cast("double") / F.col("n_b").cast("double"))
     pooled = ((F.col("c_a") + F.col("c_b")).cast("double")
               / (F.col("n_a") + F.col("n_b")).cast("double"))
     se = F.sqrt(pooled * (F.lit(1.0) - pooled)
                 * (F.lit(1.0) / F.col("n_a").cast("double")
                    + F.lit(1.0) / F.col("n_b").cast("double")))
-    degenerate = ((F.col("c_a") + F.col("c_b") == 0)
+    degenerate = ((F.col("n_a") == 0) | (F.col("n_b") == 0)
+                  | (F.col("c_a") + F.col("c_b") == 0)
                   | (F.col("c_a") + F.col("c_b")
                      == F.col("n_a") + F.col("n_b")))
     return agg.select("n_a", "c_a", "n_b", "c_b",

@@ -687,11 +687,13 @@ _IVF_PROBE = 2
 _IVF_SCALE = 1048576.0   # 2^20
 
 
-def _fp_kmeans_ctes(k: int, iters: int, final_update: bool,
+def _fp_kmeans_ctes(k: int | str, iters: int, final_update: bool,
                     train_pred: str | None = None) -> str:
     """WITH-chain prefix shared by every fixed-point k-means oracle:
     2^-20-quantized vectors `v`, seed centroids `c0` (vec_id < k), and
     per-iteration dist{{i}}/a{{i}} (+ u{{i}}/c{{i}} centroid updates).
+    `k` may be a SQL scalar-subquery string (SemDeDup derives k from
+    the corpus size) — it is inlined verbatim into the seed predicate.
     `final_update=False` stops at the last assignment a{{iters}} —
     consumers that never probe updated centroids (SemDeDup) skip the
     dead u/c CTEs so DuckDB doesn't materialize them.
@@ -826,6 +828,8 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
     from iq_to_hdl_migration_spark.sources.bucketed import (
         _source_fingerprint)
 
+    assert train_pred is None or pred_tag, \
+        "train_pred requires a distinct pred_tag (memo key collision)"
     spark = emb.sparkSession
     memo_key = (spark.sparkContext.applicationId,
                 _source_fingerprint(emb), k, iters,
@@ -1341,17 +1345,51 @@ def sim_mmr_diversified_topk(spark: SparkSession,
 # final cosine is one deterministic mult/sqrt/div chain.
 # Survivorship is deterministic min-id: drop x iff some y < x in the
 # same cluster has cos(x, y) >= tau.
+#
+# The quadratic term is bounded IN CODE, twice (the same discipline as
+# the LSH bucket cap in operators/dedup.py):
+#   1. k grows with the corpus — k = max(8, ceil(n / _SD_TARGET)) keeps
+#      the MEAN cluster at <= _SD_TARGET members no matter the scale
+#      (256.0 is a power of two, so n/256.0 then ceil is exact and
+#      identical in Spark, DuckDB, and Python);
+#   2. a HARD per-cluster scan cap — members are ranked by vec_id and
+#      only ranks <= _SD_CAP enter the pair scan, so no Arrow group
+#      (and no oracle self-join side) ever exceeds _SD_CAP rows even
+#      under worst-case skew; the truncation is not silent: every
+#      report row carries n_scanned / n_overflow census columns, and
+#      the Pandas group asserts the bound so a violation fails loudly
+#      rather than degrading.
 # ---------------------------------------------------------------------------
 
-_SD_K = 8
+_SD_K_MIN = 8      # floor: small corpora keep the historical k=8
+_SD_TARGET = 256   # derive k so the mean cluster stays <= this
+_SD_CAP = 512      # hard per-cluster scan bound (2x target, skew slack)
 _SD_ITERS = 2
 _SD_TAU = 0.35
 
+# SQL twin of the Spark driver-side k derivation (exact: /256.0 is a
+# power-of-two division, ceil of an exact double is exact).
+_SD_K_SQL = (f"(SELECT GREATEST({_SD_K_MIN}, "
+             f"CAST(CEIL(COUNT(*) / {_SD_TARGET}.0) AS BIGINT)) "
+             f"FROM embeddings)")
+
+
+def _sd_k(n: int) -> int:
+    """k for an n-vector corpus — must mirror _SD_K_SQL bit-for-bit."""
+    return max(_SD_K_MIN, -(-n // _SD_TARGET))
+
 
 def _semdedup_oracle() -> str:
-    k, iters, tau = _SD_K, _SD_ITERS, _SD_TAU
+    iters, tau, cap = _SD_ITERS, _SD_TAU, _SD_CAP
     return f"""
-    {_fp_kmeans_ctes(k, iters, final_update=False)},
+    {_fp_kmeans_ctes(_SD_K_SQL, iters, final_update=False)},
+    scan AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                                      ORDER BY vec_id) AS rnk
+            FROM a{iters}) t WHERE rnk <= {cap}
+    ),
     qa AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[],
@@ -1365,7 +1403,7 @@ def _semdedup_oracle() -> str:
                  / (sqrt(list_dot_product(x.q::DOUBLE[], x.q::DOUBLE[]))
                     * sqrt(list_dot_product(y.q::DOUBLE[], y.q::DOUBLE[])))
                    AS cos
-        FROM a{iters} a JOIN a{iters} b
+        FROM scan a JOIN scan b
           ON a.cid = b.cid AND a.vec_id < b.vec_id
         JOIN qa x ON x.vec_id = a.vec_id
         JOIN qa y ON y.vec_id = b.vec_id
@@ -1382,6 +1420,8 @@ def _semdedup_oracle() -> str:
         FROM dup GROUP BY cid
     )
     SELECT m.cid, m.n_members,
+           CAST(LEAST(m.n_members, {cap}) AS BIGINT) AS n_scanned,
+           CAST(GREATEST(m.n_members - {cap}, 0) AS BIGINT) AS n_overflow,
            COALESCE(d.n_dup_pairs, 0) AS n_dup_pairs,
            COALESCE(d.n_dropped, 0) AS n_dropped,
            m.n_members - COALESCE(d.n_dropped, 0) AS n_kept,
@@ -1394,17 +1434,27 @@ def _semdedup_oracle() -> str:
     "dedup_semdedup_clusters",
     oracle=_semdedup_oracle(),
     doc="SemDeDup-style semantic dedup: integer fixed-point k-means "
-        "(k=8, 2 Lloyd iterations, 2^-20-quantized) assigns clusters; "
-        "near-dup pairs (quantized cosine >= 0.35) are searched ONLY "
-        "within clusters — never all-pairs; deterministic min-id "
-        "survivorship. Per-cluster report: members, dup pairs, "
-        "dropped, kept, max cosine — every column value-hash-checked "
-        "against the unrolled DuckDB CTE chain.",
+        "(k = max(8, ceil(n/256)) grows with the corpus, 2 Lloyd "
+        "iterations, 2^-20-quantized) assigns clusters; near-dup "
+        "pairs (quantized cosine >= 0.35) are searched ONLY within "
+        "clusters and only over the first 512 members by vec_id rank "
+        "(hard in-code cap; truncation reported per cluster as "
+        "n_scanned/n_overflow) — never all-pairs, never an unbounded "
+        "Arrow group; deterministic min-id survivorship. Every column "
+        "value-hash-checked against the unrolled DuckDB CTE chain.",
     bench=True,
 )
 def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
-    _, _, assign = _fp_kmeans_assign(emb, _SD_K, _SD_ITERS)
+    # One scalar count to derive k (the index-build step of a
+    # materialize-once structure — at 100 TB this is table metadata).
+    k = _sd_k(emb.count())
+    _, _, assign = _fp_kmeans_assign(emb, k, _SD_ITERS)
+    wr = Window.partitionBy("cid").orderBy("vec_id")
+    scan = (assign.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= _SD_CAP).select("vec_id", "cid"))
     qa = emb.select(
         "vec_id",
         F.expr(f"transform({sim.as_double_array('embedding')}, "
@@ -1427,6 +1477,10 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _cluster_dups(pdf):
         import numpy as np
         import pandas as pd
+        # The scan-cap filter upstream guarantees this; fail loudly
+        # (never degrade to an unbounded GEMM) if it is ever violated.
+        assert len(pdf) <= _SD_CAP, \
+            f"SemDeDup cluster group {len(pdf)} exceeds cap {_SD_CAP}"
         qm = np.stack(pdf["q"].to_numpy()).astype(np.float64)
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
@@ -1441,7 +1495,7 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
             "cos": cos[iu, ju][keep]})
 
-    dup = (assign.join(qa, "vec_id")
+    dup = (scan.join(qa, "vec_id")
            .groupBy("cid")
            .applyInPandas(_cluster_dups,
                           "cid bigint, id_a bigint, id_b bigint, "
@@ -1454,6 +1508,11 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cos").alias("max_cos"))
     return (members.join(dstat, "cid", "left")
             .select("cid", "n_members",
+                    F.least("n_members", F.lit(_SD_CAP)).cast("bigint")
+                    .alias("n_scanned"),
+                    F.greatest(F.col("n_members") - F.lit(_SD_CAP),
+                               F.lit(0)).cast("bigint")
+                    .alias("n_overflow"),
                     F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint")
                     .alias("n_dup_pairs"),
                     F.coalesce("n_dropped", F.lit(0)).cast("bigint")

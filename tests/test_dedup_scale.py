@@ -109,6 +109,58 @@ def test_embedding_exact_flood_linear(spark):
     assert len(out) < 2_010
 
 
+def test_semdedup_scan_cap_enforced(spark, tmp_path):
+    """SemDeDup's quadratic term is bounded IN CODE: an adversarial
+    corpus of 1500 identical vectors collapses into ONE k-means
+    cluster, and the per-cluster scan must truncate at _SD_CAP (the
+    applyInPandas group asserts the bound — a violation raises rather
+    than running an unbounded GEMM) while the report carries an
+    explicit n_scanned/n_overflow census of the truncation."""
+    from iq_to_hdl_migration_spark.queries.similarity_queries import (
+        _SD_CAP, dedup_semdedup_clusters)
+
+    n = 1_500
+    base = [float((i % 7) - 3) for i in range(similarity.DIM)]
+    df = spark.createDataFrame(
+        [(i, base, 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = dedup_semdedup_clusters(spark, str(tmp_path)).collect()
+    # identical vectors -> every distance ties -> min-cid adoption ->
+    # a single flooded cluster
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_members == n
+    assert r.n_scanned == _SD_CAP
+    assert r.n_overflow == n - _SD_CAP
+    # within the scanned prefix everything is an exact dup of vec 0
+    assert r.n_dup_pairs == _SD_CAP * (_SD_CAP - 1) // 2
+    assert r.n_dropped == _SD_CAP - 1
+    assert r.n_kept == n - (_SD_CAP - 1)
+    assert abs(r.max_cos - 1.0) < 1e-12  # dot/(sqrt*sqrt) ulp slack
+
+
+def test_semdedup_k_grows_with_corpus():
+    """k = max(8, ceil(n/256)) keeps the MEAN cluster bounded at any
+    scale, and the Python derivation mirrors the SQL twin bit-for-bit
+    (power-of-two divisor -> exact double division in both)."""
+    import duckdb
+
+    from iq_to_hdl_migration_spark.queries.similarity_queries import (
+        _SD_K_SQL, _sd_k)
+
+    assert _sd_k(500) == 8          # small corpora keep historical k=8
+    assert _sd_k(2_048) == 8
+    assert _sd_k(2_049) == 9        # ...then k tracks the corpus
+    assert _sd_k(10_000) == 40
+    assert _sd_k(10**9) == 3_906_250
+    con = duckdb.connect()
+    for n in (1, 500, 2_048, 2_049, 10_000, 1_000_003):
+        con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                    f"SELECT * FROM range({n})")
+        assert con.sql(f"SELECT {_SD_K_SQL}").fetchone()[0] == _sd_k(n)
+
+
 def test_capped_plan_uses_window_group_limit(spark):
     """The row_number()<=cap filter must compile to WindowGroupLimit —
     the map-side partial top-k that keeps oversized buckets from ever
