@@ -1626,7 +1626,7 @@ def _pq_oracle() -> str:
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from iq_to_hdl_migration_spark.sources.memo import session_memo
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
 
     emb = load_table(spark, sf_dir, "embeddings")
     m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
@@ -1634,8 +1634,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def train():
         # PQ codebooks + corpus codes are the stored index format —
-        # trained once per corpus (session memo; persisted table at
-        # scale), never re-fit per query
+        # trained once per corpus and served through durable_memo:
+        # with $SPARK_GRAFT_MEMO_DIR set the trained parts commit as
+        # fingerprint-guarded snapshot tables, and a NEW session
+        # warm-starts from them instead of re-running Lloyd
+        # (tests/test_session_memo.py locks the round trip)
         v = (emb.select(
                 "vec_id",
                 F.posexplode(F.expr(sim.as_double_array("embedding")))
@@ -1668,10 +1671,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .select("sub", "cid", "dim",
                              F.coalesce("ucq", "cq").alias("cq"))
                      .localCheckpoint())
-        return v, cents, codes
+        return {"v": v, "cents": cents, "codes": codes}
 
-    v, cents, codes = session_memo("pq_index", spark, sf_dir, emb, train,
-                                   extra=(m, k, iters))
+    idx = durable_memo("pq_index", spark, sf_dir, emb, train,
+                       extra=(m, k, iters))
+    v, cents, codes = idx["v"], idx["cents"], idx["codes"]
     adctab = (v.where(F.col("vec_id") < _N_QUERIES)
               .withColumnRenamed("vec_id", "query_id")
               .join(cents.hint("broadcast"), ["sub", "dim"])

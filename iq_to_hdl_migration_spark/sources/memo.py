@@ -12,12 +12,17 @@ responsible for materializing.
 
 At 100 TB each memoized structure becomes a persisted table (see
 docs/DEPLOY_100TB.md, "Materialized shared structures") — this module
-is the single seam where that swap happens.
+is the single seam where that swap happens: `durable_memo` is the
+persisted variant, backed by `sources.snapshots` versioned tables and
+guarded by the same source fingerprint (a snapshot built from a
+regenerated corpus is stale and is rebuilt, never served).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import pathlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,3 +52,84 @@ def session_memo(tag: str, spark: SparkSession, sf_dir: str,
             store.clear()
         store[key] = hit
     return hit
+
+
+def _meta_path(table_dir: str, tag: str) -> pathlib.Path:
+    return pathlib.Path(table_dir) / tag / "_memo_meta.json"
+
+
+def _persist_structure(parts: dict[str, DataFrame], table_dir: str,
+                       tag: str, fkey: str) -> None:
+    from iq_to_hdl_migration_spark.sources import snapshots
+
+    versions = {}
+    for name, df in parts.items():
+        versions[name] = snapshots.write_snapshot(
+            df, f"{table_dir}/{tag}/{name}", mode="overwrite")
+    mp = _meta_path(table_dir, tag)
+    tmp = mp.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"key": fkey, "versions": versions},
+                              sort_keys=True))
+    tmp.rename(mp)  # atomic pointer flip: readers see old-or-new meta
+
+
+def _load_structure(spark: SparkSession, table_dir: str, tag: str,
+                    fkey: str) -> dict[str, DataFrame] | None:
+    """Warm-start read: the persisted structure is served ONLY if its
+    recorded build key (source fingerprint + hyperparameters) matches
+    the current corpus — fail-closed on any mismatch or absence."""
+    from iq_to_hdl_migration_spark.sources import snapshots
+
+    mp = _meta_path(table_dir, tag)
+    if not mp.exists():
+        return None
+    meta = json.loads(mp.read_text())
+    if meta.get("key") != fkey:
+        return None  # stale: corpus or config changed since the build
+    return {name: snapshots.read_snapshot(spark, f"{table_dir}/{tag}/{name}",
+                                          version=v)
+            for name, v in meta["versions"].items()}
+
+
+def durable_memo(tag: str, spark: SparkSession, sf_dir: str,
+                 src: DataFrame, build: Callable[[], dict[str, DataFrame]],
+                 extra: tuple = (), table_dir: str | None = None,
+                 single_live: bool = True) -> dict[str, DataFrame]:
+    """`session_memo` with a persisted-snapshot tier underneath — the
+    100 TB swap promised above, mechanized. `build` must return a dict
+    of named DataFrame parts (e.g. {"cents": ..., "codes": ...}).
+
+    Lookup order: in-process memo → persisted snapshot tables under
+    `table_dir` (default $SPARK_GRAFT_MEMO_DIR; tier skipped when
+    unset) → build(). A build-through commits each part as a versioned
+    snapshot (`sources.snapshots`) plus an atomic meta pointer binding
+    the version set to the build key, so a NEW session warm-starts by
+    reading the snapshot instead of re-training; the key embeds the
+    driver-side source fingerprint, so a regenerated corpus (same
+    paths, new mtimes) misses and rebuilds rather than serving a stale
+    index."""
+    from iq_to_hdl_migration_spark.sources.bucketed import (
+        _source_fingerprint)
+
+    store = _MEMOS.setdefault(tag, {})
+    fp = _source_fingerprint(src)
+    key = (spark.sparkContext.applicationId, sf_dir,
+           os.environ.get("SPARK_GRAFT_WAREHOUSE", ""), fp) + tuple(extra)
+    hit = store.get(key)
+    if hit is not None:
+        return hit
+    table_dir = table_dir or os.environ.get("SPARK_GRAFT_MEMO_DIR")
+    fkey = json.dumps({"fingerprint": fp, "sf_dir": sf_dir,
+                       "extra": [str(x) for x in extra]}, sort_keys=True)
+    parts = (_load_structure(spark, table_dir, tag, fkey)
+             if table_dir else None)
+    if parts is None:
+        parts = build()
+        assert isinstance(parts, dict), \
+            "durable_memo builders must return named DataFrame parts"
+        if table_dir:
+            _persist_structure(parts, table_dir, tag, fkey)
+    if single_live:
+        store.clear()
+    store[key] = parts
+    return parts

@@ -16,6 +16,7 @@ from iq_to_hdl_migration_spark.sources.tables import load_table
 def _copy_docs(sf_dir: str, tmp_path) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     dst_dir = str(tmp_path)
+    os.makedirs(dst_dir, exist_ok=True)
     shutil.copy(src, os.path.join(dst_dir, "documents.parquet"))
     return dst_dir
 
@@ -42,6 +43,73 @@ def test_memo_hit_and_stale_miss(spark, sf_dir, tmp_path):
     c = get()
     assert c is not a, "rewritten source served a stale memo entry"
     assert len(builds) == 2
+
+
+def test_durable_memo_warm_starts_from_snapshot(spark, sf_dir, tmp_path):
+    """The memo→persisted-table swap, mechanized: a build-through
+    commits the structure as fingerprint-guarded snapshot tables; a
+    fresh session (simulated by killing the in-process memo) must
+    warm-start from the snapshot — the builder is never re-run — and
+    a changed build key must NOT be served the stale snapshot."""
+    from iq_to_hdl_migration_spark.sources import memo
+
+    work = _copy_docs(sf_dir, tmp_path / "corpus")
+    snap = str(tmp_path / "memostore")
+    docs = load_table(spark, work, "documents")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return {"top": docs.select("doc_id").orderBy("doc_id").limit(5)
+                .localCheckpoint()}
+
+    out1 = memo.durable_memo("t_demo", spark, work, docs, build,
+                             table_dir=snap)
+    rows1 = sorted(tuple(r) for r in out1["top"].collect())
+    assert builds == [1]
+
+    memo._MEMOS.clear()  # fresh process: only the snapshot survives
+
+    def must_not_build():
+        raise AssertionError("warm start expected — builder re-ran")
+
+    out2 = memo.durable_memo("t_demo", spark, work, docs, must_not_build,
+                             table_dir=snap)
+    assert sorted(tuple(r) for r in out2["top"].collect()) == rows1
+
+    # staleness guard: a different build key misses the snapshot
+    memo._MEMOS.clear()
+    out3 = memo.durable_memo("t_demo", spark, work, docs, build,
+                             extra=("cfg2",), table_dir=snap)
+    assert builds == [1, 1]
+    assert sorted(tuple(r) for r in out3["top"].collect()) == rows1
+
+
+def test_pq_index_snapshot_serves_bit_identical(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """End-to-end through the serving query: train+persist the PQ
+    index, kill the in-memory memo, reload from the snapshot table —
+    the served top-k must be bit-identical, and the warm start must
+    not write a single new snapshot version."""
+    from iq_to_hdl_migration_spark.queries.similarity_queries import (
+        sim_pq_adc_topk)
+    from iq_to_hdl_migration_spark.sources import memo, snapshots
+
+    monkeypatch.setenv("SPARK_GRAFT_MEMO_DIR", str(tmp_path))
+    memo._MEMOS.pop("pq_index", None)
+    r1 = sorted(tuple(r) for r in sim_pq_adc_topk(spark, sf_dir).collect())
+    assert snapshots.current_version(f"{tmp_path}/pq_index/cents") == 1
+    assert snapshots.current_version(f"{tmp_path}/pq_index/codes") == 1
+
+    memo._MEMOS.pop("pq_index", None)
+
+    def poisoned_write(*a, **k):
+        raise AssertionError("warm start must not rebuild/rewrite")
+
+    monkeypatch.setattr(snapshots, "write_snapshot", poisoned_write)
+    r2 = sorted(tuple(r) for r in sim_pq_adc_topk(spark, sf_dir).collect())
+    assert r2 == r1
+    memo._MEMOS.pop("pq_index", None)  # leave no env-keyed entry behind
 
 
 def test_memo_extra_key_separates_configs(spark, sf_dir, tmp_path):
