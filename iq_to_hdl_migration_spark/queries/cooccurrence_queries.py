@@ -357,9 +357,7 @@ def basket_lift_report(pair_sup: DataFrame, item_sup: DataFrame,
     return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(_BASKET_TOPK)
 
 
-@register(
-    "events_ab_test_report",
-    oracle="""
+AB_TEST_ORACLE = """
     WITH users AS (
         SELECT DISTINCT user_id FROM events
     ),
@@ -402,7 +400,12 @@ def basket_lift_report(pair_sup: DataFrame, item_sup: DataFrame,
                             * (1.0 / CAST(n_a AS DOUBLE)
                                + 1.0 / CAST(n_b AS DOUBLE))) END AS z_score
     FROM agg
-    """,
+    """
+
+
+@register(
+    "events_ab_test_report",
+    oracle=AB_TEST_ORACLE,
     doc="A/B experiment report: users assigned to variants by an md5 "
         "hash split (the same content-addressed assignment discipline "
         "as split_train_test — deterministic, join-free, no assignment "
@@ -424,6 +427,14 @@ def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              .cast("string")), 1, 1)
                            < "8", 1).otherwise(0).alias("in_a"),
                     F.coalesce("is_conv", F.lit(0)).alias("is_conv")))
+    return ab_test_report_tail(assigned)
+
+
+def ab_test_report_tail(assigned: DataFrame) -> DataFrame:
+    """Variant counts/rates + pooled z from an (in_a, is_conv) frame —
+    the report tail the streaming twin must reproduce bit-for-bit from
+    its folded per-user state (counts are integers, so the rate and z
+    division/sqrt chains agree exactly)."""
     agg = assigned.agg(
         F.sum("in_a").cast("bigint").alias("n_a"),
         F.sum(F.col("in_a") * F.col("is_conv")).cast("bigint").alias("c_a"),

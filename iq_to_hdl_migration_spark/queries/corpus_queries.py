@@ -910,3 +910,100 @@ def text_dsir_importance_weights(spark: SparkSession,
                     .alias("dsir_weight"))
             .orderBy(F.desc("dsir_weight"), "doc_id")
             .limit(_DSIR_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate detection (C4/RefinedWeb-style cleanup,
+# beyond-reference LLM-pipeline surface): an 8-token shingle that
+# recurs across >= _BP_MIN_DOCS distinct documents is boilerplate
+# (navigation chrome, license headers, templated text). The report is
+# per source — the unit a curation decision acts on. 100 TB shape:
+# the shingle->df table is corpus-scaled, so the hit join shuffles on
+# the shingle key (never broadcast); per-doc and per-source rollups
+# shuffle on doc_id/source. No stage holds more than one doc's
+# shingle set in a row.
+# ---------------------------------------------------------------------------
+
+_BP_N = 8          # shingle width (tokens)
+_BP_MIN_DOCS = 5   # a shingle in >= this many docs is boilerplate
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_DUCK} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - {_BP_N} + 1, 0) + 1),
+                   i -> list_aggregate(
+                            t[CAST(i AS INTEGER):
+                              CAST(i + {_BP_N} - 1 AS INTEGER)],
+                            'string_agg', ' '))) AS gs
+        FROM toks
+    ),
+    g AS (SELECT doc_id, source, unnest(gs) AS g FROM grams),
+    df AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS n_docs_with
+        FROM g GROUP BY g
+    ),
+    per_doc AS (
+        SELECT g.doc_id, g.source,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN df.n_docs_with >= {_BP_MIN_DOCS}
+                        THEN 1 ELSE 0 END) AS n_boiler
+        FROM g JOIN df USING (g)
+        GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_boiler) AS BIGINT) AS n_boiler,
+           CAST(SUM(n_boiler) AS DOUBLE) / CAST(SUM(n_shingles) AS DOUBLE)
+               AS boiler_rate,
+           MAX(CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE))
+               AS max_doc_boiler_ratio
+    FROM per_doc
+    GROUP BY source
+    """,
+    doc="cross-document boilerplate census: distinct 8-token shingles "
+        "recurring in >= 5 documents (template chrome, license "
+        "headers) rolled up per source — total shingles, boilerplate "
+        "hits, rate, and the worst single document's ratio. The "
+        "shingle-df join shuffles on the shingle key (corpus-scaled, "
+        "never broadcast); rates are integer-sum divisions and a max "
+        "of single-division doubles, so every float is bit-stable.",
+    bench=True,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    # sequence(1, 0) descends in Spark: explicit empty branch for short
+    # docs (same generator-trap discipline as text_contamination_13gram)
+    gs = (f"CASE WHEN size(t) >= {_BP_N} THEN "
+          f"array_distinct(transform(sequence(1, size(t) - {_BP_N} + 1), "
+          f"i -> concat_ws(' ', slice(t, i, {_BP_N})))) "
+          f"ELSE array() END")
+    g = (docs.select("doc_id", "source", F.expr(_TOKS_SPARK).alias("t"))
+         .repartition(n)
+         .withColumn("gs", F.expr(gs))
+         .select("doc_id", "source", F.explode_outer("gs").alias("g"))
+         .where(F.col("g").isNotNull()))
+    df = g.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("n_docs_with"))
+    per_doc = (g.join(df, "g")
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum(F.when(F.col("n_docs_with") >= _BP_MIN_DOCS, 1)
+                          .otherwise(0)).alias("n_boiler")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+                 F.sum("n_boiler").cast("bigint").alias("n_boiler"),
+                 (F.sum("n_boiler").cast("double")
+                  / F.sum("n_shingles").cast("double")).alias("boiler_rate"),
+                 F.max(F.col("n_boiler").cast("double")
+                       / F.col("n_shingles").cast("double"))
+                 .alias("max_doc_boiler_ratio")))

@@ -949,3 +949,197 @@ def mlprep_length_bucket_padding_waste(spark: SparkSession,
         .alias("wasted_tokens"),
         ((padded - F.col("sum_tokens")).cast("double")
          / padded.cast("double")).alias("waste_rate"))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (Bengio et al. 2009, public): schedule training
+# easy -> hard (difficulty = token count) while interleaving sources
+# inside each difficulty band so no band is a single-source run.
+# Scale shape: difficulty deciles come from ONE exact-percentile
+# aggregate (9 boundary values, broadcast) — NOT a global row_number,
+# which would single-partition the corpus sort; the only windows are
+# partitioned by (decile, source) and (decile), both distributed. The
+# curriculum order is the sort key (decile, wave, source, doc_id) —
+# at scale the writer emits it as a range-partitioned sorted write,
+# which Spark distributes, rather than materializing one global
+# position integer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlprep_curriculum_interleave",
+    oracle="""
+    WITH nt AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bounds AS (
+        SELECT quantile_cont(n_tokens,
+                             [0.1, 0.2, 0.3, 0.4, 0.5,
+                              0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM nt
+    ),
+    dec AS (
+        SELECT n.doc_id, n.source, n.n_tokens,
+               CAST(len(list_filter(b.bs, x -> x <= n.n_tokens))
+                    AS INTEGER) AS decile
+        FROM nt n, bounds b
+    ),
+    waved AS (
+        SELECT doc_id, source, n_tokens, decile,
+               CAST(ROW_NUMBER() OVER (PARTITION BY decile, source
+                                       ORDER BY n_tokens, doc_id)
+                    AS BIGINT) AS wave
+        FROM dec
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
+           decile, wave
+    FROM waved
+    """,
+    doc="curriculum schedule: difficulty deciles from one exact-"
+        "percentile aggregate (9 broadcast boundaries, never a global "
+        "sort window), then a per-(decile, source) wave counter so "
+        "consuming the sort key (decile, wave, source, doc_id) trains "
+        "easy->hard with sources round-robined inside each band; all "
+        "integer outputs",
+)
+def mlprep_curriculum_interleave(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select(
+        "doc_id", "source",
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("n_tokens"))
+    bounds = nt.agg(F.expr(
+        "percentile(n_tokens, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, "
+        "0.6D, 0.7D, 0.8D, 0.9D))").alias("bs"))
+    dec = (nt.join(F.broadcast(bounds))
+           .withColumn(
+               "decile",
+               F.expr("CAST(size(filter(bs, x -> x <= CAST(n_tokens "
+                      "AS DOUBLE))) AS INT)"))
+           .drop("bs"))
+    wv = Window.partitionBy("decile", "source").orderBy("n_tokens",
+                                                        "doc_id")
+    return dec.select("doc_id", "source", "n_tokens", "decile",
+                      F.row_number().over(wv).cast("bigint").alias("wave"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection: pick the highest-quality-density
+# documents (distinct-token ratio per token — a vocabulary-richness
+# proxy) until a token budget (25% of the corpus) is spent. The naive
+# plan is a global sort + running sum — one partition at 100 TB. This
+# is the 2-pass binned variant (the conversion-latency discipline):
+# pass 1 bins docs by a 2^20-quantized density key and cumulates the
+# BOUNDED bin table (<= 2^20 rows) to find the boundary bin; pass 2
+# selects whole bins above the boundary and finishes the partial bin
+# with a window restricted to THAT bin only. Deterministic: integer
+# bins, integer token counts, doc_id tie-break inside the boundary bin.
+# ---------------------------------------------------------------------------
+
+_TBS_PCT = 25  # select until 25% of corpus tokens are spent
+
+
+@register(
+    "mlprep_token_budget_selection",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS nt,
+               CAST(len(list_distinct(string_split_regex(
+                        lower(trim(text)), '\\s+'))) AS BIGINT) AS nd
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, source, nt, nd,
+               CAST(FLOOR(CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE)
+                          * 1048576.0) AS BIGINT) AS qd
+        FROM d WHERE nt > 0
+    ),
+    budget AS (
+        SELECT CAST(SUM(nt) AS BIGINT) * {_TBS_PCT} // 100 AS b FROM keyed
+    ),
+    bins AS (
+        SELECT qd, CAST(SUM(nt) AS BIGINT) AS bin_nt FROM keyed GROUP BY qd
+    ),
+    cum AS (
+        SELECT qd, bin_nt,
+               CAST(COALESCE(SUM(bin_nt) OVER (
+                   ORDER BY qd DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS above_nt
+        FROM bins
+    ),
+    marked AS (
+        SELECT c.qd, c.above_nt,
+               (c.above_nt + c.bin_nt <= b.b) AS whole,
+               (c.above_nt < b.b AND c.above_nt + c.bin_nt > b.b)
+                   AS boundary
+        FROM cum c, budget b
+    ),
+    sel AS (
+        SELECT k.doc_id, k.source, k.nt, k.nd,
+               m.whole, m.boundary, m.above_nt, b.b,
+               CAST(SUM(k.nt) OVER (PARTITION BY k.qd
+                                    ORDER BY k.doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS run_nt
+        FROM keyed k JOIN marked m USING (qd), budget b
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, nt, nd,
+           CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) AS density
+    FROM sel
+    WHERE whole OR (boundary AND above_nt + run_nt <= b)
+    """,
+    doc="token-budget corpus selection: greedy by quality density "
+        "(distinct-token ratio) until 25% of corpus tokens are spent "
+        "— 2-pass binned (2^20 integer density bins; the cumulative "
+        "runs over the bounded bin table, whole bins selected above "
+        "the boundary, one windowed prefix sum INSIDE the boundary "
+        "bin only) so no global single-partition sort exists at any "
+        "corpus size",
+    bench=True,
+)
+def mlprep_token_budget_selection(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = r"split(lower(trim(text)), '\\s+')"
+    d = docs.select(
+        "doc_id", "source",
+        F.size(F.expr(toks)).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(F.expr(toks))).cast("bigint").alias("nd"))
+    keyed = (d.where(F.col("nt") > 0)
+             .withColumn("qd", F.floor(F.col("nd").cast("double")
+                                       / F.col("nt").cast("double")
+                                       * F.lit(1048576.0)).cast("bigint")))
+    budget = keyed.agg(F.expr(
+        f"(CAST(sum(nt) AS BIGINT) * {_TBS_PCT}) div 100").alias("b"))
+    bins = keyed.groupBy("qd").agg(F.sum("nt").cast("bigint")
+                                   .alias("bin_nt"))
+    wcum = (Window.orderBy(F.desc("qd"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = bins.withColumn(
+        "above_nt", F.coalesce(F.sum("bin_nt").over(wcum), F.lit(0))
+        .cast("bigint"))
+    marked = (cum.join(F.broadcast(budget))
+              .select("qd", "above_nt",
+                      (F.col("above_nt") + F.col("bin_nt") <= F.col("b"))
+                      .alias("whole"),
+                      ((F.col("above_nt") < F.col("b"))
+                       & (F.col("above_nt") + F.col("bin_nt")
+                          > F.col("b"))).alias("boundary")))
+    wpart = (Window.partitionBy("qd").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (keyed.join(marked, "qd").join(F.broadcast(budget))
+            .withColumn("run_nt", F.sum("nt").over(wpart).cast("bigint"))
+            .where(F.col("whole")
+                   | (F.col("boundary")
+                      & (F.col("above_nt") + F.col("run_nt")
+                         <= F.col("b"))))
+            .select("doc_id", "source", "nt", "nd",
+                    (F.col("nd").cast("double") / F.col("nt").cast("double"))
+                    .alias("density")))

@@ -1917,3 +1917,102 @@ def rag_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("cum_tokens") <= _RAG_BUDGET)
             .select("query_id", "cand_id", "rnk", "cosine",
                     "n_tokens", "cum_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space data quality: per-label centroid distance outliers.
+# A mislabeled or corrupted vector sits far from its label's centroid;
+# the robust flag is median + 5*MAD of the squared distance (immune to
+# the outliers it hunts — the dq_mad_outlier_docs discipline in
+# embedding space). Integer end-to-end: 2^-20-quantized vectors,
+# floor-mean centroids (the k-means update rule), BIGINT squared
+# distances (<= 64 * 2^42 < 2^53 — exact in any order); the only
+# doubles are exact binary halves from the two median passes. Scale
+# shape: centroids are labels*DIM rows (broadcast); everything else is
+# one groupBy per pass, never pairwise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_embedding_outlier_report",
+    oracle=f"""
+    WITH v AS (
+        SELECT e.vec_id, e.label, d.dim,
+               CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE)
+                          * {_IVF_SCALE!r}) AS BIGINT) AS qv
+        FROM embeddings e, (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim) d
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(FLOOR(CAST(SUM(qv) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+        FROM v GROUP BY label, dim
+    ),
+    d2 AS (
+        SELECT v.vec_id, v.label,
+               CAST(SUM((v.qv - c.cq) * (v.qv - c.cq)) AS BIGINT) AS d2
+        FROM v JOIN cent c ON c.label = v.label AND c.dim = v.dim
+        GROUP BY v.vec_id, v.label
+    ),
+    med AS (
+        SELECT label, quantile_cont(d2, 0.5) AS med_d2 FROM d2
+        GROUP BY label
+    ),
+    dev AS (
+        SELECT d.label, d.d2, m.med_d2, abs(d.d2 - m.med_d2) AS adev
+        FROM d2 d JOIN med m USING (label)
+    ),
+    mad AS (
+        SELECT label, quantile_cont(adev, 0.5) AS mad_d2 FROM dev
+        GROUP BY label
+    )
+    SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MAX(v.med_d2) AS med_d2, MAX(m.mad_d2) AS mad_d2,
+           CAST(SUM(CASE WHEN v.d2 > v.med_d2 + 5 * m.mad_d2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(v.d2) AS BIGINT) AS max_d2
+    FROM dev v JOIN mad m USING (label)
+    GROUP BY v.label
+    """,
+    doc="embedding-space outlier audit: per-label integer centroid "
+        "(floor-mean of 2^-20-quantized dims), BIGINT squared "
+        "distances, robust median + 5*MAD flag per label — the "
+        "mislabeled/corrupted-vector detector; centroids broadcast "
+        "(labels*64 rows), two exact-median passes each one shuffle "
+        "on label",
+)
+def sim_embedding_outlier_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.select(
+            "label",
+            F.col("vec_id"),
+            F.posexplode(F.expr(sim.as_double_array("embedding")))
+            .alias("pos", "x"))
+         .select("vec_id", "label", (F.col("pos") + 1).alias("dim"),
+                 F.floor(F.col("x") * F.lit(_IVF_SCALE)).cast("bigint")
+                 .alias("qv")))
+    cent = (v.groupBy("label", "dim")
+            .agg(F.floor(F.sum("qv").cast("double")
+                         / F.count(F.lit(1)).cast("double"))
+                 .cast("bigint").alias("cq")))
+    d2 = (v.join(cent.hint("broadcast"), ["label", "dim"])
+          .groupBy("vec_id", "label")
+          .agg(F.sum((F.col("qv") - F.col("cq"))
+                     * (F.col("qv") - F.col("cq"))).cast("bigint")
+               .alias("d2")))
+    med = d2.groupBy("label").agg(
+        F.expr("percentile(d2, 0.5D)").alias("med_d2"))
+    dev = (d2.join(F.broadcast(med), "label")
+           .withColumn("adev", F.abs(F.col("d2") - F.col("med_d2"))))
+    mad = dev.groupBy("label").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad_d2"))
+    return (dev.join(F.broadcast(mad), "label")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.max("med_d2").alias("med_d2"),
+                 F.max("mad_d2").alias("mad_d2"),
+                 F.sum(F.when(F.col("d2") > F.col("med_d2")
+                              + 5 * F.col("mad_d2"), 1).otherwise(0))
+                 .cast("bigint").alias("n_outliers"),
+                 F.max("d2").cast("bigint").alias("max_d2")))

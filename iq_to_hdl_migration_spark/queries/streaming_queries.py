@@ -19,7 +19,7 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
-    MARKET_BASKET_ORACLE)
+    AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
 from iq_to_hdl_migration_spark.streaming import windows as W
 
@@ -468,3 +468,21 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_basket_{next(_seq)}"
     return W.streaming_market_basket(spark, sf_dir, name)
+
+
+@register(
+    "stream_ab_test",
+    oracle=AB_TEST_ORACLE,   # shared with events_ab_test_report
+    doc="streaming twin of events_ab_test_report: events arrive as "
+        "event_id-contiguous micro-batches (a user's events span "
+        "batches) and each batch folds into a per-user conversion "
+        "snapshot (merge = max(is_conv) per user — the idempotent "
+        "OR-monoid an exact streaming distinct-user metric needs; "
+        "variant assignment is a stateless md5 hash, so state is ONE "
+        "row per user, the provable minimum); replay recomputes from "
+        "the prior snapshot; the final z-report equals the single-"
+        "shot batch result bit-for-bit (shared oracle)",
+)
+def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_ab_{next(_seq)}"
+    return W.streaming_ab_test(spark, sf_dir, name)

@@ -862,3 +862,122 @@ def dq_mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("adev") > 5 * F.col("mad_chars"),
                               1).otherwise(0)).cast("bigint")
                  .alias("n_outliers")))
+
+
+# ---------------------------------------------------------------------------
+# Robust moment audit: 5% two-sided winsorized and trimmed means of
+# the event value per type. Complements dq_mad_outlier_docs (median/
+# MAD location) with robust SPREAD-aware means — the pair a data-
+# quality gate uses to decide whether heavy tails are real signal or
+# ingest garbage. Values are 1e6-floor-quantized to BIGINT first so
+# sums are exact integers in any order (a double SUM would be
+# partition-order-dependent and hash-unstable); cut ranks are integer
+# arithmetic; every emitted double is one shared division chain.
+# Windows partition by event_type — distributed at any scale.
+# ---------------------------------------------------------------------------
+
+_WIN_PCT = 5  # two-sided trim/winsorize percentage
+
+
+@register(
+    "dq_winsorized_value_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type, event_id,
+               CAST(FLOOR(value * 1000000.0) AS BIGINT) AS qv
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, qv,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY qv, event_id)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n
+        FROM q
+    ),
+    cuts AS (
+        SELECT event_type, n,
+               n * {_WIN_PCT} // 100 + 1 AS lo_rank,
+               n - n * {_WIN_PCT} // 100 AS hi_rank
+        FROM r GROUP BY event_type, n
+    ),
+    bounded AS (
+        SELECT r.event_type, r.qv, r.rn, c.n, c.lo_rank, c.hi_rank,
+               MAX(CASE WHEN r.rn = c.lo_rank THEN r.qv END)
+                   OVER (PARTITION BY r.event_type) AS lo_qv,
+               MAX(CASE WHEN r.rn = c.hi_rank THEN r.qv END)
+                   OVER (PARTITION BY r.event_type) AS hi_qv
+        FROM r JOIN cuts c USING (event_type)
+    )
+    SELECT event_type, MAX(n) AS n_events,
+           CAST(MAX(lo_qv) AS DOUBLE) / 1000000.0 AS lo_cut,
+           CAST(MAX(hi_qv) AS DOUBLE) / 1000000.0 AS hi_cut,
+           CAST(SUM(CASE WHEN rn >= lo_rank AND rn <= hi_rank
+                         THEN qv ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN rn >= lo_rank AND rn <= hi_rank
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+               / 1000000.0 AS trimmed_mean,
+           CAST(SUM(CASE WHEN qv < lo_qv THEN lo_qv
+                         WHEN qv > hi_qv THEN hi_qv
+                         ELSE qv END) AS DOUBLE)
+               / CAST(MAX(n) AS DOUBLE) / 1000000.0 AS winsorized_mean,
+           CAST(SUM(CASE WHEN qv < lo_qv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_lo,
+           CAST(SUM(CASE WHEN qv > hi_qv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_hi
+    FROM bounded
+    GROUP BY event_type
+    """,
+    doc="robust per-type value moments: 5% two-sided trimmed and "
+        "winsorized means over 1e6-quantized integer values (exact "
+        "order statistics by (value, event_id) rank; integer sums -> "
+        "one shared division chain, so every double is bit-stable), "
+        "plus the cut values and clamp counts — the heavy-tail "
+        "data-quality audit",
+)
+def dq_winsorized_value_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select("event_type", "event_id",
+                  F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+                  .alias("qv"))
+    wr = Window.partitionBy("event_type").orderBy("qv", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = (q.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+         .withColumn("n", F.count(F.lit(1)).over(wp).cast("bigint"))
+         .withColumn("lo_rank",
+                     F.expr(f"n * {_WIN_PCT} div 100 + 1"))
+         .withColumn("hi_rank",
+                     F.expr(f"n - n * {_WIN_PCT} div 100")))
+    bounded = (r.withColumn(
+        "lo_qv", F.max(F.when(F.col("rn") == F.col("lo_rank"),
+                              F.col("qv"))).over(wp))
+        .withColumn(
+        "hi_qv", F.max(F.when(F.col("rn") == F.col("hi_rank"),
+                              F.col("qv"))).over(wp)))
+    in_trim = (F.col("rn") >= F.col("lo_rank")) & \
+              (F.col("rn") <= F.col("hi_rank"))
+    wins = (F.when(F.col("qv") < F.col("lo_qv"), F.col("lo_qv"))
+            .when(F.col("qv") > F.col("hi_qv"), F.col("hi_qv"))
+            .otherwise(F.col("qv")))
+    return (bounded.groupBy("event_type")
+            .agg(F.max("n").alias("n_events"),
+                 (F.max("lo_qv").cast("double") / F.lit(1e6))
+                 .alias("lo_cut"),
+                 (F.max("hi_qv").cast("double") / F.lit(1e6))
+                 .alias("hi_cut"),
+                 (F.sum(F.when(in_trim, F.col("qv")).otherwise(0))
+                  .cast("double")
+                  / F.sum(F.when(in_trim, 1).otherwise(0)).cast("double")
+                  / F.lit(1e6)).alias("trimmed_mean"),
+                 (F.sum(wins).cast("double")
+                  / F.max("n").cast("double") / F.lit(1e6))
+                 .alias("winsorized_mean"),
+                 F.sum(F.when(F.col("qv") < F.col("lo_qv"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_clamped_lo"),
+                 F.sum(F.when(F.col("qv") > F.col("hi_qv"), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_clamped_hi")))

@@ -898,3 +898,119 @@ def run_basket_fold(spark: SparkSession, arrivals_dir: str,
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def streaming_ab_test(spark: SparkSession, sf_dir: str,
+                      _query_name: str = "stream_ab",
+                      n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_ab_test_report: events arrive as
+    event_id-contiguous micro-batches (a user's events deliberately
+    SPAN batches) and each batch folds into a per-user conversion
+    snapshot — rows (user_id, is_conv), merge = groupBy(user_id).
+    max(is_conv), the idempotent OR-monoid a streaming distinct-user
+    aggregate needs. Variant assignment is a stateless md5 hash of the
+    user id (content-addressed — no assignment table in state), so
+    snapshot state is exactly one row per distinct user, the minimum
+    any exact per-user metric can hold. Replay-safe like the other
+    folds (batch i recomputes from snapshot i-1); the final report
+    equals the single-shot batch result bit-for-bit (shared oracle).
+
+    Supersede-on-reinvoke contract: same as streaming_bottomk_sample —
+    a second call for the same (application, sf_dir) deletes the
+    previous call's snapshot files."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
+        ab_test_report_tail)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "ab_test")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame([], "user_id bigint, is_conv int")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    hi = ev.agg(F.max("event_id")).first()[0]
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return ab_test_report_tail(_ab_assign(snap))
+    span = max(1, (hi + n_batches) // n_batches)
+    for i in range(n_batches):
+        lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)
+        slice_df = ev.where(F.col("event_id").between(lo_i, hi_i))
+        tmp_i = os.path.join(work, f"slice_{i}")
+        slice_df.coalesce(1).write.parquet(tmp_i)
+        part = next(f for f in os.listdir(tmp_i)
+                    if f.startswith("part-"))
+        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp_i, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp_i)
+
+    run_ab_test_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return ab_test_report_tail(_ab_assign(snap))
+
+
+def _ab_assign(snap: DataFrame) -> DataFrame:
+    """(user_id, is_conv) snapshot -> (in_a, is_conv): the stateless
+    md5 variant split, identical to the batch query's expression."""
+    return snap.select(
+        F.when(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+               < "8", 1).otherwise(0).alias("in_a"),
+        F.col("is_conv"))
+
+
+def run_ab_test_fold(spark: SparkSession, arrivals_dir: str,
+                     snap_dir: str, ckpt_dir: str) -> None:
+    """Drain the arrivals dir folding each batch's per-user conversion
+    flags into the unified snapshot chain. Resumable under the same
+    checkpoint dir; a replayed batch recomputes from the PRIOR
+    snapshot, so re-execution rewrites its snapshot byte-identically."""
+    import os
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        return (batch_df.groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).cast("int").alias("is_conv")))
+
+    def _process(batch_df, batch_id) -> None:
+        prev_snap = spark.read.parquet(_latest_before(batch_id))
+        merged = (prev_snap.unionByName(_delta(batch_df))
+                  .groupBy("user_id")
+                  .agg(F.max("is_conv").cast("int").alias("is_conv")))
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
