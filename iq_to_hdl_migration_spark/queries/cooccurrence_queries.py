@@ -459,3 +459,83 @@ def ab_test_report_tail(assigned: DataFrame) -> DataFrame:
                       F.when(degenerate, F.lit(0.0))
                       .otherwise((rate_a - rate_b) / se)
                       .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern rules: "users who do A tend to do B AFTERWARD" —
+# the temporal-ordering complement of events_type_affinity (pure
+# co-occurrence) and events_markov_transitions (adjacent steps only).
+# Semantics: per user, the FIRST occurrence of each event type; the
+# pair (a, b) fires when first(a) precedes first(b) under the
+# deterministic (ts, event_id) order. Bounded by construction: the
+# per-user state is one row per event TYPE (a constant), so pair
+# generation is #types^2 per user, never events^2; one groupBy on
+# (user, type), one bounded self-join over the compacted firsts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sequential_patterns",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS ord
+        FROM events GROUP BY user_id, event_type
+    ),
+    typ AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM firsts GROUP BY event_type
+    ),
+    ordered AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ordered
+        FROM firsts a JOIN firsts b
+          ON a.user_id = b.user_id
+         AND a.event_type <> b.event_type
+         AND a.ord < b.ord
+        GROUP BY 1, 2
+    )
+    SELECT o.type_a, o.type_b, o.n_ordered,
+           ta.n_users AS n_users_a, tb.n_users AS n_users_b,
+           CAST(o.n_ordered AS DOUBLE) / CAST(ta.n_users AS DOUBLE)
+               AS confidence
+    FROM ordered o
+    JOIN typ ta ON ta.event_type = o.type_a
+    JOIN typ tb ON tb.event_type = o.type_b
+    """,
+    doc="sequential pattern rules (A happens before B): per-user FIRST "
+        "occurrence micros of each event type, strictly-ordered pair "
+        "counts + confidence (timestamp ties count neither direction — "
+        "deterministic in both engines) — per-user state is one row "
+        "per TYPE (constant), so the self-join is types^2 per user, "
+        "never events^2; type tables broadcast",
+)
+def events_sequential_patterns(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (ev.select("user_id", "event_type",
+                        F.unix_micros("ts").alias("o"))
+              .groupBy("user_id", "event_type")
+              .agg(F.min("o").alias("ord")))
+    typ = firsts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    a = firsts.select("user_id", F.col("event_type").alias("type_a"),
+                      F.col("ord").alias("ord_a"))
+    b = firsts.select("user_id", F.col("event_type").alias("type_b"),
+                      F.col("ord").alias("ord_b"))
+    ordered = (a.join(b, "user_id")
+               .where((F.col("type_a") != F.col("type_b"))
+                      & (F.col("ord_a") < F.col("ord_b")))
+               .groupBy("type_a", "type_b")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_ordered")))
+    ta = typ.select(F.col("event_type").alias("type_a"),
+                    F.col("n_users").alias("n_users_a"))
+    tb = typ.select(F.col("event_type").alias("type_b"),
+                    F.col("n_users").alias("n_users_b"))
+    return (ordered.join(F.broadcast(ta), "type_a")
+            .join(F.broadcast(tb), "type_b")
+            .select("type_a", "type_b", "n_ordered",
+                    "n_users_a", "n_users_b",
+                    (F.col("n_ordered").cast("double")
+                     / F.col("n_users_a").cast("double"))
+                    .alias("confidence")))

@@ -495,3 +495,31 @@ def cluster_quality_oracle(threshold: float = 0.7) -> str:
     FROM labels l JOIN documents d ON d.doc_id = l.id
     GROUP BY l.component HAVING COUNT(*) > 1
     """
+
+
+def jaccard_calibration_oracle(threshold: float = 0.5,
+                               scale: int = 20) -> str:
+    """Twin of dedup_jaccard_calibration: estimator-error histogram of
+    MinHash est_jaccard vs the exact distinct-shingle-set Jaccard over
+    the SAME candidate pairs (digest-prepass exact links excluded —
+    they are true duplicates, not estimates)."""
+    return f"""
+    WITH {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    shs AS (SELECT id, list_distinct(shingles) AS s FROM sh),
+    x AS (
+        SELECT c.est_jaccard,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   AS exact_jaccard
+        FROM cand c JOIN shs a ON a.id = c.id_a
+        JOIN shs b ON b.id = c.id_b
+        WHERE c.est_jaccard >= {threshold}
+    )
+    SELECT CAST(FLOOR((est_jaccard - exact_jaccard) * {scale}.0)
+                AS INTEGER) AS err_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(exact_jaccard) AS min_exact, MAX(exact_jaccard) AS max_exact,
+           MIN(est_jaccard) AS min_est, MAX(est_jaccard) AS max_est
+    FROM x GROUP BY 1
+    """

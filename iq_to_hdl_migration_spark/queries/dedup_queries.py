@@ -22,6 +22,7 @@ from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     dedup_weights_oracle,
     grand_funnel_oracle,
     incremental_pairs_oracle,
+    jaccard_calibration_oracle,
     lsh_bucket_census_oracle,
     minhash_clusters_oracle,
     minhash_pairs_oracle,
@@ -590,3 +591,45 @@ def dedup_survivor_length_bias(spark: SparkSession,
                  F.sum("nt").cast("bigint").alias("sum_tokens"),
                  (F.sum("nt").cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("avg_tokens")))
+
+
+@register(
+    "dedup_jaccard_calibration",
+    oracle=jaccard_calibration_oracle(threshold=0.5, scale=20),
+    doc="MinHash estimator calibration: for every LSH candidate pair "
+        "(digest-prepass exact links excluded), the signed error "
+        "est_jaccard - exact_shingle_jaccard bucketed at 0.05 "
+        "resolution — the accept/reject audit before trusting the "
+        "32-permutation estimate as a dedup threshold. Exact Jaccard "
+        "is one array_intersect per CANDIDATE (pair volume already "
+        "LSH-bounded, never corpus^2); shingle sets join on the pair "
+        "ids; every float is a single exact division or an identical "
+        "mult/floor chain.",
+)
+def dedup_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_pairs(spark, sf_dir, 0.5)
+    _, links = dedup._exact_prepass(docs, "doc_id", "text")
+    cand = pairs.join(links.select("id_a", "id_b"),
+                      ["id_a", "id_b"], "left_anti")
+    reps, _ = dedup._exact_prepass(docs, "doc_id", "text")
+    shs = (reps.withColumn("s", F.array_distinct(
+               dedup.word_shingles("text"))).select("id", "s"))
+    x = (cand
+         .join(shs.select(F.col("id").alias("id_a"),
+                          F.col("s").alias("s_a")), "id_a")
+         .join(shs.select(F.col("id").alias("id_b"),
+                          F.col("s").alias("s_b")), "id_b")
+         .withColumn("n_inter", F.size(F.array_intersect("s_a", "s_b")))
+         .withColumn("exact_jaccard",
+                     F.col("n_inter").cast("double")
+                     / (F.size("s_a") + F.size("s_b")
+                        - F.col("n_inter")).cast("double")))
+    return (x.groupBy(
+        F.floor((F.col("est_jaccard") - F.col("exact_jaccard"))
+                * F.lit(20.0)).cast("int").alias("err_bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+             F.min("exact_jaccard").alias("min_exact"),
+             F.max("exact_jaccard").alias("max_exact"),
+             F.min("est_jaccard").alias("min_est"),
+             F.max("est_jaccard").alias("max_est")))

@@ -682,9 +682,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e0
 
 
-@register(
-    "graph_part_copurchase_communities",
-    oracle="""
+# Fully unrolled 3-round LPA WITH-chain over the co-purchase graph —
+# shared by the communities census and the modularity audit oracles.
+_LPA_L3_CTES = """
     WITH e0 AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a JOIN lineitem b
@@ -721,7 +721,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u AS node, lab AS label FROM v3
         QUALIFY ROW_NUMBER() OVER (PARTITION BY u
                                    ORDER BY c DESC, lab) = 1
-    )
+    )"""
+
+
+@register(
+    "graph_part_copurchase_communities",
+    oracle=_LPA_L3_CTES + """
     SELECT CAST(label AS BIGINT) AS community,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(MIN(node) AS BIGINT) AS min_member,
@@ -747,6 +752,108 @@ def graph_part_copurchase_communities(spark: SparkSession,
                  F.min("node").cast("bigint").alias("min_member"),
                  F.max("node").cast("bigint").alias("max_member"))
             .where(F.col("n_members") >= 3))
+
+
+@register(
+    "graph_community_modularity",
+    oracle=_LPA_L3_CTES + """,
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+    deg AS (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u
+    ),
+    cdeg AS (
+        SELECT l.label AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(d.d) AS BIGINT) AS deg_sum
+        FROM l3 l JOIN deg d ON d.node = l.node
+        GROUP BY l.label
+    ),
+    ein AS (
+        SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM e0 JOIN l3 la ON la.node = e0.u
+        JOIN l3 lb ON lb.node = e0.v
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    ),
+    rows_ AS (
+        SELECT c.community, c.n_members,
+               COALESCE(i.e_in, 0) AS e_in, c.deg_sum
+        FROM cdeg c LEFT JOIN ein i ON i.community = c.community
+    ),
+    gq AS (
+        SELECT CAST(SUM(e_in) AS BIGINT) AS tot_in,
+               CAST(SUM(deg_sum * deg_sum) AS BIGINT) AS tot_dsq
+        FROM rows_
+    )
+    SELECT r.community, r.n_members, r.e_in, r.deg_sum,
+           CAST(r.e_in AS DOUBLE) / CAST(m.m AS DOUBLE)
+             - CAST(r.deg_sum * r.deg_sum AS DOUBLE)
+               / CAST(4 * m.m * m.m AS DOUBLE) AS contribution,
+           CAST((4 * m.m * g.tot_in - g.tot_dsq) AS DOUBLE)
+             / CAST(4 * m.m * m.m AS DOUBLE) AS q_total,
+           m.m AS n_edges
+    FROM rows_ r, m, gq g
+    WHERE r.n_members >= 3
+    """,
+    doc="community quality audit: Newman modularity of the 3-round "
+        "LPA partition over the co-purchase graph — per-community "
+        "in-edge count, degree mass, and contribution, plus the exact "
+        "global Q stitched onto every row. Q is computed as ONE "
+        "rational (4m*sum(e_in) - sum(deg^2)) / 4m^2 over BIGINT sums "
+        "(never a float summation, so the double is bit-stable); the "
+        "community map comes from the session-memoized LPA labels, "
+        "in-edge counting is two node-keyed joins over the edge list "
+        "— linear in edges",
+    bench=True,
+)
+def graph_community_modularity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.graph import label_propagation
+    from iq_to_hdl_migration_spark.sources.memo import session_memo
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = _copurchase_edges(spark, sf_dir)
+    labels = session_memo(
+        "lpa_labels", spark, sf_dir, li,
+        lambda: label_propagation(e0, n_iter=3,
+                                  canonical=True).localCheckpoint())
+    e = (e0.select("u", "v")
+         .unionByName(e0.select(F.col("v").alias("u"),
+                                F.col("u").alias("v"))))
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"))
+    cdeg = (labels.join(deg, "node")
+            .groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.sum("d").cast("bigint").alias("deg_sum")))
+    la = labels.select(F.col("node").alias("u"),
+                       F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("v"),
+                       F.col("label").alias("lab_b"))
+    ein = (e0.join(la, "u").join(lb, "v")
+           .where(F.col("lab_a") == F.col("lab_b"))
+           .groupBy(F.col("lab_a").alias("community"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("e_in")))
+    rows = (cdeg.join(ein, "community", "left")
+            .select("community", "n_members",
+                    F.coalesce("e_in", F.lit(0)).cast("bigint")
+                    .alias("e_in"), "deg_sum"))
+    m = e0.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    glob = rows.agg(F.sum("e_in").cast("bigint").alias("tot_in"),
+                    F.sum(F.col("deg_sum") * F.col("deg_sum"))
+                    .cast("bigint").alias("tot_dsq"))
+    return (rows.join(F.broadcast(m)).join(F.broadcast(glob))
+            .where(F.col("n_members") >= 3)
+            .select("community", "n_members", "e_in", "deg_sum",
+                    (F.col("e_in").cast("double") / F.col("m").cast("double")
+                     - (F.col("deg_sum") * F.col("deg_sum")).cast("double")
+                     / (4 * F.col("m") * F.col("m")).cast("double"))
+                    .alias("contribution"),
+                    ((4 * F.col("m") * F.col("tot_in")
+                      - F.col("tot_dsq")).cast("double")
+                     / (4 * F.col("m") * F.col("m")).cast("double"))
+                    .alias("q_total"),
+                    F.col("m").alias("n_edges")))
 
 
 # ---------------------------------------------------------------------------
