@@ -35,39 +35,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_registry_vs_oracle.py still covers the full registry at
 # whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 8, tier 1: brand-new queries — first driver rows
-    "orders_market_basket_lift", "rag_context_packing",
-    "dq_mad_outlier_docs", "mlprep_length_bucket_padding_waste",
-    "dedup_cluster_quality_report", "dedup_survivor_length_bias",
-    "stream_market_basket",
-    # round 8, tier 2: code changed this round (pair-graph/components
-    # memo, k-means index memo, LPA canonical fast path, copurchase
-    # memo fingerprint, VAD in-plan guard) — regression proof
-    "dedup_minhash_clusters", "dedup_threshold_sweep",
-    "curation_grand_funnel", "mlprep_dedup_aware_weights",
-    "text_contamination_neardup", "dedup_minhash_lsh_pairs",
-    "sim_ivf_fixedpoint_topk", "sim_ivf_incremental_topk",
-    "dedup_semdedup_clusters", "graph_part_copurchase_communities",
-    "graph_triangle_counts", "graph_kcore_census",
-    "graph_link_prediction_ra", "mm_audio_vad_segments",
-    "stream_bottomk_sample",
-    # round 8, tier 3: never-sampled rows across every remaining
-    # family (140/288 had driver rows before this round) — breadth
-    "dedup_embedding_cosine_pairs", "dedup_lsh_bucket_census",
-    "dedup_simhash_pairs",
-    "sim_ann_lsh_topk", "sim_ann_multiprobe_topk",
-    "sim_bruteforce_topk", "sim_lsh_bucket_stats",
-    "events_ab_test_report", "events_json_extract",
-    "text_langid_heuristic", "text_quality_scores",
-    "text_repetition_scores", "text_winnowing_fingerprints",
-    "text_contamination_incremental", "text_tfidf_topk", "text_pii_scan",
-    "trend_seasonal_decomposition_monthly",
-    "events_sessionization", "events_funnel_counts",
-    "events_retention_cohorts", "events_dau_wau",
-    "events_markov_transitions", "events_peak_concurrency",
-    "orders_rfm_segments", "supplier_hhi_by_nation",
-    "range_join_price_bracket", "split_train_test",
-    "mix_temperature_sampling",
+    # round 9, tier 1: brand-new queries — first driver rows
+    "dedup_jaccard_calibration", "graph_community_modularity",
+    "events_sequential_patterns", "text_boilerplate_ngrams",
+    "mlprep_curriculum_interleave", "mlprep_token_budget_selection",
+    "dq_winsorized_value_stats", "sim_embedding_outlier_report",
+    "stream_ab_test", "events_uplift_by_segment",
+    "events_funnel_dropoff_time",
+    # round 9, tier 2: code changed this round (SemDeDup derived-k +
+    # scan cap, A/B degenerate guard, PQ durable-memo wiring, k-means
+    # memo assert, LPA oracle refactor) — regression proof
+    "dedup_semdedup_clusters", "events_ab_test_report",
+    "sim_pq_adc_topk", "sim_ivf_fixedpoint_topk",
+    "sim_ivf_incremental_topk", "graph_part_copurchase_communities",
+    # round 9, tier 3: never-sampled rows (131/310 before this round;
+    # >= 25 of this list's 44 never-sampled names close VERDICT r8
+    # item 2) — catalog-ops families, snapshot IVM, older text/
+    # events/sketch tail
+    "snapshot_incremental_view_maintenance",
+    "f7_reserved_users", "f8_feature_existence_counts",
+    "f9_legacy_index_types", "f10_local_segments",
+    "j1_tables_by_owner", "j4_table_columns", "j6_table_indexes",
+    "j14_fk_table_count", "a1_table_rowcounts", "a4_verify_rowcount",
+    "o3_size_batching", "v1_rowcount_reconciliation",
+    "v4_load_completeness", "v8_empty_tables", "s12_config_validation",
+    "sketch_value_percentiles", "sketch_hll_portable_distinct_orders",
+    "sketch_distinct_users_daily",
+    "text_token_stats", "text_fingerprints", "text_length_histogram",
+    "text_vocab_stats", "text_df_histogram",
+    "events_hourly_by_type", "events_user_topk",
+    "events_activity_islands", "events_type_affinity",
+    "attribution_first_click", "events_latest_per_user",
+    "orders_backlog_daily", "curation_funnel_report",
+    "corpus_token_budget",
 ]
 
 

@@ -539,3 +539,164 @@ def events_sequential_patterns(spark: SparkSession,
                     (F.col("n_ordered").cast("double")
                      / F.col("n_users_a").cast("double"))
                     .alias("confidence")))
+
+
+@register(
+    "events_uplift_by_segment",
+    oracle="""
+    WITH act AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_buy
+        FROM events GROUP BY user_id
+    ),
+    seg AS (
+        SELECT user_id,
+               CASE WHEN n_events >= 72 THEN 'heavy'
+                    WHEN n_events >= 60 THEN 'mid'
+                    ELSE 'light' END AS segment,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN n_buy > 0 THEN 1 ELSE 0 END AS is_conv
+        FROM act
+    ),
+    agg AS (
+        SELECT segment,
+               CAST(SUM(in_a) AS BIGINT) AS n_a,
+               CAST(SUM(in_a * is_conv) AS BIGINT) AS c_a,
+               CAST(SUM(1 - in_a) AS BIGINT) AS n_b,
+               CAST(SUM((1 - in_a) * is_conv) AS BIGINT) AS c_b
+        FROM seg GROUP BY segment
+    )
+    SELECT segment, n_a, c_a, n_b, c_b,
+           CASE WHEN n_a = 0 THEN 0.0
+                ELSE CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+           CASE WHEN n_b = 0 THEN 0.0
+                ELSE CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+                ELSE (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt((CAST(c_a + c_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                     / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE))) END AS z_score
+    FROM agg
+    """,
+    doc="stratified A/B uplift: the pooled two-proportion z computed "
+        "PER ACTIVITY SEGMENT (light/mid/heavy around the per-user "
+        "event-count median) — the "
+        "Simpson's-paradox guard an experiment readout needs beyond "
+        "the corpus-level z; same md5 variant split and degenerate-"
+        "case contract as events_ab_test_report, one user_id groupBy "
+        "then a segment-count-bounded aggregate",
+)
+def events_uplift_by_segment(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = (ev.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("bigint").alias("n_buy")))
+    seg = act.select(
+        F.when(F.col("n_events") >= 72, "heavy")
+        .when(F.col("n_events") >= 60, "mid")
+        .otherwise("light").alias("segment"),
+        F.when(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+               < "8", 1).otherwise(0).alias("in_a"),
+        F.when(F.col("n_buy") > 0, 1).otherwise(0).alias("is_conv"))
+    agg = seg.groupBy("segment").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("in_a") * F.col("is_conv")).cast("bigint").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
+        F.sum((F.lit(1) - F.col("in_a")) * F.col("is_conv"))
+        .cast("bigint").alias("c_b"))
+    rate_a = F.when(F.col("n_a") == 0, F.lit(0.0)).otherwise(
+        F.col("c_a").cast("double") / F.col("n_a").cast("double"))
+    rate_b = F.when(F.col("n_b") == 0, F.lit(0.0)).otherwise(
+        F.col("c_b").cast("double") / F.col("n_b").cast("double"))
+    pooled = ((F.col("c_a") + F.col("c_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")).cast("double"))
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a").cast("double")
+                   + F.lit(1.0) / F.col("n_b").cast("double")))
+    degenerate = ((F.col("n_a") == 0) | (F.col("n_b") == 0)
+                  | (F.col("c_a") + F.col("c_b") == 0)
+                  | (F.col("c_a") + F.col("c_b")
+                     == F.col("n_a") + F.col("n_b")))
+    return agg.select("segment", "n_a", "c_a", "n_b", "c_b",
+                      rate_a.alias("rate_a"), rate_b.alias("rate_b"),
+                      F.when(degenerate, F.lit(0.0))
+                      .otherwise((rate_a - rate_b) / se)
+                      .alias("z_score"))
+
+
+@register(
+    "events_funnel_dropoff_time",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+                   AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP)))
+              AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP)))
+              AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t_click
+          GROUP BY e.user_id),
+    gaps AS (
+        SELECT 'view_to_click' AS stage,
+               c.t_click - v.t_view AS gap_us
+        FROM c JOIN v ON v.user_id = c.user_id
+        UNION ALL
+        SELECT 'click_to_buy' AS stage, p.t_buy - c.t_click AS gap_us
+        FROM p JOIN c ON c.user_id = p.user_id
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(gap_us, 0.9) AS p90_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps GROUP BY stage
+    """,
+    doc="funnel latency: median and p90 time between ordered funnel "
+        "stages (first view -> first later click -> first later "
+        "purchase) — the how-long companion to events_funnel_counts' "
+        "how-many; gaps are integer micros so the exact percentiles "
+        "are binary halves (bit-stable), every stage one user_id "
+        "shuffle",
+)
+def events_funnel_dropoff_time(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(us).alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(us > F.col("t_view"))
+         .groupBy("user_id").agg(F.min(us).alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(us > F.col("t_click"))
+         .groupBy("user_id").agg(F.min(us).alias("t_buy")))
+    gaps = (c.join(v, "user_id")
+            .select(F.lit("view_to_click").alias("stage"),
+                    (F.col("t_click") - F.col("t_view")).alias("gap_us"))
+            .unionByName(
+                p.join(c, "user_id")
+                .select(F.lit("click_to_buy").alias("stage"),
+                        (F.col("t_buy") - F.col("t_click"))
+                        .alias("gap_us"))))
+    return (gaps.groupBy("stage")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.expr("percentile(gap_us, 0.5D)").alias("p50_gap_us"),
+                 F.expr("percentile(gap_us, 0.9D)").alias("p90_gap_us"),
+                 F.max("gap_us").cast("bigint").alias("max_gap_us")))

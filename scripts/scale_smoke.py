@@ -89,6 +89,10 @@ EXTRA = [
     "scd2_user_type_history", "sketch_kmv_join_cardinality",
     "skew_key_diagnostics", "retention_cascade_audit",
     "entity_resolution_clusters", "drift_snapshot_report",
+    # round-9 additions (non-bench, scale-interesting)
+    "mlprep_curriculum_interleave", "dq_winsorized_value_stats",
+    "sim_embedding_outlier_report", "events_sequential_patterns",
+    "dedup_jaccard_calibration",
 ]
 
 

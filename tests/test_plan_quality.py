@@ -615,3 +615,57 @@ def test_mad_outlier_medians_broadcast(spark, sf_dir):
     plan = final_plan(REGISTRY["dq_mad_outlier_docs"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_budget_selection_binned_not_global_sort(spark, sf_dir):
+    """mlprep_token_budget_selection must keep the 2-pass binned
+    shape: the only SinglePartition window runs over the AGGREGATED
+    bin table (sum(bin_nt) — bounded at 2^20 rows by the integer
+    density key), and every window over raw per-doc token counts is
+    partitioned by the bin key qd. A partition-less window over doc
+    rows would be the naive global running sum — one partition at
+    100 TB — that this plan exists to avoid."""
+    plan = final_plan(REGISTRY["mlprep_token_budget_selection"].fn(
+        spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "sum(bin_nt" in final_section, (
+        "global cumulative must run over aggregated bins")
+    for line in final_section.splitlines():
+        s = line.strip()
+        if "Window [sum(nt#" in s:
+            assert "], [qd#" in s, (
+                "per-doc prefix sum lost its qd partitioning — this "
+                "is a global single-partition window over the corpus")
+
+
+def test_curriculum_windows_all_partitioned(spark, sf_dir):
+    """mlprep_curriculum_interleave's deciles come from a broadcast
+    percentile aggregate, NOT a global ranking window: every window in
+    the plan must carry a partition spec (the (decile, source) wave
+    counter), and the boundary array must arrive by broadcast."""
+    plan = final_plan(REGISTRY["mlprep_curriculum_interleave"].fn(
+        spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "percentile" in final_section
+    for line in final_section.splitlines():
+        s = line.strip()
+        if "windowspecdefinition(" in s and "row_number()" in s:
+            assert "], [decile#" in s, (
+                "curriculum wave window lost its (decile, source) "
+                "partitioning — global sort window at scale")
+
+
+def test_boilerplate_shingle_join_never_broadcast(
+        spark, sf_dir, no_auto_broadcast):
+    """text_boilerplate_ngrams joins per-doc shingles against the
+    shingle->df table, which scales with corpus vocabulary — with
+    auto-broadcast disabled there must be ZERO broadcast hash joins
+    (no stray hint) and the df join must fall back to a shuffle
+    join."""
+    plan = final_plan(REGISTRY["text_boilerplate_ngrams"].fn(
+        spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("BroadcastHashJoin") == 0, (
+        "hardcoded broadcast on the vocabulary-scaled shingle-df table")
+    assert ("SortMergeJoin" in final_section
+            or "ShuffledHashJoin" in final_section)
