@@ -41,7 +41,8 @@ _SAMPLE_PRIORITY = [
     "mlprep_curriculum_interleave", "mlprep_token_budget_selection",
     "dq_winsorized_value_stats", "sim_embedding_outlier_report",
     "stream_ab_test", "events_uplift_by_segment",
-    "events_funnel_dropoff_time",
+    "events_funnel_dropoff_time", "curation_filter_attrition",
+    "text_bigram_pmi_topk",
     # round 9, tier 2: code changed this round (SemDeDup derived-k +
     # scan cap, A/B degenerate guard, PQ durable-memo wiring, k-means
     # memo assert, LPA oracle refactor) — regression proof
@@ -67,7 +68,6 @@ _SAMPLE_PRIORITY = [
     "events_activity_islands", "events_type_affinity",
     "attribution_first_click", "events_latest_per_user",
     "orders_backlog_daily", "curation_funnel_report",
-    "corpus_token_budget",
 ]
 
 

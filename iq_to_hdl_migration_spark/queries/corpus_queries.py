@@ -1007,3 +1007,98 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.col("n_boiler").cast("double")
                        / F.col("n_shingles").cast("double"))
                  .alias("max_doc_boiler_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: top adjacent-word bigrams by a RATIONAL PMI
+# (pointwise mutual information with the log dropped — x -> ln x is
+# monotone, so the ranking is identical and the score is one exact
+# integer-product division instead of a libm call that differs in the
+# last ulp across engines; the same trick as the TF-IDF rational idf).
+# 100 TB shape: two token-keyed aggregates + one join of the bigram
+# table against the unigram table on the word key (corpus-vocabulary-
+# scaled — shuffles, never broadcast), TakeOrdered top-50.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_SUP = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "text_bigram_pmi_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+    ),
+    uni AS (
+        SELECT u.token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS token FROM toks) u
+        WHERE u.token <> '' GROUP BY u.token
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+    bg AS (
+        SELECT list_aggregate(b.g, 'string_agg', ' ') AS bigram,
+               b.g[1] AS word_a, b.g[2] AS word_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 0) + 1),
+                       i -> t[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)]))
+                   AS g
+            FROM toks) b
+        WHERE b.g[1] <> '' AND b.g[2] <> ''
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= {_PMI_MIN_SUP}
+    )
+    SELECT word_a, word_b, c_ab,
+           ua.c AS c_a, ub.c AS c_b,
+           CAST(c_ab * n.n_uni AS DOUBLE)
+               / CAST(ua.c * ub.c AS DOUBLE) AS pmi_ratio
+    FROM bg JOIN uni ua ON ua.token = bg.word_a
+    JOIN uni ub ON ub.token = bg.word_b, n
+    ORDER BY pmi_ratio DESC, word_a, word_b
+    LIMIT {_PMI_TOPK}
+    """,
+    doc=f"collocation mining: top-{_PMI_TOPK} adjacent-word bigrams by "
+        "rational PMI (c_ab * N / (c_a * c_b) — log dropped, ranking "
+        f"identical, score bit-stable), support >= {_PMI_MIN_SUP}; "
+        "bigram and unigram tables join on the word key (vocabulary-"
+        "scaled, shuffled), top-k compiles to TakeOrderedAndProject",
+)
+def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks = (docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
+            .repartition(n))
+    uni = (toks.select(F.explode("t").alias("token"))
+           .where(F.col("token") != "")
+           .groupBy("token")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    # sequence(1, 0) descends in Spark: explicit empty branch, and
+    # explode_outer so the inferred generator filter can't re-inline
+    # the pair builder below the barrier
+    pairs = ("CASE WHEN size(t) >= 2 THEN "
+             "transform(sequence(1, size(t) - 1), "
+             "i -> struct(element_at(t, i) AS word_a, "
+             "element_at(t, i + 1) AS word_b)) "
+             "ELSE array() END")
+    bg = (toks.withColumn("gs", F.expr(pairs))
+          .select(F.explode_outer("gs").alias("g"))
+          .where(F.col("g").isNotNull())
+          .select("g.word_a", "g.word_b")
+          .where((F.col("word_a") != "") & (F.col("word_b") != ""))
+          .groupBy("word_a", "word_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+          .where(F.col("c_ab") >= _PMI_MIN_SUP))
+    out = (bg.join(uni.select(F.col("token").alias("word_a"),
+                              F.col("c").alias("c_a")), "word_a")
+           .join(uni.select(F.col("token").alias("word_b"),
+                            F.col("c").alias("c_b")), "word_b")
+           .join(F.broadcast(n_uni))
+           .select("word_a", "word_b", "c_ab", "c_a", "c_b",
+                   ((F.col("c_ab") * F.col("n_uni")).cast("double")
+                    / (F.col("c_a") * F.col("c_b")).cast("double"))
+                   .alias("pmi_ratio")))
+    return out.orderBy(F.desc("pmi_ratio"), "word_a", "word_b") \
+              .limit(_PMI_TOPK)

@@ -465,3 +465,101 @@ def docs_lang_source_independence(spark: SparkSession,
     chi2 = snapped.agg(
         (F.sum("tq").cast("double") / F.lit(1048576.0)).alias("chi2"))
     return n_cells.join(F.broadcast(dof)).join(F.broadcast(chi2))
+
+
+# ---------------------------------------------------------------------------
+# Per-rule filter attrition: curation_funnel_report shows SEQUENTIAL
+# survival; this shows each rule's INDEPENDENT kill count per source —
+# the "which filter costs me how much data, where" readout a pipeline
+# owner reads before tuning thresholds (C4/Gopher-style rule suites).
+# Four rules, all map-only array expressions over one scan (no explode,
+# no join): token-count window, stopword floor, duplicate-token
+# fraction ceiling, and language-ID disagreement with the label.
+# ---------------------------------------------------------------------------
+
+
+def _attrition_oracle() -> str:
+    from iq_to_hdl_migration_spark.queries.text_queries import (
+        _MC_D, _SW_DUCK, _TOKS_DUCK, _langid_case)
+    return f"""
+    WITH f AS (
+        SELECT source,
+               (len({_TOKS_DUCK}) < 10 OR len({_TOKS_DUCK}) > 400)
+                   AS fail_len,
+               (CAST(len(list_filter({_TOKS_DUCK},
+                         x -> list_contains({_SW_DUCK}, x))) AS DOUBLE)
+                    / CAST(greatest(len({_TOKS_DUCK}), 1) AS DOUBLE)
+                    < 0.05) AS fail_stop,
+               (CAST(len({_TOKS_DUCK})
+                     - len(list_distinct({_TOKS_DUCK})) AS DOUBLE)
+                    / CAST(greatest(len({_TOKS_DUCK}), 1) AS DOUBLE)
+                    > 0.5) AS fail_rep,
+               ({_langid_case(_MC_D)} != lang) AS fail_lang
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fail_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_len,
+           CAST(SUM(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_stop,
+           CAST(SUM(CASE WHEN fail_rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_rep,
+           CAST(SUM(CASE WHEN fail_lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_lang,
+           CAST(SUM(CASE WHEN NOT (fail_len OR fail_stop OR fail_rep
+                                   OR fail_lang)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+           CAST(SUM(CASE WHEN NOT (fail_len OR fail_stop OR fail_rep
+                                   OR fail_lang)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+    FROM f GROUP BY source
+    """
+
+
+@register(
+    "curation_filter_attrition",
+    oracle=_attrition_oracle(),
+    doc="per-rule filter attrition by source: independent kill counts "
+        "for the four-rule quality suite (token-count window 10..400, "
+        "stopword ratio >= 0.05, duplicate-token fraction <= 0.5, "
+        "language-ID agreement with the label) plus the pass-all count "
+        "and rate — the threshold-tuning readout; one scan, map-only "
+        "array expressions, one groupBy(source)",
+)
+def curation_filter_attrition(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.queries.text_queries import (
+        _MC_S, _SW_SQL, _TOKS_SPARK, _langid_case)
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = f"size({_TOKS_SPARK})"
+    nstop = (f"size(filter({_TOKS_SPARK}, "
+             f"x -> array_contains({_SW_SQL}, x)))")
+    ndup = f"size({_TOKS_SPARK}) - size(array_distinct({_TOKS_SPARK}))"
+    f = docs.select(
+        "source",
+        F.expr(f"({nt} < 10 OR {nt} > 400)").alias("fail_len"),
+        F.expr(f"CAST({nstop} AS DOUBLE) "
+               f"/ CAST(greatest({nt}, 1) AS DOUBLE) < 0.05")
+        .alias("fail_stop"),
+        F.expr(f"CAST({ndup} AS DOUBLE) "
+               f"/ CAST(greatest({nt}, 1) AS DOUBLE) > 0.5")
+        .alias("fail_rep"),
+        F.expr(f"({_langid_case(_MC_S)}) != lang").alias("fail_lang"))
+    passed = ~(F.col("fail_len") | F.col("fail_stop")
+               | F.col("fail_rep") | F.col("fail_lang"))
+    return (f.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("fail_len"), 1).otherwise(0))
+                 .cast("bigint").alias("n_fail_len"),
+                 F.sum(F.when(F.col("fail_stop"), 1).otherwise(0))
+                 .cast("bigint").alias("n_fail_stop"),
+                 F.sum(F.when(F.col("fail_rep"), 1).otherwise(0))
+                 .cast("bigint").alias("n_fail_rep"),
+                 F.sum(F.when(F.col("fail_lang"), 1).otherwise(0))
+                 .cast("bigint").alias("n_fail_lang"),
+                 F.sum(F.when(passed, 1).otherwise(0)).cast("bigint")
+                 .alias("n_pass_all"),
+                 (F.sum(F.when(passed, 1).otherwise(0)).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("pass_rate")))
