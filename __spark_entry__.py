@@ -67,7 +67,7 @@ _SAMPLE_PRIORITY = [
     "events_hourly_by_type", "events_user_topk",
     "events_activity_islands", "events_type_affinity",
     "attribution_first_click", "events_latest_per_user",
-    "orders_backlog_daily", "curation_funnel_report",
+    "curation_funnel_report",
 ]
 
 
