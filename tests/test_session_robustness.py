@@ -37,6 +37,13 @@ _SLICE = [
     "orders_market_basket_lift",      # lift doubles + TakeOrdered ties
     "rag_context_packing",            # cosine doubles + budget cutoff
     "dq_mad_outlier_docs",            # two percentile passes
+    # round-9 shapes
+    "mlprep_token_budget_selection",  # 2^20 density bins + div under ANSI
+    "dq_winsorized_value_stats",      # quantized order stats + int div
+    "mlprep_curriculum_interleave",   # percentile boundaries + windows
+    "events_funnel_dropoff_time",     # ts micros gaps + 0.9 percentile
+    "text_bigram_pmi_topk",           # rational PMI + TakeOrdered ties
+    "events_uplift_by_segment",       # md5 split + sqrt z under ANSI
 ]
 
 _HOSTILE = {
