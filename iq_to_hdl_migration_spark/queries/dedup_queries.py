@@ -106,7 +106,6 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every consumer; higher thresholds filter the memoized frame
 # (est_jaccard is a pure function of the pair, so the filter commutes
 # with the pipeline's dropDuplicates).
-_PAIR_GRAPH_MEMO: dict = {}
 _COMPONENTS_MEMO: dict = {}
 _BASE_THRESHOLD = 0.5
 
@@ -127,17 +126,23 @@ def minhash_pairs(spark: SparkSession, sf_dir: str,
     """Memoized near-dup candidate pairs over the documents corpus
     (id_a < id_b, est_jaccard >= threshold >= 0.5). First call per
     (session, corpus) materializes the banded pipeline's output via
-    localCheckpoint; later calls scan the materialized blocks."""
+    localCheckpoint; later calls scan the materialized blocks. Served
+    through `durable_memo`, so with $SPARK_GRAFT_MEMO_DIR set the pair
+    graph persists as a fingerprint-guarded snapshot table and a NEW
+    session warm-starts from it instead of re-signaturing the corpus —
+    the LSH index IS the structure the 100 TB deployment stores."""
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
+
     assert threshold >= _BASE_THRESHOLD
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    key = _graph_memo_key(spark, sf_dir, docs)
-    pairs = _PAIR_GRAPH_MEMO.get(key)
-    if pairs is None:
-        pairs = dedup.lsh_candidate_pairs(
+
+    def build() -> dict:
+        return {"pairs": dedup.lsh_candidate_pairs(
             docs, "doc_id", "text",
-            threshold=_BASE_THRESHOLD).localCheckpoint()
-        _PAIR_GRAPH_MEMO.clear()   # one live corpus graph per session
-        _PAIR_GRAPH_MEMO[key] = pairs
+            threshold=_BASE_THRESHOLD).localCheckpoint()}
+
+    pairs = durable_memo("lsh_pair_graph", spark, sf_dir, docs,
+                         build)["pairs"]
     if threshold > _BASE_THRESHOLD:
         pairs = pairs.where(F.col("est_jaccard") >= threshold)
     return pairs

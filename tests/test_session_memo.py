@@ -123,3 +123,36 @@ def test_memo_extra_key_separates_configs(spark, sf_dir, tmp_path):
                       lambda: ("rebuilt",), extra=(4,), single_live=False)
     assert a == ("k4",) and b == ("k8",)
     assert a2 is a, "coexisting configs must not evict each other"
+
+
+def test_lsh_pair_graph_snapshot_serves_bit_identical(spark, sf_dir,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """The dedup pair graph — THE structure a 100 TB deployment
+    persists — round-trips through durable_memo: build+persist, kill
+    the in-memory memo, reload from the snapshot; the served pairs
+    (and a thresholded consumer view) must be bit-identical, with no
+    new snapshot version written on the warm start."""
+    from iq_to_hdl_migration_spark.queries.dedup_queries import (
+        minhash_pairs)
+    from iq_to_hdl_migration_spark.sources import memo, snapshots
+
+    monkeypatch.setenv("SPARK_GRAFT_MEMO_DIR", str(tmp_path))
+    memo._MEMOS.pop("lsh_pair_graph", None)
+    r1 = sorted(tuple(r) for r in minhash_pairs(spark, sf_dir).collect())
+    hi1 = sorted(tuple(r) for r in
+                 minhash_pairs(spark, sf_dir, threshold=0.7).collect())
+    assert snapshots.current_version(
+        f"{tmp_path}/lsh_pair_graph/pairs") == 1
+
+    memo._MEMOS.pop("lsh_pair_graph", None)
+
+    def poisoned_write(*a, **k):
+        raise AssertionError("warm start must not rebuild/rewrite")
+
+    monkeypatch.setattr(snapshots, "write_snapshot", poisoned_write)
+    r2 = sorted(tuple(r) for r in minhash_pairs(spark, sf_dir).collect())
+    hi2 = sorted(tuple(r) for r in
+                 minhash_pairs(spark, sf_dir, threshold=0.7).collect())
+    assert r2 == r1 and hi2 == hi1
+    memo._MEMOS.pop("lsh_pair_graph", None)  # no env-keyed entry leaks
