@@ -93,32 +93,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Session-scoped memos for the MinHash-LSH pair graph and its
-# connected components — five downstream queries (clusters, threshold
-# sweep, grand funnel, dedup-aware weights, near-dup contamination)
-# consume the SAME pair table, and a production pipeline materializes
-# the dedup graph once (it is the corpus's near-dup structure), not
-# per report. Keyed like _COPURCHASE_MEMO/_INDEX_MEMO: (applicationId,
-# sf_dir, staged-warehouse env, source fingerprint) so re-staging,
-# corpus switches, and in-place sf_dir rewrites all miss the memo.
-# Threshold is NOT part of the pipeline shape — it is only the final
-# est_jaccard filter — so one table at the base threshold 0.5 serves
-# every consumer; higher thresholds filter the memoized frame
-# (est_jaccard is a pure function of the pair, so the filter commutes
-# with the pipeline's dropDuplicates).
-_COMPONENTS_MEMO: dict = {}
+# Durable memos for the MinHash-LSH pair graph and its connected
+# components — five downstream queries (clusters, threshold sweep,
+# grand funnel, dedup-aware weights, near-dup contamination) consume
+# the SAME pair table, and a production pipeline materializes the
+# dedup graph once (it is the corpus's near-dup structure), not per
+# report. `durable_memo` keys on (applicationId, sf_dir,
+# staged-warehouse env, source fingerprint) so re-staging, corpus
+# switches, and in-place sf_dir rewrites all miss — and with
+# $SPARK_GRAFT_MEMO_DIR set the structures persist as snapshot tables
+# a new session warm-starts from. Threshold is NOT part of the pair
+# pipeline's shape — it is only the final est_jaccard filter — so one
+# table at the base threshold 0.5 serves every consumer; higher
+# thresholds filter the memoized frame (est_jaccard is a pure function
+# of the pair, so the filter commutes with the dropDuplicates).
 _BASE_THRESHOLD = 0.5
 
-
-def _graph_memo_key(spark: SparkSession, sf_dir: str,
-                    docs: DataFrame) -> tuple:
-    import os
-
-    from iq_to_hdl_migration_spark.sources.bucketed import (
-        _source_fingerprint)
-    return (spark.sparkContext.applicationId, sf_dir,
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", ""),
-            _source_fingerprint(docs))
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str,
@@ -156,16 +146,16 @@ def minhash_components(spark: SparkSession, sf_dir: str,
     cluster structure."""
     from iq_to_hdl_migration_spark.operators.components import (
         connected_components)
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    key = _graph_memo_key(spark, sf_dir, docs) + (threshold,)
-    comp = _COMPONENTS_MEMO.get(key)
-    if comp is None:
-        comp = connected_components(
-            minhash_pairs(spark, sf_dir, threshold)).localCheckpoint()
-        _COMPONENTS_MEMO.clear()
-        _COMPONENTS_MEMO[key] = comp
-    return comp
+
+    def build() -> dict:
+        return {"comp": connected_components(
+            minhash_pairs(spark, sf_dir, threshold)).localCheckpoint()}
+
+    return durable_memo("dedup_components", spark, sf_dir, docs, build,
+                        extra=(threshold,))["comp"]
 
 
 @register(

@@ -647,39 +647,34 @@ def events_conversion_latency_percentiles(spark: SparkSession,
 # Oracle: the 3 vote/adopt rounds unrolled as a DuckDB CTE chain — the
 # same rigor as the fixed-point PageRank oracle.
 
-# Session-scoped memo for the part co-purchase edge list (u < v,
-# distinct) — five graph queries derive from the SAME lineitem
-# self-join, and a production deployment materializes this edge table
-# once (it is the graph), not per query. Keyed like _INDEX_MEMO in
-# dedup_queries.py: (applicationId, sf_dir, staged-warehouse env,
-# source fingerprint of lineitem) so a session that re-stages,
-# switches corpora, OR rewrites sf_dir in place never sees a stale
-# frame; the memo holds a localCheckpointed frame, so downstream
-# lineage is a scan of materialized blocks.
-_COPURCHASE_MEMO: dict = {}
+# Durable memo for the part co-purchase edge list (u < v, distinct) —
+# five graph queries derive from the SAME lineitem self-join, and a
+# production deployment materializes this edge table once (it is the
+# graph), not per query. `durable_memo` keys on (applicationId,
+# sf_dir, staged-warehouse env, source fingerprint of lineitem) so a
+# session that re-stages, switches corpora, OR rewrites sf_dir in
+# place never sees a stale frame; with $SPARK_GRAFT_MEMO_DIR set the
+# edge table persists as a snapshot table a new session warm-starts
+# from.
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    from iq_to_hdl_migration_spark.sources.bucketed import (
-        _source_fingerprint)
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
-    key = (spark.sparkContext.applicationId, sf_dir,
-           os.environ.get("SPARK_GRAFT_WAREHOUSE", ""),
-           _source_fingerprint(li))
-    memo = _COPURCHASE_MEMO.get(key)
-    if memo is not None:
-        return memo
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-          .select(F.col("a.l_partkey").alias("u"),
-                  F.col("b.l_partkey").alias("v"))
-          .distinct().localCheckpoint())
-    _COPURCHASE_MEMO.clear()   # one live graph per session
-    _COPURCHASE_MEMO[key] = e0
-    return e0
+
+    def build() -> dict:
+        a, b = li.alias("a"), li.alias("b")
+        return {"edges": (
+            a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .select(F.col("a.l_partkey").alias("u"),
+                    F.col("b.l_partkey").alias("v"))
+            .distinct().localCheckpoint())}
+
+    return durable_memo("copurchase_edges", spark, sf_dir, li,
+                        build)["edges"]
 
 
 # Fully unrolled 3-round LPA WITH-chain over the co-purchase graph —
@@ -809,14 +804,14 @@ def graph_part_copurchase_communities(spark: SparkSession,
 def graph_community_modularity(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     from iq_to_hdl_migration_spark.operators.graph import label_propagation
-    from iq_to_hdl_migration_spark.sources.memo import session_memo
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
 
     li = load_table(spark, sf_dir, "lineitem")
     e0 = _copurchase_edges(spark, sf_dir)
-    labels = session_memo(
+    labels = durable_memo(
         "lpa_labels", spark, sf_dir, li,
-        lambda: label_propagation(e0, n_iter=3,
-                                  canonical=True).localCheckpoint())
+        lambda: {"labels": label_propagation(
+            e0, n_iter=3, canonical=True).localCheckpoint()})["labels"]
     e = (e0.select("u", "v")
          .unionByName(e0.select(F.col("v").alias("u"),
                                 F.col("u").alias("v"))))

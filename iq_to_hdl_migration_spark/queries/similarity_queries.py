@@ -559,13 +559,15 @@ def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized int8-quantized corpus representation (vec_id, qv,
     qnorm) — quantization is an INGEST step in production (the stored
     index format), not per-query work; three retrieval queries and the
-    MMR rerank consume the same table."""
-    from iq_to_hdl_migration_spark.sources.memo import session_memo
+    MMR rerank consume the same table. Durable: with
+    $SPARK_GRAFT_MEMO_DIR set the quantized corpus persists as a
+    fingerprint-guarded snapshot table."""
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
 
     emb = load_table(spark, sf_dir, "embeddings")
 
-    def build() -> DataFrame:
-        return (emb
+    def build() -> dict:
+        return {"q": (emb
                 .withColumn("vec", F.expr(sim.as_double_array("embedding")))
                 .withColumn("scale", F.expr(
                     "greatest(array_max(transform(vec, x -> abs(x)))"
@@ -574,9 +576,9 @@ def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "transform(vec, x -> floor(x / scale + 0.5D))"))
                 .withColumn("qnorm", F.sqrt(sim.dot_expr("qv", "qv")))
                 .select("vec_id", "qv", "qnorm")
-                .localCheckpoint())
+                .localCheckpoint())}
 
-    return session_memo("quantized_corpus", spark, sf_dir, emb, build)
+    return durable_memo("quantized_corpus", spark, sf_dir, emb, build)["q"]
 
 
 def _quantized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,15 +802,16 @@ def _ivf_fixedpoint_oracle() -> str:
     return ",".join(parts)
 
 
-# Session-scoped memo for trained fixed-point k-means indexes: an IVF
-# index is a persistent artifact trained ONCE and served to every
-# query (exactly like the persisted LSH index), not re-fit per
-# invocation. Keyed on (applicationId, source fingerprint, k, iters,
+# Memo for trained fixed-point k-means indexes: an IVF index is a
+# persistent artifact trained ONCE and served to every query (exactly
+# like the persisted LSH index), not re-fit per invocation. Served
+# through durable_memo keyed on (source fingerprint, k, iters,
 # pred_tag) — a changed corpus misses; the three (k, iters, pred)
-# configs in this module coexist (no clear-on-insert: the key space
-# is bounded by the config count, and each entry pins only k*DIM
-# centroid rows + one vec-sized assignment table).
-_KMEANS_MEMO: dict = {}
+# configs in this module coexist (single_live=False: the key space is
+# bounded by the config count, and each entry pins only k*DIM
+# centroid rows + one vec-sized assignment table). With
+# $SPARK_GRAFT_MEMO_DIR set, the trained index persists as
+# fingerprint-guarded snapshot tables.
 
 
 def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
@@ -825,19 +828,24 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
     hashable); callers with a train_pred MUST pass a distinct tag."""
     from pyspark.sql import Window
 
-    from iq_to_hdl_migration_spark.sources.bucketed import (
-        _source_fingerprint)
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
 
     assert train_pred is None or pred_tag, \
         "train_pred requires a distinct pred_tag (memo key collision)"
     spark = emb.sparkSession
-    memo_key = (spark.sparkContext.applicationId,
-                _source_fingerprint(emb), k, iters,
-                pred_tag if train_pred is not None else "")
-    hit = _KMEANS_MEMO.get(memo_key)
-    if hit is not None:
-        return hit
 
+    def train() -> dict:
+        return _fp_kmeans_train(emb, k, iters, train_pred, Window)
+
+    idx = durable_memo(
+        "kmeans_index", spark, "", emb, train,
+        extra=(k, iters, pred_tag if train_pred is not None else ""),
+        single_live=False)
+    return idx["v"], idx["cents"], idx["assign"]
+
+
+def _fp_kmeans_train(emb: DataFrame, k: int, iters: int,
+                     train_pred, Window) -> dict:
     v = (emb.select("vec_id",
                     F.posexplode(F.expr(sim.as_double_array("embedding")))
                     .alias("pos", "x"))
@@ -877,8 +885,7 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
                  .select("cid", "dim",
                          F.coalesce("ucq", "cq").alias("cq"))
                  .localCheckpoint())
-    _KMEANS_MEMO[memo_key] = (v, cents, assign)
-    return v, cents, assign
+    return {"v": v, "cents": cents, "assign": assign}
 
 
 @register(

@@ -443,31 +443,26 @@ def winnow_fps_frame(docs: DataFrame) -> DataFrame:
 _FP_BUCKET_CAP = 64   # same flood discipline as the LSH dedup family
 _MIN_SHARED = 5       # pairs must share >= this many fingerprints
 
-# Session-scoped memo for the winnowing fingerprint index — the match
-# and similarity reports consume the SAME (doc_id, fp) table, and a
+# Durable memo for the winnowing fingerprint index — the match and
+# similarity reports consume the SAME (doc_id, fp) table, and a
 # production contamination scan materializes the fingerprint index
 # once (text_winnowing_fingerprints IS that build job; it keeps the
 # raw pipeline). Keyed like the pair-graph memo: app/sf_dir/warehouse/
-# source fingerprint, so corpus changes miss.
-_WINNOW_FPS_MEMO: dict = {}
+# source fingerprint, so corpus changes miss; with
+# $SPARK_GRAFT_MEMO_DIR set the index persists as a snapshot table.
 
 
 def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from iq_to_hdl_migration_spark.sources.bucketed import (
-        _source_fingerprint)
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    key = (spark.sparkContext.applicationId, sf_dir,
-           os.environ.get("SPARK_GRAFT_WAREHOUSE", ""),
-           _source_fingerprint(docs))
-    fps = _WINNOW_FPS_MEMO.get(key)
-    if fps is None:
-        fps = text_winnowing_fingerprints(spark, sf_dir).localCheckpoint()
-        _WINNOW_FPS_MEMO.clear()   # one live index per session
-        _WINNOW_FPS_MEMO[key] = fps
-    return fps
+
+    def build() -> dict:
+        return {"fps": text_winnowing_fingerprints(
+            spark, sf_dir).localCheckpoint()}
+
+    return durable_memo("winnowing_index", spark, sf_dir, docs,
+                        build)["fps"]
 
 
 @register(
