@@ -389,3 +389,75 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
                  F.sum("s").cast("bigint").alias("seg_sum"))
             .drop("sid"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-video duplicate-frame detection: two videos sharing sampled
+# frame fingerprints are re-encodes / clips of the same content — the
+# multimodal analog of near-dup text detection, and the dedup signal a
+# video training corpus needs (frame-level, so partial overlap counts,
+# unlike whole-payload digests). Pair generation happens ONLY inside
+# per-fingerprint buckets, capped at _FRAME_BUCKET_CAP docs by
+# doc_id rank (the LSH bucket discipline: a short payload shared by
+# 10k videos costs cap^2 pairs, never 10k^2).
+# ---------------------------------------------------------------------------
+
+_FRAME_BUCKET_CAP = 64
+
+
+@register(
+    "mm_frame_dedup_crossvideo",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id, text AS b,
+               CAST(CEIL(length(text) / 4.0) AS INTEGER) AS step
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, i AS frame_idx,
+               sha256(substr(b, 1 + i * step, step)) AS fp,
+               length(substr(b, 1 + i * step, step)) AS chunk_len
+        FROM params CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+    ),
+    f AS (
+        SELECT DISTINCT doc_id, fp FROM frames WHERE chunk_len > 0
+    ),
+    capped AS (
+        SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+                   ROW_NUMBER() OVER (PARTITION BY fp
+                                      ORDER BY doc_id) AS rn
+            FROM f) t WHERE rn <= {_FRAME_BUCKET_CAP}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+    FROM capped a JOIN capped b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="cross-video duplicate-frame pairs: videos sharing sampled "
+        "frame sha256 fingerprints, with shared-frame counts — "
+        "re-encode/clip detection at frame granularity. Pairs explode "
+        f"only inside per-fingerprint buckets capped at "
+        f"{_FRAME_BUCKET_CAP} docs (never corpus^2 under a payload "
+        "flood); one shuffle on the fingerprint, one on the pair key.",
+)
+def mm_frame_dedup_crossvideo(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = mm.frame_sample(mm.attach_binary_payload(docs), n_frames=4)
+    f = (frames.select("doc_id", F.col("frame_sha256").alias("fp"))
+         .distinct())
+    wr = Window.partitionBy("fp").orderBy("doc_id")
+    capped = (f.withColumn("rn", F.row_number().over(wr))
+              .where(F.col("rn") <= _FRAME_BUCKET_CAP)
+              .select("doc_id", "fp"))
+    a = capped.select(F.col("doc_id").alias("id_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_shared_frames")))
