@@ -156,3 +156,41 @@ def test_lsh_pair_graph_snapshot_serves_bit_identical(spark, sf_dir,
                  minhash_pairs(spark, sf_dir, threshold=0.7).collect())
     assert r2 == r1 and hi2 == hi1
     memo._MEMOS.pop("lsh_pair_graph", None)  # no env-keyed entry leaks
+
+
+import pytest as _pytest
+
+# every durable structure, with a serving query that consumes it —
+# one uniform lock: build+persist, kill the in-process memo, poison
+# the write path, re-serve bit-identically from the snapshot alone
+_DURABLE_SERVING = [
+    ("copurchase_edges", "graph_triangle_counts"),
+    ("winnowing_index", "text_winnowing_similarity"),
+    ("kmeans_index", "sim_ivf_fixedpoint_topk"),
+    ("dedup_components", "dedup_minhash_clusters"),
+    ("quantized_corpus", "sim_quantized_topk"),
+    ("lpa_labels", "graph_community_modularity"),
+]
+
+
+@_pytest.mark.parametrize("tag,query", _DURABLE_SERVING)
+def test_durable_structures_warm_start(spark, sf_dir, tmp_path,
+                                       monkeypatch, tag, query):
+    from iq_to_hdl_migration_spark.queries import load_all
+    from iq_to_hdl_migration_spark.sources import memo, snapshots
+
+    fn = load_all()[query].fn
+    monkeypatch.setenv("SPARK_GRAFT_MEMO_DIR", str(tmp_path))
+    memo._MEMOS.pop(tag, None)
+    r1 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert os.path.isdir(f"{tmp_path}/{tag}"), f"{tag}: no snapshot written"
+
+    memo._MEMOS.pop(tag, None)
+
+    def poisoned_write(*a, **k):
+        raise AssertionError(f"{tag}: warm start must not rebuild")
+
+    monkeypatch.setattr(snapshots, "write_snapshot", poisoned_write)
+    r2 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert r2 == r1, f"{tag}: snapshot-served result diverged"
+    memo._MEMOS.pop(tag, None)  # no env-keyed entry leaks to other tests
