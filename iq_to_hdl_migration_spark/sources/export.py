@@ -53,6 +53,23 @@ def export_chunked_parquet(df: DataFrame, path: str,
        .parquet(path))
 
 
+def export_orc(df: DataFrame, path: str,
+               max_records_per_file: int = 1_000_000,
+               num_partitions: int | None = None,
+               compression: str = "zlib") -> None:
+    """Columnar interchange sink for ORC-native warehouses (Hive/Trino
+    estates) — same file-size discipline as the parquet exporter:
+    partition count spreads writers, maxRecordsPerFile caps each file.
+    ORC is JVM-native in Spark (no extra dependency), so the engine's
+    sink matrix covers both mainstream columnar formats."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    (df.write.mode("errorifexists")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .option("compression", compression)
+       .orc(path))
+
+
 def export_gzip_csv(df: DataFrame, path: str,
                     max_records_per_file: int = 1_000_000,
                     charset: str | None = None) -> None:
