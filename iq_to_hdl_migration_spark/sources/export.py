@@ -184,3 +184,22 @@ def _hadoop_listing(spark, path: str) -> list[tuple[str, int]]:
         if status.isFile():
             out.append((status.getPath().getName(), status.getLen()))
     return sorted(out)
+
+
+def export_hive_partitioned(df: DataFrame, path: str,
+                            partition_cols: list[str],
+                            max_records_per_file: int = 1_000_000,
+                            compression: str = "snappy") -> None:
+    """Hive-style partitioned columnar layout (dt=/source=/lang=
+    directories): the 100 TB scan-pruning knob — a reader filtering on
+    a partition column never lists (let alone reads) the other
+    partitions' files, turning corpus-wide scans into per-slice scans
+    at the METADATA level. Partition columns should be low-cardinality
+    (source, lang, date); high-cardinality keys belong in bucketing
+    (sources/bucketed.py) or z-ordering (operators/zorder.py), never
+    in the directory tree (small-file explosion)."""
+    (df.write.mode("errorifexists")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .option("compression", compression)
+       .partitionBy(*partition_cols)
+       .parquet(path))
