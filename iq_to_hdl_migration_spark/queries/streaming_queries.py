@@ -486,3 +486,80 @@ def stream_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_ab_{next(_seq)}"
     return W.streaming_ab_test(spark, sf_dir, name)
+
+
+def _bp_gate_oracle() -> str:
+    from iq_to_hdl_migration_spark.queries.corpus_queries import (
+        _BP_MIN_DOCS, _BP_N, _TOKS_DUCK)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_DUCK} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, CAST(len(t) AS BIGINT) AS nt,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - {_BP_N} + 1, 0) + 1),
+                   i -> list_aggregate(
+                            t[CAST(i AS INTEGER):
+                              CAST(i + {_BP_N} - 1 AS INTEGER)],
+                            'string_agg', ' '))) AS gs
+        FROM toks
+    ),
+    g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    boiler AS (
+        SELECT g FROM g GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    ),
+    hits AS (
+        SELECT q.doc_id, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM g q JOIN boiler USING (g) GROUP BY q.doc_id
+    ),
+    per AS (
+        SELECT gr.doc_id, gr.source, gr.nt,
+               CAST(len(gr.gs) AS BIGINT) AS n_sh,
+               COALESCE(h.nb, 0) AS nb
+        FROM grams gr LEFT JOIN hits h ON h.doc_id = gr.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+    FROM per WHERE nb * 100 <= n_sh * 50
+    GROUP BY source
+    """
+
+
+@register(
+    "stream_boilerplate_gate",
+    oracle=_bp_gate_oracle(),
+    doc="streaming boilerplate gate: documents arrive as doc_id-"
+        "contiguous micro-batches and each is admitted iff its "
+        "boilerplate-shingle fraction is <= 50% against a FROZEN "
+        "boilerplate index (8-gram shingles in >= 5 base docs — "
+        "vocabulary-sized, so it stays a shingle-keyed DataFrame "
+        "join, never a baked literal); per-source kept doc/token "
+        "counts fold additively across batches; the final report "
+        "equals the single-shot batch computation (shared oracle); "
+        "integer cross-multiplication keep rule, no floats in the "
+        "gate",
+)
+def stream_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.queries.corpus_queries import (
+        _BP_MIN_DOCS, _BP_N, _TOKS_SPARK)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    name = f"q_stream_bp_{next(_seq)}"
+    docs = load_table(spark, sf_dir, "documents")
+    gs = (f"CASE WHEN size(t) >= {_BP_N} THEN "
+          f"array_distinct(transform(sequence(1, size(t) - {_BP_N} + 1), "
+          f"i -> concat_ws(' ', slice(t, i, {_BP_N})))) "
+          f"ELSE array() END")
+    boiler = (docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
+              .withColumn("gs", F.expr(gs))
+              .select("doc_id", F.explode_outer("gs").alias("g"))
+              .where(F.col("g").isNotNull())
+              .groupBy("g")
+              .agg(F.countDistinct("doc_id").alias("c"))
+              .where(F.col("c") >= _BP_MIN_DOCS)
+              .select("g").localCheckpoint())
+    return W.streaming_boilerplate_gate(spark, sf_dir, boiler, _BP_N,
+                                        _BP_MIN_DOCS, 50, name)

@@ -1014,3 +1014,139 @@ def run_ab_test_fold(spark: SparkSession, arrivals_dir: str,
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def streaming_boilerplate_gate(spark: SparkSession, sf_dir: str,
+                               boiler_set: DataFrame, n: int,
+                               min_docs: int, max_ratio_pct: int,
+                               _query_name: str = "stream_bp",
+                               n_batches: int = 4) -> DataFrame:
+    """Streaming boilerplate gate: documents arrive as doc_id-contiguous
+    micro-batches (a document is atomic) and each batch admits docs
+    whose boilerplate-shingle fraction is <= max_ratio_pct% against a
+    FROZEN boilerplate set — the offline-built index (distinct n-gram
+    shingles recurring in >= min_docs base docs) that an ingest path
+    ships, exactly like the DSIR gate's bucket tables but vocabulary-
+    sized, so it stays a DataFrame joined ON THE SHINGLE KEY rather
+    than a baked-in literal. Per-source kept counts fold ADDITIVELY
+    into a snapshot chain (disjoint doc sets — the basket-fold
+    mergeability); the final report equals the single-shot batch
+    result (shared oracle). Replay-safe: batch i recomputes from
+    snapshot i-1.
+
+    Supersede-on-reinvoke contract: same as streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "bp_gate")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+
+    empty = spark.createDataFrame(
+        [], "source string, n_docs_kept bigint, n_tokens_kept bigint")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+    span = max(1, (hi + n_batches) // n_batches)
+    for i in range(n_batches):
+        lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)
+        slice_df = docs.where(F.col("doc_id").between(lo_i, hi_i))
+        tmp_i = os.path.join(work, f"slice_{i}")
+        slice_df.coalesce(1).write.parquet(tmp_i)
+        part = next(f for f in os.listdir(tmp_i)
+                    if f.startswith("part-"))
+        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp_i, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp_i)
+
+    run_boilerplate_gate_fold(spark, arrivals_dir, snap_dir, ckpt_dir,
+                              boiler_set, n, max_ratio_pct)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    return spark.read.parquet(os.path.join(snap_dir, final))
+
+
+def run_boilerplate_gate_fold(spark: SparkSession, arrivals_dir: str,
+                              snap_dir: str, ckpt_dir: str,
+                              boiler_set: DataFrame, n: int,
+                              max_ratio_pct: int) -> None:
+    """Drain the arrivals dir: per batch, score each document's
+    boilerplate fraction against the frozen shingle set (stream-side
+    shingles join the static index on the shingle key), admit docs at
+    <= max_ratio_pct%, and fold per-source kept counts additively into
+    the snapshot chain. Resumable under the same checkpoint dir."""
+    import os
+
+    schema = spark.read.parquet(arrivals_dir).schema
+    toks = r"split(lower(trim(text)), '\\s+')"
+    gs = (f"CASE WHEN size(t) >= {n} THEN "
+          f"array_distinct(transform(sequence(1, size(t) - {n} + 1), "
+          f"i -> concat_ws(' ', slice(t, i, {n})))) "
+          f"ELSE array() END")
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        g = (batch_df
+             .withColumn("t", F.expr(toks))
+             .withColumn("nt", F.size("t").cast("bigint"))
+             .withColumn("gs", F.expr(gs))
+             .select("doc_id", "source", "nt",
+                     F.size("gs").alias("n_sh"),
+                     F.explode_outer("gs").alias("g")))
+        hits = (g.join(boiler_set, "g")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_boiler")))
+        per_doc = (g.select("doc_id", "source", "nt", "n_sh").distinct()
+                   .join(hits, "doc_id", "left")
+                   .withColumn("n_boiler",
+                               F.coalesce("n_boiler", F.lit(0))))
+        # integer cross-multiplication: admit iff
+        # n_boiler / n_sh <= max_ratio_pct / 100 (empty-shingle docs
+        # have zero boilerplate and are admitted)
+        kept = per_doc.where(F.col("n_boiler") * 100
+                             <= F.col("n_sh") * max_ratio_pct)
+        return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+                     F.sum("nt").cast("bigint").alias("n_tokens_kept")))
+
+    def _process(batch_df, batch_id) -> None:
+        prev_snap = spark.read.parquet(_latest_before(batch_id))
+        merged = (prev_snap.unionByName(_delta(batch_df))
+                  .groupBy("source")
+                  .agg(F.sum("n_docs_kept").cast("bigint")
+                       .alias("n_docs_kept"),
+                       F.sum("n_tokens_kept").cast("bigint")
+                       .alias("n_tokens_kept")))
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
