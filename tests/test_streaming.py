@@ -361,3 +361,85 @@ def test_ab_test_fold_survives_restart(spark, sf_dir, tmp_path):
                   .collect())
     assert got == want, (
         "restarted fold's per-user conversion state must equal batch")
+
+
+def test_boilerplate_gate_fold_survives_restart(spark, sf_dir, tmp_path):
+    """Additive kept-count restart contract for the boilerplate gate:
+    half the DOCUMENTS arrive (whole docs), the stream drains and
+    STOPS; the rest arrives and a fresh start resumes from the same
+    checkpoint. The folded per-source kept counts must equal the
+    single-shot batch gate over all documents."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.queries.corpus_queries import (
+        _BP_MIN_DOCS, _BP_N, _TOKS_SPARK)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    gs = (f"CASE WHEN size(t) >= {_BP_N} THEN "
+          f"array_distinct(transform(sequence(1, size(t) - {_BP_N} + 1), "
+          f"i -> concat_ws(' ', slice(t, i, {_BP_N})))) "
+          f"ELSE array() END")
+    boiler = (docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
+              .withColumn("gs", F.expr(gs))
+              .select("doc_id", F.explode_outer("gs").alias("g"))
+              .where(F.col("g").isNotNull())
+              .groupBy("g").agg(F.countDistinct("doc_id").alias("c"))
+              .where(F.col("c") >= _BP_MIN_DOCS)
+              .select("g").localCheckpoint())
+
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    spark.createDataFrame(
+        [], "source string, n_docs_kept bigint, n_tokens_kept bigint"
+    ).write.parquet(os.path.join(snaps, "00000_init"))
+
+    cut = docs.agg(F.expr("CAST(max(doc_id) / 2 AS BIGINT)")).first()[0]
+
+    def arrive(df, name, mtime):
+        tmp = str(tmp_path / f"slice_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(arrivals, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    arrive(docs.where(F.col("doc_id") <= cut), "arr_000", 1_000_000)
+    W.run_boilerplate_gate_fold(spark, arrivals, snaps, ckpt,
+                                boiler, _BP_N, 50)
+    assert sorted(os.listdir(snaps))[-1] != "00000_init"
+
+    arrive(docs.where(F.col("doc_id") > cut), "arr_001", 1_000_001)
+    W.run_boilerplate_gate_fold(spark, arrivals, snaps, ckpt,
+                                boiler, _BP_N, 50)  # resumes
+
+    snap = spark.read.parquet(
+        os.path.join(snaps, sorted(os.listdir(snaps))[-1]))
+    got = sorted(tuple(r) for r in snap.collect())
+
+    # single-shot batch gate over the whole corpus
+    g = (docs.withColumn("t", F.expr(_TOKS_SPARK))
+         .withColumn("nt", F.size("t").cast("bigint"))
+         .withColumn("gs", F.expr(gs))
+         .select("doc_id", "source", "nt",
+                 F.size("gs").alias("n_sh"),
+                 F.explode_outer("gs").alias("g")))
+    hits = (g.join(boiler, "g").groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nb")))
+    per = (g.select("doc_id", "source", "nt", "n_sh").distinct()
+           .join(hits, "doc_id", "left")
+           .withColumn("nb", F.coalesce("nb", F.lit(0))))
+    want = sorted(tuple(r) for r in
+                  per.where(F.col("nb") * 100 <= F.col("n_sh") * 50)
+                  .groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_docs_kept"),
+                       F.sum("nt").cast("bigint").alias("n_tokens_kept"))
+                  .collect())
+    assert got == want, "restarted gate fold must equal the batch gate"
