@@ -2023,3 +2023,121 @@ def sim_embedding_outlier_report(spark: SparkSession,
                               + 5 * F.col("mad_d2"), 1).otherwise(0))
                  .cast("bigint").alias("n_outliers"),
                  F.max("d2").cast("bigint").alias("max_d2")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding distribution drift: before folding an arrival batch into a
+# served ANN index (sim_ivf_incremental_topk's split), check that the
+# arrivals come from the SAME embedding distribution the index was
+# trained on — per-dimension chi-square between base and arrival
+# histograms. Portable arithmetic end-to-end: fixed 8-bin grid over
+# [-1, 1) (floor of identical double ops), add-1-smoothed integer-ppm
+# probabilities, per-bin contributions as BIGINT integer divisions so
+# the per-dim sum is order-invariant; the only emitted double is one
+# final division. 100 TB shape: one groupBy (dim, bin) over the
+# exploded corpus — 64*8 result rows — never pairwise.
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 8
+
+
+@register(
+    "sim_embedding_drift_report",
+    oracle=f"""
+    WITH v AS (
+        SELECT e.vec_id, d.dim,
+               CAST(least(greatest(FLOOR((CAST(e.embedding[d.dim] AS DOUBLE)
+                                          + 1.0) * 4.0), 0), 7) AS BIGINT)
+                   AS bin,
+               (e.vec_id % 5 = 0) AS is_arr
+        FROM embeddings e, (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim) d
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ta,
+               CAST(SUM(CASE WHEN is_arr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tb
+        FROM v WHERE dim = 1
+    ),
+    grid AS (
+        SELECT d.dim, b.bin
+        FROM (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim) d,
+             (SELECT unnest(range(0, {_DRIFT_BINS})) AS bin) b
+    ),
+    c AS (
+        SELECT g.dim, g.bin,
+               COALESCE(x.ca, 0) AS ca, COALESCE(x.cb, 0) AS cb
+        FROM grid g LEFT JOIN (
+            SELECT dim, bin,
+                   CAST(SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN is_arr THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cb
+            FROM v GROUP BY dim, bin) x
+          ON x.dim = g.dim AND x.bin = g.bin
+    ),
+    p AS (
+        SELECT c.dim, c.bin,
+               (c.ca + 1) * 1000000 // (t.ta + {_DRIFT_BINS}) AS pa,
+               (c.cb + 1) * 1000000 // (t.tb + {_DRIFT_BINS}) AS pb
+        FROM c, tot t
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(SUM(((pb - pa) * (pb - pa) * 1000000)
+                    // greatest(pa, 1)) AS BIGINT) AS chi2_scaled,
+           CAST(SUM(((pb - pa) * (pb - pa) * 1000000)
+                    // greatest(pa, 1)) AS DOUBLE) / 1000000000000.0
+               AS chi2,
+           CAST(MAX(abs(pb - pa)) AS BIGINT) AS max_gap_ppm
+    FROM p GROUP BY dim
+    """,
+    doc="embedding drift audit: per-dimension chi-square between the "
+        "base corpus and the arrival batch (the incremental-IVF "
+        "split) over a fixed 8-bin grid — add-1-smoothed integer-ppm "
+        "probabilities, BIGINT per-bin contributions (order-invariant "
+        "sums), one final double division; the accept/reject check "
+        "before folding arrivals into a served ANN index",
+)
+def sim_embedding_drift_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.select(
+            "vec_id",
+            F.posexplode(F.expr(sim.as_double_array("embedding")))
+            .alias("pos", "x"))
+         .select((F.col("pos") + 1).alias("dim"),
+                 F.least(F.greatest(F.floor((F.col("x") + F.lit(1.0))
+                                            * F.lit(4.0)), F.lit(0)),
+                         F.lit(7)).cast("bigint").alias("bin"),
+                 (F.col("vec_id") % 5 == 0).alias("is_arr")))
+    tot = (v.where(F.col("dim") == 1)
+           .agg(F.sum(F.when(~F.col("is_arr"), 1).otherwise(0))
+                .cast("bigint").alias("ta"),
+                F.sum(F.when(F.col("is_arr"), 1).otherwise(0))
+                .cast("bigint").alias("tb")))
+    grid = (spark.range(1, sim.DIM + 1).select(F.col("id").alias("dim"))
+            .crossJoin(spark.range(0, _DRIFT_BINS)
+                       .select(F.col("id").alias("bin"))))
+    counts = (v.groupBy("dim", "bin")
+              .agg(F.sum(F.when(~F.col("is_arr"), 1).otherwise(0))
+                   .cast("bigint").alias("ca"),
+                   F.sum(F.when(F.col("is_arr"), 1).otherwise(0))
+                   .cast("bigint").alias("cb")))
+    c = (grid.join(counts, ["dim", "bin"], "left")
+         .select("dim", "bin",
+                 F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    p = (c.join(F.broadcast(tot))
+         .select("dim", "bin",
+                 F.expr(f"(ca + 1) * 1000000 div (ta + {_DRIFT_BINS})")
+                 .alias("pa"),
+                 F.expr(f"(cb + 1) * 1000000 div (tb + {_DRIFT_BINS})")
+                 .alias("pb")))
+    contrib = F.expr("((pb - pa) * (pb - pa) * 1000000) "
+                     "div greatest(pa, 1L)")
+    return (p.groupBy(F.col("dim").cast("int").alias("dim"))
+            .agg(F.sum(contrib).cast("bigint").alias("chi2_scaled"),
+                 (F.sum(contrib).cast("double") / F.lit(1e12))
+                 .alias("chi2"),
+                 F.max(F.abs(F.col("pb") - F.col("pa"))).cast("bigint")
+                 .alias("max_gap_ppm")))
