@@ -44,6 +44,7 @@ _SAMPLE_PRIORITY = [
     "events_funnel_dropoff_time", "curation_filter_attrition",
     "text_bigram_pmi_topk", "mm_frame_dedup_crossvideo",
     "stream_boilerplate_gate", "sim_embedding_drift_report",
+    "graph_khop_reach",
     # round 9, tier 2: code changed this round (SemDeDup derived-k +
     # scan cap, A/B degenerate guard, PQ durable-memo wiring, k-means
     # memo assert, LPA oracle refactor) — regression proof
@@ -66,7 +67,7 @@ _SAMPLE_PRIORITY = [
     "text_token_stats", "text_fingerprints", "text_length_histogram",
     "text_vocab_stats", "text_df_histogram",
     "events_hourly_by_type", "events_user_topk",
-    "events_activity_islands", "events_type_affinity",
+    "events_activity_islands",
 ]
 
 

@@ -1301,3 +1301,90 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("r.cusum").alias("cusum"),
                     (F.col("r.cusum") >= 2 * F.col("k")).cast("int")
                     .alias("is_alarm")))
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability (BFS layers) from a deterministic seed — the
+# "blast radius" primitive (recall/contamination spread, influence
+# fan-out) that complements the full transitive closure (A5 analog)
+# with a bounded-depth variant. Seed = the highest-degree part
+# (min id on ties); 3 synchronous frontier expansions, each ONE join
+# of the frontier against the memoized edge table + an anti-join
+# against the visited set — linear in edges touched, frontier state
+# only, the classic distributed BFS shape.
+# ---------------------------------------------------------------------------
+
+_KHOP_HOPS = 3
+
+
+@register(
+    "graph_khop_reach",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM e GROUP BY u),
+    seed AS (
+        SELECT node FROM deg ORDER BY d DESC, node LIMIT 1
+    ),
+    f0 AS (SELECT node FROM seed),
+    r0 AS (SELECT node FROM f0),
+    f1 AS (
+        SELECT DISTINCT e.v AS node FROM e JOIN f0 ON f0.node = e.u
+        WHERE e.v NOT IN (SELECT node FROM r0)
+    ),
+    r1 AS (SELECT node FROM r0 UNION SELECT node FROM f1),
+    f2 AS (
+        SELECT DISTINCT e.v AS node FROM e JOIN f1 ON f1.node = e.u
+        WHERE e.v NOT IN (SELECT node FROM r1)
+    ),
+    r2 AS (SELECT node FROM r1 UNION SELECT node FROM f2),
+    f3 AS (
+        SELECT DISTINCT e.v AS node FROM e JOIN f2 ON f2.node = e.u
+        WHERE e.v NOT IN (SELECT node FROM r2)
+    ),
+    r3 AS (SELECT node FROM r2 UNION SELECT node FROM f3)
+    SELECT hop, frontier_size, reached
+    FROM (
+        SELECT 0 AS hop, CAST(1 AS BIGINT) AS frontier_size,
+               CAST((SELECT COUNT(*) FROM r0) AS BIGINT) AS reached
+        UNION ALL SELECT 1, CAST((SELECT COUNT(*) FROM f1) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM r1) AS BIGINT)
+        UNION ALL SELECT 2, CAST((SELECT COUNT(*) FROM f2) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM r2) AS BIGINT)
+        UNION ALL SELECT 3, CAST((SELECT COUNT(*) FROM f3) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM r3) AS BIGINT)
+    ) t
+    """,
+    doc="k-hop BFS reachability from the highest-degree part (min id "
+        "on ties): per-hop frontier size and cumulative reach over 3 "
+        "synchronous expansions — each hop ONE frontier-edge join + "
+        "one visited anti-join (frontier state only, linear in edges "
+        "touched); the bounded-depth complement of the full closure",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = (e0.select("u", "v")
+         .unionByName(e0.select(F.col("v").alias("u"),
+                                F.col("u").alias("v"))))
+    seed = (e.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .orderBy(F.desc("d"), "node").limit(1).select("node"))
+    frontier = seed.localCheckpoint()
+    reached = frontier
+    rows = [(0, 1, 1)]
+    for hop in range(1, _KHOP_HOPS + 1):
+        nxt = (e.join(frontier.withColumnRenamed("node", "u"), "u")
+               .select(F.col("v").alias("node")).distinct()
+               .join(reached, "node", "left_anti")
+               .localCheckpoint())
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        # per-hop scalar counts: bounded driver round-trips (3 hops),
+        # the same eager-barrier discipline as the iterative graph ops
+        rows.append((hop, nxt.count(), reached.count()))
+    return spark.createDataFrame(
+        rows, "hop int, frontier_size bigint, reached bigint")
