@@ -51,10 +51,10 @@ _SAMPLE_PRIORITY = [
     "dedup_semdedup_clusters", "events_ab_test_report",
     "sim_pq_adc_topk", "sim_ivf_fixedpoint_topk",
     "sim_ivf_incremental_topk", "graph_part_copurchase_communities",
-    # round 9, tier 3: never-sampled rows (131/310 before this round;
-    # >= 25 of this list's 44 never-sampled names close VERDICT r8
-    # item 2) — catalog-ops families, snapshot IVM, older text/
-    # events/sketch tail
+    # round 9, tier 3: never-sampled rows (137/316 before this round's
+    # driver run; 44 of this list's 50 names have never drawn a driver
+    # row, closing VERDICT r8 item 2's >= 25 bar) — catalog-ops
+    # families, snapshot IVM, older text/events/sketch tail
     "snapshot_incremental_view_maintenance",
     "f7_reserved_users", "f8_feature_existence_counts",
     "f9_legacy_index_types", "f10_local_segments",
