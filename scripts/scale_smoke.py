@@ -92,7 +92,10 @@ EXTRA = [
     # round-9 additions (non-bench, scale-interesting)
     "mlprep_curriculum_interleave", "dq_winsorized_value_stats",
     "sim_embedding_outlier_report", "events_sequential_patterns",
-    "dedup_jaccard_calibration",
+    "dedup_jaccard_calibration", "mm_frame_dedup_crossvideo",
+    "sim_embedding_drift_report", "graph_khop_reach",
+    "text_bigram_pmi_topk", "curation_filter_attrition",
+    "events_uplift_by_segment", "events_funnel_dropoff_time",
 ]
 
 
