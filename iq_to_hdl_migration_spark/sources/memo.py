@@ -20,6 +20,7 @@ regenerated corpus is stale and is rebuilt, never served).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import pathlib
@@ -54,41 +55,77 @@ def session_memo(tag: str, spark: SparkSession, sf_dir: str,
     return hit
 
 
-def _meta_path(table_dir: str, tag: str) -> pathlib.Path:
-    return pathlib.Path(table_dir) / tag / "_memo_meta.json"
+# A rebuild retains this many snapshot versions per part after vacuum:
+# the new one plus its immediate parent, so an in-flight reader that
+# resolved the meta pointer just before the flip still completes
+# against intact files (old-or-new, never torn). Older history is GC'd
+# — that bounds disk at <=2 versions per (tag, config) forever.
+_KEEP_VERSIONS = 2
+
+
+def _structure_dir(table_dir: str, tag: str, fkey: str) -> pathlib.Path:
+    """On-disk home of one (tag, build-key) structure. The digest in
+    the path lets configs of the same tag (e.g. kmeans_index at three
+    (k, iters) settings, dedup_components per threshold) coexist as
+    independent snapshot tables instead of overwriting one pointer."""
+    digest = hashlib.md5(fkey.encode()).hexdigest()[:16]
+    return pathlib.Path(table_dir) / tag / digest
+
+
+def _meta_path(sdir: pathlib.Path) -> pathlib.Path:
+    return sdir / "_memo_meta.json"
 
 
 def _persist_structure(parts: dict[str, DataFrame], table_dir: str,
                        tag: str, fkey: str) -> None:
     from iq_to_hdl_migration_spark.sources import snapshots
 
+    sdir = _structure_dir(table_dir, tag, fkey)
     versions = {}
     for name, df in parts.items():
         versions[name] = snapshots.write_snapshot(
-            df, f"{table_dir}/{tag}/{name}", mode="overwrite")
-    mp = _meta_path(table_dir, tag)
+            df, str(sdir / name), mode="overwrite")
+    mp = _meta_path(sdir)
     tmp = mp.with_suffix(".json.tmp")
     tmp.write_text(json.dumps({"key": fkey, "versions": versions},
                               sort_keys=True))
     tmp.rename(mp)  # atomic pointer flip: readers see old-or-new meta
+    # GC superseded history AFTER the flip commits — a same-key rebuild
+    # (e.g. after a partial wipe) otherwise appends versions unboundedly
+    for name in parts:
+        snapshots.vacuum(str(sdir / name), keep_last=_KEEP_VERSIONS)
 
 
 def _load_structure(spark: SparkSession, table_dir: str, tag: str,
                     fkey: str) -> dict[str, DataFrame] | None:
     """Warm-start read: the persisted structure is served ONLY if its
     recorded build key (source fingerprint + hyperparameters) matches
-    the current corpus — fail-closed on any mismatch or absence."""
+    the current corpus — fail-closed on any mismatch, absence, or
+    damage. Damage matters: a vacuumed/deleted data file under a
+    still-valid meta must trigger a rebuild NOW, not a lazy read error
+    mid-query, so every manifest-listed file is existence-probed here
+    (driver-local stat calls, O(parts) metadata)."""
     from iq_to_hdl_migration_spark.sources import snapshots
 
-    mp = _meta_path(table_dir, tag)
+    sdir = _structure_dir(table_dir, tag, fkey)
+    mp = _meta_path(sdir)
     if not mp.exists():
         return None
-    meta = json.loads(mp.read_text())
-    if meta.get("key") != fkey:
-        return None  # stale: corpus or config changed since the build
-    return {name: snapshots.read_snapshot(spark, f"{table_dir}/{tag}/{name}",
-                                          version=v)
-            for name, v in meta["versions"].items()}
+    try:
+        meta = json.loads(mp.read_text())
+        if meta.get("key") != fkey:
+            return None  # stale: corpus or config changed since the build
+        out = {}
+        for name, v in meta["versions"].items():
+            part_dir = str(sdir / name)
+            man = snapshots._load_manifest(part_dir, v)
+            for f in man["files"]:
+                if not (pathlib.Path(part_dir) / f).exists():
+                    return None  # torn/vacuumed data under a live meta
+            out[name] = snapshots.read_snapshot(spark, part_dir, version=v)
+        return out
+    except Exception:
+        return None  # any corruption → rebuild, never serve a broken read
 
 
 def durable_memo(tag: str, spark: SparkSession, sf_dir: str,

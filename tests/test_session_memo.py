@@ -21,6 +21,13 @@ def _copy_docs(sf_dir: str, tmp_path) -> str:
     return dst_dir
 
 
+def _part_dirs(memo_dir, tag: str, part: str) -> list[str]:
+    """All on-disk snapshot tables for (tag, part) — one per live build
+    key, since memo.py keys the layout by a digest of the key."""
+    import glob
+    return sorted(glob.glob(f"{memo_dir}/{tag}/*/{part}"))
+
+
 def test_memo_hit_and_stale_miss(spark, sf_dir, tmp_path):
     work = _copy_docs(sf_dir, tmp_path)
     builds = []
@@ -84,6 +91,101 @@ def test_durable_memo_warm_starts_from_snapshot(spark, sf_dir, tmp_path):
     assert builds == [1, 1]
     assert sorted(tuple(r) for r in out3["top"].collect()) == rows1
 
+    # ...and persisting cfg2 must NOT have clobbered the original
+    # config's pointer (the r9 ADVICE bug): the original still
+    # warm-starts from disk after a session restart
+    memo._MEMOS.clear()
+    out4 = memo.durable_memo("t_demo", spark, work, docs, must_not_build,
+                             table_dir=snap)
+    assert sorted(tuple(r) for r in out4["top"].collect()) == rows1
+    memo._MEMOS.clear()
+    out5 = memo.durable_memo("t_demo", spark, work, docs, must_not_build,
+                             extra=("cfg2",), table_dir=snap)
+    assert sorted(tuple(r) for r in out5["top"].collect()) == rows1
+
+
+def test_durable_memo_rebuild_vacuums_and_old_reader_survives(
+        spark, sf_dir, tmp_path):
+    """Lifecycle guarantees for the persisted tier: (a) repeated
+    same-key rebuilds leave at most _KEEP_VERSIONS live snapshot
+    versions (disk is bounded forever, not append-only); (b) a reader
+    that resolved the pointer just before a rebuild+vacuum still
+    completes against intact files — old-or-new, never torn."""
+    from iq_to_hdl_migration_spark.sources import memo, snapshots
+
+    work = _copy_docs(sf_dir, tmp_path / "corpus")
+    snap = str(tmp_path / "memostore")
+    docs = load_table(spark, work, "documents")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return {"top": docs.select("doc_id").orderBy("doc_id").limit(5)
+                .localCheckpoint()}
+
+    def rebuild_through():
+        # force a same-key build-through: kill the in-process memo AND
+        # the meta pointer (a crashed/aborted prior commit looks like
+        # this) while the data files stay behind
+        memo._MEMOS.clear()
+        sdir = next((tmp_path / "memostore" / "t_gc").iterdir())
+        (sdir / "_memo_meta.json").unlink(missing_ok=True)
+        return memo.durable_memo("t_gc", spark, work, docs, build,
+                                 table_dir=snap)
+
+    memo.durable_memo("t_gc", spark, work, docs, build, table_dir=snap)
+    for _ in range(4):
+        rebuild_through()
+    (part_dir,) = _part_dirs(tmp_path / "memostore", "t_gc", "top")
+    vs = snapshots.versions(part_dir)
+    assert len(vs) <= memo._KEEP_VERSIONS, \
+        f"vacuum did not bound history: {[m['version'] for m in vs]}"
+    assert builds == [1] * 5
+
+    # (b) hold a WARM-START reader — a lazy frame over the currently
+    # live version's files — then supersede it with a rebuild+vacuum;
+    # the held reader must still scan intact files
+    memo._MEMOS.clear()
+
+    def must_not_build():
+        raise AssertionError("warm start expected")
+
+    held = memo.durable_memo("t_gc", spark, work, docs, must_not_build,
+                             table_dir=snap)["top"]
+    rebuild_through()  # new version committed, vacuum ran
+    assert held.count() == 5, "reader one version behind must complete"
+    memo._MEMOS.clear()
+
+
+def test_durable_memo_fail_closed_on_damaged_snapshot(spark, sf_dir,
+                                                      tmp_path):
+    """A valid meta pointer over missing data files (vacuumed by an
+    over-eager GC, or deleted by hand) must trigger a rebuild at
+    lookup time — not a lazy FileNotFound mid-query."""
+    from iq_to_hdl_migration_spark.sources import memo
+
+    work = _copy_docs(sf_dir, tmp_path / "corpus")
+    snap = str(tmp_path / "memostore")
+    docs = load_table(spark, work, "documents")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return {"top": docs.select("doc_id").orderBy("doc_id").limit(5)
+                .localCheckpoint()}
+
+    r1 = memo.durable_memo("t_dmg", spark, work, docs, build,
+                           table_dir=snap)["top"].collect()
+    memo._MEMOS.clear()
+    sdir = next((tmp_path / "memostore" / "t_dmg").iterdir())
+    for pq in (sdir / "top").rglob("*.parquet"):
+        pq.unlink()  # meta stays valid; data is gone
+    r2 = memo.durable_memo("t_dmg", spark, work, docs, build,
+                           table_dir=snap)["top"].collect()
+    assert builds == [1, 1], "damaged snapshot must rebuild, not serve"
+    assert sorted(map(tuple, r2)) == sorted(map(tuple, r1))
+    memo._MEMOS.clear()
+
 
 def test_pq_index_snapshot_serves_bit_identical(spark, sf_dir, tmp_path,
                                                 monkeypatch):
@@ -98,8 +200,10 @@ def test_pq_index_snapshot_serves_bit_identical(spark, sf_dir, tmp_path,
     monkeypatch.setenv("SPARK_GRAFT_MEMO_DIR", str(tmp_path))
     memo._MEMOS.pop("pq_index", None)
     r1 = sorted(tuple(r) for r in sim_pq_adc_topk(spark, sf_dir).collect())
-    assert snapshots.current_version(f"{tmp_path}/pq_index/cents") == 1
-    assert snapshots.current_version(f"{tmp_path}/pq_index/codes") == 1
+    for part in ("cents", "codes"):
+        dirs = _part_dirs(tmp_path, "pq_index", part)
+        assert len(dirs) == 1
+        assert snapshots.current_version(dirs[0]) == 1
 
     memo._MEMOS.pop("pq_index", None)
 
@@ -142,8 +246,8 @@ def test_lsh_pair_graph_snapshot_serves_bit_identical(spark, sf_dir,
     r1 = sorted(tuple(r) for r in minhash_pairs(spark, sf_dir).collect())
     hi1 = sorted(tuple(r) for r in
                  minhash_pairs(spark, sf_dir, threshold=0.7).collect())
-    assert snapshots.current_version(
-        f"{tmp_path}/lsh_pair_graph/pairs") == 1
+    (pairs_dir,) = _part_dirs(tmp_path, "lsh_pair_graph", "pairs")
+    assert snapshots.current_version(pairs_dir) == 1
 
     memo._MEMOS.pop("lsh_pair_graph", None)
 
