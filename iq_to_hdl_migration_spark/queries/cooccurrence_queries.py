@@ -659,19 +659,52 @@ def events_uplift_by_segment(spark: SparkSession,
         UNION ALL
         SELECT 'click_to_buy' AS stage, p.t_buy - c.t_click AS gap_us
         FROM p JOIN c ON c.user_id = p.user_id
+    ),
+    ranked AS (
+        SELECT stage, gap_us,
+               ROW_NUMBER() OVER (PARTITION BY stage ORDER BY gap_us)
+                 - 1 AS rn
+        FROM gaps
+    ),
+    cnt AS (
+        SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM gaps GROUP BY stage
+    ),
+    pick AS (
+        SELECT r.stage, c.n_users, c.max_gap_us,
+            MAX(CASE WHEN rn = ((n_users - 1) * 5) // 10
+                     THEN gap_us END) AS lo5,
+            MAX(CASE WHEN rn = LEAST(((n_users - 1) * 5) // 10 + 1,
+                                     n_users - 1)
+                     THEN gap_us END) AS hi5,
+            MAX(CASE WHEN rn = ((n_users - 1) * 9) // 10
+                     THEN gap_us END) AS lo9,
+            MAX(CASE WHEN rn = LEAST(((n_users - 1) * 9) // 10 + 1,
+                                     n_users - 1)
+                     THEN gap_us END) AS hi9
+        FROM ranked r JOIN cnt c ON c.stage = r.stage
+        GROUP BY r.stage, c.n_users, c.max_gap_us
     )
-    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users,
-           quantile_cont(gap_us, 0.5) AS p50_gap_us,
-           quantile_cont(gap_us, 0.9) AS p90_gap_us,
-           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
-    FROM gaps GROUP BY stage
+    SELECT stage, n_users,
+           CAST(lo5 AS DOUBLE)
+             + CAST(((n_users - 1) * 5) % 10 AS DOUBLE) / 10.0
+               * CAST(hi5 - lo5 AS DOUBLE) AS p50_gap_us,
+           CAST(lo9 AS DOUBLE)
+             + CAST(((n_users - 1) * 9) % 10 AS DOUBLE) / 10.0
+               * CAST(hi9 - lo9 AS DOUBLE) AS p90_gap_us,
+           max_gap_us
+    FROM pick
     """,
     doc="funnel latency: median and p90 time between ordered funnel "
         "stages (first view -> first later click -> first later "
         "purchase) — the how-long companion to events_funnel_counts' "
-        "how-many; gaps are integer micros so the exact percentiles "
-        "are binary halves (bit-stable), every stage one user_id "
-        "shuffle",
+        "how-many. Exact percentiles are computed on BOTH engines as "
+        "the same explicit integer-rank interpolation (order "
+        "statistics at floor/ceil of (n-1)q, fraction = the integer "
+        "remainder over 10), so cross-engine bit-equality holds by "
+        "construction for p90 too — not just the dyadic p50 (the r9 "
+        "ADVICE gap); every stage one user_id shuffle",
 )
 def events_funnel_dropoff_time(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -695,8 +728,43 @@ def events_funnel_dropoff_time(spark: SparkSession,
                 .select(F.lit("click_to_buy").alias("stage"),
                         (F.col("t_buy") - F.col("t_click"))
                         .alias("gap_us"))))
-    return (gaps.groupBy("stage")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
-                 F.expr("percentile(gap_us, 0.5D)").alias("p50_gap_us"),
-                 F.expr("percentile(gap_us, 0.9D)").alias("p90_gap_us"),
-                 F.max("gap_us").cast("bigint").alias("max_gap_us")))
+    # explicit rank-interpolation percentiles (identical construction
+    # in the oracle SQL): index math is all-integer, the fraction is
+    # remainder/10.0, and the final double expression is the same op
+    # sequence on both engines — bit-equal by construction, no
+    # reliance on percentile()/quantile_cont agreeing to the last ulp
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stage").orderBy("gap_us")
+    ranked = gaps.withColumn(
+        "rn", F.row_number().over(w).cast("bigint") - 1)
+    cnt = gaps.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"))
+
+    def _at(ix_expr, out):
+        return F.max(F.when(F.col("rn") == ix_expr,
+                            F.col("gap_us"))).alias(out)
+
+    def _lo_ix(q):
+        return F.expr(f"((n_users - 1) * {q}) div 10")
+
+    def _hi_ix(q):
+        return F.least(_lo_ix(q) + 1, F.col("n_users") - 1)
+
+    pick = (ranked.join(cnt, "stage")
+            .groupBy("stage", "n_users", "max_gap_us")
+            .agg(_at(_lo_ix(5), "lo5"), _at(_hi_ix(5), "hi5"),
+                 _at(_lo_ix(9), "lo9"), _at(_hi_ix(9), "hi9")))
+
+    def _interp(q, lo, hi):
+        frac = (F.expr(f"CAST(((n_users - 1) * {q}) % 10 AS DOUBLE)")
+                / F.lit(10.0))
+        return (F.col(lo).cast("double")
+                + frac * (F.col(hi) - F.col(lo)).cast("double"))
+
+    return pick.select(
+        "stage", "n_users",
+        _interp(5, "lo5", "hi5").alias("p50_gap_us"),
+        _interp(9, "lo9", "hi9").alias("p90_gap_us"),
+        "max_gap_us")

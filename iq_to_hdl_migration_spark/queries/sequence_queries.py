@@ -1349,7 +1349,8 @@ _KHOP_HOPS = 3
     r3 AS (SELECT node FROM r2 UNION SELECT node FROM f3)
     SELECT hop, frontier_size, reached
     FROM (
-        SELECT 0 AS hop, CAST(1 AS BIGINT) AS frontier_size,
+        SELECT 0 AS hop,
+               CAST((SELECT COUNT(*) FROM f0) AS BIGINT) AS frontier_size,
                CAST((SELECT COUNT(*) FROM r0) AS BIGINT) AS reached
         UNION ALL SELECT 1, CAST((SELECT COUNT(*) FROM f1) AS BIGINT),
                CAST((SELECT COUNT(*) FROM r1) AS BIGINT)
@@ -1375,7 +1376,11 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("d"), "node").limit(1).select("node"))
     frontier = seed.localCheckpoint()
     reached = frontier
-    rows = [(0, 1, 1)]
+    # hop-0 counts come from the actual seed frame, not a literal: on
+    # an edge-less corpus the seed is EMPTY and the oracle's
+    # COUNT(*) FROM r0 reports 0 — mirror that instead of assuming 1
+    n_seed = frontier.count()
+    rows = [(0, n_seed, n_seed)]
     for hop in range(1, _KHOP_HOPS + 1):
         nxt = (e.join(frontier.withColumnRenamed("node", "u"), "u")
                .select(F.col("v").alias("node")).distinct()

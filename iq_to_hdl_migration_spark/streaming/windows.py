@@ -321,6 +321,25 @@ def streaming_curation_counts(spark: SparkSession, sf_dir: str,
 _STREAM_WORK_DIRS: dict = {}
 
 
+def _id_span(df: DataFrame, id_col: str) -> tuple[int | None, int | None]:
+    """Inclusive [lo, hi] id domain for arrival slicing, fail-loud on
+    NULL ids: an id-contiguous micro-batch plan cannot route a NULL-id
+    row anywhere, and silently dropping it would break the advertised
+    bit-for-bit equality with the shared batch oracle (which keeps
+    every row). Slicing from the actual min also admits negative-id
+    domains, which a hardcoded lo=0 would silently exclude.
+    Returns (None, None) on an empty frame."""
+    row = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.count(id_col).alias("n_ids")).first()
+    if row["n"] != row["n_ids"]:
+        raise ValueError(
+            f"{id_col}: {row['n'] - row['n_ids']} NULL ids — cannot "
+            "slice into id-contiguous arrival batches without dropping "
+            "rows the batch oracle keeps")
+    return row["lo"], row["hi"]
+
+
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
                                 _query_name: str = "stream_inc_dedup",
                                 n_batches: int = 3) -> DataFrame:
@@ -350,6 +369,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     from iq_to_hdl_migration_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    _id_span(docs, "doc_id")  # fail-loud: NULL ids escape BOTH cut sides
     cut = docs.agg(
         F.floor(F.max("doc_id") * 0.6).cast("bigint")).first()[0]
     if cut is None:
@@ -707,14 +727,15 @@ def streaming_bottomk_sample(spark: SparkSession, sf_dir: str, k: int,
 
     # id-contiguous arrival files with increasing mtimes so the file
     # source drains them in arrival order
-    hi = docs.agg(F.max("doc_id")).first()[0]
+    lo, hi = _id_span(docs, "doc_id")
     if hi is None:
         # empty corpus: nothing to stream — the empty init snapshot
         # IS the final state (matches the batch sampler on 0 rows)
         return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
-    span = max(1, (hi + n_batches) // n_batches)
+    span = max(1, (hi - lo + n_batches) // n_batches)
     for i in range(n_batches):
-        lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)
+        lo_i = lo + i * span
+        hi_i = min(hi, lo_i + span - 1)
         slice_df = docs.where(F.col("doc_id").between(lo_i, hi_i))
         tmp_i = os.path.join(work, f"slice_{i}")
         slice_df.coalesce(1).write.parquet(tmp_i)
@@ -819,12 +840,13 @@ def streaming_market_basket(spark: SparkSession, sf_dir: str,
         [], "part_a bigint, part_b bigint, n bigint")
     empty.write.parquet(os.path.join(snap_dir, "00000_init"))
 
-    hi = li.agg(F.max("l_orderkey")).first()[0]
+    lo, hi = _id_span(li, "l_orderkey")
     if hi is None:
         return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
-    span = max(1, (hi + n_batches) // n_batches)
+    span = max(1, (hi - lo + n_batches) // n_batches)
     for i in range(n_batches):
-        lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)
+        lo_i = lo + i * span
+        hi_i = min(hi, lo_i + span - 1)
         slice_df = li.where(F.col("l_orderkey").between(lo_i, hi_i))
         tmp_i = os.path.join(work, f"slice_{i}")
         slice_df.coalesce(1).write.parquet(tmp_i)
@@ -947,13 +969,14 @@ def streaming_ab_test(spark: SparkSession, sf_dir: str,
     empty = spark.createDataFrame([], "user_id bigint, is_conv int")
     empty.write.parquet(os.path.join(snap_dir, "00000_init"))
 
-    hi = ev.agg(F.max("event_id")).first()[0]
+    lo, hi = _id_span(ev, "event_id")
     if hi is None:
         snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
         return ab_test_report_tail(_ab_assign(snap))
-    span = max(1, (hi + n_batches) // n_batches)
+    span = max(1, (hi - lo + n_batches) // n_batches)
     for i in range(n_batches):
-        lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)
+        lo_i = lo + i * span
+        hi_i = min(hi, lo_i + span - 1)
         slice_df = ev.where(F.col("event_id").between(lo_i, hi_i))
         tmp_i = os.path.join(work, f"slice_{i}")
         slice_df.coalesce(1).write.parquet(tmp_i)
@@ -1063,12 +1086,13 @@ def streaming_boilerplate_gate(spark: SparkSession, sf_dir: str,
         [], "source string, n_docs_kept bigint, n_tokens_kept bigint")
     empty.write.parquet(os.path.join(snap_dir, "00000_init"))
 
-    hi = docs.agg(F.max("doc_id")).first()[0]
+    lo, hi = _id_span(docs, "doc_id")
     if hi is None:
         return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
-    span = max(1, (hi + n_batches) // n_batches)
+    span = max(1, (hi - lo + n_batches) // n_batches)
     for i in range(n_batches):
-        lo_i, hi_i = i * span, min(hi, (i + 1) * span - 1)
+        lo_i = lo + i * span
+        hi_i = min(hi, lo_i + span - 1)
         slice_df = docs.where(F.col("doc_id").between(lo_i, hi_i))
         tmp_i = os.path.join(work, f"slice_{i}")
         slice_df.coalesce(1).write.parquet(tmp_i)
