@@ -971,10 +971,12 @@ _BP_MIN_DOCS = 5   # a shingle in >= this many docs is boilerplate
     doc="cross-document boilerplate census: distinct 8-token shingles "
         "recurring in >= 5 documents (template chrome, license "
         "headers) rolled up per source — total shingles, boilerplate "
-        "hits, rate, and the worst single document's ratio. The "
-        "shingle-df join shuffles on the shingle key (corpus-scaled, "
-        "never broadcast); rates are integer-sum divisions and a max "
-        "of single-division doubles, so every float is bit-stable.",
+        "hits, rate, and the worst single document's ratio. Per-doc "
+        "totals aggregate without any join; only the df>=threshold "
+        "posting lists enter the shingle-keyed join (shuffled, never "
+        "broadcast — the key set is corpus-scaled), so sub-threshold "
+        "shingles never ride a shuffle twice; rates are integer-sum "
+        "divisions and a max of single-division doubles (bit-stable).",
     bench=True,
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,11 +995,22 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(F.col("g").isNotNull()))
     df = g.groupBy("g").agg(
         F.countDistinct("doc_id").alias("n_docs_with"))
-    per_doc = (g.join(df, "g")
-               .groupBy("doc_id", "source")
-               .agg(F.count(F.lit(1)).alias("n_shingles"),
-                    F.sum(F.when(F.col("n_docs_with") >= _BP_MIN_DOCS, 1)
-                          .otherwise(0)).alias("n_boiler")))
+    # the denominator (per-doc shingle totals) needs no df join at
+    # all, and the numerator only needs posting lists of shingles that
+    # MEET the boilerplate threshold — so the shingle-keyed join
+    # carries just the df>=MIN_DOCS keys (boilerplate is rare; this is
+    # the r9-advice df-pruning discipline taken to its endpoint: the
+    # sub-threshold shingles, singletons included, never enter a join)
+    per_total = (g.groupBy("doc_id", "source")
+                 .agg(F.count(F.lit(1)).alias("n_shingles")))
+    boiler_keys = (df.where(F.col("n_docs_with") >= _BP_MIN_DOCS)
+                   .select("g"))
+    per_boiler = (g.join(boiler_keys, "g")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_boiler")))
+    per_doc = (per_total.join(per_boiler, "doc_id", "left")
+               .withColumn("n_boiler",
+                           F.coalesce(F.col("n_boiler"), F.lit(0))))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_shingles").cast("bigint").alias("n_shingles"),
