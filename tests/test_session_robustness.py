@@ -44,6 +44,18 @@ _SLICE = [
     "events_funnel_dropoff_time",     # ts micros gaps + 0.9 percentile
     "text_bigram_pmi_topk",           # rational PMI + TakeOrdered ties
     "events_uplift_by_segment",       # md5 split + sqrt z under ANSI
+    # round-9 shapes, full enrollment (r9 advice #6)
+    "graph_khop_reach",               # BFS layers + localCheckpoint
+    "graph_community_modularity",     # rational Q over memoized labels
+    "dedup_jaccard_calibration",      # LSH bands + exact-Jaccard div
+    "text_boilerplate_ngrams",        # shingle df join + ratio doubles
+    "mm_frame_dedup_crossvideo",      # binary sha fingerprints + buckets
+    "sim_embedding_drift_report",     # ppm chi-square integer bins
+    "sim_embedding_outlier_report",   # MAD order stats on doubles
+    "events_sequential_patterns",     # first-occurrence micros ordering
+    "curation_filter_attrition",      # rule cascade + kill attribution
+    "stream_ab_test",                 # micro-batch fold + md5 split
+    "stream_boilerplate_gate",        # frozen shingle index + fold
 ]
 
 _HOSTILE = {
