@@ -503,9 +503,16 @@ def text_winnowing_match_pairs(spark: SparkSession,
     capped = (fps.withColumn("rn", F.row_number().over(wcap))
               .where(F.col("rn") <= _FP_BUCKET_CAP)
               .select("doc_id", "fp"))
+    # the bucket table is tiny in ROWS (one per colliding fingerprint)
+    # but each row explodes into up to cap^2/2 pairs — AQE's coalescer
+    # sees only the pre-explode bytes and packs it into ONE task,
+    # serializing pair generation (measured 2.5s -> 0.6s at sf0.1).
+    # Spread buckets across the executors before the explode.
+    n = spark.sparkContext.defaultParallelism
     buckets = (capped.groupBy("fp")
                .agg(F.collect_list("doc_id").alias("members"))
-               .where(F.size("members") > 1))
+               .where(F.size("members") > 1)
+               .repartition(n))
     pairs = buckets.select(F.explode(F.expr("""
         flatten(transform(members, (x, i) ->
             transform(slice(members, i + 2, size(members)), y ->
