@@ -1115,3 +1115,206 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("pmi_ratio")))
     return out.orderBy(F.desc("pmi_ratio"), "word_a", "word_b") \
               .limit(_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (Rae et al. 2021 §A1.1): the fraction
+# of CHARACTERS inside duplicated token n-grams, per document — the
+# complement of text_repetition_scores' top-token ratio (which misses
+# long repeated phrases built from common words). Everything is
+# per-document: the n-gram term-frequency groupBy carries (doc_id,
+# gram) keys, so the shuffle is corpus-linear and no cross-document
+# state exists at any point; all ratios are single divisions of
+# integer sums (bit-stable).
+# ---------------------------------------------------------------------------
+
+_DG_N = 3          # token n-gram size for the duplicate-chars rule
+_DG_FLAG = 0.30    # per-doc dup-char fraction above which a doc flags
+
+
+@register(
+    "text_dup_ngram_chars",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_DUCK} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               list_transform(
+                   range(1, greatest(len(t) - {_DG_N} + 1, 0) + 1),
+                   i -> list_aggregate(
+                            t[CAST(i AS INTEGER):
+                              CAST(i + {_DG_N} - 1 AS INTEGER)],
+                            'string_agg', ' ')) AS gs
+        FROM toks
+    ),
+    g AS (SELECT doc_id, source, unnest(gs) AS g FROM grams),
+    tf AS (
+        SELECT doc_id, source, g, COUNT(*) AS c
+        FROM g GROUP BY doc_id, source, g
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(SUM(CASE WHEN c >= 2 THEN len(g) * c ELSE 0 END)
+                    AS BIGINT) AS dup_chars,
+               CAST(SUM(len(g) * c) AS BIGINT) AS total_chars
+        FROM tf GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dup_chars) AS BIGINT) AS dup_chars,
+           CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(dup_chars) AS DOUBLE) / CAST(SUM(total_chars) AS DOUBLE)
+               AS dup_char_rate,
+           MAX(CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE))
+               AS max_doc_dup_ratio,
+           CAST(SUM(CASE WHEN CAST(dup_chars AS DOUBLE)
+                              / CAST(total_chars AS DOUBLE) > {_DG_FLAG}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+    FROM per_doc GROUP BY source
+    """,
+    doc=f"Gopher-style duplicate-{_DG_N}-gram character fraction per "
+        "document, rolled up per source (total/duplicated gram chars, "
+        "rate, worst doc, docs over the "
+        f"{_DG_FLAG} flag threshold) — catches long repeated phrases "
+        "that a top-token ratio misses; per-doc keys only (corpus-"
+        "linear shuffle, no cross-document state), single-division "
+        "doubles",
+    bench=True,
+)
+def text_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    # same generator-trap discipline as text_boilerplate_ngrams:
+    # explicit empty branch (sequence(1, 0) descends in Spark) and
+    # explode_outer so the inferred generator filter cannot re-inline
+    # the gram transform below the repartition barrier
+    gs = (f"CASE WHEN size(t) >= {_DG_N} THEN "
+          f"transform(sequence(1, size(t) - {_DG_N} + 1), "
+          f"i -> concat_ws(' ', slice(t, i, {_DG_N}))) "
+          f"ELSE array() END")
+    g = (docs.select("doc_id", "source", F.expr(_TOKS_SPARK).alias("t"))
+         .repartition(n)
+         .withColumn("gs", F.expr(gs))
+         .select("doc_id", "source", F.explode_outer("gs").alias("g"))
+         .where(F.col("g").isNotNull()))
+    tf = (g.groupBy("doc_id", "source", "g")
+          .agg(F.count(F.lit(1)).alias("c")))
+    gram_chars = F.length("g").cast("bigint") * F.col("c")
+    per_doc = (tf.groupBy("doc_id", "source")
+               .agg(F.sum(F.when(F.col("c") >= 2, gram_chars)
+                          .otherwise(0)).cast("bigint").alias("dup_chars"),
+                    F.sum(gram_chars).cast("bigint").alias("total_chars")))
+    ratio = (F.col("dup_chars").cast("double")
+             / F.col("total_chars").cast("double"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("dup_chars").cast("bigint").alias("dup_chars"),
+                 F.sum("total_chars").cast("bigint").alias("total_chars"),
+                 (F.sum("dup_chars").cast("double")
+                  / F.sum("total_chars").cast("double"))
+                 .alias("dup_char_rate"),
+                 F.max(ratio).alias("max_doc_dup_ratio"),
+                 F.sum(F.when(ratio > _DG_FLAG, 1).otherwise(0))
+                 .cast("bigint").alias("n_docs_flagged")))
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift: the TEXT twin of sim_embedding_drift_report
+# — before folding an arrival batch into a served corpus (same
+# base/arrival split convention as the incremental index family),
+# compare per-token document frequencies between the two halves in
+# integer ppm and rank tokens by a rational chi-square contribution.
+# One (half, token)-keyed groupBy over the exploded distinct tokens —
+# vocabulary-scaled, never pairwise; the only double is one final
+# division per token.
+# ---------------------------------------------------------------------------
+
+_TD_TOPK = 50
+_TD_MIN_DF = 3  # ignore tokens too rare to say anything about drift
+
+
+@register(
+    "text_token_drift_report",
+    oracle=f"""
+    WITH halves AS (
+        SELECT doc_id, (doc_id % 5 = 0) AS is_arr,
+               list_distinct({_TOKS_DUCK}) AS t
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN is_arr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+        FROM halves
+    ),
+    df AS (
+        SELECT u.token,
+               CAST(SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dfa,
+               CAST(SUM(CASE WHEN is_arr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dfb
+        FROM (SELECT is_arr, unnest(t) AS token FROM halves) u
+        WHERE u.token <> ''
+        GROUP BY u.token
+        HAVING COUNT(*) >= {_TD_MIN_DF}
+    ),
+    p AS (
+        SELECT token,
+               (dfa + 1) * 1000000 // (t.na + 1) AS pa,
+               (dfb + 1) * 1000000 // (t.nb + 1) AS pb
+        FROM df, tot t
+    )
+    SELECT token, CAST(pa AS BIGINT) AS base_ppm,
+           CAST(pb AS BIGINT) AS arrival_ppm,
+           CAST((pb - pa) * (pb - pa) AS BIGINT) AS gap_sq,
+           CAST((pb - pa) * (pb - pa) AS DOUBLE)
+               / CAST(pa + pb AS DOUBLE) AS drift_score
+    FROM p
+    ORDER BY drift_score DESC, token
+    LIMIT {_TD_TOPK}
+    """,
+    doc="token-distribution drift between the base corpus and the "
+        "arrival batch (doc_id %% 5 split, the incremental family's "
+        "convention): per-token document frequencies as add-1-smoothed "
+        f"integer ppm, top-{_TD_TOPK} tokens by rational chi-square "
+        "contribution ((pb-pa)^2/(pa+pb), one double division) — the "
+        "text twin of sim_embedding_drift_report; vocabulary-keyed "
+        "groupBy, TakeOrdered top-k",
+)
+def text_token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    halves = (docs.select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("is_arr"),
+        F.array_distinct(F.expr(_TOKS_SPARK)).alias("t"))
+        .repartition(n))
+    tot = halves.agg(
+        F.sum(F.when(~F.col("is_arr"), 1).otherwise(0))
+        .cast("bigint").alias("na"),
+        F.sum(F.when(F.col("is_arr"), 1).otherwise(0))
+        .cast("bigint").alias("nb"))
+    df = (halves.select("is_arr", F.explode("t").alias("token"))
+          .where(F.col("token") != "")
+          .groupBy("token")
+          .agg(F.sum(F.when(~F.col("is_arr"), 1).otherwise(0))
+               .cast("bigint").alias("dfa"),
+               F.sum(F.when(F.col("is_arr"), 1).otherwise(0))
+               .cast("bigint").alias("dfb"),
+               F.count(F.lit(1)).alias("n_total"))
+          .where(F.col("n_total") >= _TD_MIN_DF))
+    p = (df.join(F.broadcast(tot))
+         .select("token",
+                 F.expr("(dfa + 1) * 1000000 div (na + 1)").alias("pa"),
+                 F.expr("(dfb + 1) * 1000000 div (nb + 1)").alias("pb")))
+    gap_sq = (F.col("pb") - F.col("pa")) * (F.col("pb") - F.col("pa"))
+    out = p.select(
+        "token",
+        F.col("pa").cast("bigint").alias("base_ppm"),
+        F.col("pb").cast("bigint").alias("arrival_ppm"),
+        gap_sq.cast("bigint").alias("gap_sq"),
+        (gap_sq.cast("double")
+         / (F.col("pa") + F.col("pb")).cast("double"))
+        .alias("drift_score"))
+    return out.orderBy(F.desc("drift_score"), "token").limit(_TD_TOPK)

@@ -566,3 +566,92 @@ def events_gap_powerlaw_histogram(spark: SparkSession,
     return (g.select("event_type", bucket.alias("gap_bucket_log2s"))
             .groupBy("event_type", "gap_bucket_log2s")
             .agg(F.count(F.lit(1)).alias("n_gaps")))
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration: exact Gini coefficient over per-user event
+# counts. The rank formulation G = (2*sum(i*x_i) - (n+1)*sum(x))
+# / (n*sum(x)) is computed WITHOUT a global sort of users: group the
+# per-user counts into a value histogram (value, multiplicity) — its
+# size is bounded by the count domain, not the user count — and expand
+# each value-group's rank-sum in closed form (ranks within a tie group
+# are consecutive, and ties make their order irrelevant to the sum).
+# The only global window runs over that bounded histogram. Every
+# emitted number is a BIGINT except one final division.
+# ---------------------------------------------------------------------------
+
+
+def gini_from_user_counts(counts: DataFrame) -> DataFrame:
+    """(user_id, n_events) -> single-row exact Gini report; shared by
+    the batch query and the streaming twin's snapshot tail."""
+    hist = (counts.groupBy(F.col("n_events").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("m")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    # sum of ranks occupied by this value group, in closed form
+    rank_sum = (F.col("cum_before") * F.col("m")
+                + F.expr("(m * (m + 1)) div 2"))
+    agg = ranked.agg(
+        F.sum("m").cast("bigint").alias("n_users"),
+        F.sum(F.col("v") * F.col("m")).cast("bigint").alias("total_events"),
+        F.sum(F.col("v") * rank_sum).cast("bigint").alias("s_rank"))
+    return agg.select(
+        "n_users", "total_events",
+        (F.lit(2) * F.col("s_rank")
+         - (F.col("n_users") + 1) * F.col("total_events"))
+        .cast("bigint").alias("gini_num"),
+        (F.col("n_users") * F.col("total_events"))
+        .cast("bigint").alias("gini_den"),
+        ((F.lit(2) * F.col("s_rank")
+          - (F.col("n_users") + 1) * F.col("total_events")).cast("double")
+         / (F.col("n_users") * F.col("total_events")).cast("double"))
+        .alias("gini"))
+
+
+@register(
+    "events_poweruser_gini",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT n_events AS v, CAST(COUNT(*) AS BIGINT) AS m
+        FROM counts GROUP BY n_events
+    ),
+    ranked AS (
+        SELECT v, m,
+               COALESCE(SUM(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+               CAST(SUM(v * m) AS BIGINT) AS total_events,
+               CAST(SUM(v * (cum_before * m + (m * (m + 1)) // 2))
+                    AS BIGINT) AS s_rank
+        FROM ranked
+    )
+    SELECT n_users, total_events,
+           CAST(2 * s_rank - (n_users + 1) * total_events AS BIGINT)
+               AS gini_num,
+           CAST(n_users * total_events AS BIGINT) AS gini_den,
+           CAST(2 * s_rank - (n_users + 1) * total_events AS DOUBLE)
+               / CAST(n_users * total_events AS DOUBLE) AS gini
+    FROM agg
+    """,
+    doc="exact Gini coefficient of event-count concentration across "
+        "users (power-user skew; the one-number inequality summary "
+        "behind events_user_topk): rank sums computed in closed form "
+        "over a value HISTOGRAM — the only global window runs over "
+        "the bounded count domain, never the user set; numerator and "
+        "denominator emitted as BIGINTs, one final division",
+)
+def events_poweruser_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return gini_from_user_counts(counts)

@@ -1143,3 +1143,81 @@ def mlprep_token_budget_selection(spark: SparkSession,
             .select("doc_id", "source", "nt", "nd",
                     (F.col("nd").cast("double") / F.col("nt").cast("double"))
                     .alias("density")))
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the per-source one-stop summary a training-data release
+# ships with (docs, tokens, exact-dup rate, language makeup) — the
+# report that fronts every curated-corpus publication. One pass over
+# documents (per-source aggregates with distinct-digest and
+# distinct-lang counts) plus a per-source language mode via a
+# source-partitioned window; every rate is a single division of
+# integer counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlprep_dataset_card",
+    oracle=r"""
+    WITH base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(lower(trim(text)),
+                                               '\s+'))) AS BIGINT)
+                   AS n_tokens,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_distinct_texts,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY source
+    ),
+    langs AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY COUNT(*) DESC, lang) AS rn
+        FROM documents GROUP BY source, lang
+    )
+    SELECT b.source, b.n_docs, b.n_tokens,
+           CAST(b.n_tokens AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+               AS mean_doc_tokens,
+           CAST(b.n_docs - b.n_distinct_texts AS BIGINT)
+               AS n_exact_dup_docs,
+           CAST(b.n_docs - b.n_distinct_texts AS DOUBLE)
+               / CAST(b.n_docs AS DOUBLE) AS exact_dup_rate,
+           b.n_langs, l.lang AS top_lang,
+           CAST(l.c AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+               AS top_lang_share
+    FROM base b JOIN langs l ON l.source = b.source AND l.rn = 1
+    """,
+    doc="per-source dataset card (docs, whitespace tokens, exact-dup "
+        "rate via distinct text digests, language count, dominant "
+        "language and its share) — the release-readiness summary over "
+        "one documents pass; all rates single divisions of BIGINTs",
+)
+def mlprep_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = (docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.expr(r"split(lower(trim(text)), '\\s+')")))
+        .cast("bigint").alias("n_tokens"),
+        F.countDistinct(F.md5(F.col("text").cast("binary")))
+        .cast("bigint").alias("n_distinct_texts"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs")))
+    wl = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    langs = (docs.groupBy("source", "lang")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+             .withColumn("rn", F.row_number().over(wl))
+             .where(F.col("rn") == 1))
+    return (base.join(langs, "source")
+            .select(
+                "source", "n_docs", "n_tokens",
+                (F.col("n_tokens").cast("double")
+                 / F.col("n_docs").cast("double")).alias("mean_doc_tokens"),
+                (F.col("n_docs") - F.col("n_distinct_texts"))
+                .cast("bigint").alias("n_exact_dup_docs"),
+                ((F.col("n_docs") - F.col("n_distinct_texts"))
+                 .cast("double") / F.col("n_docs").cast("double"))
+                .alias("exact_dup_rate"),
+                "n_langs",
+                F.col("lang").alias("top_lang"),
+                (F.col("c").cast("double") / F.col("n_docs").cast("double"))
+                .alias("top_lang_share")))

@@ -1393,3 +1393,81 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((hop, nxt.count(), reached.count()))
     return spark.createDataFrame(
         rows, "hop int, frontier_size bigint, reached bigint")
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): do well-connected parts co-occur
+# with other well-connected parts? Pearson correlation of endpoint
+# degrees over the directed edge list. The whole statistic reduces to
+# four integer sums over edge⋈degree joins (two node-keyed hash joins,
+# the standard distributed shape — no sorting, no pairwise state); the
+# final correlation is one shared double expression over exact-cast
+# BIGINTs, bit-stable across engines.
+# ---------------------------------------------------------------------------
+
+_ASSORT_EXPR = """
+    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+"""
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL
+          SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY u),
+    j AS (
+        SELECT du.d AS dx, dv.d AS dy
+        FROM e JOIN deg du ON du.node = e.u
+               JOIN deg dv ON dv.node = e.v
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy
+        FROM j
+    )
+    SELECT m AS m_edges_directed, sx AS sum_deg, sxx AS sum_deg_sq,
+           sxy AS sum_deg_prod,
+           {_ASSORT_EXPR} AS assortativity
+    FROM agg
+    """,
+    doc="degree assortativity of the co-purchase graph (Newman 2002): "
+        "Pearson correlation of endpoint degrees over directed edges "
+        "— two node-keyed edge-degree hash joins + four BIGINT sums, "
+        "one shared double expression at the end (bit-stable); the "
+        "hub-mixing summary that complements k-core and communities",
+)
+def graph_degree_assortativity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = (e0.select("u", "v")
+         .unionByName(e0.select(F.col("v").alias("u"),
+                                F.col("u").alias("v"))))
+    deg = (e.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    j = (e.join(deg.select(F.col("node").alias("u"),
+                           F.col("d").alias("dx")), "u")
+         .join(deg.select(F.col("node").alias("v"),
+                          F.col("d").alias("dy")), "v"))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"))
+    return agg.select(
+        F.col("m").alias("m_edges_directed"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxx").alias("sum_deg_sq"),
+        F.col("sxy").alias("sum_deg_prod"),
+        F.expr(_ASSORT_EXPR).alias("assortativity"))

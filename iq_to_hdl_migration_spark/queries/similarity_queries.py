@@ -2141,3 +2141,35 @@ def sim_embedding_drift_report(spark: SparkSession,
                  .alias("chi2"),
                  F.max(F.abs(F.col("pb") - F.col("pa"))).cast("bigint")
                  .alias("max_gap_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Range retrieval: ALL candidates within a cosine radius of each probe
+# — the dedup/recall companion to top-k (a near-duplicate audit wants
+# "everything closer than τ", not a fixed k). Runs over the memoized
+# int8-quantized corpus: scales cancel, so the score is pure integer
+# dot products with one division, bit-exact in both engines; the
+# corpus is never shuffled (probe side broadcast), making the scan
+# embarrassingly parallel at any corpus size.
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.30
+
+
+@register(
+    "sim_cosine_range_search",
+    oracle=f"""
+    WITH {_QUANT_CTE}
+    SELECT query_id, cand_id, cosine_q
+    FROM qscored
+    WHERE cosine_q >= {_RANGE_TAU}
+    """,
+    doc=f"cosine range search: every candidate with quantized cosine "
+        f">= {_RANGE_TAU} of each probe (the 'all near neighbors' "
+        "primitive near-dup audits need, vs top-k's fixed cutoff) — "
+        "integer dot products over the memoized int8 corpus, probe "
+        "side broadcast, corpus never shuffled",
+)
+def sim_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_quantized_scored(spark, sf_dir)
+            .where(F.col("cosine_q") >= _RANGE_TAU))
