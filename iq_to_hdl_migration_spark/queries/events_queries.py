@@ -610,9 +610,9 @@ def gini_from_user_counts(counts: DataFrame) -> DataFrame:
         .alias("gini"))
 
 
-@register(
-    "events_poweruser_gini",
-    oracle="""
+# shared with the streaming twin (stream_user_gini): the fold's final
+# snapshot feeds the same tail, so both check against one oracle
+GINI_ORACLE = """
     WITH counts AS (
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY user_id
@@ -642,7 +642,12 @@ def gini_from_user_counts(counts: DataFrame) -> DataFrame:
            CAST(2 * s_rank - (n_users + 1) * total_events AS DOUBLE)
                / CAST(n_users * total_events AS DOUBLE) AS gini
     FROM agg
-    """,
+    """
+
+
+@register(
+    "events_poweruser_gini",
+    oracle=GINI_ORACLE,
     doc="exact Gini coefficient of event-count concentration across "
         "users (power-user skew; the one-number inequality summary "
         "behind events_user_topk): rank sums computed in closed form "

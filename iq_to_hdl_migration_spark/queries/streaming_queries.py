@@ -563,3 +563,25 @@ def stream_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("g").localCheckpoint())
     return W.streaming_boilerplate_gate(spark, sf_dir, boiler, _BP_N,
                                         _BP_MIN_DOCS, 50, name)
+
+
+def _gini_oracle() -> str:
+    from iq_to_hdl_migration_spark.queries.events_queries import GINI_ORACLE
+    return GINI_ORACLE
+
+
+@register(
+    "stream_user_gini",
+    oracle=_gini_oracle(),   # shared with events_poweruser_gini
+    doc="streaming twin of events_poweruser_gini: events arrive as "
+        "event_id-contiguous micro-batches (a user's events span "
+        "batches) and each batch folds per-user event counts into a "
+        "snapshot (merge = sum per user — the additive count monoid; "
+        "state is one row per distinct user, the exact-metric "
+        "minimum); the final snapshot feeds the same closed-form "
+        "histogram Gini tail as the batch query, so the report equals "
+        "the single-shot batch result bit-for-bit (shared oracle)",
+)
+def stream_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_gini_{next(_seq)}"
+    return W.streaming_user_activity_gini(spark, sf_dir, name)

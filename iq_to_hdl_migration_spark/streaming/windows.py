@@ -1174,3 +1174,107 @@ def run_boilerplate_gate_fold(spark: SparkSession, arrivals_dir: str,
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def streaming_user_activity_gini(spark: SparkSession, sf_dir: str,
+                                 _query_name: str = "stream_gini",
+                                 n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_poweruser_gini: events arrive as
+    event_id-contiguous micro-batches (a user's events deliberately
+    SPAN batches) and each batch folds per-user event counts into a
+    snapshot — merge = groupBy(user_id).sum(n_events), the additive
+    count monoid, so state is exactly one row per distinct user. The
+    Gini itself is NOT computed incrementally (rank sums are not
+    mergeable); the final snapshot feeds the SAME closed-form
+    histogram tail as the batch query, so the report equals the
+    single-shot batch result bit-for-bit (shared oracle). Replay-safe:
+    batch i recomputes from snapshot i-1.
+
+    Supersede-on-reinvoke contract: same as streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        gini_from_user_counts)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "user_gini")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame([], "user_id bigint, n_events bigint")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return gini_from_user_counts(snap)
+    span = max(1, (hi - lo + n_batches) // n_batches)
+    for i in range(n_batches):
+        lo_i = lo + i * span
+        hi_i = min(hi, lo_i + span - 1)
+        slice_df = ev.where(F.col("event_id").between(lo_i, hi_i))
+        tmp_i = os.path.join(work, f"slice_{i}")
+        slice_df.coalesce(1).write.parquet(tmp_i)
+        part = next(f for f in os.listdir(tmp_i)
+                    if f.startswith("part-"))
+        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp_i, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp_i)
+
+    run_user_count_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return gini_from_user_counts(snap)
+
+
+def run_user_count_fold(spark: SparkSession, arrivals_dir: str,
+                        snap_dir: str, ckpt_dir: str) -> None:
+    """Drain the arrivals dir folding each batch's per-user event
+    counts into the snapshot chain (merge = sum per user). Resumable
+    under the same checkpoint dir; a replayed batch recomputes from
+    the PRIOR snapshot, so re-execution rewrites its snapshot
+    byte-identically."""
+    import os
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        return (batch_df.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+
+    def _process(batch_df, batch_id) -> None:
+        prev_snap = spark.read.parquet(_latest_before(batch_id))
+        merged = (prev_snap.unionByName(_delta(batch_df))
+                  .groupBy("user_id")
+                  .agg(F.sum("n_events").cast("bigint").alias("n_events")))
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -443,3 +443,54 @@ def test_boilerplate_gate_fold_survives_restart(spark, sf_dir, tmp_path):
                        F.sum("nt").cast("bigint").alias("n_tokens_kept"))
                   .collect())
     assert got == want, "restarted gate fold must equal the batch gate"
+
+
+def test_user_count_fold_survives_restart(spark, sf_dir, tmp_path):
+    """Additive count-monoid restart contract for the Gini twin: the
+    first half of EVENTS arrives (a user's events span the halves),
+    the stream drains and STOPS; the rest arrives and a fresh start
+    resumes from the same checkpoint. The folded per-user counts must
+    equal the single-shot batch counts — summed across the seam, no
+    user lost or double-counted."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    spark.createDataFrame(
+        [], "user_id bigint, n_events bigint"
+    ).write.parquet(os.path.join(snaps, "00000_init"))
+
+    cut = ev.agg(F.expr("CAST(max(event_id) / 2 AS BIGINT)")).first()[0]
+
+    def arrive(df, name, mtime):
+        tmp = str(tmp_path / f"slice_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(arrivals, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    arrive(ev.where(F.col("event_id") <= cut), "arr_000", 1_000_000)
+    W.run_user_count_fold(spark, arrivals, snaps, ckpt)
+    assert sorted(os.listdir(snaps))[-1] != "00000_init"
+
+    arrive(ev.where(F.col("event_id") > cut), "arr_001", 1_000_001)
+    W.run_user_count_fold(spark, arrivals, snaps, ckpt)  # resumes
+
+    snap = spark.read.parquet(
+        os.path.join(snaps, sorted(os.listdir(snaps))[-1]))
+    got = sorted(tuple(r) for r in snap.collect())
+    want = sorted(tuple(r) for r in
+                  ev.groupBy("user_id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+                  .collect())
+    assert got == want, (
+        "restarted fold's per-user counts must equal the batch counts")
