@@ -660,3 +660,165 @@ def events_poweruser_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (ev.groupBy("user_id")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
     return gini_from_user_counts(counts)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: which users' sessions overlap a probe user's
+# sessions in wall-clock time (co-presence / concurrent-cohort
+# analysis). Spark has no interval join; the scalable shape is the
+# time-BUCKETED equi-join — explode each session onto the hour grid it
+# spans (gap-bounded sessions ⇒ bounded expansion), hash-join on the
+# hour bucket, verify the exact overlap predicate, then de-duplicate
+# session pairs that share several buckets. The probe side is a fixed
+# user set (user_id < 8), so output is probe-bounded — an ALL-pairs
+# overlap would be user²-scaled and is exactly what this formulation
+# refuses to do at 100 TB.
+# ---------------------------------------------------------------------------
+
+_OVL_PROBES = 8
+_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "events_session_overlap_pairs",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    s0 AS (
+        SELECT user_id, us,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US}
+                        THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, sid, MIN(us) AS s_start, MAX(us) AS s_end
+        FROM s0 GROUP BY user_id, sid
+    ),
+    probe AS (SELECT * FROM sess WHERE user_id < {_OVL_PROBES}),
+    pairs AS (
+        SELECT DISTINCT p.user_id AS pu, p.sid AS psid,
+                        b.user_id AS bu, b.sid AS bsid
+        FROM probe p JOIN sess b
+          ON b.user_id != p.user_id
+         AND b.s_start <= p.s_end AND p.s_start <= b.s_end
+    )
+    SELECT pu AS probe_user, bu AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap_sessions
+    FROM pairs GROUP BY pu, bu
+    """,
+    doc="interval-overlap join: per probe user (fixed id<8 set), every "
+        "other user and the count of wall-clock-overlapping session "
+        "pairs — sessions exploded onto the hour grid they span "
+        "(bounded expansion), hash-joined on the hour bucket, exact "
+        "overlap predicate verified, multi-bucket matches de-duped; "
+        "the probe-bounded formulation of an interval join (all-pairs "
+        "would be user²-scaled)",
+)
+def events_session_overlap_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > _GAP_US), 1).otherwise(0)
+    sid = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    sess = (ev.select("user_id", us.alias("us"), sid.alias("sid"))
+            .groupBy("user_id", "sid")
+            .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end")))
+    hb = F.explode(F.expr(
+        f"sequence(s_start div {_HOUR_US}, s_end div {_HOUR_US})"))
+    bucketed = sess.withColumn("hb", hb)
+    probe = (bucketed.where(F.col("user_id") < _OVL_PROBES)
+             .select(F.col("user_id").alias("pu"),
+                     F.col("sid").alias("psid"),
+                     F.col("s_start").alias("p_start"),
+                     F.col("s_end").alias("p_end"), "hb"))
+    pairs = (bucketed.join(F.broadcast(probe), "hb")
+             .where((F.col("user_id") != F.col("pu"))
+                    & (F.col("s_start") <= F.col("p_end"))
+                    & (F.col("p_start") <= F.col("s_end")))
+             .select("pu", "psid", F.col("user_id").alias("bu"),
+                     F.col("sid").alias("bsid"))
+             .dropDuplicates(["pu", "psid", "bu", "bsid"]))
+    return (pairs.groupBy(F.col("pu").alias("probe_user"),
+                          F.col("bu").alias("user_b"))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_overlap_sessions")))
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: per-user dispersion index of inter-arrival times. The
+# classic CV² statistic reduces to the rational n·Σg² / (Σg)² over
+# SECOND-quantized gaps (micros² would overflow int64 on month-long
+# gaps); all three sums are BIGINTs under 2^53, so the one double
+# expression is bit-stable across engines. One user-keyed window+agg —
+# the same shuffle the sessionizer already pays.
+# ---------------------------------------------------------------------------
+
+_DISPERSION_EXPR = """
+    (CAST(n_gaps AS DOUBLE) * CAST(sum_gap_sq_s AS DOUBLE))
+    / (CAST(sum_gap_s AS DOUBLE) * CAST(sum_gap_s AS DOUBLE))
+"""
+
+
+@register(
+    "events_interarrival_dispersion",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, (us - prev_us) // 1000000 AS gap_s
+        FROM o WHERE prev_us IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+               CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap_sq_s
+        FROM g GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_gaps, sum_gap_s,
+           sum_gap_sq_s,
+           CASE WHEN sum_gap_s = 0 THEN 0.0
+                ELSE {_DISPERSION_EXPR} END AS dispersion
+    FROM agg
+    """,
+    doc="per-user burstiness: dispersion index n·Σg²/(Σg)² of "
+        "second-quantized inter-arrival gaps (≈1 for Poisson arrivals, "
+        "large for bursty users) — integer sums under 2^53 with one "
+        "shared double expression (bit-stable); complements the "
+        "population-level gap power-law histogram with a per-user "
+        "score",
+)
+def events_interarrival_dispersion(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    g = (ev.select("user_id", (us - prev).alias("gap_us"))
+         .where(F.col("gap_us").isNotNull())
+         .select("user_id", F.expr("gap_us div 1000000").alias("gap_s")))
+    agg = (g.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+                F.sum("gap_s").cast("bigint").alias("sum_gap_s"),
+                F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint")
+                .alias("sum_gap_sq_s")))
+    return agg.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_gaps", "sum_gap_s", "sum_gap_sq_s",
+        F.when(F.col("sum_gap_s") == 0, F.lit(0.0))
+        .otherwise(F.expr(_DISPERSION_EXPR)).alias("dispersion"))
