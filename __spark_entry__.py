@@ -35,39 +35,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_registry_vs_oracle.py still covers the full registry at
 # whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 9, tier 1: brand-new queries — first driver rows
-    "dedup_jaccard_calibration", "graph_community_modularity",
-    "events_sequential_patterns", "text_boilerplate_ngrams",
-    "mlprep_curriculum_interleave", "mlprep_token_budget_selection",
-    "dq_winsorized_value_stats", "sim_embedding_outlier_report",
-    "stream_ab_test", "events_uplift_by_segment",
-    "events_funnel_dropoff_time", "curation_filter_attrition",
-    "text_bigram_pmi_topk", "mm_frame_dedup_crossvideo",
-    "stream_boilerplate_gate", "sim_embedding_drift_report",
-    "graph_khop_reach",
-    # round 9, tier 2: code changed this round (SemDeDup derived-k +
-    # scan cap, A/B degenerate guard, PQ durable-memo wiring, k-means
-    # memo assert, LPA oracle refactor) — regression proof
-    "dedup_semdedup_clusters", "events_ab_test_report",
-    "sim_pq_adc_topk", "sim_ivf_fixedpoint_topk",
-    "sim_ivf_incremental_topk", "graph_part_copurchase_communities",
-    # round 9, tier 3: never-sampled rows (137/316 before this round's
-    # driver run; 44 of this list's 50 names have never drawn a driver
-    # row, closing VERDICT r8 item 2's >= 25 bar) — catalog-ops
-    # families, snapshot IVM, older text/events/sketch tail
-    "snapshot_incremental_view_maintenance",
-    "f7_reserved_users", "f8_feature_existence_counts",
-    "f9_legacy_index_types", "f10_local_segments",
-    "j1_tables_by_owner", "j4_table_columns", "j6_table_indexes",
-    "j14_fk_table_count", "a1_table_rowcounts", "a4_verify_rowcount",
-    "o3_size_batching", "v1_rowcount_reconciliation",
-    "v4_load_completeness", "v8_empty_tables", "s12_config_validation",
-    "sketch_value_percentiles", "sketch_hll_portable_distinct_orders",
-    "sketch_distinct_users_daily",
-    "text_token_stats", "text_fingerprints", "text_length_histogram",
-    "text_vocab_stats", "text_df_histogram",
-    "events_hourly_by_type", "events_user_topk",
-    "events_activity_islands",
+    # round 10, tier 1: brand-new queries — first driver rows
+    "text_dup_ngram_chars", "text_token_drift_report",
+    "events_poweruser_gini", "stream_user_gini",
+    "graph_degree_assortativity", "sim_cosine_range_search",
+    "mlprep_dataset_card", "events_session_overlap_pairs",
+    "events_interarrival_dispersion",
+    # round 10, tier 2: code changed this round (constructive p90
+    # interpolation, khop empty-graph parity, boilerplate df-pruned
+    # join, winnowing explode parallelized, id-domain-safe stream
+    # slicing) — regression proof under the driver's own hash
+    "events_funnel_dropoff_time", "graph_khop_reach",
+    "text_boilerplate_ngrams", "text_winnowing_match_pairs",
+    "text_winnowing_similarity", "stream_ab_test",
+    # round 10, tier 3: never-sampled rows (93 after r9; every name
+    # below is a first driver row) — the §2 catalog-ops/validation
+    # families first, then the older ddl/stream/mm/text tail
+    "o1_tables_by_size_desc", "o4_retry_priority",
+    "v3_extract_completeness", "v6_file_copy_validation",
+    "v7_schema_load_errors", "v9_readonly_guard",
+    "f11_user_logical_servers", "f12_option_prefix_filters",
+    "f14_remote_server_classes", "f15_sap_internal_users",
+    "f16_sys_roles", "f17_string_rtruncation", "f19_identity_defaults",
+    "j2_rlv_tables", "j5_lob_columns", "j7_table_triggers",
+    "j9_user_procedures", "j10_remote_procedures", "j11_proxy_tables",
+    "j12_server_capabilities", "j15_resume_delta",
+    "a2_table_row_widths", "a3_capable_servers", "a6_max_table_size",
+    "ddl_fk_statements", "ddl_rule_hit_summary",
+    "stream_hourly_counts", "stream_exact_dedup",
+    "mm_payload_dedup_groups", "mm_frame_samples",
+    "sample_stratified_docs", "dedup_exact_stats",
+    "docs_cross_source_duplication", "events_type_affinity",
+    "text_token_topk",
 ]
 
 
