@@ -98,6 +98,39 @@ EXTRA = [
     "events_uplift_by_segment", "events_funnel_dropoff_time",
 ]
 
+# Per-round ROTATION (r9 advice #7): ~30 additional names each round
+# so every data-scaled registry query draws a 5x measurement at least
+# once per ~5 rounds. The catalog-ops/ddl/schema families (f*/j*/a*/
+# o*/v*/s7/s12/ddl_*) are exempt by construction: their inputs are the
+# fixed packaged rule tables, which the replicator does not scale, so
+# a 5x timing of them measures constant data. Swap this list out each
+# round; SCALE.md records which rotation ran when.
+ROTATION = [
+    # round-10 rotation: r10 additions first, then the never-swept
+    # dedup/events/sim/text/mm/relational tail
+    "events_poweruser_gini", "events_session_overlap_pairs",
+    "events_interarrival_dispersion", "graph_degree_assortativity",
+    "sim_cosine_range_search", "mlprep_dataset_card",
+    "text_token_drift_report",
+    "dedup_minhash_clusters", "dedup_exact_groups",
+    "dedup_embedding_cosine_pairs", "dedup_lsh_bucket_census",
+    "dedup_cluster_quality_report",
+    "events_sessionization", "events_retention_cohorts",
+    "events_rolling_hour_value", "events_path_motifs",
+    "events_cusum_changepoints", "events_dau_wau",
+    "mm_content_histogram_neardup", "mm_audio_vad_segments",
+    "mm_scene_cuts",
+    "sim_ann_lsh_topk", "sim_ann_multiprobe_topk",
+    "sim_quantized_recall", "sim_lsh_bucket_stats",
+    "text_langid_heuristic", "text_repetition_scores",
+    "text_token_rarity_scores", "text_zipf_constancy",
+    "text_bpe_first_merges",
+    "q18_large_volume_customers", "q8_market_share",
+    "orders_rfm_segments", "skew_salted_join_revenue",
+    "scd2_point_in_time_join", "stats_qty_price_correlation",
+]
+EXTRA = EXTRA + ROTATION
+
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     reg = load_all()
