@@ -92,3 +92,77 @@ def test_streaming_twins_reject_null_ids(spark, sf_dir, tmp_path):
         lambda ids: [None if n == 0 else i for n, i in enumerate(ids)])
     with pytest.raises(ValueError, match="NULL ids"):
         streaming_ab_test(spark, work)
+
+
+def test_gini_matches_direct_formula(spark, sf_dir):
+    """The closed-form histogram rank sums must equal the textbook
+    sorted-rank Gini computed directly in the driver, and the
+    coefficient must be a valid inequality measure (0 <= G < 1)."""
+    row = REGISTRY["events_poweruser_gini"].fn(spark, sf_dir).first()
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    xs = sorted(r["n"] for r in
+                ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+    n, tot = len(xs), sum(xs)
+    s_rank = sum((i + 1) * x for i, x in enumerate(xs))
+    assert row["n_users"] == n and row["total_events"] == tot
+    assert row["gini_num"] == 2 * s_rank - (n + 1) * tot
+    assert row["gini_den"] == n * tot
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_assortativity_is_valid_correlation(spark, sf_dir):
+    row = REGISTRY["graph_degree_assortativity"].fn(spark, sf_dir).first()
+    assert -1.0 <= row["assortativity"] <= 1.0
+    # directed edge list: every undirected edge contributes twice, so
+    # the count is even, and sums are consistent with m >= 1 degrees
+    assert row["m_edges_directed"] % 2 == 0
+    assert row["sum_deg"] >= row["m_edges_directed"]
+
+
+def test_range_search_consistent_with_topk(spark, sf_dir):
+    """Range results at tau must be exactly the quantized-cosine pairs
+    >= tau: every top-k hit scoring >= tau appears in the range
+    result, and no range row scores below tau."""
+    from iq_to_hdl_migration_spark.queries.similarity_queries import (
+        _RANGE_TAU)
+
+    rng = {(r["query_id"], r["cand_id"]): r["cosine_q"]
+           for r in REGISTRY["sim_cosine_range_search"]
+           .fn(spark, sf_dir).collect()}
+    assert all(c >= _RANGE_TAU for c in rng.values())
+    topk = REGISTRY["sim_quantized_topk"].fn(spark, sf_dir).collect()
+    for r in topk:
+        if r["cosine_q"] >= _RANGE_TAU:
+            assert (r["query_id"], r["cand_id"]) in rng, \
+                "top-k hit above tau missing from range result"
+
+
+def test_dataset_card_internal_consistency(spark, sf_dir):
+    rows = REGISTRY["mlprep_dataset_card"].fn(spark, sf_dir).collect()
+    assert rows, "card is empty"
+    for r in rows:
+        assert 0 <= r["n_exact_dup_docs"] < r["n_docs"]
+        assert 0.0 < r["top_lang_share"] <= 1.0
+        assert r["n_langs"] >= 1
+        assert r["n_tokens"] >= r["n_docs"]  # every doc tokenizes
+
+
+def test_session_overlap_pairs_probe_bounded(spark, sf_dir):
+    rows = REGISTRY["events_session_overlap_pairs"].fn(
+        spark, sf_dir).collect()
+    assert rows, "no overlaps found (synthetic users are concurrent)"
+    for r in rows:
+        assert r["probe_user"] < 8, "non-probe user on the probe side"
+        assert r["probe_user"] != r["user_b"]
+        assert r["n_overlap_sessions"] >= 1
+
+
+def test_dup_ngram_chars_bounds(spark, sf_dir):
+    for r in REGISTRY["text_dup_ngram_chars"].fn(spark, sf_dir).collect():
+        assert 0 <= r["dup_chars"] <= r["total_chars"]
+        assert 0.0 <= r["max_doc_dup_ratio"] <= 1.0
+        assert 0 <= r["n_docs_flagged"] <= r["n_docs"]

@@ -56,6 +56,16 @@ _SLICE = [
     "curation_filter_attrition",      # rule cascade + kill attribution
     "stream_ab_test",                 # micro-batch fold + md5 split
     "stream_boilerplate_gate",        # frozen shingle index + fold
+    # round-10 shapes
+    "text_dup_ngram_chars",           # gram tf + ratio doubles
+    "text_token_drift_report",        # ppm integer div + TakeOrdered
+    "events_poweruser_gini",          # closed-form rank sums + div
+    "stream_user_gini",               # additive count fold + gini tail
+    "graph_degree_assortativity",     # integer sums + shared double expr
+    "sim_cosine_range_search",        # integer cosine threshold
+    "mlprep_dataset_card",            # distinct digests + lang mode
+    "events_session_overlap_pairs",   # ts sessionize + bucket join
+    "events_interarrival_dispersion", # integer gap sums + shared expr
 ]
 
 _HOSTILE = {
