@@ -40,7 +40,8 @@ _SAMPLE_PRIORITY = [
     "events_poweruser_gini", "stream_user_gini",
     "graph_degree_assortativity", "sim_cosine_range_search",
     "mlprep_dataset_card", "events_session_overlap_pairs",
-    "events_interarrival_dispersion",
+    "events_interarrival_dispersion", "mlprep_fim_spans",
+    "text_vocab_coverage_curve",
     # round 10, tier 2: code changed this round (constructive p90
     # interpolation, khop empty-graph parity, boilerplate df-pruned
     # join, winnowing explode parallelized, id-domain-safe stream
@@ -65,8 +66,7 @@ _SAMPLE_PRIORITY = [
     "stream_hourly_counts", "stream_exact_dedup",
     "mm_payload_dedup_groups", "mm_frame_samples",
     "sample_stratified_docs", "dedup_exact_stats",
-    "docs_cross_source_duplication", "events_type_affinity",
-    "text_token_topk",
+    "docs_cross_source_duplication",
 ]
 
 

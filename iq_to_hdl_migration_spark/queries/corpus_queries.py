@@ -1318,3 +1318,86 @@ def text_token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.col("pa") + F.col("pb")).cast("double"))
         .alias("drift_score"))
     return out.orderBy(F.desc("drift_score"), "token").limit(_TD_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of all token OCCURRENCES a
+# top-k vocabulary covers, for the k values a tokenizer design sweep
+# cares about. No global rank sort exists anywhere: the token
+# frequency table collapses into a count HISTOGRAM (value,
+# multiplicity) — Zipfian corpora keep it tiny — and top-k occurrence
+# mass comes out in closed form per value group (every token in a
+# group has the same count, so the straddling group contributes
+# exactly (k - tokens_above) * value). Same discipline as the Gini
+# rank sums; the only window runs over the bounded histogram.
+# ---------------------------------------------------------------------------
+
+_VOCAB_KS = (256, 1024, 4096, 16384)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS_DUCK}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE token <> '' GROUP BY token
+    ),
+    hist AS (
+        SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS m FROM tf GROUP BY c
+    ),
+    ranked AS (
+        SELECT v, m,
+               COALESCE(SUM(m) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM hist
+    ),
+    ks AS (SELECT unnest([{', '.join(map(str, _VOCAB_KS))}]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(SUM(v * least(m, greatest(k - cum_before, 0)))
+                AS BIGINT) AS covered_occurrences,
+           CAST(SUM(v * m) AS BIGINT) AS total_occurrences,
+           CAST(SUM(v * least(m, greatest(k - cum_before, 0))) AS DOUBLE)
+               / CAST(SUM(v * m) AS DOUBLE) AS coverage
+    FROM ranked, ks
+    GROUP BY k
+    """,
+    doc="tokenizer-design coverage curve: fraction of token "
+        f"occurrences covered by a top-k vocabulary for k in "
+        f"{list(_VOCAB_KS)} — closed-form over the token-count "
+        "HISTOGRAM (ties share a count, so the straddling group "
+        "contributes exactly its remainder), no global rank sort at "
+        "any corpus size; one division per k",
+)
+def text_vocab_coverage_curve(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    tf = (docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+          .repartition(n)
+          .where(F.col("token") != "")
+          .groupBy("token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    hist = tf.groupBy(F.col("c").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"))
+    w = (Window.orderBy(F.desc("v"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    ks = spark.createDataFrame([(k,) for k in _VOCAB_KS], "k bigint")
+    take = F.least(F.col("m"),
+                   F.greatest(F.col("k") - F.col("cum_before"), F.lit(0)))
+    return (ranked.crossJoin(F.broadcast(ks))
+            .groupBy("k")
+            .agg(F.sum(F.col("v") * take).cast("bigint")
+                 .alias("covered_occurrences"),
+                 F.sum(F.col("v") * F.col("m")).cast("bigint")
+                 .alias("total_occurrences"),
+                 (F.sum(F.col("v") * take).cast("double")
+                  / F.sum(F.col("v") * F.col("m")).cast("double"))
+                 .alias("coverage")))

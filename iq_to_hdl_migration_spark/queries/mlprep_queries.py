@@ -1221,3 +1221,82 @@ def mlprep_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("lang").alias("top_lang"),
                 (F.col("c").cast("double") / F.col("n_docs").cast("double"))
                 .alias("top_lang_share")))
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle span planning (Bavarian et al. 2022): the
+# deterministic prefix/middle/suffix split plan a FIM training
+# pipeline applies to half its documents. Entirely map-only — the
+# 50% apply decision and both cut points derive from the portable
+# 60-bit md5 hash of the doc id (the repo's established cross-engine
+# hash idiom), so the plan is reproducible from ids alone and the
+# oracle checks every span boundary bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_FIM_MIN_TOKENS = 8
+
+
+@register(
+    "mlprep_fim_spans",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN hv % 2 = 0 AND n_tokens >= {_FIM_MIN_TOKENS}
+                    THEN 1 ELSE 0 END AS fim_applied,
+               1 + (hv // 2) % (n_tokens - 2) AS cut_a,
+               1 + (hv // 1024) % (n_tokens - 2) AS cut_b
+        FROM base
+    )
+    SELECT doc_id, n_tokens, CAST(fim_applied AS INTEGER) AS fim_applied,
+           CAST(CASE WHEN fim_applied = 1
+                     THEN least(cut_a, cut_b) ELSE n_tokens END
+                AS BIGINT) AS prefix_len,
+           CAST(CASE WHEN fim_applied = 1
+                     THEN greatest(cut_a, cut_b) - least(cut_a, cut_b)
+                     ELSE 0 END AS BIGINT) AS middle_len,
+           CAST(CASE WHEN fim_applied = 1
+                     THEN n_tokens - greatest(cut_a, cut_b)
+                     ELSE 0 END AS BIGINT) AS suffix_len
+    FROM plan
+    """,
+    doc="fill-in-the-middle span plan: 50%% of documents (md5-parity "
+        "of doc_id — content-addressed, reproducible) get two "
+        "hash-derived cut points splitting the token range into "
+        "prefix/middle/suffix; the rest pass through. Map-only, no "
+        "shuffle at any scale; every boundary hash-checked",
+)
+def mlprep_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("n_tokens"),
+        F.expr("CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) "
+               "AS BINARY)), 1, 15), 16, 10) AS BIGINT)").alias("hv"))
+    plan = base.select(
+        "doc_id", "n_tokens",
+        F.when((F.col("hv") % 2 == 0)
+               & (F.col("n_tokens") >= _FIM_MIN_TOKENS), 1)
+        .otherwise(0).alias("fim_applied"),
+        F.expr("1 + (hv div 2) % (n_tokens - 2)").alias("cut_a"),
+        F.expr("1 + (hv div 1024) % (n_tokens - 2)").alias("cut_b"))
+    applied = F.col("fim_applied") == 1
+    lo = F.least("cut_a", "cut_b")
+    hi = F.greatest("cut_a", "cut_b")
+    return plan.select(
+        "doc_id", "n_tokens",
+        F.col("fim_applied").cast("int").alias("fim_applied"),
+        F.when(applied, lo).otherwise(F.col("n_tokens"))
+        .cast("bigint").alias("prefix_len"),
+        F.when(applied, hi - lo).otherwise(0)
+        .cast("bigint").alias("middle_len"),
+        F.when(applied, F.col("n_tokens") - hi).otherwise(0)
+        .cast("bigint").alias("suffix_len"))

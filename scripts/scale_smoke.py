@@ -111,7 +111,8 @@ ROTATION = [
     "events_poweruser_gini", "events_session_overlap_pairs",
     "events_interarrival_dispersion", "graph_degree_assortativity",
     "sim_cosine_range_search", "mlprep_dataset_card",
-    "text_token_drift_report",
+    "text_token_drift_report", "mlprep_fim_spans",
+    "text_vocab_coverage_curve",
     "dedup_minhash_clusters", "dedup_exact_groups",
     "dedup_embedding_cosine_pairs", "dedup_lsh_bucket_census",
     "dedup_cluster_quality_report",

@@ -66,6 +66,8 @@ _SLICE = [
     "mlprep_dataset_card",            # distinct digests + lang mode
     "events_session_overlap_pairs",   # ts sessionize + bucket join
     "events_interarrival_dispersion", # integer gap sums + shared expr
+    "mlprep_fim_spans",               # 60-bit md5 hash spans under ANSI
+    "text_vocab_coverage_curve",      # desc histogram window + closed form
 ]
 
 _HOSTILE = {
