@@ -658,14 +658,36 @@ def test_curriculum_windows_all_partitioned(spark, sf_dir):
 def test_boilerplate_shingle_join_never_broadcast(
         spark, sf_dir, no_auto_broadcast):
     """text_boilerplate_ngrams joins per-doc shingles against the
-    shingle->df table, which scales with corpus vocabulary — with
-    auto-broadcast disabled there must be ZERO broadcast hash joins
-    (no stray hint) and the df join must fall back to a shuffle
-    join."""
+    df>=threshold boilerplate KEY SET (round 10 pruned the join input
+    from the full df table to just the qualifying keys) — still
+    corpus-vocabulary-scaled, so with auto-broadcast disabled there
+    must be ZERO broadcast hash joins (no stray hint). The shuffle
+    join itself only survives in the final adaptive plan when the key
+    set is non-empty at this sf; AQE legitimately prunes an
+    empty-side join (sf0.001 has no shingle reaching the threshold),
+    so the shuffle-join assertion is conditional on that count."""
+    from iq_to_hdl_migration_spark.queries.corpus_queries import (
+        _BP_MIN_DOCS, _BP_N, _TOKS_SPARK)
+
     plan = final_plan(REGISTRY["text_boilerplate_ngrams"].fn(
         spark, sf_dir))
     final_section = plan.split("== Initial Plan ==")[0]
     assert final_section.count("BroadcastHashJoin") == 0, (
-        "hardcoded broadcast on the vocabulary-scaled shingle-df table")
-    assert ("SortMergeJoin" in final_section
-            or "ShuffledHashJoin" in final_section)
+        "hardcoded broadcast on the vocabulary-scaled boilerplate keys")
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    gs = (f"CASE WHEN size(t) >= {_BP_N} THEN "
+          f"array_distinct(transform(sequence(1, size(t) - {_BP_N} + 1), "
+          f"i -> concat_ws(' ', slice(t, i, {_BP_N})))) ELSE array() END")
+    n_boiler_keys = (docs
+                     .select(F.expr(_TOKS_SPARK).alias("t"), "doc_id")
+                     .select("doc_id", F.explode(F.expr(gs)).alias("g"))
+                     .groupBy("g")
+                     .agg(F.countDistinct("doc_id").alias("d"))
+                     .where(F.col("d") >= _BP_MIN_DOCS).count())
+    if n_boiler_keys > 0:
+        assert ("SortMergeJoin" in final_section
+                or "ShuffledHashJoin" in final_section), (
+            "non-empty boilerplate key set must join by shuffle")
