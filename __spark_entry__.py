@@ -41,7 +41,8 @@ _SAMPLE_PRIORITY = [
     "graph_degree_assortativity", "sim_cosine_range_search",
     "mlprep_dataset_card", "events_session_overlap_pairs",
     "events_interarrival_dispersion", "mlprep_fim_spans",
-    "text_vocab_coverage_curve",
+    "text_vocab_coverage_curve", "events_funnel_time_constrained",
+    "dq_documents_contract",
     # round 10, tier 2: code changed this round (constructive p90
     # interpolation, khop empty-graph parity, boilerplate df-pruned
     # join, winnowing explode parallelized, id-domain-safe stream
@@ -65,8 +66,7 @@ _SAMPLE_PRIORITY = [
     "ddl_fk_statements", "ddl_rule_hit_summary",
     "stream_hourly_counts", "stream_exact_dedup",
     "mm_payload_dedup_groups", "mm_frame_samples",
-    "sample_stratified_docs", "dedup_exact_stats",
-    "docs_cross_source_duplication",
+    "sample_stratified_docs",
 ]
 
 

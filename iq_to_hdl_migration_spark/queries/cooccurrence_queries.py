@@ -768,3 +768,100 @@ def events_funnel_dropoff_time(spark: SparkSession,
         _interp(5, "lo5", "hi5").alias("p50_gap_us"),
         _interp(9, "lo9", "hi9").alias("p90_gap_us"),
         "max_gap_us")
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained funnel: the product-analytics funnel where each
+# transition must land within a deadline (view -> click within 1h,
+# click -> purchase within 1h), vs events_funnel_counts' unconstrained
+# ordering. Same scalable shape as the dropoff query — each stage is
+# one user_id-keyed join+min — with the deadline as an extra join-side
+# filter; rates are single divisions of BIGINT counts.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_DEADLINE_US = 3600 * 1_000_000
+
+
+@register(
+    "events_funnel_time_constrained",
+    oracle=f"""
+    WITH v AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+                   AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP)))
+              AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t_view
+            AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                <= v.t_view + {_FUNNEL_DEADLINE_US}
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP)))
+              AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t_click
+            AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                <= c.t_click + {_FUNNEL_DEADLINE_US}
+          GROUP BY e.user_id),
+    n AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_buy
+    )
+    SELECT stage, n_users, conversion_from_prev FROM (
+        SELECT 'view' AS stage, n_view AS n_users,
+               1.0 AS conversion_from_prev, 0 AS ord FROM n
+        UNION ALL
+        SELECT 'click', n_click,
+               CASE WHEN n_view = 0 THEN 0.0
+                    ELSE CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE)
+               END, 1 FROM n
+        UNION ALL
+        SELECT 'purchase', n_buy,
+               CASE WHEN n_click = 0 THEN 0.0
+                    ELSE CAST(n_buy AS DOUBLE) / CAST(n_click AS DOUBLE)
+               END, 2 FROM n
+    ) t
+    """,
+    doc="deadline funnel: first view -> first click within 1h -> first "
+        "purchase within a further 1h (the time-boxed conversion "
+        "product analytics actually reports, vs the unconstrained "
+        "ordered funnel); each stage one user_id join+min with the "
+        "deadline as a join-side filter, rates single divisions",
+)
+def events_funnel_time_constrained(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(us).alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((us > F.col("t_view"))
+                 & (us <= F.col("t_view") + _FUNNEL_DEADLINE_US))
+         .groupBy("user_id").agg(F.min(us).alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((us > F.col("t_click"))
+                 & (us <= F.col("t_click") + _FUNNEL_DEADLINE_US))
+         .groupBy("user_id").agg(F.min(us).alias("t_buy")))
+    n = (v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+         .join(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click")))
+         .join(p.agg(F.count(F.lit(1)).cast("bigint").alias("n_buy"))))
+    view_row = n.select(
+        F.lit("view").alias("stage"), F.col("n_view").alias("n_users"),
+        F.lit(1.0).alias("conversion_from_prev"))
+    click_row = n.select(
+        F.lit("click").alias("stage"), F.col("n_click").alias("n_users"),
+        F.when(F.col("n_view") == 0, F.lit(0.0))
+        .otherwise(F.col("n_click").cast("double")
+                   / F.col("n_view").cast("double"))
+        .alias("conversion_from_prev"))
+    buy_row = n.select(
+        F.lit("purchase").alias("stage"), F.col("n_buy").alias("n_users"),
+        F.when(F.col("n_click") == 0, F.lit(0.0))
+        .otherwise(F.col("n_buy").cast("double")
+                   / F.col("n_click").cast("double"))
+        .alias("conversion_from_prev"))
+    return view_row.unionByName(click_row).unionByName(buy_row)

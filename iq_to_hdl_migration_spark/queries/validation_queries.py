@@ -981,3 +981,61 @@ def dq_winsorized_value_stats(spark: SparkSession,
                  F.sum(F.when(F.col("qv") > F.col("hi_qv"), 1)
                        .otherwise(0)).cast("bigint")
                  .alias("n_clamped_hi")))
+
+
+# ---------------------------------------------------------------------------
+# Documents schema-contract audit: the DQ pass a corpus ingest runs
+# before anything downstream trusts the table — null/blank text,
+# malformed language tags, and the n_chars==length(text) cross-field
+# invariant, per source. One scan, map-only predicates, rates as
+# single divisions; violations never leave the aggregate, so the
+# report is a fixed-size frame at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_documents_contract",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_text,
+           CAST(SUM(CASE WHEN lang IS NULL
+                              OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+           CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars != len(text)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chars_mismatch,
+           CAST(SUM(CASE WHEN text IS NOT NULL AND trim(text) != ''
+                          AND lang IS NOT NULL
+                          AND regexp_matches(lang, '^[a-z]{2}$')
+                          AND n_chars = len(text)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+    FROM documents
+    GROUP BY source
+    """,
+    doc="documents schema-contract audit per source: blank/null text, "
+        "malformed ISO-639-ish lang tags, and the n_chars==length(text) "
+        "cross-field invariant, with an all-rules pass rate — the "
+        "ingest-gate DQ report (V-family analog for the corpus table); "
+        "one map-only scan, fixed-size output",
+)
+def dq_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blank = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    bad_lang = (F.col("lang").isNull()
+                | ~F.col("lang").rlike("^[a-z]{2}$"))
+    mismatch = (F.col("n_chars").isNull()
+                | (F.col("n_chars") != F.length("text")))
+    ok = ~blank & ~bad_lang & (F.col("n_chars") == F.length("text"))
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(blank, 1).otherwise(0)).cast("bigint")
+                 .alias("n_blank_text"),
+                 F.sum(F.when(bad_lang, 1).otherwise(0)).cast("bigint")
+                 .alias("n_bad_lang"),
+                 F.sum(F.when(mismatch, 1).otherwise(0)).cast("bigint")
+                 .alias("n_chars_mismatch"),
+                 (F.sum(F.when(ok, 1).otherwise(0)).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("pass_rate")))

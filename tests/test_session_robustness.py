@@ -68,6 +68,8 @@ _SLICE = [
     "events_interarrival_dispersion", # integer gap sums + shared expr
     "mlprep_fim_spans",               # 60-bit md5 hash spans under ANSI
     "text_vocab_coverage_curve",      # desc histogram window + closed form
+    "events_funnel_time_constrained", # ts micros deadlines + divisions
+    "dq_documents_contract",          # regex lang rule + cross-field eq
 ]
 
 _HOSTILE = {
