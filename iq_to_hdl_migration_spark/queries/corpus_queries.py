@@ -1269,14 +1269,15 @@ _TD_MIN_DF = 3  # ignore tokens too rare to say anything about drift
     SELECT token, CAST(pa AS BIGINT) AS base_ppm,
            CAST(pb AS BIGINT) AS arrival_ppm,
            CAST((pb - pa) * (pb - pa) AS BIGINT) AS gap_sq,
-           CAST((pb - pa) * (pb - pa) AS DOUBLE)
-               / CAST(pa + pb AS DOUBLE) AS drift_score
+           CASE WHEN pa + pb = 0 THEN 0.0
+                ELSE CAST((pb - pa) * (pb - pa) AS DOUBLE)
+                     / CAST(pa + pb AS DOUBLE) END AS drift_score
     FROM p
     ORDER BY drift_score DESC, token
     LIMIT {_TD_TOPK}
     """,
     doc="token-distribution drift between the base corpus and the "
-        "arrival batch (doc_id %% 5 split, the incremental family's "
+        "arrival batch (doc_id % 5 split, the incremental family's "
         "convention): per-token document frequencies as add-1-smoothed "
         f"integer ppm, top-{_TD_TOPK} tokens by rational chi-square "
         "contribution ((pb-pa)^2/(pa+pb), one double division) — the "
@@ -1314,8 +1315,9 @@ def text_token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").cast("bigint").alias("base_ppm"),
         F.col("pb").cast("bigint").alias("arrival_ppm"),
         gap_sq.cast("bigint").alias("gap_sq"),
-        (gap_sq.cast("double")
-         / (F.col("pa") + F.col("pb")).cast("double"))
+        F.when(F.col("pa") + F.col("pb") == 0, F.lit(0.0))
+        .otherwise(gap_sq.cast("double")
+                   / (F.col("pa") + F.col("pb")).cast("double"))
         .alias("drift_score"))
     return out.orderBy(F.desc("drift_score"), "token").limit(_TD_TOPK)
 

@@ -653,7 +653,12 @@ GINI_ORACLE = """
         "behind events_user_topk): rank sums computed in closed form "
         "over a value HISTOGRAM — the only global window runs over "
         "the bounded count domain, never the user set; numerator and "
-        "denominator emitted as BIGINTs, one final division",
+        "denominator emitted as BIGINTs, one final division. Exactness "
+        "bound (honest, not unconditional): gini_den = n_users * "
+        "total_events must stay under 2^63 (~9.2e18) — at an extreme "
+        "tail (1e9 users x 1e12 events) the BIGINT products overflow; "
+        "the production fix there is DECIMAL(38,0) accumulation of the "
+        "same closed form, the values themselves stay exact",
 )
 def events_poweruser_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

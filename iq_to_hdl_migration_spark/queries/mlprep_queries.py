@@ -1251,8 +1251,8 @@ _FIM_MIN_TOKENS = 8
         SELECT doc_id, n_tokens,
                CASE WHEN hv % 2 = 0 AND n_tokens >= {_FIM_MIN_TOKENS}
                     THEN 1 ELSE 0 END AS fim_applied,
-               1 + (hv // 2) % (n_tokens - 2) AS cut_a,
-               1 + (hv // 1024) % (n_tokens - 2) AS cut_b
+               1 + (hv // 2) % greatest(n_tokens - 2, 1) AS cut_a,
+               1 + (hv // 1024) % greatest(n_tokens - 2, 1) AS cut_b
         FROM base
     )
     SELECT doc_id, n_tokens, CAST(fim_applied AS INTEGER) AS fim_applied,
@@ -1267,7 +1267,7 @@ _FIM_MIN_TOKENS = 8
                      ELSE 0 END AS BIGINT) AS suffix_len
     FROM plan
     """,
-    doc="fill-in-the-middle span plan: 50%% of documents (md5-parity "
+    doc="fill-in-the-middle span plan: 50% of documents (md5-parity "
         "of doc_id — content-addressed, reproducible) get two "
         "hash-derived cut points splitting the token range into "
         "prefix/middle/suffix; the rest pass through. Map-only, no "
@@ -1286,8 +1286,10 @@ def mlprep_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("hv") % 2 == 0)
                & (F.col("n_tokens") >= _FIM_MIN_TOKENS), 1)
         .otherwise(0).alias("fim_applied"),
-        F.expr("1 + (hv div 2) % (n_tokens - 2)").alias("cut_a"),
-        F.expr("1 + (hv div 1024) % (n_tokens - 2)").alias("cut_b"))
+        F.expr("1 + (hv div 2) % greatest(n_tokens - 2, 1)")
+        .alias("cut_a"),
+        F.expr("1 + (hv div 1024) % greatest(n_tokens - 2, 1)")
+        .alias("cut_b"))
     applied = F.col("fim_applied") == 1
     lo = F.least("cut_a", "cut_b")
     hi = F.greatest("cut_a", "cut_b")

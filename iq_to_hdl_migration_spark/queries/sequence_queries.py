@@ -1405,11 +1405,18 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINTs, bit-stable across engines.
 # ---------------------------------------------------------------------------
 
+# degree-variance denominator is exactly 0 on an equal-degree graph
+# (e.g. a perfect matching): define assortativity 0.0 there instead of
+# dividing by zero (ANSI sessions raise; the oracle would emit NULL)
 _ASSORT_EXPR = """
-    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+         THEN 0.0
+         ELSE (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    END
 """
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
+from iq_to_hdl_migration_spark.queries.events_queries import GINI_ORACLE
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
     AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
@@ -565,14 +566,9 @@ def stream_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         _BP_MIN_DOCS, 50, name)
 
 
-def _gini_oracle() -> str:
-    from iq_to_hdl_migration_spark.queries.events_queries import GINI_ORACLE
-    return GINI_ORACLE
-
-
 @register(
     "stream_user_gini",
-    oracle=_gini_oracle(),   # shared with events_poweruser_gini
+    oracle=GINI_ORACLE,   # shared with events_poweruser_gini
     doc="streaming twin of events_poweruser_gini: events arrive as "
         "event_id-contiguous micro-batches (a user's events span "
         "batches) and each batch folds per-user event counts into a "

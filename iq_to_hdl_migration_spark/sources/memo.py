@@ -94,6 +94,39 @@ def _persist_structure(parts: dict[str, DataFrame], table_dir: str,
     # (e.g. after a partial wipe) otherwise appends versions unboundedly
     for name in parts:
         snapshots.vacuum(str(sdir / name), keep_last=_KEEP_VERSIONS)
+    _gc_superseded_digests(table_dir, tag, fkey, sdir)
+
+
+def _gc_superseded_digests(table_dir: str, tag: str, fkey: str,
+                           live_sdir: pathlib.Path) -> None:
+    """Cross-digest GC: a corpus regeneration changes the source
+    fingerprint, which changes the digest, which would otherwise leave
+    the previous corpus's full snapshot table on disk forever (the r10
+    review's leak). After a successful commit, delete sibling digest
+    dirs recording the SAME config (sf_dir + extra) but a different
+    fingerprint — those are superseded corpora of this config. Sibling
+    configs (different extra, e.g. coexisting kmeans settings) are
+    untouched, as is anything unparseable (be conservative: an
+    unrecognized dir is never deleted)."""
+    import shutil
+
+    try:
+        me = json.loads(fkey)
+    except Exception:
+        return
+    tag_dir = pathlib.Path(table_dir) / tag
+    for sib in tag_dir.iterdir():
+        if sib == live_sdir or not sib.is_dir():
+            continue
+        smp = _meta_path(sib)
+        try:
+            other = json.loads(json.loads(smp.read_text())["key"])
+        except Exception:
+            continue
+        if (other.get("sf_dir") == me.get("sf_dir")
+                and other.get("extra") == me.get("extra")
+                and other.get("fingerprint") != me.get("fingerprint")):
+            shutil.rmtree(sib, ignore_errors=True)
 
 
 def _load_structure(spark: SparkSession, table_dir: str, tag: str,

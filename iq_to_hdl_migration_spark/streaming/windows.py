@@ -340,6 +340,33 @@ def _id_span(df: DataFrame, id_col: str) -> tuple[int | None, int | None]:
     return row["lo"], row["hi"]
 
 
+def _stage_id_sliced_arrivals(df, id_col: str, lo: int, hi: int,
+                              n_batches: int, work: str,
+                              arrivals_dir: str) -> None:
+    """Write `df` as `n_batches` id-contiguous single-file parquet
+    arrivals with strictly increasing mtimes, so the file source
+    drains them in arrival order. ONE implementation shared by every
+    snapshot-fold twin — the r10 review found the same slicing loop
+    pasted five times (and the r9 negative-id fix applied four times);
+    any future slicing change lands here once."""
+    import os
+    import shutil
+
+    span = max(1, (hi - lo + n_batches) // n_batches)
+    for i in range(n_batches):
+        lo_i = lo + i * span
+        hi_i = min(hi, lo_i + span - 1)
+        slice_df = df.where(F.col(id_col).between(lo_i, hi_i))
+        tmp_i = os.path.join(work, f"slice_{i}")
+        slice_df.coalesce(1).write.parquet(tmp_i)
+        part = next(f for f in os.listdir(tmp_i)
+                    if f.startswith("part-"))
+        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp_i, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(tmp_i)
+
+
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
                                 _query_name: str = "stream_inc_dedup",
                                 n_batches: int = 3) -> DataFrame:
@@ -369,9 +396,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
     from iq_to_hdl_migration_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    _id_span(docs, "doc_id")  # fail-loud: NULL ids escape BOTH cut sides
-    cut = docs.agg(
-        F.floor(F.max("doc_id") * 0.6).cast("bigint")).first()[0]
+    # one aggregate serves both the NULL-id guard and the cut (the
+    # fail-loud check would otherwise be a second full scan). The cut
+    # must equal the batch twin's floor(max * 0.6D) BIT-for-bit, so it
+    # is computed with the same IEEE double multiply, just driver-side.
+    import math
+
+    _lo, _hi = _id_span(docs, "doc_id")
+    cut = None if _hi is None else int(math.floor(_hi * 0.6))
     if cut is None:
         # empty corpus: no arrivals to stream — return the empty pair
         # frame the batch twin would produce (same schema)
@@ -423,22 +455,10 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str,
                       if d != f"b{exclude_batch}")
         return spark.read.parquet(*[os.path.join(path, d) for d in subs])
 
-    # id-contiguous arrival files, one per intended micro-batch, with
-    # strictly increasing mtimes so the file source drains them in
-    # arrival order
-    hi = docs.agg(F.max("doc_id").cast("bigint")).first()[0]
-    span = max(1, (hi - cut + n_batches - 1) // n_batches)
-    for i in range(n_batches):
-        lo_i = cut + 1 + i * span
-        hi_i = min(hi, lo_i + span - 1)
-        slice_df = batch2.where(F.col("doc_id").between(lo_i, hi_i))
-        tmp_i = os.path.join(work, f"slice_{i}")
-        slice_df.coalesce(1).write.parquet(tmp_i)
-        part = next(f for f in os.listdir(tmp_i) if f.startswith("part-"))
-        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp_i, part), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        shutil.rmtree(tmp_i)
+    # id-contiguous arrival files via the shared staging helper; _hi
+    # from the _id_span guard above replaces a redundant max() scan
+    _stage_id_sliced_arrivals(batch2, "doc_id", cut + 1, _hi,
+                              n_batches, work, arrivals_dir)
 
     schema = spark.read.parquet(arrivals_dir).schema
 
@@ -732,19 +752,8 @@ def streaming_bottomk_sample(spark: SparkSession, sf_dir: str, k: int,
         # empty corpus: nothing to stream — the empty init snapshot
         # IS the final state (matches the batch sampler on 0 rows)
         return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
-    span = max(1, (hi - lo + n_batches) // n_batches)
-    for i in range(n_batches):
-        lo_i = lo + i * span
-        hi_i = min(hi, lo_i + span - 1)
-        slice_df = docs.where(F.col("doc_id").between(lo_i, hi_i))
-        tmp_i = os.path.join(work, f"slice_{i}")
-        slice_df.coalesce(1).write.parquet(tmp_i)
-        part = next(f for f in os.listdir(tmp_i)
-                    if f.startswith("part-"))
-        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp_i, part), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        shutil.rmtree(tmp_i)
+    _stage_id_sliced_arrivals(docs, "doc_id", lo, hi, n_batches,
+                              work, arrivals_dir)
 
     run_bottomk_fold(spark, arrivals_dir, snap_dir, ckpt_dir, k)
     final = sorted(os.listdir(snap_dir))[-1]
@@ -843,19 +852,8 @@ def streaming_market_basket(spark: SparkSession, sf_dir: str,
     lo, hi = _id_span(li, "l_orderkey")
     if hi is None:
         return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
-    span = max(1, (hi - lo + n_batches) // n_batches)
-    for i in range(n_batches):
-        lo_i = lo + i * span
-        hi_i = min(hi, lo_i + span - 1)
-        slice_df = li.where(F.col("l_orderkey").between(lo_i, hi_i))
-        tmp_i = os.path.join(work, f"slice_{i}")
-        slice_df.coalesce(1).write.parquet(tmp_i)
-        part = next(f for f in os.listdir(tmp_i)
-                    if f.startswith("part-"))
-        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp_i, part), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        shutil.rmtree(tmp_i)
+    _stage_id_sliced_arrivals(li, "l_orderkey", lo, hi, n_batches,
+                              work, arrivals_dir)
 
     run_basket_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
 
@@ -973,19 +971,8 @@ def streaming_ab_test(spark: SparkSession, sf_dir: str,
     if hi is None:
         snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
         return ab_test_report_tail(_ab_assign(snap))
-    span = max(1, (hi - lo + n_batches) // n_batches)
-    for i in range(n_batches):
-        lo_i = lo + i * span
-        hi_i = min(hi, lo_i + span - 1)
-        slice_df = ev.where(F.col("event_id").between(lo_i, hi_i))
-        tmp_i = os.path.join(work, f"slice_{i}")
-        slice_df.coalesce(1).write.parquet(tmp_i)
-        part = next(f for f in os.listdir(tmp_i)
-                    if f.startswith("part-"))
-        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp_i, part), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        shutil.rmtree(tmp_i)
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
 
     run_ab_test_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
 
@@ -1089,19 +1076,8 @@ def streaming_boilerplate_gate(spark: SparkSession, sf_dir: str,
     lo, hi = _id_span(docs, "doc_id")
     if hi is None:
         return spark.read.parquet(os.path.join(snap_dir, "00000_init"))
-    span = max(1, (hi - lo + n_batches) // n_batches)
-    for i in range(n_batches):
-        lo_i = lo + i * span
-        hi_i = min(hi, lo_i + span - 1)
-        slice_df = docs.where(F.col("doc_id").between(lo_i, hi_i))
-        tmp_i = os.path.join(work, f"slice_{i}")
-        slice_df.coalesce(1).write.parquet(tmp_i)
-        part = next(f for f in os.listdir(tmp_i)
-                    if f.startswith("part-"))
-        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp_i, part), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        shutil.rmtree(tmp_i)
+    _stage_id_sliced_arrivals(docs, "doc_id", lo, hi, n_batches,
+                              work, arrivals_dir)
 
     run_boilerplate_gate_fold(spark, arrivals_dir, snap_dir, ckpt_dir,
                               boiler_set, n, max_ratio_pct)
@@ -1223,19 +1199,8 @@ def streaming_user_activity_gini(spark: SparkSession, sf_dir: str,
     if hi is None:
         snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
         return gini_from_user_counts(snap)
-    span = max(1, (hi - lo + n_batches) // n_batches)
-    for i in range(n_batches):
-        lo_i = lo + i * span
-        hi_i = min(hi, lo_i + span - 1)
-        slice_df = ev.where(F.col("event_id").between(lo_i, hi_i))
-        tmp_i = os.path.join(work, f"slice_{i}")
-        slice_df.coalesce(1).write.parquet(tmp_i)
-        part = next(f for f in os.listdir(tmp_i)
-                    if f.startswith("part-"))
-        dst = os.path.join(arrivals_dir, f"arr_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp_i, part), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        shutil.rmtree(tmp_i)
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
 
     run_user_count_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
 

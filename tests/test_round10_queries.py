@@ -166,3 +166,59 @@ def test_dup_ngram_chars_bounds(spark, sf_dir):
         assert 0 <= r["dup_chars"] <= r["total_chars"]
         assert 0.0 <= r["max_doc_dup_ratio"] <= 1.0
         assert 0 <= r["n_docs_flagged"] <= r["n_docs"]
+
+
+def test_fim_spans_survives_two_token_docs(spark, sf_dir, tmp_path):
+    """Code-review regression: the cut-point modulus was evaluated for
+    EVERY row, so a 2-token document (n_tokens - 2 == 0) raised
+    REMAINDER_BY_ZERO under the ANSI default. The guarded modulus must
+    run and still match the oracle on such a corpus."""
+    import pyarrow as pa
+
+    work = str(tmp_path)
+    for t in TABLES:
+        src = table_path(sf_dir, t)
+        if t == "documents":
+            tab = pq.read_table(src)
+            texts = tab["text"].to_pylist()
+            texts[0] = "two tokens"
+            texts[1] = "one"
+            idx = tab.schema.get_field_index("text")
+            tab = tab.set_column(idx, "text", pa.array(texts, pa.string()))
+            pq.write_table(tab, f"{work}/documents.parquet")
+        else:
+            shutil.copy(src, f"{work}/{t}.parquet")
+    spec = REGISTRY["mlprep_fim_spans"]
+    assert_matches_oracle(spark, spec.fn, spec.oracle, work,
+                          name="mlprep_fim_spans[degenerate]")
+
+
+def test_assortativity_equal_degree_graph_is_zero(spark, sf_dir,
+                                                  tmp_path):
+    """Code-review regression: an equal-degree graph (perfect matching
+    — every co-purchase node has degree 2 after direction-doubling)
+    zeroes the degree-variance denominator; the guarded expression
+    must define assortativity 0.0 on both engines instead of raising
+    DIVIDE_BY_ZERO under ANSI."""
+    import pyarrow as pa
+
+    work = str(tmp_path)
+    for t in TABLES:
+        src = table_path(sf_dir, t)
+        if t == "lineitem":
+            tab = pq.read_table(src).slice(0, 4)
+            ok = tab.schema.get_field_index("l_orderkey")
+            pk = tab.schema.get_field_index("l_partkey")
+            tab = tab.set_column(ok, "l_orderkey",
+                                 pa.array([1, 1, 2, 2], pa.int64()))
+            tab = tab.set_column(pk, "l_partkey",
+                                 pa.array([10, 20, 30, 40], pa.int64()))
+            pq.write_table(tab, f"{work}/lineitem.parquet")
+        else:
+            shutil.copy(src, f"{work}/{t}.parquet")
+    spec = REGISTRY["graph_degree_assortativity"]
+    assert_matches_oracle(spark, spec.fn, spec.oracle, work,
+                          name="graph_degree_assortativity[matching]")
+    row = spec.fn(spark, work).first()
+    assert row["assortativity"] == 0.0
+    assert row["m_edges_directed"] == 4

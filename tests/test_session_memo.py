@@ -298,3 +298,54 @@ def test_durable_structures_warm_start(spark, sf_dir, tmp_path,
     r2 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     assert r2 == r1, f"{tag}: snapshot-served result diverged"
     memo._MEMOS.pop(tag, None)  # no env-keyed entry leaks to other tests
+
+
+def test_durable_memo_gc_superseded_corpus_digests(spark, sf_dir,
+                                                   tmp_path):
+    """Cross-digest GC (r10 review): regenerating the corpus changes
+    the fingerprint and thus the on-disk digest dir — the superseded
+    corpus's snapshots must be deleted after the new commit, while a
+    COEXISTING config (different extra key) of the same tag survives."""
+    import glob
+    import os
+
+    from iq_to_hdl_migration_spark.sources import memo
+
+    work = _copy_docs(sf_dir, tmp_path / "corpus")
+    snap = str(tmp_path / "memostore")
+
+    def build_for(docs):
+        return lambda: {"top": docs.select("doc_id").orderBy("doc_id")
+                        .limit(5).localCheckpoint()}
+
+    docs = load_table(spark, work, "documents")
+    memo.durable_memo("t_xgc", spark, work, docs, build_for(docs),
+                      table_dir=snap)
+    memo.durable_memo("t_xgc", spark, work, docs, build_for(docs),
+                      extra=("cfg2",), table_dir=snap)
+    assert len(glob.glob(f"{snap}/t_xgc/*/")) == 2
+
+    # regenerate the corpus in place (new mtime -> new fingerprint)
+    f = os.path.join(work, "documents.parquet")
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    memo._MEMOS.clear()
+    docs2 = load_table(spark, work, "documents")
+    memo.durable_memo("t_xgc", spark, work, docs2, build_for(docs2),
+                      table_dir=snap)
+    dirs = glob.glob(f"{snap}/t_xgc/*/")
+    # cfg-default's OLD corpus digest is gone, its new one is live,
+    # and cfg2's (stale-corpus but different config) is untouched
+    assert len(dirs) == 2, dirs
+    memo._MEMOS.clear()
+    # the surviving cfg2 dir still warm-starts for the OLD corpus...
+    # but the corpus changed, so cfg2 must MISS (fail-closed) and
+    # rebuild rather than serve the stale snapshot
+    builds = []
+    out = memo.durable_memo(
+        "t_xgc", spark, work, docs2,
+        lambda: builds.append(1) or {"top": docs2.select("doc_id")
+                                     .limit(5).localCheckpoint()},
+        extra=("cfg2",), table_dir=snap)
+    assert builds == [1]
+    memo._MEMOS.clear()

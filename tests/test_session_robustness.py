@@ -74,7 +74,10 @@ _SLICE = [
 
 _HOSTILE = {
     "spark.sql.session.timeZone": "Asia/Tokyo",
-    "spark.sql.ansi.enabled": "true",
+    # the factory never pins ANSI, and Spark 4's default is ON — so
+    # the genuinely hostile variant is ANSI OFF (r10 review caught
+    # that "true" here merely restated the base session's mode)
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.shuffle.partitions": "5",
 }
 
