@@ -755,15 +755,22 @@ def containment_pairs_within_groups(df: DataFrame, group_cols: list[str],
     tok_df = (posted.groupBy(*group_cols, "w")
               .agg(F.count(F.lit(1)).alias("df")))
     w_order = Window.partitionBy(*group_cols, "id").orderBy("df", "w")
-    prefix = (posted.join(tok_df, [*group_cols, "w"])
+    # ONE df-enrichment join feeds both sides: the prefix needs df for
+    # its rarest-first order, and the big side drops hapax postings
+    # (df = 1 can only match the same document, which the id filter
+    # excludes) BEFORE the candidate join — lossless, and in real
+    # corpora hapax tokens are most of the vocabulary, so this removes
+    # the dominant share of the big side's shuffle volume
+    posted_df = posted.join(tok_df, [*group_cols, "w"])
+    prefix = (posted_df
               .withColumn("rn", F.row_number().over(w_order))
               .where(F.col("rn")
                      <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")
                                              - F.lit(1e-9)) + 1)
               .where(F.col("df") >= 2)
               .select(*group_cols, "id", "w", "sz"))
-    big = posted.selectExpr(*group_cols, "id AS id_big", "w",
-                            "sz AS sz_big")
+    big = (posted_df.where(F.col("df") >= 2)
+           .selectExpr(*group_cols, "id AS id_big", "w", "sz AS sz_big"))
     cand = (prefix.alias("s").join(big.alias("b"), [*group_cols, "w"])
             .where((F.col("s.id") != F.col("id_big"))
                    & ((F.col("s.sz") < F.col("sz_big"))
