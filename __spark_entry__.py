@@ -42,7 +42,7 @@ _SAMPLE_PRIORITY = [
     "mlprep_dataset_card", "events_session_overlap_pairs",
     "events_interarrival_dispersion", "mlprep_fim_spans",
     "text_vocab_coverage_curve", "events_funnel_time_constrained",
-    "dq_documents_contract",
+    "dq_documents_contract", "sketch_quantile_accuracy_report",
     # round 10, tier 2: code changed this round (constructive p90
     # interpolation, khop empty-graph parity, boilerplate df-pruned
     # join, winnowing explode parallelized, id-domain-safe stream
@@ -66,7 +66,6 @@ _SAMPLE_PRIORITY = [
     "ddl_fk_statements", "ddl_rule_hit_summary",
     "stream_hourly_counts", "stream_exact_dedup",
     "mm_payload_dedup_groups", "mm_frame_samples",
-    "sample_stratified_docs",
 ]
 
 

@@ -1265,3 +1265,114 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a_est + b_est - u_est).alias("intersect_est"),
         ((a_est + b_est - u_est) / u_est).alias("jaccard_est"),
         "exact_union")
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch accuracy audit: the histogram sketch above promises
+# "true percentile <= reported upper bound, gap <= one bin width" —
+# this query MEASURES that promise per event type against the exact
+# nearest-rank percentile, the same audit-the-estimator discipline as
+# sim_ann_recall_matrix (recall), dedup_jaccard_calibration (MinHash),
+# and sim_embedding_quantize_stats (int8). The exact side picks the
+# value AT rank ceil(q*n) via one per-type rank window (ties collapse
+# to the same value, so the pick is deterministic); errors are plain
+# double subtractions of values both engines hold bit-identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_quantile_accuracy_report",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               greatest(least(CAST(round(value * 100) AS BIGINT)
+                     // {_HIST_W_C}, {_HIST_BINS - 1}), 0) AS bin
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                   AS cum_cnt,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ),
+    ub AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum_cnt >= CAST(ceil(0.50 * n) AS BIGINT)
+                             THEN (bin + 1) * {_HIST_W_C} END) AS DOUBLE)
+                   / 100.0 AS p50_ub,
+               CAST(MIN(CASE WHEN cum_cnt >= CAST(ceil(0.95 * n) AS BIGINT)
+                             THEN (bin + 1) * {_HIST_W_C} END) AS DOUBLE)
+                   / 100.0 AS p95_ub,
+               CAST(MIN(CASE WHEN cum_cnt >= CAST(ceil(0.99 * n) AS BIGINT)
+                             THEN (bin + 1) * {_HIST_W_C} END) AS DOUBLE)
+                   / 100.0 AS p99_ub
+        FROM cum GROUP BY event_type, n
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nn
+        FROM events
+    ),
+    exact AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(ceil(0.50 * nn) AS BIGINT)
+                        THEN value END) AS p50_exact,
+               MAX(CASE WHEN rn = CAST(ceil(0.95 * nn) AS BIGINT)
+                        THEN value END) AS p95_exact,
+               MAX(CASE WHEN rn = CAST(ceil(0.99 * nn) AS BIGINT)
+                        THEN value END) AS p99_exact
+        FROM ranked GROUP BY event_type
+    )
+    SELECT u.event_type, u.n,
+           e.p50_exact, u.p50_ub, u.p50_ub - e.p50_exact AS p50_err,
+           e.p95_exact, u.p95_ub, u.p95_ub - e.p95_exact AS p95_err,
+           e.p99_exact, u.p99_ub, u.p99_ub - e.p99_exact AS p99_err,
+           CAST({_HIST_W_C} AS DOUBLE) / 100.0 AS bin_width
+    FROM ub u JOIN exact e ON e.event_type = u.event_type
+    """,
+    doc="quantile-sketch accuracy audit: the 512-bin histogram's "
+        "p50/p95/p99 upper bounds vs the exact nearest-rank values "
+        "per event type, with signed errors and the promised bin-width "
+        "bound alongside — the audit-the-estimator discipline applied "
+        "to quantiles (cf. recall matrix, Jaccard calibration); exact "
+        "side is one per-type rank window, errors plain double "
+        "subtractions (bit-stable)",
+)
+def sketch_quantile_accuracy_report(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ub = (sketch_histogram_percentiles(spark, sf_dir)
+          .select("event_type", "n", "p50_ub", "p95_ub", "p99_ub"))
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nn"))
+
+    def at(q: float, out: str):
+        r = F.ceil(F.lit(q) * F.col("nn")).cast("bigint")
+        return F.max(F.when(F.col("rn") == r, F.col("value"))).alias(out)
+
+    exact = (ranked.groupBy("event_type")
+             .agg(at(0.50, "p50_exact"), at(0.95, "p95_exact"),
+                  at(0.99, "p99_exact")))
+    return (ub.join(exact, "event_type")
+            .select("event_type", "n",
+                    "p50_exact", "p50_ub",
+                    (F.col("p50_ub") - F.col("p50_exact")).alias("p50_err"),
+                    "p95_exact", "p95_ub",
+                    (F.col("p95_ub") - F.col("p95_exact")).alias("p95_err"),
+                    "p99_exact", "p99_ub",
+                    (F.col("p99_ub") - F.col("p99_exact")).alias("p99_err"),
+                    (F.lit(float(_HIST_W_C)) / F.lit(100.0))
+                    .alias("bin_width")))

@@ -67,7 +67,11 @@ def _structure_dir(table_dir: str, tag: str, fkey: str) -> pathlib.Path:
     """On-disk home of one (tag, build-key) structure. The digest in
     the path lets configs of the same tag (e.g. kmeans_index at three
     (k, iters) settings, dedup_components per threshold) coexist as
-    independent snapshot tables instead of overwriting one pointer."""
+    independent snapshot tables instead of overwriting one pointer.
+
+    Layout changed in round 10 (digest level added). The memo dir is a
+    CACHE — pre-r10 layouts are simply never matched (fail-closed miss
+    → rebuild); wipe $SPARK_GRAFT_MEMO_DIR to reclaim their space."""
     digest = hashlib.md5(fkey.encode()).hexdigest()[:16]
     return pathlib.Path(table_dir) / tag / digest
 

@@ -222,3 +222,18 @@ def test_assortativity_equal_degree_graph_is_zero(spark, sf_dir,
     row = spec.fn(spark, work).first()
     assert row["assortativity"] == 0.0
     assert row["m_edges_directed"] == 4
+
+
+def test_quantile_sketch_bound_promise_holds(spark, sf_dir):
+    """The histogram sketch's contract: exact <= upper bound and the
+    gap is at most one bin width (values are inside the [0, 1000)
+    domain here, so the edge clamp never bites)."""
+    rows = REGISTRY["sketch_quantile_accuracy_report"].fn(
+        spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for q in ("p50", "p95", "p99"):
+            err = r[f"{q}_err"]
+            assert 0.0 <= err <= r["bin_width"] + 1e-9, (
+                f"{r['event_type']} {q}: exact={r[f'{q}_exact']} "
+                f"ub={r[f'{q}_ub']} err={err}")

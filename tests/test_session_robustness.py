@@ -70,6 +70,7 @@ _SLICE = [
     "text_vocab_coverage_curve",      # desc histogram window + closed form
     "events_funnel_time_constrained", # ts micros deadlines + divisions
     "dq_documents_contract",          # regex lang rule + cross-field eq
+    "sketch_quantile_accuracy_report",  # rank window + double errors
 ]
 
 _HOSTILE = {
