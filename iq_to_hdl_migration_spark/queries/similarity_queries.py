@@ -2173,3 +2173,93 @@ _RANGE_TAU = 0.30
 def sim_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_quantized_scored(spark, sf_dir)
             .where(F.col("cosine_q") >= _RANGE_TAU))
+
+
+# ---------------------------------------------------------------------------
+# Per-LABEL centroid shift between the base corpus and the arrival
+# batch — the class-conditional companion to sim_embedding_drift_report
+# (which is per-dimension, class-blind): a retrieval class whose
+# centroid moved is re-trained even when the marginal per-dim
+# histograms look stable. All arithmetic is the repo's fixed-point
+# integer idiom (floor-quantized components, integer centroid means,
+# BIGINT L1 shift), so every value hash-checks; one groupBy on
+# (label, dim, half) over the exploded corpus — output is
+# labels x dims, never vector-pairwise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_centroid_shift_report",
+    oracle=f"""
+    WITH v AS (
+        SELECT e.label, d.dim,
+               CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE)
+                          * {_IVF_SCALE}) AS BIGINT) AS qv,
+               (e.vec_id % 5 = 0) AS is_arr
+        FROM embeddings e,
+             (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim) d
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(FLOOR(CAST(SUM(CASE WHEN NOT is_arr THEN qv END)
+                               AS DOUBLE)
+                          / CAST(SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0
+                                     END) AS DOUBLE)) AS BIGINT) AS cb,
+               CAST(FLOOR(CAST(SUM(CASE WHEN is_arr THEN qv END)
+                               AS DOUBLE)
+                          / CAST(SUM(CASE WHEN is_arr THEN 1 ELSE 0
+                                     END) AS DOUBLE)) AS BIGINT) AS ca
+        FROM v GROUP BY label, dim
+    ),
+    counts AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END)
+                    / {sim.DIM} AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN is_arr THEN 1 ELSE 0 END)
+                    / {sim.DIM} AS BIGINT) AS n_arr
+        FROM v GROUP BY label
+    )
+    SELECT c.label, k.n_base, k.n_arr,
+           CAST(SUM(abs(c.cb - c.ca)) AS BIGINT) AS l1_shift_scaled,
+           CAST(MAX(abs(c.cb - c.ca)) AS BIGINT) AS max_dim_gap_scaled
+    FROM cent c JOIN counts k ON k.label = c.label
+    GROUP BY c.label, k.n_base, k.n_arr
+    """,
+    doc="per-label centroid shift between base corpus and arrival "
+        "batch (vec_id % 5 split): fixed-point integer centroids per "
+        "half, BIGINT L1 shift and worst-dimension gap per label — "
+        "the class-conditional drift check that the per-dimension "
+        "histogram misses; one (label, dim) groupBy, output is "
+        "labels x dims, never pairwise",
+)
+def sim_centroid_shift_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.select(
+            "label",
+            (F.col("vec_id") % 5 == 0).alias("is_arr"),
+            F.posexplode(F.expr(sim.as_double_array("embedding")))
+            .alias("pos", "x"))
+         .select("label", "is_arr", (F.col("pos") + 1).alias("dim"),
+                 F.floor(F.col("x") * F.lit(_IVF_SCALE)).cast("bigint")
+                 .alias("qv")))
+    half_mean_b = (F.floor(
+        F.sum(F.when(~F.col("is_arr"), F.col("qv"))).cast("double")
+        / F.sum(F.when(~F.col("is_arr"), 1).otherwise(0)).cast("double"))
+        .cast("bigint"))
+    half_mean_a = (F.floor(
+        F.sum(F.when(F.col("is_arr"), F.col("qv"))).cast("double")
+        / F.sum(F.when(F.col("is_arr"), 1).otherwise(0)).cast("double"))
+        .cast("bigint"))
+    cent = (v.groupBy("label", "dim")
+            .agg(half_mean_b.alias("cb"), half_mean_a.alias("ca")))
+    counts = (v.groupBy("label")
+              .agg((F.sum(F.when(~F.col("is_arr"), 1).otherwise(0))
+                    / sim.DIM).cast("bigint").alias("n_base"),
+                   (F.sum(F.when(F.col("is_arr"), 1).otherwise(0))
+                    / sim.DIM).cast("bigint").alias("n_arr")))
+    gap = F.abs(F.col("cb") - F.col("ca"))
+    return (cent.join(F.broadcast(counts), "label")
+            .groupBy("label", "n_base", "n_arr")
+            .agg(F.sum(gap).cast("bigint").alias("l1_shift_scaled"),
+                 F.max(gap).cast("bigint").alias("max_dim_gap_scaled")))

@@ -1,10 +1,11 @@
 """Hostile-session gate: the driver that imports __spark_entry__ owns
 its SparkSession, so registry queries must not depend on the conf our
-own factory pins (UTC session timezone, ANSI off, 32 shuffle
-partitions). This runs a representative slice of the registry under a
-deliberately different SQL conf via `spark.newSession()` (shared
-context, independent conf) and asserts results identical to the
-pinned-session run."""
+own factory pins (UTC session timezone, 32 shuffle partitions — ANSI
+is deliberately NOT pinned, so the base session runs Spark 4's
+default ANSI-on). This runs a representative slice of the registry
+under a deliberately different SQL conf via `spark.newSession()`
+(shared context, independent conf) and asserts results identical to
+the pinned-session run."""
 
 from __future__ import annotations
 
@@ -71,6 +72,7 @@ _SLICE = [
     "events_funnel_time_constrained", # ts micros deadlines + divisions
     "dq_documents_contract",          # regex lang rule + cross-field eq
     "sketch_quantile_accuracy_report",  # rank window + double errors
+    "sim_centroid_shift_report",      # fixed-point means + BIGINT L1
 ]
 
 _HOSTILE = {
