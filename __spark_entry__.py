@@ -43,7 +43,7 @@ _SAMPLE_PRIORITY = [
     "events_interarrival_dispersion", "mlprep_fim_spans",
     "text_vocab_coverage_curve", "events_funnel_time_constrained",
     "dq_documents_contract", "sketch_quantile_accuracy_report",
-    "sim_centroid_shift_report",
+    "sim_centroid_shift_report", "mlprep_pii_mask_plan",
     # round 10, tier 2: code changed this round (constructive p90
     # interpolation, khop empty-graph parity, boilerplate df-pruned
     # join, winnowing explode parallelized, id-domain-safe stream
@@ -66,7 +66,6 @@ _SAMPLE_PRIORITY = [
     "a2_table_row_widths", "a3_capable_servers", "a6_max_table_size",
     "ddl_fk_statements", "ddl_rule_hit_summary",
     "stream_hourly_counts", "stream_exact_dedup",
-    "mm_payload_dedup_groups",
 ]
 
 

@@ -1302,3 +1302,70 @@ def mlprep_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("middle_len"),
         F.when(applied, F.col("n_tokens") - hi).otherwise(0)
         .cast("bigint").alias("suffix_len"))
+
+
+# ---------------------------------------------------------------------------
+# PII loss-masking plan: pretraining pipelines that keep PII-bearing
+# documents (rather than dropping them) zero the LOSS on the PII
+# tokens — this is that plan, aggregated per source: how many tokens
+# would be masked under the repo's email/URL/long-number patterns
+# (the same regexes as text_pii_scan/redact), what fraction of the
+# training signal that costs, and how many docs are touched at all.
+# Map-only scan; rates are single divisions of BIGINT token counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlprep_pii_mask_plan",
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks,
+                    x -> regexp_matches(x,
+                         '^([a-za-z0-9._%+-]+@[a-za-z0-9.-]+\.[a-za-z]{2,}|https?://[^ ]+|[0-9]{6,})$')))
+                    AS BIGINT) AS n_masked
+        FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_masked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_touched,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_masked) AS BIGINT) AS n_tokens_masked,
+           CAST(SUM(n_masked) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS mask_rate
+    FROM per_doc GROUP BY source
+    """,
+    doc="PII loss-masking plan per source: tokens matching the "
+        "email/URL/long-number patterns (the text_pii_scan regexes, "
+        "applied token-wise) are the spans a keep-and-mask pipeline "
+        "zeroes loss on — counts, touched docs, and the masked "
+        "fraction of the training signal; map-only, single-division "
+        "rates",
+)
+def mlprep_pii_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = (r"'^([a-za-z0-9._%+-]+@[a-za-z0-9.-]+\\.[a-za-z]{2,}"
+           r"|https?://[^ ]+|[0-9]{6,})$'")
+    per_doc = docs.select(
+        "source",
+        F.expr(r"size(split(lower(trim(text)), '\\s+'))")
+        .cast("bigint").alias("n_tokens"),
+        F.expr(rf"size(filter(split(lower(trim(text)), '\\s+'), "
+               rf"x -> x rlike {pat}))")
+        .cast("bigint").alias("n_masked"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("n_masked") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_docs_touched"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.sum("n_masked").cast("bigint")
+                 .alias("n_tokens_masked"),
+                 (F.sum("n_masked").cast("double")
+                  / F.sum("n_tokens").cast("double")).alias("mask_rate")))

@@ -114,7 +114,7 @@ ROTATION = [
     "text_token_drift_report", "mlprep_fim_spans",
     "text_vocab_coverage_curve", "events_funnel_time_constrained",
     "dq_documents_contract", "sketch_quantile_accuracy_report",
-    "sim_centroid_shift_report",
+    "sim_centroid_shift_report", "mlprep_pii_mask_plan",
     "dedup_minhash_clusters", "dedup_exact_groups",
     "dedup_embedding_cosine_pairs", "dedup_lsh_bucket_census",
     "dedup_cluster_quality_report",

@@ -73,6 +73,7 @@ _SLICE = [
     "dq_documents_contract",          # regex lang rule + cross-field eq
     "sketch_quantile_accuracy_report",  # rank window + double errors
     "sim_centroid_shift_report",      # fixed-point means + BIGINT L1
+    "mlprep_pii_mask_plan",           # token-wise rlike + divisions
 ]
 
 _HOSTILE = {
