@@ -2263,3 +2263,160 @@ def sim_centroid_shift_report(spark: SparkSession,
             .groupBy("label", "n_base", "n_arr")
             .agg(F.sum(gap).cast("bigint").alias("l1_shift_scaled"),
                  F.max(gap).cast("bigint").alias("max_dim_gap_scaled")))
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve: recall@5 as a function of how many inverted
+# lists each query probes (1, 2, 4, 8=k — the exhaustive endpoint).
+# THE operational tuning decision for a served IVF index (latency
+# scales with probes; recall is what you buy), measured instead of
+# guessed — the same audit-the-estimator discipline as the recall
+# matrix, as one oracled curve. The trained index is shared across
+# legs (durable kmeans memo); each leg re-ranks only its own probed
+# candidates.
+# ---------------------------------------------------------------------------
+
+_NPROBE_LEGS = (1, 2, 4, 8)
+
+
+def _nprobe_curve_oracle() -> str:
+    k, iters = _IVF_K, _IVF_ITERS
+    parts = [_fp_kmeans_ctes(k, iters, final_update=True)]
+    parts.append(f"""
+    qdist AS MATERIALIZED (
+        SELECT v.vec_id AS query_id, c.cid,
+               SUM((v.qv - c.cq) * (v.qv - c.cq)) AS d2
+        FROM v JOIN c{iters} c ON c.dim = v.dim
+        WHERE v.vec_id < {_N_QUERIES}
+        GROUP BY v.vec_id, c.cid
+    ),
+    rp AS MATERIALIZED (
+        SELECT query_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, cid) AS rn
+        FROM qdist
+    ),
+    fv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    fscored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               list_dot_product(a.vec, b.vec) / (a.norm * b.norm)
+                   AS cosine
+        FROM fv a JOIN fv b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    ),
+    ftop AS MATERIALIZED (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id)
+                       AS rnk
+            FROM fscored) t WHERE rnk <= 5
+    )""")
+    legs = []
+    for p in _NPROBE_LEGS:
+        parts.append(f"""
+    cand{p} AS MATERIALIZED (
+        SELECT r.query_id, a.vec_id AS cand_id
+        FROM rp r JOIN a{iters} a ON a.cid = r.cid
+        WHERE r.rn <= {p} AND a.vec_id != r.query_id
+    ),
+    pair{p} AS MATERIALIZED (
+        SELECT c.query_id, c.cand_id,
+               SUM((q.qv - x.qv) * (q.qv - x.qv)) AS qd
+        FROM cand{p} c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v x ON x.vec_id = c.cand_id AND x.dim = q.dim
+        GROUP BY c.query_id, c.cand_id
+    ),
+    top{p} AS MATERIALIZED (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY qd, cand_id) AS rnk
+            FROM pair{p}) t WHERE rnk <= 5
+    )""")
+        legs.append(f"""
+        SELECT CAST({p} AS INTEGER) AS n_probes,
+               CAST(COUNT(q.cand_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(*) AS BIGINT) AS n_expected,
+               CAST(COUNT(q.cand_id) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS recall_at_5
+        FROM ftop f LEFT JOIN top{p} q
+          ON q.query_id = f.query_id AND q.cand_id = f.cand_id""")
+    return (",".join(parts) + "\n"
+            + "\nUNION ALL\n".join(legs))
+
+
+def _ivf_fp_top5(spark: SparkSession, sf_dir: str, probe: int):
+    """Parameterized integer-IVF retrieval (the sim_ivf_fixedpoint_topk
+    pipeline with nprobe as an argument); serves the curve's legs from
+    the same memoized trained index."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, cents, assign = _fp_kmeans_assign(emb, _IVF_K, _IVF_ITERS)
+    qdist = (v.where(F.col("vec_id") < _N_QUERIES)
+             .join(cents.hint("broadcast"), "dim")
+             .groupBy(F.col("vec_id").alias("query_id"), F.col("cid"))
+             .agg(F.sum((F.col("qv") - F.col("cq"))
+                        * (F.col("qv") - F.col("cq"))).alias("d2")))
+    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (qdist.withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= probe).select("query_id", "cid"))
+    cand = (probes.join(assign.withColumnRenamed("vec_id", "cand_id"),
+                        "cid")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id"))
+    qv_q = v.select(F.col("vec_id").alias("query_id"), "dim",
+                    F.col("qv").alias("qq"))
+    qv_c = v.select(F.col("vec_id").alias("cand_id"), "dim",
+                    F.col("qv").alias("qc"))
+    pair = (cand.join(qv_q.hint("broadcast"), "query_id")
+            .join(qv_c, ["cand_id", "dim"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum((F.col("qq") - F.col("qc"))
+                       * (F.col("qq") - F.col("qc"))).alias("qd")))
+    wr = Window.partitionBy("query_id").orderBy("qd", "cand_id")
+    return (pair.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= 5).select("query_id", "cand_id"))
+
+
+@register(
+    "sim_ivf_nprobe_recall_curve",
+    oracle=_nprobe_curve_oracle(),
+    doc="IVF nprobe tuning curve: recall@5 vs probes-per-query for "
+        f"nprobe in {list(_NPROBE_LEGS)} (8 = every list, the "
+        "exhaustive endpoint) against the exact float top-5 — the "
+        "latency/recall trade measured on the served integer index "
+        "(shared trained k-means across legs); integer hit counts, "
+        "one division per leg",
+)
+def sim_ivf_nprobe_recall_curve(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (sim.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=5)
+        .select("query_id", "cand_id"))
+    legs = []
+    for p in _NPROBE_LEGS:
+        got = (_ivf_fp_top5(spark, sf_dir, p)
+               .select(F.col("query_id").alias("g_q"),
+                       F.col("cand_id").alias("g_c")))
+        j = exact.join(
+            got, (F.col("query_id") == F.col("g_q"))
+            & (F.col("cand_id") == F.col("g_c")), "left")
+        legs.append(j.agg(
+            F.lit(p).cast("int").alias("n_probes"),
+            F.count("g_c").cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).cast("bigint").alias("n_expected"),
+            (F.count("g_c").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("recall_at_5")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

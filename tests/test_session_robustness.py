@@ -74,6 +74,7 @@ _SLICE = [
     "sketch_quantile_accuracy_report",  # rank window + double errors
     "sim_centroid_shift_report",      # fixed-point means + BIGINT L1
     "mlprep_pii_mask_plan",           # token-wise rlike + divisions
+    "sim_ivf_nprobe_recall_curve",    # shared index + 4 rank legs
 ]
 
 _HOSTILE = {
