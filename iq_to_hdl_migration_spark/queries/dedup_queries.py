@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iq_to_hdl_migration_spark.operators import dedup
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
+    _MINHASH_PREFIX,
     cluster_quality_oracle,
     dedup_weights_oracle,
     grand_funnel_oracle,
@@ -628,3 +629,99 @@ def dedup_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("exact_jaccard").alias("max_exact"),
              F.min("est_jaccard").alias("min_est"),
              F.max("est_jaccard").alias("max_est")))
+
+
+# ---------------------------------------------------------------------------
+# LSH band-collision profile: among candidate pairs, how many of the 8
+# bands collided, and what the 32-hash Jaccard estimate looks like at
+# each collision count. This validates the banding theory in the data
+# (P(band collides) = j^ROWS_PER_BAND, so higher collision counts must
+# carry higher estimates) and shows how much band-level redundancy the
+# pipeline has before a pair is lost — the tuning evidence for the
+# (bands, rows) choice, same audit-the-estimator family as the Jaccard
+# calibration. Pair volume is the LSH candidate set (bucket-capped),
+# never corpus²; positional matches are integers, one division per row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_collision_profile",
+    oracle=f"""
+    WITH {_MINHASH_PREFIX},
+    capped AS (
+        SELECT * FROM (
+            SELECT id, minhash, band, band_sig,
+                   ROW_NUMBER() OVER (PARTITION BY band, band_sig
+                                      ORDER BY id) AS rn
+            FROM bands) t
+        WHERE rn <= {dedup.BUCKET_CAP}
+    ),
+    paircoll AS (
+        SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+               a.band,
+               len(list_filter(range(1, {dedup.N_HASHES} + 1),
+                               i -> a.minhash[i] = b.minhash[i]))
+                   AS n_match
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    ),
+    per_pair AS (
+        SELECT id_a, id_b,
+               CAST(COUNT(DISTINCT band) AS BIGINT) AS n_bands,
+               CAST(MAX(n_match) AS BIGINT) AS n_match
+        FROM paircoll GROUP BY id_a, id_b
+    )
+    SELECT n_bands AS n_colliding_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_match) AS BIGINT) AS total_pos_matches,
+           CAST(SUM(n_match) AS DOUBLE)
+               / CAST(COUNT(*) * {dedup.N_HASHES} AS DOUBLE)
+               AS avg_est_jaccard
+    FROM per_pair GROUP BY n_bands
+    """,
+    doc="LSH band-collision profile: candidate pairs grouped by how "
+        f"many of the {dedup.BANDS} bands collided, with the mean "
+        "32-hash Jaccard estimate per collision count — in-data "
+        "validation of the banding theory (collision probability "
+        "j^rows per band) and of the redundancy margin before a true "
+        "pair is missed; bucket-capped pair volume, integer positional "
+        "matches, one division per output row",
+)
+def dedup_lsh_collision_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps, _ = dedup._exact_prepass(docs, "doc_id", "text")
+    sigs = dedup.with_minhash(reps, "text")
+    bands = (sigs.select(
+        "id", "minhash",
+        F.explode(F.sequence(F.lit(0), F.lit(dedup.BANDS - 1)))
+        .alias("band"))
+        .withColumn("band_sig", F.expr(
+            f"slice(minhash, band * {dedup.ROWS_PER_BAND} + 1, "
+            f"{dedup.ROWS_PER_BAND})")))
+    capped = dedup._cap_buckets(bands, ["band", "band_sig"],
+                                dedup.BUCKET_CAP)
+    b_side = capped.select(F.col("id").alias("id_b_raw"),
+                           F.col("minhash").alias("mh_b"),
+                           "band", "band_sig")
+    n_match = F.size(F.filter(
+        F.zip_with("minhash", "mh_b", lambda x, y: x == y),
+        lambda v: v))
+    paircoll = (capped.join(b_side, ["band", "band_sig"])
+                .where(F.col("id") < F.col("id_b_raw"))
+                .select(F.col("id").alias("id_a"),
+                        F.col("id_b_raw").alias("id_b"), "band",
+                        n_match.alias("n_match")))
+    per_pair = (paircoll.groupBy("id_a", "id_b")
+                .agg(F.countDistinct("band").cast("bigint")
+                     .alias("n_bands"),
+                     F.max("n_match").cast("bigint").alias("n_match")))
+    return (per_pair.groupBy(F.col("n_bands").alias("n_colliding_bands"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum("n_match").cast("bigint")
+                 .alias("total_pos_matches"),
+                 (F.sum("n_match").cast("double")
+                  / (F.count(F.lit(1)) * dedup.N_HASHES).cast("double"))
+                 .alias("avg_est_jaccard")))

@@ -237,3 +237,20 @@ def test_quantile_sketch_bound_promise_holds(spark, sf_dir):
             assert 0.0 <= err <= r["bin_width"] + 1e-9, (
                 f"{r['event_type']} {q}: exact={r[f'{q}_exact']} "
                 f"ub={r[f'{q}_ub']} err={err}")
+
+
+def test_lsh_collision_profile_is_monotone(spark, sf_dir):
+    """Banding theory in data: mean estimated Jaccard must rise with
+    the number of colliding bands, and pairs colliding in ALL bands
+    have identical signatures (estimate exactly 1.0)."""
+    rows = sorted(
+        (r["n_colliding_bands"], r["avg_est_jaccard"])
+        for r in REGISTRY["dedup_lsh_collision_profile"]
+        .fn(spark, sf_dir).collect())
+    assert rows, "no candidate pairs"
+    ests = [e for _, e in rows]
+    assert ests == sorted(ests), f"profile not monotone: {rows}"
+    import iq_to_hdl_migration_spark.operators.dedup as dedup
+    full = dict(rows).get(dedup.BANDS)
+    if full is not None:
+        assert full == 1.0, "all-band collisions must be exact matches"

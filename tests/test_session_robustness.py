@@ -75,6 +75,7 @@ _SLICE = [
     "sim_centroid_shift_report",      # fixed-point means + BIGINT L1
     "mlprep_pii_mask_plan",           # token-wise rlike + divisions
     "sim_ivf_nprobe_recall_curve",    # shared index + 4 rank legs
+    "dedup_lsh_collision_profile",    # band join + positional est
 ]
 
 _HOSTILE = {
