@@ -45,6 +45,7 @@ _SAMPLE_PRIORITY = [
     "dq_documents_contract", "sketch_quantile_accuracy_report",
     "sim_centroid_shift_report", "mlprep_pii_mask_plan",
     "sim_ivf_nprobe_recall_curve", "dedup_lsh_collision_profile",
+    "dq_order_total_reconciliation",
     # round 10, tier 2: code changed this round (constructive p90
     # interpolation, khop empty-graph parity, boilerplate df-pruned
     # join, winnowing explode parallelized, id-domain-safe stream
@@ -64,7 +65,6 @@ _SAMPLE_PRIORITY = [
     "j2_rlv_tables", "j5_lob_columns", "j7_table_triggers",
     "j9_user_procedures", "j10_remote_procedures", "j11_proxy_tables",
     "j12_server_capabilities", "j15_resume_delta",
-    "a2_table_row_widths",
     "ddl_fk_statements", "ddl_rule_hit_summary",
     "stream_hourly_counts", "stream_exact_dedup",
 ]

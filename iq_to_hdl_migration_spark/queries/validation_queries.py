@@ -1039,3 +1039,94 @@ def dq_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_chars_mismatch"),
                  (F.sum(F.when(ok, 1).otherwise(0)).cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("pass_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Order-total reconciliation: does o_totalprice equal the order's
+# lineitem-derived charge sum? The warehouse-migration validation that
+# goes beyond row counts (V1) to VALUES — and on this synthetic corpus
+# it honestly reports systematic drift rather than a vacuous pass.
+# Portability discipline: the per-line charge is one double multiply
+# chain (identical op order both engines), quantized to BIGINT
+# 10^-4 units BEFORE summing (double sums are engine-order-dependent;
+# integer sums are not); gaps are integer ppm.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_order_total_reconciliation",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 10000) AS BIGINT))
+                    AS BIGINT) AS s_q
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderstatus AS status,
+               CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT) AS t_q,
+               l.s_q
+        FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+        SELECT status, (s_q IS NULL) AS no_lines,
+               CASE WHEN s_q IS NULL THEN 0
+                    ELSE abs(t_q - s_q) * 1000000
+                         // greatest(t_q, 1) END AS gap_ppm
+        FROM j
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_without_lines,
+           CAST(SUM(CASE WHEN NOT no_lines AND gap_ppm <= 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(MAX(gap_ppm) AS BIGINT) AS max_gap_ppm,
+           CAST(SUM(gap_ppm) AS BIGINT) AS sum_gap_ppm,
+           CAST(SUM(gap_ppm) AS DOUBLE)
+               / CAST(SUM(CASE WHEN no_lines THEN 0 ELSE 1 END) AS DOUBLE)
+               AS mean_gap_ppm
+    FROM g GROUP BY status
+    """,
+    doc="order-total VALUE reconciliation per status: o_totalprice vs "
+        "the lineitem charge sum (extendedprice*(1-disc)*(1+tax)), "
+        "quantized to BIGINT 1e-4 units before summing so the compare "
+        "is engine-order-independent; reports line-less orders, "
+        "within-1%% matches, and integer-ppm gap stats — the V-family "
+        "taken from row counts to values",
+)
+def dq_order_total_reconciliation(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lsum = (li.select(
+        "l_orderkey",
+        F.expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+               "* (1 + l_tax) * 10000) AS BIGINT)").alias("q"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("q").cast("bigint").alias("s_q")))
+    j = (orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.expr("CAST(FLOOR(o_totalprice * 10000) AS BIGINT)")
+            .alias("t_q"), "o_orderkey")
+         .join(lsum.withColumnRenamed("l_orderkey", "o_orderkey"),
+               "o_orderkey", "left"))
+    no_lines = F.col("s_q").isNull()
+    gap_ppm = F.when(no_lines, F.lit(0)).otherwise(
+        F.expr("abs(t_q - s_q) * 1000000 div greatest(t_q, 1L)"))
+    g = j.select("status", no_lines.alias("no_lines"),
+                 gap_ppm.alias("gap_ppm"))
+    return (g.groupBy("status")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum(F.when(F.col("no_lines"), 1).otherwise(0))
+                 .cast("bigint").alias("n_without_lines"),
+                 F.sum(F.when(~F.col("no_lines")
+                              & (F.col("gap_ppm") <= 10000), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_within_1pct"),
+                 F.max("gap_ppm").cast("bigint").alias("max_gap_ppm"),
+                 F.sum("gap_ppm").cast("bigint").alias("sum_gap_ppm"),
+                 (F.sum("gap_ppm").cast("double")
+                  / F.sum(F.when(F.col("no_lines"), 0).otherwise(1))
+                  .cast("double")).alias("mean_gap_ppm")))

@@ -116,6 +116,7 @@ ROTATION = [
     "dq_documents_contract", "sketch_quantile_accuracy_report",
     "sim_centroid_shift_report", "mlprep_pii_mask_plan",
     "sim_ivf_nprobe_recall_curve", "dedup_lsh_collision_profile",
+    "dq_order_total_reconciliation",
     "dedup_minhash_clusters", "dedup_exact_groups",
     "dedup_embedding_cosine_pairs", "dedup_lsh_bucket_census",
     "dedup_cluster_quality_report",

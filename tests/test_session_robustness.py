@@ -76,6 +76,7 @@ _SLICE = [
     "mlprep_pii_mask_plan",           # token-wise rlike + divisions
     "sim_ivf_nprobe_recall_curve",    # shared index + 4 rank legs
     "dedup_lsh_collision_profile",    # band join + positional est
+    "dq_order_total_reconciliation",  # quantized sums + ppm div
 ]
 
 _HOSTILE = {
