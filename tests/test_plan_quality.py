@@ -422,6 +422,23 @@ def test_no_hardcoded_broadcast_on_scaled_tables(
         f"{name}: no shuffle join in plan with auto-broadcast off")
 
 
+def test_overlap_probe_side_not_hard_broadcast(spark, sf_dir,
+                                               no_auto_broadcast):
+    """events_session_overlap_pairs (r10 judge finding): the probe
+    side scales with probe activity × corpus timespan, so it must
+    carry NO unconditional broadcast hint — with auto-broadcast
+    forced off, the bucket join has to fall back to a shuffle join
+    (proving the strategy is size-gated, not hardcoded)."""
+    spec = REGISTRY["events_session_overlap_pairs"]
+    plan = final_plan(spec.fn(spark, sf_dir))
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in final_section, (
+        "probe-side broadcast must be size-gated (scaled_dim), not "
+        "a hardcoded F.broadcast on an activity-scaled frame")
+    assert ("SortMergeJoin" in final_section
+            or "ShuffledHashJoin" in final_section)
+
+
 @pytest.mark.parametrize("name", ["q5_region_volume", "q9_product_profit"])
 def test_constant_dims_still_broadcast(spark, sf_dir, no_auto_broadcast, name):
     plan = final_plan(REGISTRY[name].fn(spark, sf_dir))
