@@ -94,11 +94,34 @@ def _persist_structure(parts: dict[str, DataFrame], table_dir: str,
     tmp.write_text(json.dumps({"key": fkey, "versions": versions},
                               sort_keys=True))
     tmp.rename(mp)  # atomic pointer flip: readers see old-or-new meta
+    # this digest is live again — clear any supersession mark a past
+    # corpus flip-flop may have left, so the deferred GC below never
+    # deletes a dir that came back to life
+    (sdir / _SUPERSEDED_MARK).unlink(missing_ok=True)
     # GC superseded history AFTER the flip commits — a same-key rebuild
     # (e.g. after a partial wipe) otherwise appends versions unboundedly
     for name in parts:
         snapshots.vacuum(str(sdir / name), keep_last=_KEEP_VERSIONS)
+    _gc_stale_part_dirs(sdir, set(parts))
     _gc_superseded_digests(table_dir, tag, fkey, sdir)
+
+
+def _gc_stale_part_dirs(sdir: pathlib.Path, live_parts: set[str]) -> None:
+    """If a builder's part-NAME set changes under an unchanged build
+    key, the old part dirs under this digest are no longer referenced
+    by the meta (correctness is unaffected — loads existence-probe the
+    manifest) but would leak disk forever. Remove every subdirectory
+    the new meta doesn't reference (r10 advice)."""
+    import shutil
+
+    for child in sdir.iterdir():
+        if child.is_dir() and child.name not in live_parts:
+            shutil.rmtree(child, ignore_errors=True)
+
+
+# marker dropped in a digest dir the first time a commit supersedes it;
+# the dir is deleted only by a LATER commit that still finds it marked
+_SUPERSEDED_MARK = "_superseded"
 
 
 def _gc_superseded_digests(table_dir: str, tag: str, fkey: str,
@@ -106,12 +129,17 @@ def _gc_superseded_digests(table_dir: str, tag: str, fkey: str,
     """Cross-digest GC: a corpus regeneration changes the source
     fingerprint, which changes the digest, which would otherwise leave
     the previous corpus's full snapshot table on disk forever (the r10
-    review's leak). After a successful commit, delete sibling digest
-    dirs recording the SAME config (sf_dir + extra) but a different
-    fingerprint — those are superseded corpora of this config. Sibling
-    configs (different extra, e.g. coexisting kmeans settings) are
-    untouched, as is anything unparseable (be conservative: an
-    unrecognized dir is never deleted)."""
+    review's leak). A commit handles sibling digest dirs recording the
+    SAME config (sf_dir + extra) but a different fingerprint — those
+    are superseded corpora of this config — in TWO generations (r10
+    advice): the commit that first supersedes a dir only MARKS it, and
+    a later commit deletes dirs still marked. Same-digest vacuum keeps
+    _KEEP_VERSIONS for in-flight readers; the deferral extends the
+    same old-or-new guarantee across corpus regeneration — a reader
+    that resolved the old corpus's meta survives the whole commit that
+    superseded it. Sibling configs (different extra, e.g. coexisting
+    kmeans settings) are untouched, as is anything unparseable (be
+    conservative: an unrecognized dir is never deleted)."""
     import shutil
 
     try:
@@ -130,7 +158,11 @@ def _gc_superseded_digests(table_dir: str, tag: str, fkey: str,
         if (other.get("sf_dir") == me.get("sf_dir")
                 and other.get("extra") == me.get("extra")
                 and other.get("fingerprint") != me.get("fingerprint")):
-            shutil.rmtree(sib, ignore_errors=True)
+            mark = sib / _SUPERSEDED_MARK
+            if mark.exists():
+                shutil.rmtree(sib, ignore_errors=True)
+            else:
+                mark.touch()
 
 
 def _load_structure(spark: SparkSession, table_dir: str, tag: str,

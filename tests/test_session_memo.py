@@ -302,10 +302,13 @@ def test_durable_structures_warm_start(spark, sf_dir, tmp_path,
 
 def test_durable_memo_gc_superseded_corpus_digests(spark, sf_dir,
                                                    tmp_path):
-    """Cross-digest GC (r10 review): regenerating the corpus changes
-    the fingerprint and thus the on-disk digest dir — the superseded
-    corpus's snapshots must be deleted after the new commit, while a
-    COEXISTING config (different extra key) of the same tag survives."""
+    """Cross-digest GC (r10 review, r10 advice): regenerating the
+    corpus changes the fingerprint and thus the on-disk digest dir —
+    the superseded corpus's snapshots must be GC'd, but DEFERRED one
+    commit generation (first supersession only marks; the next commit
+    deletes the still-marked dir) so a reader that resolved the old
+    corpus's meta just before the flip still completes. A COEXISTING
+    config (different extra key) of the same tag always survives."""
     import glob
     import os
 
@@ -318,25 +321,43 @@ def test_durable_memo_gc_superseded_corpus_digests(spark, sf_dir,
         return lambda: {"top": docs.select("doc_id").orderBy("doc_id")
                         .limit(5).localCheckpoint()}
 
+    def regenerate():
+        # bump the corpus mtime in place (new fingerprint, same path)
+        f = os.path.join(work, "documents.parquet")
+        st = os.stat(f)
+        os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        memo._MEMOS.clear()
+        return load_table(spark, work, "documents")
+
     docs = load_table(spark, work, "documents")
     memo.durable_memo("t_xgc", spark, work, docs, build_for(docs),
                       table_dir=snap)
     memo.durable_memo("t_xgc", spark, work, docs, build_for(docs),
                       extra=("cfg2",), table_dir=snap)
     assert len(glob.glob(f"{snap}/t_xgc/*/")) == 2
+    gen1 = {d for d in glob.glob(f"{snap}/t_xgc/*/")}
 
-    # regenerate the corpus in place (new mtime -> new fingerprint)
-    f = os.path.join(work, "documents.parquet")
-    st = os.stat(f)
-    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
-    memo._MEMOS.clear()
-    docs2 = load_table(spark, work, "documents")
+    docs2 = regenerate()
     memo.durable_memo("t_xgc", spark, work, docs2, build_for(docs2),
                       table_dir=snap)
-    dirs = glob.glob(f"{snap}/t_xgc/*/")
-    # cfg-default's OLD corpus digest is gone, its new one is live,
-    # and cfg2's (stale-corpus but different config) is untouched
-    assert len(dirs) == 2, dirs
+    dirs = set(glob.glob(f"{snap}/t_xgc/*/"))
+    # generation 1 of cfg-default is SUPERSEDED but still on disk
+    # (marked, readable by an in-flight reader); new digest is live
+    assert len(dirs) == 3, dirs
+    marked = [d for d in dirs if os.path.exists(
+        os.path.join(d, memo._SUPERSEDED_MARK))]
+    assert len(marked) == 1 and marked[0] in gen1
+
+    # a SECOND regeneration's commit deletes the still-marked gen-1
+    # dir and marks gen 2 — disk stays bounded at <=1 superseded
+    # generation per config
+    docs3 = regenerate()
+    memo.durable_memo("t_xgc", spark, work, docs3, build_for(docs3),
+                      table_dir=snap)
+    dirs = set(glob.glob(f"{snap}/t_xgc/*/"))
+    assert len(dirs) == 3, dirs
+    assert marked[0] not in dirs  # gen 1 gone
+    docs2 = docs3
     memo._MEMOS.clear()
     # the surviving cfg2 dir still warm-starts for the OLD corpus...
     # but the corpus changed, so cfg2 must MISS (fail-closed) and
@@ -348,4 +369,36 @@ def test_durable_memo_gc_superseded_corpus_digests(spark, sf_dir,
                                      .limit(5).localCheckpoint()},
         extra=("cfg2",), table_dir=snap)
     assert builds == [1]
+    memo._MEMOS.clear()
+
+
+def test_persist_structure_removes_stale_part_dirs(spark, sf_dir,
+                                                   tmp_path):
+    """Part-name-set change under an unchanged build key (r10 advice):
+    a re-persist whose builder returns different part names must
+    remove the no-longer-referenced part dirs under the same digest —
+    meta stops referencing them, so leaving them is a pure disk leak."""
+    import json
+    import os
+
+    from iq_to_hdl_migration_spark.sources import memo
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = docs.select("doc_id").orderBy("doc_id").limit(3).localCheckpoint()
+    snap = str(tmp_path / "memostore")
+    fkey = json.dumps({"fingerprint": "fp1", "sf_dir": sf_dir,
+                       "extra": []}, sort_keys=True)
+    memo._persist_structure({"a": top, "b": top}, snap, "t_parts", fkey)
+    sdir = memo._structure_dir(snap, "t_parts", fkey)
+    assert (sdir / "a").is_dir() and (sdir / "b").is_dir()
+
+    memo._persist_structure({"a": top, "c": top}, snap, "t_parts", fkey)
+    assert (sdir / "a").is_dir() and (sdir / "c").is_dir()
+    assert not (sdir / "b").exists(), "stale part dir must be vacuumed"
+    meta = json.loads(memo._meta_path(sdir).read_text())
+    assert set(meta["versions"]) == {"a", "c"}
+    # the persisted structure still loads cleanly after the vacuum
+    out = memo._load_structure(spark, snap, "t_parts", fkey)
+    assert out is not None and set(out) == {"a", "c"}
+    assert out["a"].count() == 3
     memo._MEMOS.clear()
