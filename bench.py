@@ -15,10 +15,45 @@ import re
 import time
 
 
+def _foreign_spark_jvms() -> list[int]:
+    """PIDs of Spark JVMs already live on this host. Called BEFORE this
+    process creates its own session, so any hit is a foreign session
+    whose CPU/GC pressure would pollute the timings (the ±0.6 s/query
+    session-variance band documented in docs/SCALE.md)."""
+    import pathlib
+    pids = []
+    for p in pathlib.Path("/proc").iterdir():
+        if not p.name.isdigit():
+            continue
+        try:
+            cmd = (p / "cmdline").read_bytes().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"java" in cmd and b"spark" in cmd.lower():
+            pids.append(int(p.name))
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Timing protocol (recorded in the JSON so round-over-round
+    # comparisons know what they're comparing): fresh process, co-run
+    # Spark JVMs detected up front. Exclusive runs are the recorded
+    # numbers; a non-exclusive run is stamped exclusive=false (and
+    # refused outright under SPARK_GRAFT_BENCH_STRICT=1).
+    foreign = _foreign_spark_jvms()
+    if foreign:
+        import sys
+        print(f"WARNING: {len(foreign)} other Spark JVM(s) live "
+              f"(pids {foreign}) — timings are not exclusive",
+              file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            print("refusing to stamp a headline total (strict mode)",
+                  file=sys.stderr)
+            sys.exit(1)
 
     from iq_to_hdl_migration_spark.queries import load_all
     from iq_to_hdl_migration_spark.session import get_spark
@@ -58,6 +93,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "protocol": "exclusive fresh-process best-of-N after warm-up",
+        "n": 3,
+        "exclusive": not foreign,
     }))
 
 

@@ -49,6 +49,11 @@ def main() -> None:
     assert len(qs) >= 200 and set(osql) <= set(qs), "contract shape"
     print(f"contract: {len(qs)} queries, {len(osql)} oracles")
 
+    # 1a. README registry counts must match the registry (r10 judge:
+    # the hand-edited sentence drifted within a round)
+    run("readme counts",
+        [sys.executable, "scripts/gen_readme_counts.py", "--check"])
+
     # 1b. oracle result-type lint (DESCRIBE-only, seconds) — catches
     # HUGEINT leaks that pass local value compares but fail the
     # driver's type-sensitive value hash (round-6 bug class)
