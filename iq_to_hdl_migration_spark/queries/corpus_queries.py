@@ -1403,3 +1403,111 @@ def text_vocab_coverage_curve(spark: SparkSession,
                  (F.sum(F.col("v") * take).cast("double")
                   / F.sum(F.col("v") * F.col("m")).cast("double"))
                  .alias("coverage")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve: as the corpus is consumed in doc_id order, what
+# fraction of the distinct 3-gram phrases in each corpus decile is seen
+# there for the FIRST time? A healthy growing corpus keeps the tail of
+# the curve high; a saturating/duplicated crawl decays toward zero —
+# the "is more data still new data" acquisition readout. Deciles come
+# from one exact-percentile aggregate over doc_id (9 broadcast
+# boundaries — never a global rank window), first-seen is min(decile)
+# per shingle (decile is monotone in doc_id), and every shuffle is
+# keyed on the shingle — corpus-linear at any scale.
+# ---------------------------------------------------------------------------
+
+_NOV_N = 3  # phrase length (tokens)
+
+
+@register(
+    "corpus_novelty_curve",
+    oracle=f"""
+    WITH nt AS (
+        SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+    ),
+    bounds AS (
+        SELECT quantile_cont(CAST(doc_id AS DOUBLE),
+                             [0.1, 0.2, 0.3, 0.4, 0.5,
+                              0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM documents
+    ),
+    sd AS (
+        SELECT DISTINCT n.doc_id,
+               CAST(len(list_filter(b.bs,
+                        x -> x <= CAST(n.doc_id AS DOUBLE)))
+                    AS INTEGER) AS decile,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(n.t) - {_NOV_N} + 1, 0) + 1),
+                   i -> list_aggregate(
+                            n.t[CAST(i AS INTEGER):
+                                CAST(i + {_NOV_N} - 1 AS INTEGER)],
+                            'string_agg', ' ')))) AS g
+        FROM nt n, bounds b
+    ),
+    first_seen AS (
+        SELECT g, CAST(MIN(decile) AS INTEGER) AS first_decile
+        FROM sd GROUP BY g
+    ),
+    types_per AS (
+        SELECT decile, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_types
+        FROM sd GROUP BY decile
+    ),
+    new_per AS (
+        SELECT first_decile AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_new_types
+        FROM first_seen GROUP BY first_decile
+    ),
+    rows_per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_doc_shingles
+        FROM sd GROUP BY decile
+    )
+    SELECT t.decile, r.n_doc_shingles, t.n_types,
+           COALESCE(n.n_new_types, 0) AS n_new_types,
+           CAST(COALESCE(n.n_new_types, 0) * 1000000 // t.n_types
+                AS BIGINT) AS novelty_ppm
+    FROM types_per t
+    JOIN rows_per r ON r.decile = t.decile
+    LEFT JOIN new_per n ON n.decile = t.decile
+    """,
+    doc="first-seen 3-gram novelty per corpus-order decile: distinct "
+        "phrase types active in each decile, how many are first "
+        "occurrences, and the novelty share in integer ppm — the "
+        "data-acquisition saturation curve (novelty decaying to zero "
+        "means new crawl batches are re-buying old phrases); decile "
+        "boundaries are one broadcast percentile aggregate, first-"
+        "seen is min(decile) per shingle, all shuffles shingle-keyed",
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(F.expr(
+        "percentile(CAST(doc_id AS DOUBLE), array(0.1D, 0.2D, 0.3D, "
+        "0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))").alias("bs"))
+    gs = (f"CASE WHEN size(t) >= {_NOV_N} THEN "
+          f"array_distinct(transform(sequence(1, size(t) - {_NOV_N} + 1), "
+          f"i -> concat_ws(' ', slice(t, i, {_NOV_N})))) "
+          f"ELSE array() END")
+    sd = (docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
+          .join(F.broadcast(bounds))
+          .select("doc_id",
+                  F.expr("CAST(size(filter(bs, x -> x <= "
+                         "CAST(doc_id AS DOUBLE))) AS INT)")
+                  .alias("decile"),
+                  F.explode(F.expr(gs)).alias("g")))
+    first_seen = sd.groupBy("g").agg(
+        F.min("decile").cast("int").alias("first_decile"))
+    types_per = sd.groupBy("decile").agg(
+        F.countDistinct("g").alias("n_types"))
+    new_per = first_seen.groupBy(
+        F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_new_types"))
+    rows_per = sd.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_doc_shingles"))
+    return (types_per.join(rows_per, "decile")
+            .join(new_per, "decile", "left")
+            .select("decile", "n_doc_shingles", "n_types",
+                    F.coalesce("n_new_types", F.lit(0)).cast("bigint")
+                    .alias("n_new_types"),
+                    F.expr("coalesce(n_new_types, 0) * 1000000 "
+                           "div n_types")
+                    .cast("bigint").alias("novelty_ppm")))

@@ -835,3 +835,93 @@ def events_interarrival_dispersion(spark: SparkSession,
         "n_gaps", "sum_gap_s", "sum_gap_sq_s",
         F.when(F.col("sum_gap_s") == 0, F.lit(0.0))
         .otherwise(F.expr(_DISPERSION_EXPR)).alias("dispersion"))
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (lifecycle stages): classify every user-week as
+# new / retained / resurrected from the user's previous active week,
+# and attribute a churn event to the week AFTER the last week of each
+# activity run (right-censored at the corpus's final week). The whole
+# computation is one distinct user-week table, one per-user window
+# pass (lag + lead), and a bounded-domain groupBy on week — the same
+# shuffle shape at any event volume. Integer counts only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_lifecycle_stages",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                   AS week
+        FROM events
+    ),
+    mx AS (SELECT CAST(MAX(week) AS BIGINT) AS max_week FROM uw),
+    seq AS (
+        SELECT user_id, week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week,
+               LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS next_week
+        FROM uw
+    ),
+    staged AS (
+        SELECT week,
+               CASE WHEN prev_week IS NULL THEN 'new'
+                    WHEN prev_week = week - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS stage
+        FROM seq
+        UNION ALL
+        SELECT week + 1 AS week, 'churned' AS stage
+        FROM seq, mx
+        WHERE (next_week IS NULL OR next_week > week + 1)
+          AND week + 1 <= mx.max_week
+    )
+    SELECT CAST(week AS INTEGER) AS week,
+           CAST(SUM(CASE WHEN stage = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN stage = 'churned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned
+    FROM staged GROUP BY week
+    """,
+    doc="growth accounting per week: users split into new (first "
+        "active week), retained (active previous week), resurrected "
+        "(returning after a gap), plus churned attributed to the week "
+        "after each activity run ends (right-censored at the corpus's "
+        "last week) — the standard DAU/MAU decomposition that says "
+        "WHY a weekly-active curve moved; distinct user-weeks, one "
+        "per-user lag/lead window, bounded-week-domain final groupBy",
+)
+def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / 7).cast("int")  # datediff >= 0: cast-truncation == floor
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = uw.select(
+        "user_id", "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"))
+    mx = uw.agg(F.max("week").cast("bigint").alias("max_week"))
+    stages = seq.select(
+        "week",
+        F.when(F.col("prev_week").isNull(), "new")
+        .when(F.col("prev_week") == F.col("week") - 1, "retained")
+        .otherwise("resurrected").alias("stage"))
+    churn = (seq.join(F.broadcast(mx))
+             .where((F.col("next_week").isNull()
+                     | (F.col("next_week") > F.col("week") + 1))
+                    & (F.col("week") + 1 <= F.col("max_week")))
+             .select((F.col("week") + 1).alias("week"),
+                     F.lit("churned").alias("stage")))
+    return (stages.unionByName(churn)
+            .groupBy(F.col("week").cast("int").alias("week"))
+            .agg(*[F.sum(F.when(F.col("stage") == s, 1).otherwise(0))
+                   .cast("bigint").alias(f"n_{s}")
+                   for s in ("new", "retained", "resurrected",
+                             "churned")]))

@@ -695,3 +695,64 @@ def text_contamination_incremental(spark: SparkSession,
             .groupBy("id_batch", "id_base")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
             .where(F.col("n_shared") >= _MIN_SHARED))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report: the corpus-level readout of the per-doc
+# BPE estimate above — tokens-per-word ("fertility") and chars-per-
+# token by (source, lang). Fertility is THE number that says how far
+# a tokenizer inflates a corpus's token bill (and which languages it
+# penalizes); ratios are floor-quantized integer ppm over BIGINT sums
+# so the report hashes identically across engines. One map-only scan
+# + a bounded (source, lang) groupBy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlprep_tokenizer_fertility_report",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, lang,
+               CAST(len(regexp_extract_all(text, {_BPE_PAT_DUCK}))
+                    AS BIGINT) AS n_bpe,
+               CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_ws,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bpe) * 1000000 // SUM(n_ws) AS BIGINT)
+               AS fertility_ppm,
+           CAST(SUM(n_chars) * 1000000 // SUM(n_bpe) AS BIGINT)
+               AS chars_per_token_ppm
+    FROM per GROUP BY source, lang
+    """,
+    doc="tokenizer fertility by (source, lang): BPE-ish tokens per "
+        "whitespace word and chars per BPE token, floor-quantized to "
+        "integer ppm over exact BIGINT sums — the corpus token-bill "
+        "inflation report that decides tokenizer/vocab fit per "
+        "language; map-only scan, bounded groupBy",
+)
+def mlprep_tokenizer_fertility_report(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = f"regexp_extract_all(text, {_BPE_PAT_SPARK}, 0)"
+    per = docs.select(
+        "source", "lang",
+        F.expr(f"CAST(size({bpe}) AS BIGINT)").alias("n_bpe"),
+        F.expr(f"CAST(size({_TOKS_SPARK}) AS BIGINT)").alias("n_ws"),
+        F.length("text").cast("bigint").alias("nc"))
+    return (per.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_ws").cast("bigint").alias("n_ws_tokens"),
+                 F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+                 F.sum("nc").cast("bigint").alias("n_chars"))
+            .select("source", "lang", "n_docs", "n_ws_tokens",
+                    "n_bpe_tokens", "n_chars",
+                    F.expr("n_bpe_tokens * 1000000 div n_ws_tokens")
+                    .cast("bigint").alias("fertility_ppm"),
+                    F.expr("n_chars * 1000000 div n_bpe_tokens")
+                    .cast("bigint").alias("chars_per_token_ppm")))
