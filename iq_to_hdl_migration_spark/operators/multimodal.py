@@ -237,3 +237,40 @@ def scene_cut_deltas(df: DataFrame, n_frames: int = 8, bins: int = 16,
                 "is_cut"])
 
     return src.mapInPandas(batches, schema=SCENE_SCHEMA)
+
+
+BYTEHIST_SCHEMA = "doc_id bigint, source string, n_bytes bigint, sum_sq bigint"
+
+
+def byte_collision_features(df: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Byte-histogram collision statistics per payload: n_bytes and
+    the sum of squared byte-frequency counts. sum_sq / n_bytes^2 is
+    the byte collision rate (Renyi-2 'entropy' without the libm log —
+    1/256 for uniform random bytes, ~1.0 for constant padding), the
+    cheap compressed-vs-raw / padded-vs-real triage a media ingest
+    runs before spending decode time. Vectorized numpy bincount over
+    Arrow record batches — integer-exact, no per-row Python in the
+    hot loop beyond the payload iteration itself."""
+    import numpy as np
+    import pandas as pd
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, "source", "payload").repartition(n)
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = pdf[[id_col, "source"]].copy()
+            ns, ssqs = [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256).astype(np.int64)
+                ns.append(int(arr.size))
+                ssqs.append(int((counts * counts).sum()))
+            out["n_bytes"] = pd.Series(ns, index=pdf.index,
+                                       dtype="int64")
+            out["sum_sq"] = pd.Series(ssqs, index=pdf.index,
+                                      dtype="int64")
+            yield out
+
+    return src.mapInPandas(batches, schema=BYTEHIST_SCHEMA)

@@ -925,3 +925,152 @@ def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("bigint").alias(f"n_{s}")
                    for s in ("new", "retained", "resurrected",
                              "churned")]))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the click->purchase interaction graph —
+# the directed complement of PageRank's prestige: hubs are users whose
+# clicks precede many buyers, authorities are the buyers those hubs
+# converge on. Float HITS normalizes by the L2 norm (libm sqrt —
+# engine-divergent); this is the max-normalized fixed-point variant:
+# raw scores are exact BIGINT sums (every partial < 2^53, so the
+# normalizing double division + floor is IEEE-identical in both
+# engines), rescaled to 2^20 units each half-step. Two full
+# hub/authority rounds unroll into a DuckDB CTE chain, same rigor as
+# the fixed-point PageRank oracle.
+# ---------------------------------------------------------------------------
+
+_HITS_SCALE = 1 << 20
+_HITS_ROUNDS = 2
+
+_HITS_EB_CTE = """
+    WITH eb AS MATERIALIZED (
+        SELECT c.user_id AS src, b.user_id AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+              FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+              FROM events WHERE event_type = 'purchase') b
+          ON c.h = b.h AND c.user_id != b.user_id
+        GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM eb UNION SELECT dst FROM eb
+    ),
+    h0 AS (SELECT node, CAST({S} AS BIGINT) AS q FROM nodes)
+"""
+
+
+def _hits_norm_sql(raw: str, out: str) -> str:
+    """One max-normalized half-step: out(node) = floor(raw/max * S),
+    zero for nodes with no contributing edges (and on an empty or
+    all-zero raw table, instead of a division blow-up)."""
+    return f"""
+    {raw}m AS (SELECT MAX(x) AS mx FROM {raw}),
+    {out} AS MATERIALIZED (
+        SELECT n.node,
+               CASE WHEN m.mx IS NULL OR m.mx = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(FLOOR(CAST(COALESCE(r.x, 0) AS DOUBLE)
+                                    / CAST(m.mx AS DOUBLE)
+                                    * {float(_HITS_SCALE)!r}) AS BIGINT)
+               END AS q
+        FROM nodes n CROSS JOIN {raw}m m
+        LEFT JOIN {raw} r ON r.node = n.node
+    )"""
+
+
+def _hits_oracle(rounds: int) -> str:
+    parts = [_HITS_EB_CTE.format(S=_HITS_SCALE)]
+    prev_h = "h0"
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+    a{k}r AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(h.q * e.w) AS BIGINT) AS x
+        FROM eb e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+    ),{_hits_norm_sql(f'a{k}r', f'a{k}')},
+    h{k}r AS MATERIALIZED (
+        SELECT e.src AS node, CAST(SUM(a.q * e.w) AS BIGINT) AS x
+        FROM eb e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+    ),{_hits_norm_sql(f'h{k}r', f'h{k}')}""")
+        prev_h = f"h{k}"
+    return (",".join(parts) + f"""
+    SELECT CAST(n.node AS BIGINT) AS user_id,
+           h{rounds}.q AS hub_q, a{rounds}.q AS auth_q,
+           CAST(h{rounds}.q AS DOUBLE) / {float(_HITS_SCALE)!r} AS hub,
+           CAST(a{rounds}.q AS DOUBLE) / {float(_HITS_SCALE)!r} AS auth
+    FROM nodes n
+    JOIN h{rounds} ON h{rounds}.node = n.node
+    JOIN a{rounds} ON a{rounds}.node = n.node
+    ORDER BY auth_q DESC, n.node
+    LIMIT 20
+    """)
+
+
+@register(
+    "graph_hits_scores",
+    oracle=_hits_oracle(_HITS_ROUNDS),
+    doc="max-normalized fixed-point HITS (2^-20 units) over the "
+        "click->purchase co-occurrence graph, top 20 authorities with "
+        "their hub scores: raw half-step scores are exact BIGINT "
+        "edge-weighted sums (< 2^53, so the normalizing floor(x/max*S) "
+        "is IEEE-identical across engines); 2 unrolled hub/authority "
+        "rounds value-hash-match a generated DuckDB CTE chain — the "
+        "sqrt-free twin of float HITS, per the fixed-point PageRank "
+        "discipline",
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id", "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"))
+    clicks = (hours.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("src"), "h"))
+    buys = (hours.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("dst"), "h"))
+    eb = (clicks.join(buys, "h")
+          .filter(F.col("src") != F.col("dst"))
+          .groupBy("src", "dst")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+          .localCheckpoint())  # feeds 2 joins per round
+    nodes = (eb.select(F.col("src").alias("node"))
+             .unionByName(eb.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        mx = raw.agg(F.max("x").alias("mx"))
+        return (nodes.crossJoin(F.broadcast(mx))
+                .join(raw, "node", "left")
+                .select("node",
+                        F.when(F.col("mx").isNull() | (F.col("mx") == 0),
+                               F.lit(0).cast("bigint"))
+                        .otherwise(
+                            F.floor(F.coalesce("x", F.lit(0))
+                                    .cast("double")
+                                    / F.col("mx").cast("double")
+                                    * F.lit(float(_HITS_SCALE)))
+                            .cast("bigint"))
+                        .alias("q")))
+
+    h = nodes.withColumn("q", F.lit(_HITS_SCALE).cast("bigint"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a_raw = (eb.join(h.select(F.col("node").alias("src"), "q"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum(F.col("q") * F.col("w")).cast("bigint")
+                      .alias("x")))
+        a = _norm(a_raw).localCheckpoint()
+        h_raw = (eb.join(a.select(F.col("node").alias("dst"), "q"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum(F.col("q") * F.col("w")).cast("bigint")
+                      .alias("x")))
+        h = _norm(h_raw).localCheckpoint()
+    return (h.select("node", F.col("q").alias("hub_q"))
+            .join(a.select("node", F.col("q").alias("auth_q")), "node")
+            .select(F.col("node").cast("bigint").alias("user_id"),
+                    "hub_q", "auth_q",
+                    (F.col("hub_q").cast("double")
+                     / F.lit(float(_HITS_SCALE))).alias("hub"),
+                    (F.col("auth_q").cast("double")
+                     / F.lit(float(_HITS_SCALE))).alias("auth"))
+            .orderBy(F.desc("auth_q"), F.asc("user_id"))
+            .limit(20))

@@ -461,3 +461,86 @@ def mm_frame_dedup_crossvideo(spark: SparkSession,
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("bigint")
                  .alias("n_shared_frames")))
+
+
+# ---------------------------------------------------------------------------
+# Payload byte-entropy triage: collision rate of the byte histogram
+# (Renyi-2 proxy — no libm log, so it hashes identically across
+# engines) rolled up per source. Uniform random/compressed payloads
+# sit near 3906 ppm (1/256); constant padding near 1e6 — the
+# pre-decode filter that finds dead or double-compressed media before
+# any codec time is spent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_payload_entropy_report",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, source, substring(text, t.i, 1) AS c
+        FROM documents,
+             unnest(generate_series(1, length(text))) AS t(i)
+    ),
+    cc AS (
+        SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ch GROUP BY doc_id, source, c
+    ),
+    per AS (
+        SELECT doc_id, source,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS ss,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM cc GROUP BY doc_id, source
+    ),
+    ppm AS (
+        SELECT source,
+               CASE WHEN n = 0 THEN 0
+                    ELSE ss * 1000000 // (n * n) END AS collision_ppm
+        FROM per
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(collision_ppm) // COUNT(*) AS BIGINT)
+               AS mean_collision_ppm,
+           CAST(MIN(collision_ppm) AS BIGINT) AS min_collision_ppm,
+           CAST(MAX(collision_ppm) AS BIGINT) AS max_collision_ppm
+    FROM ppm GROUP BY source
+    """,
+    doc="per-source byte-collision ('entropy') triage over binary "
+        "payloads: floor-quantized ppm of the Renyi-2 collision rate "
+        "sum(count_b^2)/len^2 per payload (numpy bincount over Arrow "
+        "batches), min/mean/max per source — flags constant-padding "
+        "and double-compressed media before decode; the oracle "
+        "recomputes the histogram from per-char counts (payloads are "
+        "guarded ASCII so chars == bytes)",
+)
+def mm_payload_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # the oracle counts CHARS; equality with byte counting holds only
+    # for 1-byte chars — and the bigint ppm quantization needs
+    # len^2 * 1e6 < 2^63. Both are generator properties, so enforce
+    # them in-plan (the mm_audio_vad_segments discipline): violations
+    # raise loudly instead of diverging hash-red at the driver.
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            (F.octet_length("text") != F.length("text"))
+            | (F.octet_length("text") > (1 << 20)),
+            F.raise_error(F.concat(
+                F.lit("mm_payload_entropy_report assumes ASCII text "
+                      "<= 1 MiB; violated by doc_id="),
+                F.col("doc_id").cast("string"))),
+        ).otherwise(F.col("text")))
+    feats = mm.byte_collision_features(mm.attach_binary_payload(docs))
+    ppm = feats.select(
+        "source",
+        F.when(F.col("n_bytes") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("sum_sq * 1000000 div (n_bytes * n_bytes)"))
+        .alias("collision_ppm"))
+    return (ppm.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+                 F.expr("sum(collision_ppm) div count(1)")
+                 .cast("bigint").alias("mean_collision_ppm"),
+                 F.min("collision_ppm").cast("bigint")
+                 .alias("min_collision_ppm"),
+                 F.max("collision_ppm").cast("bigint")
+                 .alias("max_collision_ppm")))

@@ -1478,3 +1478,100 @@ def graph_degree_assortativity(spark: SparkSession,
         F.col("sxx").alias("sum_deg_sq"),
         F.col("sxy").alias("sum_deg_prod"),
         F.expr(_ASSORT_EXPR).alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# Per-vertex clustering coefficient (top-k): which parts sit inside
+# tight cliques rather than broad hubs. Reuses the degree-ordered
+# orientation: triangles are found once per oriented edge (a, b) as
+# the common out-neighbors c — but unlike the global census, each
+# found triangle is EXPLODED into its three corners to attribute
+# per-vertex counts. The explode is bounded by the actual triangle
+# count (arboricity-bound output, 1.9M rows at sf0.1), never the
+# wedge set; the coefficient 2t / d(d-1) is one double division of
+# BIGINTs — bit-stable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_topk",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT w1.u AS a, w1.v AS b, w2.v AS c
+        FROM e0 w1 JOIN e0 w2 ON w1.u = w2.u AND w1.v < w2.v
+        JOIN e0 e ON e.u = w1.v AND e.v = w2.v
+    ),
+    pvt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    )
+    SELECT CAST(d.node AS BIGINT) AS node, d.d,
+           COALESCE(p.t, 0) AS n_triangles,
+           CAST(2 * COALESCE(p.t, 0) AS DOUBLE)
+               / CAST(d.d * (d.d - 1) AS DOUBLE) AS clustering
+    FROM deg d LEFT JOIN pvt p ON p.node = d.node
+    WHERE d.d >= 2
+    ORDER BY clustering DESC, d.node
+    LIMIT 20
+    """,
+    doc="top-20 parts by exact local clustering coefficient over the "
+        "co-purchase graph: per-vertex triangle counts from the "
+        "degree-ordered edge-iterator (each triangle exploded into "
+        "its 3 corners — output bounded by the triangle count, the "
+        "wedge set never materialized), coefficient = 2t / d(d-1) as "
+        "one BIGINT-ratio double; deterministic (clustering, node) "
+        "top-k",
+)
+def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _copurchase_edges(spark, sf_dir)
+    deg = (e0.select(F.col("u").alias("node"))
+           .unionAll(e0.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint())
+    lower = ((F.col("du") < F.col("dv"))
+             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    oe = (e0.join(deg.select(F.col("node").alias("u"),
+                             F.col("d").alias("du")), "u")
+          .join(deg.select(F.col("node").alias("v"),
+                           F.col("d").alias("dv")), "v")
+          .select(F.when(lower, F.col("u")).otherwise(F.col("v"))
+                  .alias("a"),
+                  F.when(lower, F.col("v")).otherwise(F.col("u"))
+                  .alias("b")))
+    adj = oe.groupBy("a").agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs"))
+    corners = (oe.join(adj.select("a", F.col("nbrs").alias("na")), "a")
+               .join(adj.select(F.col("a").alias("b"),
+                                F.col("nbrs").alias("nb")), "b")
+               .select("a", "b",
+                       F.explode(F.array_intersect("na", "nb"))
+                       .alias("c")))
+    pvt = (corners.select(F.col("a").alias("node"))
+           .unionAll(corners.select(F.col("b").alias("node")))
+           .unionAll(corners.select(F.col("c").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("t")))
+    return (deg.where(F.col("d") >= 2)
+            .join(pvt, "node", "left")
+            .select(F.col("node").cast("bigint").alias("node"),
+                    F.col("d").cast("bigint").alias("d"),
+                    F.coalesce("t", F.lit(0)).cast("bigint")
+                    .alias("n_triangles"))
+            .withColumn("clustering",
+                        (F.lit(2) * F.col("n_triangles")).cast("double")
+                        / (F.col("d") * (F.col("d") - 1)).cast("double"))
+            .orderBy(F.desc("clustering"), F.asc("node"))
+            .limit(20))

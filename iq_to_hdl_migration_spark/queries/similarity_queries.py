@@ -2420,3 +2420,81 @@ def sim_ivf_nprobe_recall_curve(spark: SparkSession,
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF index balance report: the health dashboard for the trained
+# partition — per-cluster population, share, and the stitched global
+# imbalance number (max cluster vs the perfectly-balanced size, in
+# integer ppm). A skewed IVF index makes nprobe recall lopsided (hot
+# cells scan most of the corpus, cold cells return nothing), so this
+# is the audit that says REBALANCE before the recall curves degrade.
+# Consumes the memoized fixed-point k-means assignment — the same
+# index every IVF query serves — so the report costs one bounded
+# groupBy on cid, not a re-train.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_balance_oracle() -> str:
+    k, iters = _IVF_K, _IVF_ITERS
+    return _fp_kmeans_ctes(k, iters, final_update=False) + f""",
+    sizes AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM a{iters} GROUP BY cid
+    ),
+    allc AS (SELECT DISTINCT cid FROM c0),
+    filled AS (
+        SELECT a.cid, COALESCE(s.n_members, 0) AS n_members
+        FROM allc a LEFT JOIN sizes s ON s.cid = a.cid
+    ),
+    gtot AS (
+        SELECT CAST(SUM(n_members) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(MAX(n_members) AS BIGINT) AS max_size,
+               CAST(MIN(n_members) AS BIGINT) AS min_size
+        FROM filled
+    )
+    SELECT CAST(f.cid AS BIGINT) AS cid, f.n_members,
+           CAST(f.n_members * 1000000 // g.n_vectors AS BIGINT)
+               AS share_ppm,
+           g.n_vectors, g.n_clusters, g.max_size, g.min_size,
+           CAST(g.max_size * g.n_clusters * 1000000 // g.n_vectors
+                AS BIGINT) AS imbalance_ppm
+    FROM filled f CROSS JOIN gtot g
+    """
+
+
+@register(
+    "sim_ivf_balance_report",
+    oracle=_ivf_balance_oracle(),
+    doc="IVF cluster-balance audit over the memoized fixed-point "
+        "k-means index: per-cell population and corpus share, plus "
+        "the global imbalance factor (max cell vs perfect balance, "
+        "integer ppm — 1e6 = perfectly balanced) stitched onto every "
+        "row; empty cells reported as zero. One bounded groupBy on "
+        "cid against the shared assignment table — an index audit, "
+        "never a re-train",
+)
+def sim_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents, assign = _fp_kmeans_assign(emb, _IVF_K, _IVF_ITERS)
+    sizes = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    allc = cents.select("cid").distinct()
+    filled = (allc.join(sizes, "cid", "left")
+              .select("cid", F.coalesce("n_members", F.lit(0))
+                      .cast("bigint").alias("n_members")))
+    glob = filled.agg(
+        F.sum("n_members").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.max("n_members").cast("bigint").alias("max_size"),
+        F.min("n_members").cast("bigint").alias("min_size"))
+    return (filled.join(F.broadcast(glob))
+            .select(F.col("cid").cast("bigint").alias("cid"),
+                    "n_members",
+                    F.expr("n_members * 1000000 div n_vectors")
+                    .cast("bigint").alias("share_ppm"),
+                    "n_vectors", "n_clusters", "max_size", "min_size",
+                    F.expr("max_size * n_clusters * 1000000 "
+                           "div n_vectors")
+                    .cast("bigint").alias("imbalance_ppm")))
