@@ -241,9 +241,9 @@ def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_retention_cohorts",
-    oracle="""
+# shared with stream_retention_cohorts — the streaming fold must
+# converge to exactly this batch answer (the twin contract)
+RETENTION_ORACLE = """
     WITH s AS (
         SELECT user_id,
                MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)
@@ -262,7 +262,12 @@ def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s JOIN a ON s.user_id = a.user_id
     WHERE a.active_week >= s.cohort_week
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=RETENTION_ORACLE,
     doc="weekly retention cohorts (signup week x activity-week offset): "
         "week ids are integer day-arithmetic from a fixed epoch, not "
         "date_trunc('week'), so both engines bucket identically; "

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
-from iq_to_hdl_migration_spark.queries.events_queries import GINI_ORACLE
+from iq_to_hdl_migration_spark.queries.events_queries import (
+    GINI_ORACLE, RETENTION_ORACLE)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
     AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
@@ -581,3 +582,21 @@ def stream_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_gini_{next(_seq)}"
     return W.streaming_user_activity_gini(spark, sf_dir, name)
+
+
+@register(
+    "stream_retention_cohorts",
+    oracle=RETENTION_ORACLE,  # shared with events_retention_cohorts
+    doc="streaming twin of events_retention_cohorts (16th twin): "
+        "events arrive as event_id-contiguous micro-batches and each "
+        "batch folds per-user (MIN signup-cohort week, OR active-week "
+        "bitmask) — both true monoids, so state is one BIGINT mask + "
+        "one INT per user and any arrival split converges; corpora "
+        "past 63 weeks raise loudly (documented mask bound). The "
+        "final snapshot feeds the same cohort tail as the batch "
+        "query, so the matrix equals the single-shot result "
+        "bit-for-bit (shared oracle)",
+)
+def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_retention_{next(_seq)}"
+    return W.streaming_retention_cohorts(spark, sf_dir, name)

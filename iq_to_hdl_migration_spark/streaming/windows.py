@@ -1243,3 +1243,147 @@ def run_user_count_fold(spark: SparkSession, arrivals_dir: str,
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Retention-cohort twin: per-user state = (cohort week, active-week
+# bitmask). Both halves are true monoids — MIN for the signup cohort
+# week, bitwise OR for the activity mask — so batches merge in any
+# arrival split and a replayed batch recomputes byte-identically from
+# the prior snapshot. The mask bounds state at ONE BIGINT per user for
+# corpora up to 63 weeks (~14 months); longer corpora raise loudly in
+# the delta instead of silently wrapping (the documented-bound
+# discipline of the Gini rank sums).
+# ---------------------------------------------------------------------------
+
+_RET_MAX_WEEK = 62
+RETENTION_STATE_SCHEMA = "user_id bigint, cohort_week int, week_mask bigint"
+
+
+def _retention_week_col():
+    week = (F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")) / 7).cast("int")
+    return (F.when((week < 0) | (week > _RET_MAX_WEEK),
+                   F.raise_error(F.concat(
+                       F.lit("retention fold supports weeks 0.."
+                             f"{_RET_MAX_WEEK} (one BIGINT mask); "
+                             "violated at event_id="),
+                       F.col("event_id").cast("string"))))
+            .otherwise(week))
+
+
+def _retention_delta(batch_df: DataFrame) -> DataFrame:
+    week = _retention_week_col()
+    return (batch_df
+            .select("user_id", week.alias("w"),
+                    F.col("event_type"))
+            .groupBy("user_id")
+            .agg(F.min(F.when(F.col("event_type") == "signup",
+                              F.col("w"))).cast("int")
+                 .alias("cohort_week"),
+                 F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), w))")
+                 .alias("week_mask")))
+
+
+def run_retention_fold(spark: SparkSession, arrivals_dir: str,
+                       snap_dir: str, ckpt_dir: str) -> None:
+    """Drain the arrivals dir folding per-user (MIN cohort week,
+    OR week mask) into the snapshot chain. Resumable under the same
+    checkpoint dir; a replayed batch recomputes from the PRIOR
+    snapshot."""
+    import os
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _process(batch_df, batch_id) -> None:
+        prev_snap = spark.read.parquet(_latest_before(batch_id))
+        merged = (prev_snap.unionByName(_retention_delta(batch_df))
+                  .groupBy("user_id")
+                  .agg(F.min("cohort_week").cast("int")
+                       .alias("cohort_week"),
+                       F.expr("bit_or(week_mask)").cast("bigint")
+                       .alias("week_mask")))
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def retention_from_state(snap: DataFrame) -> DataFrame:
+    """Shared batch tail: derive the (cohort_week, week_offset,
+    n_users) matrix from the folded per-user state — identical output
+    to the single-shot events_retention_cohorts query (shared
+    oracle)."""
+    active = (snap.where(F.col("cohort_week").isNotNull())
+              .select("cohort_week",
+                      F.explode(F.expr(
+                          f"filter(sequence(0, {_RET_MAX_WEEK}), "
+                          "w -> (week_mask >> w) % 2 = 1)"))
+                      .alias("active_week")))
+    return (active.where(F.col("active_week") >= F.col("cohort_week"))
+            .groupBy(F.col("cohort_week").cast("int")
+                     .alias("cohort_week"),
+                     (F.col("active_week") - F.col("cohort_week"))
+                     .cast("int").alias("week_offset"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+def streaming_retention_cohorts(spark: SparkSession, sf_dir: str,
+                                _query_name: str = "stream_retention",
+                                n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_retention_cohorts: events arrive as
+    event_id-contiguous micro-batches (a user's signup and activity
+    deliberately SPAN batches); per-user state folds with the MIN/OR
+    monoid pair above, and the final snapshot feeds the same cohort
+    tail as the batch query — bit-for-bit equality (shared oracle).
+
+    Supersede-on-reinvoke contract: same as streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "retention")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame([], RETENTION_STATE_SCHEMA)
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return retention_from_state(snap)
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
+
+    run_retention_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return retention_from_state(snap)

@@ -3,6 +3,8 @@ semantics contract (SURVEY §2.10 streaming plan)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from iq_to_hdl_migration_spark.queries import load_all
 from iq_to_hdl_migration_spark.streaming import windows as W
 
@@ -494,3 +496,70 @@ def test_user_count_fold_survives_restart(spark, sf_dir, tmp_path):
                   .collect())
     assert got == want, (
         "restarted fold's per-user counts must equal the batch counts")
+
+
+def test_retention_fold_survives_restart(spark, sf_dir, tmp_path):
+    """MIN/OR monoid restart contract for the retention twin: half the
+    events arrive (signups and activity span the seam), the stream
+    drains and STOPS; the rest arrives and a fresh start resumes from
+    the same checkpoint. The folded state's cohort matrix must equal
+    the single-shot batch computation — no user's cohort lost, no
+    active week dropped or double-ORed."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        events_retention_cohorts)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    spark.createDataFrame(
+        [], W.RETENTION_STATE_SCHEMA
+    ).write.parquet(os.path.join(snaps, "00000_init"))
+
+    cut = ev.agg(F.expr("CAST(max(event_id) / 2 AS BIGINT)")).first()[0]
+
+    def arrive(df, name, mtime):
+        tmp = str(tmp_path / f"slice_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(arrivals, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    arrive(ev.where(F.col("event_id") <= cut), "arr_000", 1_000_000)
+    W.run_retention_fold(spark, arrivals, snaps, ckpt)
+    assert sorted(os.listdir(snaps))[-1] != "00000_init"
+
+    arrive(ev.where(F.col("event_id") > cut), "arr_001", 1_000_001)
+    W.run_retention_fold(spark, arrivals, snaps, ckpt)  # resumes
+
+    snap = spark.read.parquet(
+        os.path.join(snaps, sorted(os.listdir(snaps))[-1]))
+    got = sorted(tuple(r) for r in
+                 W.retention_from_state(snap).collect())
+    want = sorted(tuple(r) for r in
+                  events_retention_cohorts(spark, sf_dir).collect())
+    assert got == want, (
+        "restarted retention fold must equal the batch cohort matrix")
+
+
+def test_retention_fold_rejects_out_of_range_weeks(spark):
+    """The one-BIGINT mask bound is enforced, not assumed: an event
+    past week 62 (or pre-epoch) must raise in the delta computation
+    instead of silently wrapping the mask."""
+    import pytest
+
+    far = spark.createDataFrame(
+        [(1, 7, "2026-01-01 00:00:00", "click")],
+        "event_id bigint, user_id bigint, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="retention fold supports"):
+        W._retention_delta(far).collect()
