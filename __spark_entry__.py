@@ -35,38 +35,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_registry_vs_oracle.py still covers the full registry at
 # whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 10, tier 1: brand-new queries — first driver rows
-    "text_dup_ngram_chars", "text_token_drift_report",
-    "events_poweruser_gini", "stream_user_gini",
-    "graph_degree_assortativity", "sim_cosine_range_search",
-    "mlprep_dataset_card", "events_session_overlap_pairs",
-    "events_interarrival_dispersion", "mlprep_fim_spans",
-    "text_vocab_coverage_curve", "events_funnel_time_constrained",
-    "dq_documents_contract", "sketch_quantile_accuracy_report",
-    "sim_centroid_shift_report", "mlprep_pii_mask_plan",
-    "sim_ivf_nprobe_recall_curve", "dedup_lsh_collision_profile",
-    "dq_order_total_reconciliation",
-    # round 10, tier 2: code changed this round (constructive p90
-    # interpolation, khop empty-graph parity, boilerplate df-pruned
-    # join, winnowing explode parallelized, id-domain-safe stream
-    # slicing) — regression proof under the driver's own hash
-    "events_funnel_dropoff_time", "graph_khop_reach",
-    "text_boilerplate_ngrams", "text_winnowing_match_pairs",
-    "text_winnowing_similarity", "stream_ab_test",
-    # round 10, tier 3: never-sampled rows (93 after r9; every name
-    # below is a first driver row) — the §2 catalog-ops/validation
-    # families first, then the older ddl/stream/mm/text tail
-    "o1_tables_by_size_desc", "o4_retry_priority",
-    "v3_extract_completeness", "v6_file_copy_validation",
-    "v7_schema_load_errors", "v9_readonly_guard",
-    "f11_user_logical_servers", "f12_option_prefix_filters",
-    "f14_remote_server_classes", "f15_sap_internal_users",
-    "f16_sys_roles", "f17_string_rtruncation", "f19_identity_defaults",
-    "j2_rlv_tables", "j5_lob_columns", "j7_table_triggers",
-    "j9_user_procedures", "j10_remote_procedures", "j11_proxy_tables",
-    "j12_server_capabilities", "j15_resume_delta",
-    "ddl_fk_statements", "ddl_rule_hit_summary",
-    "stream_hourly_counts", "stream_exact_dedup",
+    # round 11, tier 1: brand-new queries — first driver rows
+    "events_lifecycle_stages", "stream_retention_cohorts",
+    "graph_hits_scores", "graph_clustering_topk",
+    "corpus_novelty_curve", "sim_ivf_balance_report",
+    "mlprep_tokenizer_fertility_report", "mm_payload_entropy_report",
+    # round 11, tier 2: code changed this round (flood-capped pair
+    # verifiers with the n_partners/n_overflow census, size-gated
+    # probe-side join) — regression proof under the driver's own hash
+    "dedup_ngram_jaccard_pairs", "dedup_containment_pairs",
+    "events_session_overlap_pairs",
+    # round 11, tier 3: never-sampled rows (67 after r10) — the last
+    # §2 names without first-party driver evidence first, then the
+    # events_*/stream_*/mm_*/sim_*/dedup_*/orders_* blocks the r10
+    # verdict called out
+    "a2_table_row_widths", "a3_capable_servers", "a6_max_table_size",
+    "assessment_report",
+    "events_error_rate_hourly", "events_sliding_hourly",
+    "events_churn_gaps", "events_session_windows_native",
+    "events_gap_powerlaw_histogram", "events_latest_per_user",
+    "events_entry_exit_paths", "events_session_conversion",
+    "events_type_affinity", "events_hourly_seasonality",
+    "events_new_vs_returning", "events_burst_users",
+    "stream_sessionization", "stream_purchase_click_join",
+    "stream_enriched_counts", "stream_session_windows_native",
+    "stream_mix_downsample",
+    "mm_frame_samples", "mm_audio_chunks", "mm_resize_meta",
+    "mm_payload_dedup_groups",
+    "sim_ivf_topk", "sim_embedding_stats", "sim_ann_recall",
+    "sim_embedding_quantize_stats",
+    "dedup_exact_stats", "dedup_exact_groups", "dedup_rate_by_source",
+    "dedup_survivorship",
+    "orders_monthly_growth", "orders_quarter_share",
+    "orders_backlog_daily", "orders_basket_size_distribution",
+    "customer_balance_position", "trend_holt_forecast_monthly_revenue",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Round-11 invariants beyond registry-vs-oracle equality: structural
+properties of the new operators (growth-accounting identities, HITS
+normalization, IVF share accounting, entropy bounds on planted
+payloads) that a value-hash can't articulate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iq_to_hdl_migration_spark.queries import load_all
+
+REGISTRY = load_all()
+
+_PPM = 1_000_000
+
+
+def test_lifecycle_stages_accounting_identities(spark, sf_dir):
+    """Growth accounting must actually account: the three entry stages
+    of week w sum to that week's active-user count, week 0 is all-new,
+    and every user is 'new' exactly once."""
+    rows = {r.week: r for r in
+            REGISTRY["events_lifecycle_stages"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / 7).cast("int")
+    uw = ev.select("user_id", week.alias("w")).distinct()
+    active = {r.w: r.c for r in
+              uw.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()}
+    n_users = uw.select("user_id").distinct().count()
+    for w, r in rows.items():
+        assert (r.n_new + r.n_retained + r.n_resurrected
+                == active.get(w, 0)), f"week {w} entries != active"
+    first = rows[min(rows)]
+    assert first.n_retained == 0 and first.n_resurrected == 0
+    assert sum(r.n_new for r in rows.values()) == n_users
+    # churn can only come from users active some earlier week
+    for w, r in rows.items():
+        assert r.n_churned <= active.get(w - 1, 0)
+
+
+def test_fertility_at_least_one_token_per_word(spark, sf_dir):
+    """The BPE-ish pre-tokenizer only ever SPLITS whitespace words
+    (letter runs / digits / punctuation), so fertility >= 1.0 and the
+    BIGINT sums are internally consistent."""
+    out = REGISTRY["mlprep_tokenizer_fertility_report"].fn(
+        spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.n_bpe_tokens >= r.n_ws_tokens > 0
+        assert r.fertility_ppm >= _PPM
+        assert r.fertility_ppm == r.n_bpe_tokens * _PPM // r.n_ws_tokens
+
+
+def test_novelty_curve_shape(spark, sf_dir):
+    """Decile 0 is all-novel by construction; new-type counts sum to
+    the corpus's distinct shingle count; novelty never exceeds 1.0
+    and decays from the first decile to the last on this corpus."""
+    rows = sorted(REGISTRY["corpus_novelty_curve"].fn(
+        spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert rows[0].decile == 0
+    assert rows[0].novelty_ppm == _PPM
+    for r in rows:
+        assert 0 <= r.novelty_ppm <= _PPM
+        assert r.n_new_types <= r.n_types <= r.n_doc_shingles
+    assert rows[-1].novelty_ppm < rows[0].novelty_ppm, \
+        "a growing synthetic corpus must show decaying novelty"
+
+
+def test_clustering_topk_bounds(spark, sf_dir):
+    out = REGISTRY["graph_clustering_topk"].fn(spark, sf_dir).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.d >= 2
+        assert 0.0 <= r.clustering <= 1.0
+        # coefficient is exactly the advertised rational
+        assert r.clustering == 2 * r.n_triangles / (r.d * (r.d - 1))
+    # deterministic ordering: non-increasing coefficient
+    cs = [r.clustering for r in out]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_hits_normalization(spark, sf_dir):
+    """Max-normalization contract: every score sits in [0, S] and the
+    top authority is pinned at exactly S (floor(max/max * S))."""
+    S = 1 << 20
+    out = REGISTRY["graph_hits_scores"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.auth_q <= S and 0 <= r.hub_q <= S
+    assert out[0].auth_q == S, "top authority must normalize to S"
+
+
+def test_ivf_balance_share_accounting(spark, sf_dir):
+    out = REGISTRY["sim_ivf_balance_report"].fn(spark, sf_dir).collect()
+    k = out[0].n_clusters
+    assert len(out) == k
+    total = out[0].n_vectors
+    assert sum(r.n_members for r in out) == total
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert total == emb_n
+    # floor-quantized shares sum to within k ulps of 1e6
+    s = sum(r.share_ppm for r in out)
+    assert _PPM - k <= s <= _PPM
+    assert all(r.imbalance_ppm >= _PPM for r in out)
+
+
+def test_payload_entropy_planted_extremes(spark):
+    """The collision rate must hit its analytic endpoints: a constant
+    payload reads 1e6 ppm, a perfectly uniform 256-byte alphabet reads
+    floor(1e6/256) = 3906 ppm."""
+    from iq_to_hdl_migration_spark.operators.multimodal import (
+        byte_collision_features)
+
+    uniform = bytes(range(256)) * 4
+    df = (spark.createDataFrame(
+        [(1, "flat", b"\x00" * 1024), (2, "uni", uniform)],
+        "doc_id bigint, source string, payload binary"))
+    got = {r.source: (r.n_bytes, r.sum_sq)
+           for r in byte_collision_features(df).collect()}
+    n, ss = got["flat"]
+    assert ss * _PPM // (n * n) == _PPM
+    n, ss = got["uni"]
+    assert ss * _PPM // (n * n) == _PPM // 256
+
+
+def test_payload_entropy_report_bounds(spark, sf_dir):
+    out = REGISTRY["mm_payload_entropy_report"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert (_PPM // 256 <= r.min_collision_ppm
+                <= r.mean_collision_ppm
+                <= r.max_collision_ppm <= _PPM)
