@@ -106,33 +106,28 @@ EXTRA = [
 # a 5x timing of them measures constant data. Swap this list out each
 # round; SCALE.md records which rotation ran when.
 ROTATION = [
-    # round-10 rotation: r10 additions first, then the never-swept
-    # dedup/events/sim/text/mm/relational tail
-    "events_poweruser_gini", "events_session_overlap_pairs",
-    "events_interarrival_dispersion", "graph_degree_assortativity",
-    "sim_cosine_range_search", "mlprep_dataset_card",
-    "text_token_drift_report", "mlprep_fim_spans",
-    "text_vocab_coverage_curve", "events_funnel_time_constrained",
-    "dq_documents_contract", "sketch_quantile_accuracy_report",
-    "sim_centroid_shift_report", "mlprep_pii_mask_plan",
-    "sim_ivf_nprobe_recall_curve", "dedup_lsh_collision_profile",
-    "dq_order_total_reconciliation",
-    "dedup_minhash_clusters", "dedup_exact_groups",
-    "dedup_embedding_cosine_pairs", "dedup_lsh_bucket_census",
-    "dedup_cluster_quality_report",
-    "events_sessionization", "events_retention_cohorts",
-    "events_rolling_hour_value", "events_path_motifs",
-    "events_cusum_changepoints", "events_dau_wau",
-    "mm_content_histogram_neardup", "mm_audio_vad_segments",
-    "mm_scene_cuts",
-    "sim_ann_lsh_topk", "sim_ann_multiprobe_topk",
-    "sim_quantized_recall", "sim_lsh_bucket_stats",
-    "text_langid_heuristic", "text_repetition_scores",
-    "text_token_rarity_scores", "text_zipf_constancy",
-    "text_bpe_first_merges",
-    "q18_large_volume_customers", "q8_market_share",
-    "orders_rfm_segments", "skew_salted_join_revenue",
-    "scd2_point_in_time_join", "stats_qty_price_correlation",
+    # round-11 rotation: r11 additions first, then the never-swept
+    # relational/analytic/events/text/mm/dq/sketch/stream tail
+    "events_lifecycle_stages", "stream_retention_cohorts",
+    "graph_hits_scores", "graph_clustering_topk",
+    "corpus_novelty_curve", "sim_ivf_balance_report",
+    "mlprep_tokenizer_fertility_report", "mm_payload_entropy_report",
+    "q2_min_price_supplier", "q4_order_priority", "q7_nation_volume",
+    "q11_part_value_share", "q12_priority_lines",
+    "q13_order_distribution", "q14_promo_revenue_share",
+    "q15_top_suppliers", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "rollup_order_revenue", "cube_lineitem_counts",
+    "grouping_sets_mktsegment_nation", "pivot_status_by_priority",
+    "unpivot_lineitem_metrics",
+    "events_funnel_counts", "events_activity_islands",
+    "events_anomaly_zscore", "events_conversion_latency_percentiles",
+    "text_df_histogram", "text_token_stats", "text_pii_scan",
+    "text_length_histogram",
+    "mm_binary_features",
+    "dq_profile_lineitem", "dq_benford_first_digit",
+    "sketch_value_percentiles", "sketch_histogram_weekly_rollup",
+    "stream_hourly_counts", "stream_exact_dedup",
 ]
 EXTRA = EXTRA + ROTATION
 
