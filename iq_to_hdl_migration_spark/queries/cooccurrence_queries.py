@@ -865,3 +865,89 @@ def events_funnel_time_constrained(spark: SparkSession,
                    / F.col("n_click").cast("double"))
         .alias("conversion_from_prev"))
     return view_row.unionByName(click_row).unionByName(buy_row)
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution: the multi-touch alternative to first-click —
+# every click within 24h before a purchase earns credit halving per
+# hour of age. Weights are integer powers of two (1 << (23 - age), no
+# exp/libm), per-purchase credit shares are floor-quantized to integer
+# ppm BEFORE summing (a double sum of rationals would be partition-
+# order-dependent), and the report is the credit mass by age bucket —
+# the decay curve marketing actually reads. The purchase-click join is
+# user-keyed with the 24h window as a join-side filter; per-purchase
+# normalization is one groupBy on the purchase id.
+# ---------------------------------------------------------------------------
+
+_TD_HOUR_US = 3600 * 1_000_000
+_TD_WINDOW_H = 24
+
+
+@register(
+    "events_attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id AS pid,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ct
+        FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+        SELECT p.pid,
+               CAST((p.pt - c.ct) // {_TD_HOUR_US} AS BIGINT) AS age_h,
+               CAST(1 AS BIGINT)
+                   << CAST({_TD_WINDOW_H - 1}
+                           - (p.pt - c.ct) // {_TD_HOUR_US} AS BIGINT)
+                   AS w
+        FROM p JOIN c ON c.user_id = p.user_id
+        WHERE c.ct < p.pt
+          AND p.pt - c.ct < {_TD_WINDOW_H * _TD_HOUR_US}
+    ),
+    tot AS (
+        SELECT pid, CAST(SUM(w) AS BIGINT) AS tw FROM pairs GROUP BY pid
+    )
+    SELECT pr.age_h AS age_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(pr.w) AS BIGINT) AS weight_sum,
+           CAST(SUM(pr.w * 1000000 // t.tw) AS BIGINT) AS credit_ppm
+    FROM pairs pr JOIN tot t ON t.pid = pr.pid
+    GROUP BY pr.age_h
+    """,
+    doc="time-decay multi-touch attribution curve: clicks within 24h "
+        "before a purchase earn credit halving per hour of age "
+        "(integer 2^(23-age) weights — no exp), per-purchase shares "
+        "floor-quantized to ppm before the BIGINT sum so the curve is "
+        "engine-order-independent; credit mass and touch counts per "
+        "age bucket (bounded 24-row output); user-keyed join with the "
+        "window as a join-side filter",
+)
+def events_attribution_time_decay(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("pid"),
+                 us.alias("pt")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", us.alias("ct")))
+    pairs = (p.join(c, "user_id")
+             .where((F.col("ct") < F.col("pt"))
+                    & (F.col("pt") - F.col("ct")
+                       < _TD_WINDOW_H * _TD_HOUR_US))
+             .select("pid",
+                     F.expr(f"(pt - ct) div {_TD_HOUR_US}")
+                     .cast("bigint").alias("age_h"))
+             .withColumn("w", F.expr(
+                 f"shiftleft(CAST(1 AS BIGINT), "
+                 f"CAST({_TD_WINDOW_H - 1} - age_h AS INT))")))
+    tot = pairs.groupBy("pid").agg(
+        F.sum("w").cast("bigint").alias("tw"))
+    return (pairs.join(tot, "pid")
+            .groupBy(F.col("age_h").alias("age_hours"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+                 F.sum("w").cast("bigint").alias("weight_sum"),
+                 F.sum(F.expr("w * 1000000 div tw")).cast("bigint")
+                 .alias("credit_ppm")))

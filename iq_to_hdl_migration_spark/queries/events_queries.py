@@ -853,9 +853,9 @@ def events_interarrival_dispersion(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "events_lifecycle_stages",
-    oracle="""
+# shared with stream_lifecycle_stages — the streaming fold's mask
+# state must reproduce exactly this batch answer (the twin contract)
+LIFECYCLE_ORACLE = """
     WITH uw AS (
         SELECT DISTINCT user_id,
                datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
@@ -893,20 +893,14 @@ def events_interarrival_dispersion(spark: SparkSession,
            CAST(SUM(CASE WHEN stage = 'churned' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_churned
     FROM staged GROUP BY week
-    """,
-    doc="growth accounting per week: users split into new (first "
-        "active week), retained (active previous week), resurrected "
-        "(returning after a gap), plus churned attributed to the week "
-        "after each activity run ends (right-censored at the corpus's "
-        "last week) — the standard DAU/MAU decomposition that says "
-        "WHY a weekly-active curve moved; distinct user-weeks, one "
-        "per-user lag/lead window, bounded-week-domain final groupBy",
-)
-def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
-            / 7).cast("int")  # datediff >= 0: cast-truncation == floor
-    uw = ev.select("user_id", week.alias("week")).distinct()
+    """
+
+
+def lifecycle_from_user_weeks(uw: DataFrame) -> DataFrame:
+    """Shared growth-accounting tail over a DISTINCT (user_id, week)
+    activity frame — consumed by the batch query below (user-weeks
+    from the events scan) and by stream_lifecycle_stages (user-weeks
+    exploded from the folded per-user week bitmask)."""
     w = Window.partitionBy("user_id").orderBy("week")
     seq = uw.select(
         "user_id", "week",
@@ -930,6 +924,25 @@ def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("bigint").alias(f"n_{s}")
                    for s in ("new", "retained", "resurrected",
                              "churned")]))
+
+
+@register(
+    "events_lifecycle_stages",
+    oracle=LIFECYCLE_ORACLE,
+    doc="growth accounting per week: users split into new (first "
+        "active week), retained (active previous week), resurrected "
+        "(returning after a gap), plus churned attributed to the week "
+        "after each activity run ends (right-censored at the corpus's "
+        "last week) — the standard DAU/MAU decomposition that says "
+        "WHY a weekly-active curve moved; distinct user-weeks, one "
+        "per-user lag/lead window, bounded-week-domain final groupBy",
+)
+def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / 7).cast("int")  # datediff >= 0: cast-truncation == floor
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    return lifecycle_from_user_weeks(uw)
 
 
 # ---------------------------------------------------------------------------
@@ -1078,4 +1091,84 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("auth_q").cast("double")
                      / F.lit(float(_HITS_SCALE))).alias("auth"))
             .orderBy(F.desc("auth_q"), F.asc("user_id"))
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Bot scoring: composite behavioral-integrity score per user from two
+# machine-cadence signals — the share of sub-second inter-event gaps
+# and the share of activity in the 00:00-05:59 UTC window. Hours come
+# from integer epoch arithmetic ((us div 3600e6) % 24), never hour(ts)
+# — tz-free, so the report is stable under any client timezone. Both
+# signals are floor-quantized integer ppm; the score is their BIGINT
+# sum. One per-user lag window + one conditional aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bot_score_report",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+               CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                              AND us - prev_us < 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_subsec,
+               CAST(SUM(CASE WHEN (us // 3600000000) % 24 < 6
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_night
+        FROM o GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events, n_gaps,
+           CAST(n_subsec * 1000000 // n_gaps AS BIGINT) AS subsec_ppm,
+           CAST(n_night * 1000000 // n_events AS BIGINT) AS night_ppm,
+           CAST(n_subsec * 1000000 // n_gaps
+                + n_night * 1000000 // n_events AS BIGINT) AS bot_score
+    FROM agg WHERE n_gaps >= 1
+    ORDER BY bot_score DESC, user_id
+    LIMIT 20
+    """,
+    doc="top-20 bot-suspect users by a composite cadence score: "
+        "sub-second inter-event gap share + night-hours (00-06 UTC) "
+        "activity share, each floor-quantized integer ppm (hours from "
+        "tz-free epoch arithmetic, never hour(ts)); one per-user lag "
+        "window + conditional aggregation, deterministic top-k — the "
+        "abuse-filtering stage of an events-derived training corpus",
+)
+def events_bot_score_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    o = ev.select("user_id", us.alias("us"), prev.alias("prev_us"))
+    agg = (o.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.when(F.col("prev_us").isNotNull(), 1)
+                      .otherwise(0)).cast("bigint").alias("n_gaps"),
+                F.sum(F.when(F.col("prev_us").isNotNull()
+                             & ((F.col("us") - F.col("prev_us"))
+                                < 1_000_000), 1).otherwise(0))
+                .cast("bigint").alias("n_subsec"),
+                F.sum(F.when(
+                    F.expr("(us div 3600000000) % 24") < 6, 1)
+                    .otherwise(0)).cast("bigint").alias("n_night")))
+    return (agg.where(F.col("n_gaps") >= 1)
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    "n_events", "n_gaps",
+                    F.expr("n_subsec * 1000000 div n_gaps")
+                    .cast("bigint").alias("subsec_ppm"),
+                    F.expr("n_night * 1000000 div n_events")
+                    .cast("bigint").alias("night_ppm"),
+                    F.expr("n_subsec * 1000000 div n_gaps"
+                           " + n_night * 1000000 div n_events")
+                    .cast("bigint").alias("bot_score"))
+            .orderBy(F.desc("bot_score"), F.asc("user_id"))
             .limit(20))

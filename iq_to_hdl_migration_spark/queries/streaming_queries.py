@@ -19,7 +19,7 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
-    GINI_ORACLE, RETENTION_ORACLE)
+    GINI_ORACLE, LIFECYCLE_ORACLE, RETENTION_ORACLE)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
     AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
@@ -600,3 +600,19 @@ def stream_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_retention_{next(_seq)}"
     return W.streaming_retention_cohorts(spark, sf_dir, name)
+
+
+@register(
+    "stream_lifecycle_stages",
+    oracle=LIFECYCLE_ORACLE,  # shared with events_lifecycle_stages
+    doc="streaming twin of events_lifecycle_stages (17th twin): the "
+        "SAME per-user MIN/OR fold as stream_retention_cohorts — one "
+        "BIGINT week bitmask per user carries both cohort retention "
+        "and growth accounting exactly — with the final snapshot's "
+        "masks exploded into the distinct user-week frame and fed "
+        "through the shared batch tail; equals the single-shot "
+        "lifecycle report bit-for-bit (shared oracle)",
+)
+def stream_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_lifecycle_{next(_seq)}"
+    return W.streaming_lifecycle_stages(spark, sf_dir, name)

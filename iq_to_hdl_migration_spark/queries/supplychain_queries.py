@@ -406,3 +406,120 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("export_rev", zero)
                      - F.coalesce("import_rev", zero)).cast("double")
                     .alias("balance")))
+
+
+# ---------------------------------------------------------------------------
+# Ship-lag SLA profile: order-to-ship latency distribution per order
+# priority — the "are URGENT orders actually shipped faster" SLA
+# readout. Lags are integer days (datediff — identical in both
+# engines), and the p50/p90 use the constructive rank-interpolation
+# idiom (events_funnel_dropoff_time): order statistics at floor/ceil
+# of (n-1)q with the integer-remainder fraction, so the percentiles
+# are bit-equal across engines BY CONSTRUCTION. One orders-lineitem
+# join on the order key, one priority-partitioned window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_ship_lag_profile",
+    oracle="""
+    WITH lag AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS lag_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+        SELECT priority, lag_days,
+               ROW_NUMBER() OVER (PARTITION BY priority
+                                  ORDER BY lag_days) - 1 AS rn
+        FROM lag
+    ),
+    cnt AS (
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MIN(lag_days) AS BIGINT) AS min_lag_days,
+               CAST(MAX(lag_days) AS BIGINT) AS max_lag_days,
+               CAST(SUM(lag_days) AS BIGINT) AS sum_lag_days
+        FROM lag GROUP BY priority
+    ),
+    pick AS (
+        SELECT r.priority, c.n_lines, c.min_lag_days, c.max_lag_days,
+               c.sum_lag_days,
+            MAX(CASE WHEN rn = ((n_lines - 1) * 5) // 10
+                     THEN lag_days END) AS lo5,
+            MAX(CASE WHEN rn = LEAST(((n_lines - 1) * 5) // 10 + 1,
+                                     n_lines - 1)
+                     THEN lag_days END) AS hi5,
+            MAX(CASE WHEN rn = ((n_lines - 1) * 9) // 10
+                     THEN lag_days END) AS lo9,
+            MAX(CASE WHEN rn = LEAST(((n_lines - 1) * 9) // 10 + 1,
+                                     n_lines - 1)
+                     THEN lag_days END) AS hi9
+        FROM ranked r JOIN cnt c ON c.priority = r.priority
+        GROUP BY r.priority, c.n_lines, c.min_lag_days, c.max_lag_days,
+                 c.sum_lag_days
+    )
+    SELECT priority, n_lines, min_lag_days, max_lag_days,
+           CAST(lo5 AS DOUBLE)
+             + CAST(((n_lines - 1) * 5) % 10 AS DOUBLE) / 10.0
+               * CAST(hi5 - lo5 AS DOUBLE) AS p50_lag_days,
+           CAST(lo9 AS DOUBLE)
+             + CAST(((n_lines - 1) * 9) % 10 AS DOUBLE) / 10.0
+               * CAST(hi9 - lo9 AS DOUBLE) AS p90_lag_days,
+           CAST(sum_lag_days AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS mean_lag_days
+    FROM pick
+    """,
+    doc="order-to-ship latency SLA per order priority: min/max and "
+        "bit-stable p50/p90 (constructive integer-rank interpolation, "
+        "the events_funnel_dropoff_time idiom) plus the exact rational "
+        "mean over integer day lags — the does-URGENT-ship-faster "
+        "audit; one order-key join, one priority-partitioned window "
+        "over a 5-value bounded priority domain",
+)
+def orders_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    lag = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .select(F.col("o_orderpriority").alias("priority"),
+                   F.datediff("l_shipdate", "o_orderdate").cast("bigint")
+                   .alias("lag_days")))
+    w = Window.partitionBy("priority").orderBy("lag_days")
+    ranked = lag.withColumn(
+        "rn", F.row_number().over(w).cast("bigint") - 1)
+    cnt = lag.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("lag_days").cast("bigint").alias("min_lag_days"),
+        F.max("lag_days").cast("bigint").alias("max_lag_days"),
+        F.sum("lag_days").cast("bigint").alias("sum_lag_days"))
+
+    def _at(ix_expr, out):
+        return F.max(F.when(F.col("rn") == ix_expr,
+                            F.col("lag_days"))).alias(out)
+
+    def _lo_ix(q):
+        return F.expr(f"((n_lines - 1) * {q}) div 10")
+
+    def _hi_ix(q):
+        return F.least(_lo_ix(q) + 1, F.col("n_lines") - 1)
+
+    pick = (ranked.join(cnt, "priority")
+            .groupBy("priority", "n_lines", "min_lag_days",
+                     "max_lag_days", "sum_lag_days")
+            .agg(_at(_lo_ix(5), "lo5"), _at(_hi_ix(5), "hi5"),
+                 _at(_lo_ix(9), "lo9"), _at(_hi_ix(9), "hi9")))
+
+    def _interp(q, lo, hi):
+        return (F.col(lo).cast("double")
+                + F.expr(f"CAST(((n_lines - 1) * {q}) % 10 AS DOUBLE)")
+                / F.lit(10.0)
+                * (F.col(hi) - F.col(lo)).cast("double"))
+
+    return pick.select(
+        "priority", "n_lines", "min_lag_days", "max_lag_days",
+        _interp(5, "lo5", "hi5").alias("p50_lag_days"),
+        _interp(9, "lo9", "hi9").alias("p90_lag_days"),
+        (F.col("sum_lag_days").cast("double")
+         / F.col("n_lines").cast("double")).alias("mean_lag_days"))

@@ -1387,3 +1387,70 @@ def streaming_retention_cohorts(spark: SparkSession, sf_dir: str,
     final = sorted(os.listdir(snap_dir))[-1]
     snap = spark.read.parquet(os.path.join(snap_dir, final))
     return retention_from_state(snap)
+
+
+def streaming_lifecycle_stages(spark: SparkSession, sf_dir: str,
+                               _query_name: str = "stream_lifecycle",
+                               n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_lifecycle_stages (17th twin): the SAME
+    per-user (MIN cohort week, OR active-week bitmask) fold as the
+    retention twin — growth accounting needs only the mask half — with
+    the final snapshot's masks exploded back into a distinct user-week
+    frame and fed through the shared batch tail
+    (events_queries.lifecycle_from_user_weeks). One fold shape, two
+    registered reports: the state design is the point (a single BIGINT
+    mask per user carries both cohort retention AND lifecycle
+    classification exactly).
+
+    Supersede-on-reinvoke contract: same as streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        lifecycle_from_user_weeks)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "lifecycle")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame([], RETENTION_STATE_SCHEMA)
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return lifecycle_from_user_weeks(user_weeks_from_state(snap))
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
+
+    run_retention_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return lifecycle_from_user_weeks(user_weeks_from_state(snap))
+
+
+def user_weeks_from_state(snap: DataFrame) -> DataFrame:
+    """Explode the folded week bitmask back into the DISTINCT
+    (user_id, week) frame the batch tails consume."""
+    return snap.select(
+        "user_id",
+        F.explode(F.expr(
+            f"filter(sequence(0, {_RET_MAX_WEEK}), "
+            "w -> (week_mask >> w) % 2 = 1)")).alias("week"))
