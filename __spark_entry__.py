@@ -40,11 +40,13 @@ _SAMPLE_PRIORITY = [
     "graph_hits_scores", "graph_clustering_topk",
     "corpus_novelty_curve", "sim_ivf_balance_report",
     "mlprep_tokenizer_fertility_report", "mm_payload_entropy_report",
-    # round 11, tier 2: code changed this round (flood-capped pair
-    # verifiers with the n_partners/n_overflow census, size-gated
-    # probe-side join) — regression proof under the driver's own hash
-    "dedup_ngram_jaccard_pairs", "dedup_containment_pairs",
-    "events_session_overlap_pairs",
+    "stream_lifecycle_stages", "events_bot_score_report",
+    "events_attribution_time_decay", "orders_ship_lag_profile",
+    # round 11, tier 2: code changed this round — one driver re-draw
+    # for the flood-cap schema change (its twin dedup_containment_pairs
+    # and the size-gated events_session_overlap_pairs are locked by the
+    # same gate + plan tests; slots go to the never-sampled tail)
+    "dedup_ngram_jaccard_pairs",
     # round 11, tier 3: never-sampled rows (67 after r10) — the last
     # §2 names without first-party driver evidence first, then the
     # events_*/stream_*/mm_*/sim_*/dedup_*/orders_* blocks the r10
@@ -68,7 +70,6 @@ _SAMPLE_PRIORITY = [
     "dedup_survivorship",
     "orders_monthly_growth", "orders_quarter_share",
     "orders_backlog_daily", "orders_basket_size_distribution",
-    "customer_balance_position", "trend_holt_forecast_monthly_revenue",
 ]
 
 

@@ -130,3 +130,65 @@ def test_payload_entropy_report_bounds(spark, sf_dir):
         assert (_PPM // 256 <= r.min_collision_ppm
                 <= r.mean_collision_ppm
                 <= r.max_collision_ppm <= _PPM)
+
+
+def test_ship_lag_profile_order_statistics(spark, sf_dir):
+    out = {r.priority: r for r in
+           REGISTRY["orders_ship_lag_profile"].fn(spark, sf_dir).collect()}
+    assert len(out) == 5  # TPC-H priority domain
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r.n_lines for r in out.values()) == li
+    for r in out.values():
+        assert (r.min_lag_days <= r.p50_lag_days <= r.p90_lag_days
+                <= r.max_lag_days)
+        assert r.min_lag_days <= r.mean_lag_days <= r.max_lag_days
+
+
+def test_bot_score_components_bounded(spark, sf_dir):
+    out = REGISTRY["events_bot_score_report"].fn(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    for r in out:
+        assert 0 <= r.subsec_ppm <= _PPM
+        assert 0 <= r.night_ppm <= _PPM
+        assert r.bot_score == r.subsec_ppm + r.night_ppm
+    scores = [r.bot_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_time_decay_attribution_accounting(spark, sf_dir):
+    """Every purchase with at least one in-window click distributes
+    <= 1e6 ppm of credit (floor quantization loses at most one ppm per
+    touch), and age buckets stay inside the 24h window."""
+    out = REGISTRY["events_attribution_time_decay"].fn(
+        spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.age_hours <= 23
+        assert r.weight_sum >= r.n_touches  # every weight >= 1
+    # total credit == n_purchases_with_touches * 1e6, minus floor dust
+    total_credit = sum(r.credit_ppm for r in out)
+    total_touches = sum(r.n_touches for r in out)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as FF
+    us = FF.unix_micros(FF.col("ts"))
+    p = (ev.filter(FF.col("event_type") == "purchase")
+         .select("user_id", FF.col("event_id").alias("pid"),
+                 us.alias("pt")))
+    c = (ev.filter(FF.col("event_type") == "click")
+         .select("user_id", us.alias("ct")))
+    n_attr = (p.join(c, "user_id")
+              .where((FF.col("ct") < FF.col("pt"))
+                     & (FF.col("pt") - FF.col("ct") < 24 * 3600 * 10**6))
+              .select("pid").distinct().count())
+    assert n_attr * _PPM - total_touches < total_credit <= n_attr * _PPM
+
+
+def test_stream_lifecycle_equals_batch(spark, sf_dir):
+    got = sorted(tuple(r) for r in
+                 REGISTRY["stream_lifecycle_stages"].fn(
+                     spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in
+                  REGISTRY["events_lifecycle_stages"].fn(
+                      spark, sf_dir).collect())
+    assert got == want
