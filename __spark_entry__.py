@@ -42,6 +42,8 @@ _SAMPLE_PRIORITY = [
     "mlprep_tokenizer_fertility_report", "mm_payload_entropy_report",
     "stream_lifecycle_stages", "events_bot_score_report",
     "events_attribution_time_decay", "orders_ship_lag_profile",
+    "dedup_mixture_shift_report", "events_session_duration_histogram",
+    "orders_customer_migration_matrix", "mlprep_shard_plan",
     # round 11, tier 2: code changed this round — one driver re-draw
     # for the flood-cap schema change (its twin dedup_containment_pairs
     # and the size-gated events_session_overlap_pairs are locked by the
@@ -68,8 +70,6 @@ _SAMPLE_PRIORITY = [
     "sim_embedding_quantize_stats",
     "dedup_exact_stats", "dedup_exact_groups", "dedup_rate_by_source",
     "dedup_survivorship",
-    "orders_monthly_growth", "orders_quarter_share",
-    "orders_backlog_daily", "orders_basket_size_distribution",
 ]
 
 

@@ -951,3 +951,83 @@ def events_attribution_time_decay(spark: SparkSession,
                  F.sum("w").cast("bigint").alias("weight_sum"),
                  F.sum(F.expr("w * 1000000 div tw")).cast("bigint")
                  .alias("credit_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Customer tier migration: activity tier (none/light/mid/heavy by
+# order count) in the first half of the order-date range vs the
+# second — the churn/upgrade flow matrix behind "where did our heavy
+# buyers go". The date midpoint is integer day arithmetic from one
+# scalar aggregate (broadcast), halves aggregate per customer, and
+# the matrix domain is 4x4 — bounded output at any order volume.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_customer_migration_matrix",
+    oracle="""
+    WITH bounds AS (
+        SELECT datediff('day', DATE '1970-01-01', MIN(o_orderdate))
+                   AS lo,
+               datediff('day', DATE '1970-01-01', MAX(o_orderdate))
+                   AS hi
+        FROM orders
+    ),
+    tagged AS (
+        SELECT o.o_custkey AS custkey,
+               CASE WHEN datediff('day', DATE '1970-01-01', o.o_orderdate)
+                         <= (b.lo + b.hi) // 2
+                    THEN 1 ELSE 2 END AS half
+        FROM orders o CROSS JOIN bounds b
+    ),
+    per AS (
+        SELECT custkey,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2
+        FROM tagged GROUP BY custkey
+    ),
+    tiers AS (
+        SELECT custkey,
+               CASE WHEN n1 = 0 THEN 'none' WHEN n1 = 1 THEN 'light'
+                    WHEN n1 <= 3 THEN 'mid' ELSE 'heavy' END AS tier_h1,
+               CASE WHEN n2 = 0 THEN 'none' WHEN n2 = 1 THEN 'light'
+                    WHEN n2 <= 3 THEN 'mid' ELSE 'heavy' END AS tier_h2
+        FROM per
+    )
+    SELECT tier_h1, tier_h2, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM tiers GROUP BY tier_h1, tier_h2
+    """,
+    doc="customer activity-tier migration matrix: order-count tier "
+        "(none/light/mid/heavy) in the first vs second half of the "
+        "order-date range — the upgrade/churn flow behind a moving "
+        "revenue curve; midpoint from one broadcast scalar aggregate, "
+        "per-customer conditional sums, 4x4 bounded output",
+)
+def orders_customer_migration_matrix(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+        .alias("d"))
+    bounds = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    tagged = (o.join(F.broadcast(bounds))
+              .select("o_custkey",
+                      F.when(F.col("d") <= F.expr("(lo + hi) div 2"), 1)
+                      .otherwise(2).alias("half")))
+    per = (tagged.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                .cast("bigint").alias("n1"),
+                F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+                .cast("bigint").alias("n2")))
+
+    def tier(c):
+        return (F.when(F.col(c) == 0, "none")
+                .when(F.col(c) == 1, "light")
+                .when(F.col(c) <= 3, "mid").otherwise("heavy"))
+
+    return (per.select(tier("n1").alias("tier_h1"),
+                       tier("n2").alias("tier_h2"))
+            .groupBy("tier_h1", "tier_h2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers")))

@@ -523,3 +523,46 @@ def jaccard_calibration_oracle(threshold: float = 0.5,
            MIN(est_jaccard) AS min_est, MAX(est_jaccard) AS max_est
     FROM x GROUP BY 1
     """
+
+
+def mixture_shift_oracle(threshold: float = 0.7) -> str:
+    """Twin of dedup_mixture_shift_report: per-source corpus share
+    before vs after near-dup removal (min-id-wins losers over the
+    >= threshold LSH pair list), floor-quantized ppm + signed delta."""
+    return f"""
+    WITH {_MINHASH_PREFIX}, {_MINHASH_CAND},
+    losers AS (
+        SELECT DISTINCT id_b AS id FROM cand
+        WHERE est_jaccard >= {threshold}
+        UNION
+        SELECT DISTINCT id FROM base WHERE id != keep_id
+    ),
+    d AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, source FROM documents
+    ),
+    kept AS (
+        SELECT d.id, d.source FROM d
+        LEFT JOIN losers l ON l.id = d.id WHERE l.id IS NULL
+    ),
+    bf AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM d
+        GROUP BY source
+    ),
+    af AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after FROM kept
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS t_before,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS t_after
+    )
+    SELECT b.source, b.n_before, COALESCE(a.n_after, 0) AS n_after,
+           CAST(b.n_before * 1000000 // t.t_before AS BIGINT)
+               AS before_ppm,
+           CAST(COALESCE(a.n_after, 0) * 1000000 // t.t_after
+                AS BIGINT) AS after_ppm,
+           CAST(COALESCE(a.n_after, 0) * 1000000 // t.t_after
+                - b.n_before * 1000000 // t.t_before AS BIGINT)
+               AS delta_ppm
+    FROM bf b LEFT JOIN af a ON a.source = b.source CROSS JOIN tot t
+    """

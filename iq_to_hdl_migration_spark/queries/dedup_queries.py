@@ -29,6 +29,7 @@ from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     minhash_pairs_oracle,
     simhash_pairs_oracle,
     threshold_sweep_oracle,
+    mixture_shift_oracle as _mixture_shift_oracle,
 )
 from iq_to_hdl_migration_spark.sources.tables import load_table
 
@@ -769,3 +770,40 @@ def dedup_lsh_collision_profile(spark: SparkSession,
                  (F.sum("n_match").cast("double")
                   / (F.count(F.lit(1)) * dedup.N_HASHES).cast("double"))
                  .alias("avg_est_jaccard")))
+
+
+@register(
+    "dedup_mixture_shift_report",
+    oracle=_mixture_shift_oracle(threshold=0.7),
+    doc="what near-dup removal does to the TRAINING MIXTURE: per-source "
+        "corpus share before vs after dropping min-id-wins losers over "
+        "the >= 0.7 LSH pair graph, floor-quantized ppm with a signed "
+        "delta — template-heavy sources shrink, curated sources gain "
+        "weight, and a mixture tuned pre-dedup silently drifts; served "
+        "from the memoized pair graph, so the report costs two bounded "
+        "source-keyed aggregates, never a re-signature",
+)
+def dedup_mixture_shift_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(spark, sf_dir, threshold=0.7)
+    losers = (pairs.select(F.col("id_b").alias("doc_id")).distinct()
+              .withColumn("is_loser", F.lit(True)))
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "source")
+    tagged = d.join(losers, "doc_id", "left")
+    per = (tagged.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"),
+                F.sum(F.when(F.col("is_loser").isNull(), 1)
+                      .otherwise(0)).cast("bigint").alias("n_after")))
+    tot = per.agg(F.sum("n_before").cast("bigint").alias("t_before"),
+                  F.sum("n_after").cast("bigint").alias("t_after"))
+    return (per.join(F.broadcast(tot))
+            .select("source", "n_before", "n_after",
+                    F.expr("n_before * 1000000 div t_before")
+                    .cast("bigint").alias("before_ppm"),
+                    F.expr("n_after * 1000000 div t_after")
+                    .cast("bigint").alias("after_ppm"),
+                    F.expr("n_after * 1000000 div t_after"
+                           " - n_before * 1000000 div t_before")
+                    .cast("bigint").alias("delta_ppm")))

@@ -1172,3 +1172,67 @@ def events_bot_score_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("bot_score"))
             .orderBy(F.desc("bot_score"), F.asc("user_id"))
             .limit(20))
+
+
+@register(
+    "events_session_duration_histogram",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    s0 AS (
+        SELECT user_id, us,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US}
+                        THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               (MAX(us) - MIN(us)) // 1000000 AS dur_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s0 GROUP BY user_id, sid
+    )
+    SELECT CAST(CASE WHEN dur_s <= 0 THEN 0
+                     ELSE length(bin(dur_s)) END AS INTEGER)
+               AS dur_bucket_log2s,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MIN(dur_s) AS BIGINT) AS min_dur_s,
+           CAST(MAX(dur_s) AS BIGINT) AS max_dur_s
+    FROM sess GROUP BY 1
+    """,
+    doc="session-duration distribution in power-of-two second buckets "
+        "(bucket = integer bit-length — the engine-portable log2, no "
+        "libm): session count, event mass, and duration range per "
+        "bucket — the engagement-depth histogram; the sessionizer's "
+        "one user_id window + a bounded-bucket groupBy",
+)
+def events_session_duration_histogram(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > _GAP_US), 1).otherwise(0)
+    s0 = (ev.select("user_id", "event_id", us.alias("us"),
+                    is_new.alias("is_new"))
+          .withColumn("sid", F.sum("is_new").over(
+              Window.partitionBy("user_id").orderBy("us", "event_id")
+              .rowsBetween(Window.unboundedPreceding, 0))))
+    sess = (s0.groupBy("user_id", "sid")
+            .agg(F.expr("(max(us) - min(us)) div 1000000")
+                 .alias("dur_s"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    bucket = (F.when(F.col("dur_s") <= 0, 0)
+              .otherwise(F.length(F.bin(F.col("dur_s")))).cast("int"))
+    return (sess.groupBy(bucket.alias("dur_bucket_log2s"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.sum("n_events").cast("bigint").alias("n_events"),
+                 F.min("dur_s").cast("bigint").alias("min_dur_s"),
+                 F.max("dur_s").cast("bigint").alias("max_dur_s")))

@@ -1369,3 +1369,66 @@ def mlprep_pii_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_tokens_masked"),
                  (F.sum("n_masked").cast("double")
                   / F.sum("n_tokens").cast("double")).alias("mask_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Training-shard plan: content-addressed assignment of documents to a
+# fixed shard count with the balance report a dataloader needs —
+# shard = md5-bucket of doc_id (reshuffling-free, reproducible from
+# ids alone), per-shard doc/token mass, and each shard's deviation
+# from perfect balance in signed ppm. Map-only scan + one bounded
+# (64-row) groupBy.
+# ---------------------------------------------------------------------------
+
+_SHARDS = 64
+
+
+@register(
+    "mlprep_shard_plan",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_SHARDS} AS shard,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS nt
+        FROM documents
+    ),
+    per AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM d GROUP BY shard
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_shards
+        FROM per
+    )
+    SELECT CAST(p.shard AS INTEGER) AS shard, p.n_docs, p.n_tokens,
+           CAST(p.n_tokens * t.n_shards * 1000000 // t.t_tokens
+                - 1000000 AS BIGINT) AS balance_delta_ppm
+    FROM per p CROSS JOIN tot t
+    """,
+    doc=f"training-shard plan: md5-bucketed assignment of docs to "
+        f"{_SHARDS} shards (reproducible from ids — no reshuffle on "
+        "re-run), per-shard doc/token mass and signed deviation from "
+        "perfect token balance in ppm — the dataloader-balance audit "
+        "before a distributed epoch; map-only + bounded groupBy",
+)
+def mlprep_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)") % _SHARDS).alias("shard"),
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("nt"))
+    per = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("t_tokens"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_shards"))
+    return (per.join(F.broadcast(tot))
+            .select(F.col("shard").cast("int").alias("shard"),
+                    "n_docs", "n_tokens",
+                    F.expr("n_tokens * n_shards * 1000000 div t_tokens"
+                           " - 1000000")
+                    .cast("bigint").alias("balance_delta_ppm")))

@@ -192,3 +192,56 @@ def test_stream_lifecycle_equals_batch(spark, sf_dir):
                   REGISTRY["events_lifecycle_stages"].fn(
                       spark, sf_dir).collect())
     assert got == want
+
+
+def test_mixture_shift_share_accounting(spark, sf_dir):
+    out = REGISTRY["dedup_mixture_shift_report"].fn(spark, sf_dir).collect()
+    assert out
+    n_src = len(out)
+    for r in out:
+        assert 0 <= r.n_after <= r.n_before
+        assert r.delta_ppm == r.after_ppm - r.before_ppm
+    for col in ("before_ppm", "after_ppm"):
+        s = sum(getattr(r, col) for r in out)
+        assert _PPM - n_src <= s <= _PPM
+    # deltas telescope to ~0 (floor dust only)
+    assert abs(sum(r.delta_ppm for r in out)) <= n_src
+
+
+def test_session_duration_histogram_accounting(spark, sf_dir):
+    out = REGISTRY["events_session_duration_histogram"].fn(
+        spark, sf_dir).collect()
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    total_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in out) == total_events
+    for r in out:
+        assert r.min_dur_s <= r.max_dur_s
+        if r.dur_bucket_log2s > 0:
+            # bucket b holds durations with bit-length b
+            assert 2 ** (r.dur_bucket_log2s - 1) <= r.min_dur_s
+            assert r.max_dur_s < 2 ** r.dur_bucket_log2s
+
+
+def test_migration_matrix_covers_every_customer(spark, sf_dir):
+    out = REGISTRY["orders_customer_migration_matrix"].fn(
+        spark, sf_dir).collect()
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    n_cust = (load_table(spark, sf_dir, "orders")
+              .select("o_custkey").distinct().count())
+    assert sum(r.n_customers for r in out) == n_cust
+    tiers = {"none", "light", "mid", "heavy"}
+    for r in out:
+        assert r.tier_h1 in tiers and r.tier_h2 in tiers
+    # a customer with orders lands in a real tier at least one half
+    assert not any(r.tier_h1 == "none" and r.tier_h2 == "none"
+                   for r in out)
+
+
+def test_shard_plan_balance(spark, sf_dir):
+    out = REGISTRY["mlprep_shard_plan"].fn(spark, sf_dir).collect()
+    assert len(out) == 64
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    # signed deviations around perfect balance telescope to ~0
+    assert abs(sum(r.balance_delta_ppm for r in out)) <= 64 * 64
