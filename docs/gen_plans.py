@@ -17,6 +17,15 @@ from iq_to_hdl_migration_spark.session import get_spark
 SF_DIR = "/root/testdata/sf0.1"
 
 NOTES = {
+    "graph_clustering_topk":
+        "Degree-ordered orientation caps adjacency arrays at sqrt(2m); "
+        "triangles exploded into corners only (output-bound, never the "
+        "wedge set); TakeOrdered caps the final sort at k=20.",
+    "corpus_novelty_curve":
+        "Decile boundaries from one broadcast percentile aggregate (no "
+        "global rank window); first-seen = min(decile) per shingle; "
+        "every shuffle keyed on the shingle — corpus-linear.",
+
     "q1_pricing_summary":
         "One shuffle on the 6-value group key; partial agg map-side; "
         "shipdate filter pushed to the parquet scan.",

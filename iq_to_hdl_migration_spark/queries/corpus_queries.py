@@ -1422,6 +1422,7 @@ _NOV_N = 3  # phrase length (tokens)
 
 @register(
     "corpus_novelty_curve",
+    bench=True,
     oracle=f"""
     WITH nt AS (
         SELECT doc_id, {_TOKS_DUCK} AS t FROM documents

@@ -1495,6 +1495,7 @@ def graph_degree_assortativity(spark: SparkSession,
 
 @register(
     "graph_clustering_topk",
+    bench=True,
     oracle="""
     WITH e0 AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
