@@ -476,10 +476,16 @@ def mm_frame_dedup_crossvideo(spark: SparkSession,
 @register(
     "mm_payload_entropy_report",
     oracle="""
-    WITH ch AS (
+    WITH d AS (
+        -- empty/NULL payloads are out of scope EXPLICITLY on both
+        -- sides (r11 review: the char unnest dropped them silently
+        -- while the Spark side counted them at 0 ppm)
+        SELECT doc_id, source, text FROM documents
+        WHERE length(text) > 0
+    ),
+    ch AS (
         SELECT doc_id, source, substring(text, t.i, 1) AS c
-        FROM documents,
-             unnest(generate_series(1, length(text))) AS t(i)
+        FROM d, unnest(generate_series(1, length(text))) AS t(i)
     ),
     cc AS (
         SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -492,9 +498,7 @@ def mm_frame_dedup_crossvideo(spark: SparkSession,
         FROM cc GROUP BY doc_id, source
     ),
     ppm AS (
-        SELECT source,
-               CASE WHEN n = 0 THEN 0
-                    ELSE ss * 1000000 // (n * n) END AS collision_ppm
+        SELECT source, ss * 1000000 // (n * n) AS collision_ppm
         FROM per
     )
     SELECT source,
@@ -515,6 +519,11 @@ def mm_frame_dedup_crossvideo(spark: SparkSession,
 )
 def mm_payload_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # empty/NULL payloads are out of scope on BOTH sides (a collision
+    # rate over zero bytes is undefined; the oracle's char unnest
+    # would drop them silently — make the drop explicit instead, r11
+    # review). The comparison also drops NULL text in both engines.
+    docs = docs.where(F.octet_length("text") > 0)
     # the oracle counts CHARS; equality with byte counting holds only
     # for 1-byte chars — and the bigint ppm quantization needs
     # len^2 * 1e6 < 2^63. Both are generator properties, so enforce
@@ -533,8 +542,7 @@ def mm_payload_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = mm.byte_collision_features(mm.attach_binary_payload(docs))
     ppm = feats.select(
         "source",
-        F.when(F.col("n_bytes") == 0, F.lit(0).cast("bigint"))
-        .otherwise(F.expr("sum_sq * 1000000 div (n_bytes * n_bytes)"))
+        F.expr("sum_sq * 1000000 div (n_bytes * n_bytes)")
         .alias("collision_ppm"))
     return (ppm.groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_payloads"),

@@ -192,6 +192,12 @@ def _load_structure(spark: SparkSession, table_dir: str, tag: str,
                 if not (pathlib.Path(part_dir) / f).exists():
                     return None  # torn/vacuumed data under a live meta
             out[name] = snapshots.read_snapshot(spark, part_dir, version=v)
+        # serving this digest makes it live again — clear any stale
+        # supersession mark a corpus flip-flop left behind, or the next
+        # superseding commit would delete it in ONE generation instead
+        # of two (r11 review: the persist path alone clearing the mark
+        # left warm-start loads holding a marked, deletable dir)
+        (sdir / _SUPERSEDED_MARK).unlink(missing_ok=True)
         return out
     except Exception:
         return None  # any corruption → rebuild, never serve a broken read

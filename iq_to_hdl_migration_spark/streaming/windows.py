@@ -1261,9 +1261,12 @@ RETENTION_STATE_SCHEMA = "user_id bigint, cohort_week int, week_mask bigint"
 
 
 def _retention_week_col():
-    week = (F.datediff(F.to_date("ts"),
-                       F.lit("2024-01-01").cast("date")) / 7).cast("int")
-    return (F.when((week < 0) | (week > _RET_MAX_WEEK),
+    # guard the RAW day offset, not the truncated week: datediff in
+    # -6..-1 truncates to week 0 and would silently pass a pre-epoch
+    # event into the mask (r11 review)
+    dd = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    week = (dd / 7).cast("int")
+    return (F.when((dd < 0) | (week > _RET_MAX_WEEK),
                    F.raise_error(F.concat(
                        F.lit("retention fold supports weeks 0.."
                              f"{_RET_MAX_WEEK} (one BIGINT mask); "
@@ -1338,14 +1341,13 @@ def retention_from_state(snap: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
 
 
-def streaming_retention_cohorts(spark: SparkSession, sf_dir: str,
-                                _query_name: str = "stream_retention",
-                                n_batches: int = 4) -> DataFrame:
-    """Streaming twin of events_retention_cohorts: events arrive as
-    event_id-contiguous micro-batches (a user's signup and activity
-    deliberately SPAN batches); per-user state folds with the MIN/OR
-    monoid pair above, and the final snapshot feeds the same cohort
-    tail as the batch query — bit-for-bit equality (shared oracle).
+def _run_masked_fold(spark: SparkSession, sf_dir: str, key_tag: str,
+                     _query_name: str, n_batches: int) -> DataFrame:
+    """Shared driver for the MIN/OR mask-fold twins (retention,
+    lifecycle — r11 review: the workdir/staging/drain dance was pasted
+    twice): stage event_id-contiguous arrivals, drain the fold, return
+    the FINAL per-user (cohort_week, week_mask) snapshot. Each twin
+    applies its own tail to the same state shape.
 
     Supersede-on-reinvoke contract: same as streaming_bottomk_sample."""
     import atexit
@@ -1359,7 +1361,7 @@ def streaming_retention_cohorts(spark: SparkSession, sf_dir: str,
         "event_id", "user_id", "ts", "event_type")
 
     wkey = (spark.sparkContext.applicationId,
-            os.path.abspath(sf_dir), "retention")
+            os.path.abspath(sf_dir), key_tag)
     prev = _STREAM_WORK_DIRS.pop(wkey, None)
     if prev is not None:
         shutil.rmtree(prev, ignore_errors=True)
@@ -1376,16 +1378,25 @@ def streaming_retention_cohorts(spark: SparkSession, sf_dir: str,
     empty.write.parquet(os.path.join(snap_dir, "00000_init"))
 
     lo, hi = _id_span(ev, "event_id")
-    if hi is None:
-        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
-        return retention_from_state(snap)
-    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
-                              work, arrivals_dir)
-
-    run_retention_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+    if hi is not None:
+        _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                                  work, arrivals_dir)
+        run_retention_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
 
     final = sorted(os.listdir(snap_dir))[-1]
-    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return spark.read.parquet(os.path.join(snap_dir, final))
+
+
+def streaming_retention_cohorts(spark: SparkSession, sf_dir: str,
+                                _query_name: str = "stream_retention",
+                                n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_retention_cohorts: events arrive as
+    event_id-contiguous micro-batches (a user's signup and activity
+    deliberately SPAN batches); per-user state folds with the MIN/OR
+    monoid pair above, and the final snapshot feeds the same cohort
+    tail as the batch query — bit-for-bit equality (shared oracle)."""
+    snap = _run_masked_fold(spark, sf_dir, "retention", _query_name,
+                            n_batches)
     return retention_from_state(snap)
 
 
@@ -1400,49 +1411,12 @@ def streaming_lifecycle_stages(spark: SparkSession, sf_dir: str,
     (events_queries.lifecycle_from_user_weeks). One fold shape, two
     registered reports: the state design is the point (a single BIGINT
     mask per user carries both cohort retention AND lifecycle
-    classification exactly).
-
-    Supersede-on-reinvoke contract: same as streaming_bottomk_sample."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
+    classification exactly)."""
     from iq_to_hdl_migration_spark.queries.events_queries import (
         lifecycle_from_user_weeks)
-    from iq_to_hdl_migration_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type")
-
-    wkey = (spark.sparkContext.applicationId,
-            os.path.abspath(sf_dir), "lifecycle")
-    prev = _STREAM_WORK_DIRS.pop(wkey, None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
-    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
-    _STREAM_WORK_DIRS[wkey] = work
-    arrivals_dir = os.path.join(work, "arrivals")
-    snap_dir = os.path.join(work, "snaps")
-    ckpt_dir = os.path.join(work, "ckpt")
-    os.makedirs(arrivals_dir)
-    os.makedirs(snap_dir)
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-
-    empty = spark.createDataFrame([], RETENTION_STATE_SCHEMA)
-    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
-
-    lo, hi = _id_span(ev, "event_id")
-    if hi is None:
-        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
-        return lifecycle_from_user_weeks(user_weeks_from_state(snap))
-    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
-                              work, arrivals_dir)
-
-    run_retention_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
-
-    final = sorted(os.listdir(snap_dir))[-1]
-    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    snap = _run_masked_fold(spark, sf_dir, "lifecycle", _query_name,
+                            n_batches)
     return lifecycle_from_user_weeks(user_weeks_from_state(snap))
 
 

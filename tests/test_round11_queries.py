@@ -245,3 +245,44 @@ def test_shard_plan_balance(spark, sf_dir):
     assert sum(r.n_docs for r in out) == n_docs
     # signed deviations around perfect balance telescope to ~0
     assert abs(sum(r.balance_delta_ppm for r in out)) <= 64 * 64
+
+
+def test_payload_entropy_empty_doc_parity(spark, sf_dir, tmp_path):
+    """An empty-text document is explicitly out of scope on BOTH
+    engines (r11 review: the oracle's char unnest dropped it silently
+    while Spark counted it at 0 ppm — hash-red on any corpus with a
+    blank doc). Plant one and require the report to ignore it."""
+    import shutil
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iq_to_hdl_migration_spark.sources.tables import TABLES, table_path
+
+    work = str(tmp_path)
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(table_path(sf_dir, t), f"{work}/{t}.parquet")
+    tb = pq.read_table(table_path(sf_dir, "documents"))
+    df = tb.to_pandas()
+    extra = pd.DataFrame([{"doc_id": 10 ** 9, "text": "", "lang": "en",
+                           "source": "src0", "n_chars": 0}])
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat([df, extra], ignore_index=True),
+                             schema=tb.schema),
+        f"{work}/documents.parquet")
+
+    spec = REGISTRY["mm_payload_entropy_report"]
+    srows = sorted(tuple(r) for r in spec.fn(spark, work).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{work}/documents.parquet')")
+    orows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert srows == orows
+    # and the blank doc really was ignored, not counted at 0 ppm
+    base = {r[0]: r[1] for r in sorted(
+        tuple(r) for r in spec.fn(spark, sf_dir).collect())}
+    got = {r[0]: r[1] for r in srows}
+    assert got["src0"] == base["src0"]

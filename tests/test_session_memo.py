@@ -402,3 +402,59 @@ def test_persist_structure_removes_stale_part_dirs(spark, sf_dir,
     assert out is not None and set(out) == {"a", "c"}
     assert out["a"].count() == 3
     memo._MEMOS.clear()
+
+
+def test_superseded_mark_cleared_on_warm_start(spark, sf_dir, tmp_path):
+    """Corpus flip-flop (r11 review): digest dA superseded by B gets
+    marked; the corpus then flips BACK to A and dA is served from the
+    warm-start path — that serve must clear the mark, or the next
+    superseding commit deletes dA in ONE generation and a reader that
+    just resolved dA's meta loses its files mid-scan."""
+    import glob
+    import json
+    import os
+
+    from iq_to_hdl_migration_spark.sources import memo
+
+    work = _copy_docs(sf_dir, tmp_path / "corpus")
+    snap = str(tmp_path / "memostore")
+    f = os.path.join(work, "documents.parquet")
+    orig_ns = os.stat(f).st_mtime_ns
+
+    def build_for(docs):
+        return lambda: {"top": docs.select("doc_id").orderBy("doc_id")
+                        .limit(3).localCheckpoint()}
+
+    def set_mtime(ns):
+        st = os.stat(f)
+        os.utime(f, ns=(st.st_atime_ns, ns))
+        memo._MEMOS.clear()
+        return load_table(spark, work, "documents")
+
+    docs_a = load_table(spark, work, "documents")
+    memo.durable_memo("t_flip", spark, work, docs_a, build_for(docs_a),
+                      table_dir=snap)
+    (d_a,) = glob.glob(f"{snap}/t_flip/*/")
+
+    docs_b = set_mtime(orig_ns + 1_000_000)  # corpus B supersedes A
+    memo.durable_memo("t_flip", spark, work, docs_b, build_for(docs_b),
+                      table_dir=snap)
+    assert os.path.exists(os.path.join(d_a, memo._SUPERSEDED_MARK))
+
+    docs_a2 = set_mtime(orig_ns)             # flip BACK to corpus A
+    builds = []
+    memo.durable_memo(
+        "t_flip", spark, work, docs_a2,
+        lambda: builds.append(1) or build_for(docs_a2)(),
+        table_dir=snap)
+    assert builds == [], "flip-back must warm-start from dA"
+    assert not os.path.exists(os.path.join(d_a, memo._SUPERSEDED_MARK)), \
+        "serving dA must clear its stale supersession mark"
+
+    docs_c = set_mtime(orig_ns + 2_000_000)  # corpus C supersedes A
+    memo.durable_memo("t_flip", spark, work, docs_c, build_for(docs_c),
+                      table_dir=snap)
+    # dA survives the FIRST superseding commit again (marked, intact)
+    assert os.path.isdir(d_a)
+    assert os.path.exists(os.path.join(d_a, memo._SUPERSEDED_MARK))
+    memo._MEMOS.clear()

@@ -553,13 +553,18 @@ def test_retention_fold_survives_restart(spark, sf_dir, tmp_path):
 
 def test_retention_fold_rejects_out_of_range_weeks(spark):
     """The one-BIGINT mask bound is enforced, not assumed: an event
-    past week 62 (or pre-epoch) must raise in the delta computation
-    instead of silently wrapping the mask."""
+    past week 62 — or ANY pre-epoch event, including the -6..-1 day
+    range whose week truncates to 0 (the r11 review hole) — must
+    raise in the delta computation instead of silently entering the
+    mask."""
     import pytest
 
-    far = spark.createDataFrame(
-        [(1, 7, "2026-01-01 00:00:00", "click")],
-        "event_id bigint, user_id bigint, ts string, event_type string"
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    with pytest.raises(Exception, match="retention fold supports"):
-        W._retention_delta(far).collect()
+    for ts in ("2026-01-01 00:00:00",   # week > 62
+               "2023-12-31 23:00:00"):  # datediff -1: truncates to 0
+        bad = spark.createDataFrame(
+            [(1, 7, ts, "click")],
+            "event_id bigint, user_id bigint, ts string, "
+            "event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(Exception, match="retention fold supports"):
+            W._retention_delta(bad).collect()
