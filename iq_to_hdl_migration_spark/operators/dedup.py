@@ -354,16 +354,19 @@ def cap_pairs(pairs: DataFrame, part_cols: list[str], order_col: str,
     pre-cap partner count (`n_partners`) and how many partners were
     dropped (`n_overflow`). Total output is bounded by n_docs x cap —
     linear in the corpus no matter how degenerate the duplicate
-    structure. Both window passes share one exchange on `part_cols`
-    (same partitioning; the ordered pass adds a sort, not a shuffle).
+    structure. Both window functions ride ONE ordered window spec (the
+    count uses an unbounded frame over it), so the plan carries a
+    single exchange + a single sort — one WindowExec, not two.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*part_cols)
-    wo = w.orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc())
+    wo = (Window.partitionBy(*part_cols)
+          .orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc()))
+    full = wo.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
     return (pairs
             .withColumn("n_partners",
-                        F.count(F.lit(1)).over(w).cast("bigint"))
+                        F.count(F.lit(1)).over(full).cast("bigint"))
             .withColumn("_rn", F.row_number().over(wo))
             .where(F.col("_rn") <= cap)
             .withColumn("n_overflow",
