@@ -43,6 +43,7 @@ _SAMPLE_PRIORITY = [
     "stream_lifecycle_stages", "events_bot_score_report",
     "events_attribution_time_decay", "orders_ship_lag_profile",
     "dedup_mixture_shift_report", "events_session_duration_histogram",
+    "stream_bot_score",
     "orders_customer_migration_matrix", "mlprep_shard_plan",
     # round 11, tier 2: code changed this round — one driver re-draw
     # for the flood-cap schema change (its twin dedup_containment_pairs
@@ -69,7 +70,6 @@ _SAMPLE_PRIORITY = [
     "sim_ivf_topk", "sim_embedding_stats", "sim_ann_recall",
     "sim_embedding_quantize_stats",
     "dedup_exact_stats", "dedup_exact_groups", "dedup_rate_by_source",
-    "dedup_survivorship",
 ]
 
 

@@ -1105,9 +1105,9 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "events_bot_score_report",
-    oracle=f"""
+# shared with stream_bot_score — the seam-carrying stream fold must
+# converge to exactly this batch answer (the twin contract)
+BOT_SCORE_ORACLE = f"""
     WITH o AS (
         SELECT user_id,
                epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -1135,7 +1135,30 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg WHERE n_gaps >= 1
     ORDER BY bot_score DESC, user_id
     LIMIT 20
-    """,
+    """
+
+
+def bot_report_from_counts(agg: DataFrame) -> DataFrame:
+    """Shared report tail over the per-user cadence counts
+    (user_id, n_events, n_gaps, n_subsec, n_night) — consumed by the
+    batch query below and by stream_bot_score's folded state."""
+    return (agg.where(F.col("n_gaps") >= 1)
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    "n_events", "n_gaps",
+                    F.expr("n_subsec * 1000000 div n_gaps")
+                    .cast("bigint").alias("subsec_ppm"),
+                    F.expr("n_night * 1000000 div n_events")
+                    .cast("bigint").alias("night_ppm"),
+                    F.expr("n_subsec * 1000000 div n_gaps"
+                           " + n_night * 1000000 div n_events")
+                    .cast("bigint").alias("bot_score"))
+            .orderBy(F.desc("bot_score"), F.asc("user_id"))
+            .limit(20))
+
+
+@register(
+    "events_bot_score_report",
+    oracle=BOT_SCORE_ORACLE,
     doc="top-20 bot-suspect users by a composite cadence score: "
         "sub-second inter-event gap share + night-hours (00-06 UTC) "
         "activity share, each floor-quantized integer ppm (hours from "
@@ -1160,18 +1183,7 @@ def events_bot_score_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(
                     F.expr("(us div 3600000000) % 24") < 6, 1)
                     .otherwise(0)).cast("bigint").alias("n_night")))
-    return (agg.where(F.col("n_gaps") >= 1)
-            .select(F.col("user_id").cast("bigint").alias("user_id"),
-                    "n_events", "n_gaps",
-                    F.expr("n_subsec * 1000000 div n_gaps")
-                    .cast("bigint").alias("subsec_ppm"),
-                    F.expr("n_night * 1000000 div n_events")
-                    .cast("bigint").alias("night_ppm"),
-                    F.expr("n_subsec * 1000000 div n_gaps"
-                           " + n_night * 1000000 div n_events")
-                    .cast("bigint").alias("bot_score"))
-            .orderBy(F.desc("bot_score"), F.asc("user_id"))
-            .limit(20))
+    return bot_report_from_counts(agg)
 
 
 @register(

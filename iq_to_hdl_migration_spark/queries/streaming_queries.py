@@ -19,7 +19,8 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
-    GINI_ORACLE, LIFECYCLE_ORACLE, RETENTION_ORACLE)
+    BOT_SCORE_ORACLE, GINI_ORACLE, LIFECYCLE_ORACLE,
+    RETENTION_ORACLE)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
     AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
@@ -616,3 +617,20 @@ def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_lifecycle_{next(_seq)}"
     return W.streaming_lifecycle_stages(spark, sf_dir, name)
+
+
+@register(
+    "stream_bot_score",
+    oracle=BOT_SCORE_ORACLE,  # shared with events_bot_score_report
+    doc="streaming twin of events_bot_score_report (18th twin) — and "
+        "the first SEAM-CARRYING fold: per-user cadence counts are "
+        "not a commutative monoid (a gap can span two micro-batches), "
+        "so each batch closes the boundary gap against the carried "
+        "last-event micros; the fold asserts time-contiguity in-plan "
+        "and refuses out-of-order arrivals loudly. Final snapshot "
+        "feeds the shared report tail — equals the single-shot batch "
+        "report bit-for-bit (shared oracle)",
+)
+def stream_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_bot_{next(_seq)}"
+    return W.streaming_bot_score(spark, sf_dir, name)

@@ -1428,3 +1428,158 @@ def user_weeks_from_state(snap: DataFrame) -> DataFrame:
         F.explode(F.expr(
             f"filter(sequence(0, {_RET_MAX_WEEK}), "
             "w -> (week_mask >> w) % 2 = 1)")).alias("week"))
+
+
+# ---------------------------------------------------------------------------
+# Bot-cadence twin: per-user state = (n_events, n_gaps, n_subsec,
+# n_night, last_us). Unlike the MIN/OR mask folds this is a
+# SEAM-CARRYING left fold, not a commutative monoid: a user's
+# inter-event gap can span two micro-batches, so each batch computes
+# its within-batch gaps and then closes the one boundary gap against
+# the carried last_us. Correct because (a) arrivals are
+# event_id-contiguous and event ids are time-ordered per user
+# (asserted in-plan below — the fold REFUSES data that breaks it), and
+# (b) the snapshot chain replays batch i from snapshot i-1, so order
+# and exactly-once both hold across restarts.
+# ---------------------------------------------------------------------------
+
+BOT_STATE_SCHEMA = ("user_id bigint, n_events bigint, n_gaps bigint, "
+                    "n_subsec bigint, n_night bigint, last_us bigint")
+
+
+def _bot_batch_delta(batch_df: DataFrame) -> DataFrame:
+    """Per-user within-batch cadence stats + the batch's first/last
+    event micros (for the boundary gap against the carried state)."""
+    from pyspark.sql import Window as W_
+
+    us = F.unix_micros(F.col("ts"))
+    w = W_.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    o = batch_df.select("user_id", us.alias("us"),
+                        prev.alias("prev_us"))
+    return (o.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d_events"),
+                 F.sum(F.when(F.col("prev_us").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("d_gaps"),
+                 F.sum(F.when(F.col("prev_us").isNotNull()
+                              & ((F.col("us") - F.col("prev_us"))
+                                 < 1_000_000), 1).otherwise(0))
+                 .cast("bigint").alias("d_subsec"),
+                 F.sum(F.when(F.expr("(us div 3600000000) % 24") < 6,
+                              1).otherwise(0))
+                 .cast("bigint").alias("d_night"),
+                 F.min("us").cast("bigint").alias("first_us"),
+                 F.max("us").cast("bigint").alias("d_last_us")))
+
+
+def run_bot_count_fold(spark: SparkSession, arrivals_dir: str,
+                       snap_dir: str, ckpt_dir: str) -> None:
+    """Drain the arrivals dir folding per-user cadence counts with the
+    boundary-gap carry. Resumable under the same checkpoint dir."""
+    import os
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _process(batch_df, batch_id) -> None:
+        prev_snap = spark.read.parquet(_latest_before(batch_id))
+        delta = _bot_batch_delta(batch_df)
+        # the ordered-fold contract: a batch's events must all be
+        # LATER than the carried last_us (id-contiguous arrivals over
+        # time-ordered ids guarantee it; anything else corrupts the
+        # boundary gap, so refuse loudly)
+        joined = prev_snap.join(delta, "user_id", "full")
+        guarded = joined.withColumn(
+            "first_us",
+            F.when(F.col("last_us").isNotNull()
+                   & F.col("first_us").isNotNull()
+                   & (F.col("first_us") <= F.col("last_us")),
+                   F.raise_error(F.concat(
+                       F.lit("bot fold: batch not time-contiguous "
+                             "for user_id="),
+                       F.col("user_id").cast("string"))))
+            .otherwise(F.col("first_us")))
+        boundary = (F.col("last_us").isNotNull()
+                    & F.col("first_us").isNotNull())
+        bgap_subsec = F.when(
+            boundary & ((F.col("first_us") - F.col("last_us"))
+                        < 1_000_000), 1).otherwise(0)
+        merged = guarded.select(
+            "user_id",
+            (F.coalesce("n_events", F.lit(0))
+             + F.coalesce("d_events", F.lit(0))).cast("bigint")
+            .alias("n_events"),
+            (F.coalesce("n_gaps", F.lit(0))
+             + F.coalesce("d_gaps", F.lit(0))
+             + F.when(boundary, 1).otherwise(0)).cast("bigint")
+            .alias("n_gaps"),
+            (F.coalesce("n_subsec", F.lit(0))
+             + F.coalesce("d_subsec", F.lit(0)) + bgap_subsec)
+            .cast("bigint").alias("n_subsec"),
+            (F.coalesce("n_night", F.lit(0))
+             + F.coalesce("d_night", F.lit(0))).cast("bigint")
+            .alias("n_night"),
+            F.coalesce("d_last_us", "last_us").cast("bigint")
+            .alias("last_us"))
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def streaming_bot_score(spark: SparkSession, sf_dir: str,
+                        _query_name: str = "stream_bot",
+                        n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_bot_score_report (18th twin): the
+    seam-carrying cadence fold above, with the final snapshot fed
+    through the shared report tail — equal to the single-shot batch
+    report bit-for-bit (shared oracle).
+
+    Supersede-on-reinvoke contract: same as streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        bot_report_from_counts)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "bot_score")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame([], BOT_STATE_SCHEMA)
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is not None:
+        _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                                  work, arrivals_dir)
+        run_bot_count_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return bot_report_from_counts(snap.drop("last_us"))

@@ -568,3 +568,83 @@ def test_retention_fold_rejects_out_of_range_weeks(spark):
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         with pytest.raises(Exception, match="retention fold supports"):
             W._retention_delta(bad).collect()
+
+
+def test_bot_fold_survives_restart(spark, sf_dir, tmp_path):
+    """Seam-carrying fold restart contract: the boundary gap between
+    the two halves must be closed exactly once — the restarted fold's
+    per-user state must reproduce the single-shot batch report,
+    including gaps that span the arrival seam AND the restart."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        bot_report_from_counts, events_bot_score_report)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    spark.createDataFrame(
+        [], W.BOT_STATE_SCHEMA).write.parquet(
+        os.path.join(snaps, "00000_init"))
+
+    cut = ev.agg(FF.expr("CAST(max(event_id) / 2 AS BIGINT)")).first()[0]
+
+    def arrive(df, name, mtime):
+        tmp = str(tmp_path / f"slice_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(arrivals, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    arrive(ev.where(FF.col("event_id") <= cut), "arr_000", 1_000_000)
+    W.run_bot_count_fold(spark, arrivals, snaps, ckpt)
+    arrive(ev.where(FF.col("event_id") > cut), "arr_001", 1_000_001)
+    W.run_bot_count_fold(spark, arrivals, snaps, ckpt)  # resumes
+
+    snap = spark.read.parquet(
+        os.path.join(snaps, sorted(os.listdir(snaps))[-1]))
+    got = sorted(tuple(r) for r in
+                 bot_report_from_counts(snap.drop("last_us")).collect())
+    want = sorted(tuple(r) for r in
+                  events_bot_score_report(spark, sf_dir).collect())
+    assert got == want
+
+
+def test_bot_fold_refuses_out_of_order_batch(spark, tmp_path):
+    """The ordered-fold contract is enforced in-plan: a batch whose
+    events predate a user's carried last_us must raise, not silently
+    corrupt the boundary gap."""
+    import os
+
+    import pytest
+
+    snaps = str(tmp_path / "snaps")
+    os.makedirs(snaps)
+    state = spark.createDataFrame(
+        [(7, 3, 2, 0, 0, 1_800_000_000_000_000)],  # ~2027 in micros
+        W.BOT_STATE_SCHEMA)
+    late = spark.createDataFrame(
+        [(99, 7, "2024-01-01 00:00:01", )],
+        "event_id bigint, user_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # the 2024 event predates the carried ~2027 last_us -> must raise
+    delta = W._bot_batch_delta(late)
+    joined = state.join(delta, "user_id", "full")
+    guard = joined.withColumn(
+        "first_us",
+        F.when(F.col("last_us").isNotNull()
+               & F.col("first_us").isNotNull()
+               & (F.col("first_us") <= F.col("last_us")),
+               F.raise_error(F.lit("bot fold: batch not "
+                                   "time-contiguous")))
+        .otherwise(F.col("first_us")))
+    with pytest.raises(Exception, match="not time-contiguous"):
+        guard.collect()
