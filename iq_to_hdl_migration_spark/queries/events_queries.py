@@ -1248,3 +1248,77 @@ def events_session_duration_histogram(spark: SparkSession,
                  F.sum("n_events").cast("bigint").alias("n_events"),
                  F.min("dur_s").cast("bigint").alias("min_dur_s"),
                  F.max("dur_s").cast("bigint").alias("max_dur_s")))
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type diversity (Simpson concentration), integer-exact.
+# The classic per-user profile metric is Shannon entropy, but ln()
+# differs in the last ulp across libm implementations (the same reason
+# the TF-IDF family uses rational idf), so the cross-engine-exact
+# formulation is the Simpson concentration λ = Σ cᵢ² / t² over the
+# per-user event-type counts — pure BIGINT arithmetic until one final
+# integer division. λ = 1 means a single-type user; λ → 1/k means an
+# even spread over k types. Users are banded by floor(100λ) — the whole-percent
+# concentration, ≤101 bounded bands — and the report is the banded census — the behavioral-diversity histogram a
+# segmentation or bot-triage pipeline reads. Scale shape: two shuffles
+# (user×type → user) then a bounded 11-band groupBy; no window at all.
+# Exactness bound (honest): 100·Σcᵢ² must stay under 2^63, i.e. a
+# single user below ~3·10⁸ events of one type — far past any real
+# per-user activity; the production fix beyond is DECIMAL(38,0).
+# ---------------------------------------------------------------------------
+
+def diversity_from_type_counts(counts: DataFrame) -> DataFrame:
+    """Banded Simpson-concentration census from a (user_id, event_type,
+    n_events) frame — shared tail between events_user_type_diversity
+    and its streaming twin (the fold state IS that frame)."""
+    per_user = (counts.groupBy("user_id")
+                .agg(F.sum("n_events").cast("bigint").alias("t"),
+                     F.sum(F.col("n_events") * F.col("n_events"))
+                     .cast("bigint").alias("ssq"),
+                     F.count(F.lit(1)).cast("bigint").alias("k")))
+    band = F.expr("100 * ssq div (t * t)").cast("int")
+    return (per_user.groupBy(band.alias("concentration_pct"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum("t").cast("bigint").alias("n_events"),
+                 F.min("k").cast("bigint").alias("min_types"),
+                 F.max("k").cast("bigint").alias("max_types")))
+
+
+# shared with the streaming twin (stream_type_diversity)
+DIVERSITY_ORACLE = """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    u AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS t,
+               CAST(SUM(c * c) AS BIGINT) AS ssq,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM c GROUP BY user_id
+    )
+    SELECT CAST((100 * ssq) // (t * t) AS INTEGER)
+               AS concentration_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(t) AS BIGINT) AS n_events,
+           CAST(MIN(k) AS BIGINT) AS min_types,
+           CAST(MAX(k) AS BIGINT) AS max_types
+    FROM u GROUP BY 1
+    """
+
+
+@register(
+    "events_user_type_diversity",
+    oracle=DIVERSITY_ORACLE,
+    doc="per-user event-type diversity census via integer-exact Simpson "
+        "concentration λ = Σcᵢ²/t² (the engine-portable entropy stand-in "
+        "— no libm): users banded by the whole-percent floor(100λ) with "
+        "event mass and type-count range per band; the behavioral-"
+        "diversity histogram behind segmentation/bot triage. Two "
+        "shuffles then a ≤101-band groupBy — no window, no per-user "
+        "state beyond one row",
+)
+def events_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return diversity_from_type_counts(counts)

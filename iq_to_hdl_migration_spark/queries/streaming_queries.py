@@ -19,7 +19,7 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
-    BOT_SCORE_ORACLE, GINI_ORACLE, LIFECYCLE_ORACLE,
+    BOT_SCORE_ORACLE, DIVERSITY_ORACLE, GINI_ORACLE, LIFECYCLE_ORACLE,
     RETENTION_ORACLE)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
     AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
@@ -634,3 +634,20 @@ def stream_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_bot_{next(_seq)}"
     return W.streaming_bot_score(spark, sf_dir, name)
+
+
+@register(
+    "stream_type_diversity",
+    oracle=DIVERSITY_ORACLE,  # shared with events_user_type_diversity
+    doc="streaming twin of events_user_type_diversity (19th twin): "
+        "events arrive as event_id-contiguous micro-batches and each "
+        "batch folds per-(user, type) counts — the additive count "
+        "monoid keyed on the composite key, state one BIGINT per "
+        "(user, type) pair bounded by the fixed type vocabulary; the "
+        "final snapshot feeds the same integer-exact Simpson-"
+        "concentration tail as the batch query, so the banded census "
+        "equals the single-shot result bit-for-bit (shared oracle)",
+)
+def stream_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_diversity_{next(_seq)}"
+    return W.streaming_type_diversity(spark, sf_dir, name)

@@ -1583,3 +1583,104 @@ def streaming_bot_score(spark: SparkSession, sf_dir: str,
     final = sorted(os.listdir(snap_dir))[-1]
     snap = spark.read.parquet(os.path.join(snap_dir, final))
     return bot_report_from_counts(snap.drop("last_us"))
+
+
+# ---------------------------------------------------------------------------
+# Type-diversity twin: per-user-per-type counts are the same additive
+# count monoid as the Gini fold, just keyed on (user_id, event_type)
+# — state is one BIGINT per (user, type) pair, bounded by the type
+# vocabulary (small and fixed), so the snapshot grows with distinct
+# users, not with events. The Simpson-concentration banding is NOT
+# incremental (a ratio of sums of squares is not mergeable); the final
+# snapshot feeds the same integer-exact tail as the batch query.
+# ---------------------------------------------------------------------------
+
+def run_keyed_count_fold(spark: SparkSession, arrivals_dir: str,
+                         snap_dir: str, ckpt_dir: str,
+                         keys: list[str]) -> None:
+    """run_user_count_fold generalized to a composite key: drain the
+    arrivals dir folding each batch's per-key row counts into the
+    snapshot chain (merge = sum per key — the additive count monoid).
+    Replay-safe: a replayed batch recomputes from the PRIOR snapshot,
+    so re-execution rewrites its snapshot byte-identically."""
+    import os
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _process(batch_df, batch_id) -> None:
+        prev_snap = spark.read.parquet(_latest_before(batch_id))
+        delta = (batch_df.groupBy(*keys)
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+        merged = (prev_snap.unionByName(delta)
+                  .groupBy(*keys)
+                  .agg(F.sum("n_events").cast("bigint").alias("n_events")))
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def streaming_type_diversity(spark: SparkSession, sf_dir: str,
+                             _query_name: str = "stream_diversity",
+                             n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_user_type_diversity: events arrive as
+    event_id-contiguous micro-batches (a user's events deliberately
+    SPAN batches) and each batch folds per-(user, type) counts into a
+    snapshot via run_keyed_count_fold. The final snapshot feeds the
+    SAME integer-exact Simpson-concentration tail as the batch query,
+    so the report equals the single-shot result bit-for-bit (shared
+    oracle). Supersede-on-reinvoke contract: same as
+    streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        diversity_from_type_counts)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "type_diversity")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame(
+        [], "user_id bigint, event_type string, n_events bigint")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return diversity_from_type_counts(snap)
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
+
+    run_keyed_count_fold(spark, arrivals_dir, snap_dir, ckpt_dir,
+                         ["user_id", "event_type"])
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return diversity_from_type_counts(snap)
