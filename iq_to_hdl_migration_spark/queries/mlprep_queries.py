@@ -1432,3 +1432,70 @@ def mlprep_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("n_tokens * n_shards * 1000000 div t_tokens"
                            " - 1000000")
                     .cast("bigint").alias("balance_delta_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Contamination-safe train/valid/test split: split_train_test assigns
+# DOCUMENTS independently, so two byte-identical copies of one
+# document can land in train AND test — the classic eval-leakage bug a
+# dedup-aware pipeline must refuse. The fix is to assign whole
+# EXACT-DUP CLUSTERS: the split key is md5(md5(text)) — a pure
+# function of the cluster digest — so every copy of a text lands on
+# the same side BY CONSTRUCTION (no leakage check needed; there is
+# nothing to check). Report is the per-split census with the dup mass
+# that the naive split would have scattered. Scale shape: one shuffle
+# on the digest (the exact-dedup groupBy), then a 3-row groupBy —
+# same cost as exact dedup itself.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SPLIT_SQL = """
+CASE WHEN substr(md5(d), 1, 2) < 'cc' THEN 'train'
+     WHEN substr(md5(d), 1, 2) < 'e6' THEN 'valid'
+     ELSE 'test' END
+"""
+
+
+@register(
+    "mlprep_cluster_holdout_split",
+    oracle=f"""
+    WITH g AS (
+        SELECT md5(text) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT {_CLUSTER_SPLIT_SQL} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_clusters,
+           CAST(SUM(n - 1) AS BIGINT) AS n_dup_extra_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars
+    FROM g GROUP BY 1
+    """,
+    doc="contamination-safe holdout split: whole exact-dup clusters "
+        "assigned by md5 of the cluster digest, so identical documents "
+        "can never straddle train/test (eval leakage refused by "
+        "construction, not audited after the fact); per-split census "
+        "reports the dup mass the naive per-document split would have "
+        "scattered. One digest shuffle — the cost of exact dedup",
+)
+def mlprep_cluster_holdout_split(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (docs.withColumn("d", F.md5(F.col("text").cast("binary")))
+         .groupBy("d")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum(F.col("n_chars").cast("bigint")).cast("bigint")
+              .alias("chars")))
+    bucket = F.substring(F.md5(F.col("d").cast("binary")), 1, 2)
+    split = (F.when(bucket < "cc", "train")
+             .when(bucket < "e6", "valid")
+             .otherwise("test"))
+    return (g.groupBy(split.alias("split"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                 F.sum("n").cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_clusters"),
+                 F.sum(F.col("n") - 1).cast("bigint")
+                 .alias("n_dup_extra_docs"),
+                 F.sum("chars").cast("bigint").alias("total_chars")))

@@ -523,3 +523,64 @@ def orders_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _interp(9, "lo9", "hi9").alias("p90_lag_days"),
         (F.col("sum_lag_days").cast("double")
          / F.col("n_lines").cast("double")).alias("mean_lag_days"))
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase cadence: the gap in days between a customer's
+# consecutive orders, bucketed into weeks and profiled per market
+# segment — the replenishment-cycle histogram behind demand forecasting
+# and churn-risk scoring (a segment whose gap mass shifts right is
+# churning). Scale shape: the lag window partitions by custkey (orders
+# per customer is bounded and small — constant per-key state), the
+# orders↔customer join shuffles on custkey (both fact-scale at 100 TB,
+# so a shuffle join IS the right plan; AQE handles skew), and the
+# final groupBy lands on (segment × week-bucket) — a bounded grid.
+# Integer-exact throughout: day gaps, week buckets, counts.
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_reorder_gap_profile",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT c_mktsegment AS mktsegment,
+           CAST(gap_days // 7 AS INTEGER) AS gap_week,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM g JOIN customer ON o_custkey = c_custkey
+    WHERE gap_days IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="repeat-purchase cadence profile: per-customer consecutive-"
+        "order gaps (lag window, deterministic orderdate+orderkey "
+        "tie-break) bucketed into weeks and profiled per market "
+        "segment — the replenishment-cycle histogram behind demand "
+        "forecasting and churn risk; custkey-partitioned window + one "
+        "custkey shuffle join, bounded (segment × week) output grid",
+)
+def orders_reorder_gap_profile(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (orders.select(
+                "o_custkey",
+                F.datediff(F.col("o_orderdate"),
+                           F.lag("o_orderdate").over(w)).alias("gap_days"))
+            .where(F.col("gap_days").isNotNull()))
+    return (gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"),
+                     F.expr("gap_days div 7").cast("int").alias("gap_week"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+                 F.countDistinct("o_custkey").cast("bigint")
+                 .alias("n_customers"),
+                 F.min("gap_days").cast("bigint").alias("min_gap_days"),
+                 F.max("gap_days").cast("bigint").alias("max_gap_days")))

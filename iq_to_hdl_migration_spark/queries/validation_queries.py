@@ -1130,3 +1130,76 @@ def dq_order_total_reconciliation(spark: SparkSession,
                  (F.sum("gap_ppm").cast("double")
                   / F.sum(F.when(F.col("no_lines"), 0).otherwise(1))
                   .cast("double")).alias("mean_gap_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit: data-profiling primitive behind both the
+# migration assessment (a column pair that LOOKS like an FD but isn't
+# cannot become a lookup table / normalized dimension) and layout
+# advice (an exact FD's RHS is a dictionary-encodable dependent
+# column). Each candidate X → Y is one groupBy(X) with an exact
+# distinct-count of Y — the violating-group census, not the violating
+# ROWS (row lists scale with data; the census is bounded by the FD
+# list). All four probes shuffle once on their LHS and reduce to one
+# row each; the report is their 4-row union.
+# ---------------------------------------------------------------------------
+
+_FD_PROBES = [
+    # (fd_name, table, lhs, rhs) — two that genuinely fail in TPC-H
+    # shaped data, one that holds by PK, one that fails mildly
+    ("lineitem.l_orderkey->l_returnflag", "lineitem",
+     "l_orderkey", "l_returnflag"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem",
+     "l_partkey", "l_suppkey"),
+    ("orders.o_custkey->o_orderpriority", "orders",
+     "o_custkey", "o_orderpriority"),
+    ("orders.o_orderkey->o_custkey", "orders",
+     "o_orderkey", "o_custkey"),
+]
+
+
+def _fd_oracle() -> str:
+    blocks = []
+    for fd_name, table, lhs, rhs in _FD_PROBES:
+        blocks.append(f"""
+    SELECT '{fd_name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(MAX(nd) AS BIGINT) AS max_rhs_variants,
+           CAST((1000000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS violation_ppm
+    FROM (SELECT {lhs}, CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS nd
+          FROM {table} GROUP BY {lhs}) g""")
+    return " UNION ALL ".join(blocks)
+
+
+@register(
+    "dq_functional_dependency_audit",
+    oracle=_fd_oracle(),
+    doc="functional-dependency audit over candidate X→Y pairs: exact "
+        "violating-group census (groups, worst variant count, integer "
+        "violation ppm) per candidate — the profiling primitive behind "
+        "normalize-into-dimension and dictionary-layout decisions; "
+        "census not row-list, so output is bounded by the FD list, "
+        "one LHS shuffle per probe",
+)
+def dq_functional_dependency_audit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    out = None
+    for fd_name, table, lhs, rhs in _FD_PROBES:
+        t = load_table(spark, sf_dir, table)
+        g = (t.groupBy(lhs)
+             .agg(F.countDistinct(rhs).cast("bigint").alias("nd")))
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("bigint")
+        row = g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+            viol.alias("n_violating_groups"),
+            F.max("nd").cast("bigint").alias("max_rhs_variants"),
+        ).select(
+            F.lit(fd_name).alias("fd"),
+            "n_lhs_groups", "n_violating_groups", "max_rhs_variants",
+            F.expr("(1000000 * n_violating_groups) div n_lhs_groups")
+            .cast("bigint").alias("violation_ppm"))
+        out = row if out is None else out.unionByName(row)
+    return out
