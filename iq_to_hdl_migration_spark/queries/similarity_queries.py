@@ -2498,3 +2498,131 @@ def sim_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("max_size * n_clusters * 1000000 "
                            "div n_vectors")
                     .cast("bigint").alias("imbalance_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out nearest-prototype classification: the label-quality
+# audit for an embedding corpus (mislabeled or drifted domains show up
+# as off-diagonal mass in the confusion matrix). The classifier is
+# nearest-centroid by cosine, with the centroid replaced by the label's
+# int8-vector SUM — cosine is scale-invariant, so argmax over sums ==
+# argmax over means, and the sum keeps EVERYTHING integer: per-label
+# prototype S_L (BIGINT per dim), vector self-dot qq, prototype
+# self-dot SS. Leave-one-out is then pure integer algebra — removing a
+# member v from its own label's prototype is dot' = d − qq and
+# |S−v|² = SS − 2d + qq — no second pass over the data. All dots stay
+# far below 2^53, so the final cosine doubles are bit-exact in both
+# engines (the sim_quantized_topk exactness argument). Scale shape:
+# prototypes are one (label × dim) integer shuffle; scoring is a
+# broadcast of the L-row prototype table against a map-only corpus
+# scan; the argmax groupBy shuffles one row per vector; output is the
+# bounded L×L confusion grid. Overflow bound (honest): SS ≤ 64·(127·
+# n_L)² needs n_L ≲ 7.5e7 members per label; past that, promote the
+# prototype sums to DECIMAL(38,0).
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_loo_centroid_confusion",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(1, {sim.DIM} + 1)) AS dim),
+    v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, vec,
+               greatest(list_max(list_transform(vec, x -> abs(x))) / 127.0,
+                        1e-30) AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, label,
+               list_transform(vec, x -> FLOOR(x / scale + 0.5)) AS qv
+        FROM s
+    ),
+    qq AS (
+        SELECT vec_id, label, qv, list_dot_product(qv, qv) AS qq FROM q
+    ),
+    prot AS (
+        SELECT label, d.dim, CAST(SUM(qv[d.dim]) AS BIGINT) AS sv
+        FROM q, dims d GROUP BY label, d.dim
+    ),
+    pvec AS (
+        SELECT label, list(CAST(sv AS DOUBLE) ORDER BY dim) AS pv
+        FROM prot GROUP BY label
+    ),
+    pn AS (
+        SELECT label, pv, list_dot_product(pv, pv) AS ss FROM pvec
+    ),
+    scored AS (
+        SELECT t.vec_id, t.label AS true_label, p.label AS cand_label,
+               list_dot_product(t.qv, p.pv)
+                   - CASE WHEN t.label = p.label THEN t.qq ELSE 0 END
+                   AS eff_dot,
+               t.qq,
+               p.ss - CASE WHEN t.label = p.label
+                           THEN 2 * list_dot_product(t.qv, p.pv) - t.qq
+                           ELSE 0 END AS eff_ss
+        FROM qq t, pn p
+    ),
+    ranked AS (
+        SELECT vec_id, true_label, cand_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY eff_dot / (sqrt(qq) * sqrt(eff_ss)) DESC,
+                            cand_label) AS r
+        FROM scored WHERE qq > 0 AND eff_ss > 0
+    )
+    SELECT CAST(true_label AS INTEGER) AS true_label,
+           CAST(cand_label AS INTEGER) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM ranked WHERE r = 1 GROUP BY 1, 2
+    """,
+    doc="leave-one-out nearest-prototype confusion matrix over int8-"
+        "quantized embeddings — the label-quality audit (off-diagonal "
+        "mass = suspect labels); LOO via exact integer algebra on the "
+        "label-sum prototype (dot' = d − qq, |S−v|² = SS − 2d + qq), "
+        "one (label×dim) shuffle + broadcast L-row scoring, bounded "
+        "L×L output",
+)
+def sim_loo_centroid_confusion(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
+         .withColumn("scale", F.expr(
+             "greatest(array_max(transform(vec, x -> abs(x)))"
+             " / 127.0D, 1e-30D)"))
+         .withColumn("qv", F.expr(
+             "transform(vec, x -> floor(x / scale + 0.5D))"))
+         .select("vec_id", "label", "qv",
+                 sim.dot_expr("qv", "qv").alias("qq")))
+    # prototype sums: one bounded (label x dim) integer shuffle
+    prot = (q.select("label", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg(F.sum("val").cast("bigint").alias("sv")))
+    pvec = (prot.groupBy("label")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(pos, sv))), s -> CAST(s.sv AS DOUBLE))")
+                 .alias("pv")))
+    pn = pvec.select(F.col("label").alias("cand_label"), "pv",
+                     sim.dot_expr("pv", "pv").alias("ss"))
+    d = sim.dot_expr("qv", "pv")
+    own = F.col("label") == F.col("cand_label")
+    scored = (q.crossJoin(F.broadcast(pn))
+              .select("vec_id", F.col("label").alias("true_label"),
+                      "cand_label",
+                      (d - F.when(own, F.col("qq")).otherwise(0.0))
+                      .alias("eff_dot"),
+                      "qq",
+                      (F.col("ss") - F.when(own, 2 * d - F.col("qq"))
+                       .otherwise(0.0)).alias("eff_ss")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.col("eff_dot") / (F.sqrt("qq") * F.sqrt("eff_ss"))),
+        F.asc("cand_label"))
+    return (scored.where((F.col("qq") > 0) & (F.col("eff_ss") > 0))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .groupBy(F.col("true_label").cast("int").alias("true_label"),
+                     F.col("cand_label").cast("int").alias("pred_label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors")))
