@@ -807,3 +807,128 @@ def dedup_mixture_shift_report(spark: SparkSession,
                     F.expr("n_after * 1000000 div t_after"
                            " - n_before * 1000000 div t_before")
                     .cast("bigint").alias("delta_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Method-agreement matrix: the dedup families (exact digest links,
+# MinHash-LSH Jaccard pairs, SimHash hamming pairs) each claim a pair
+# set — a production pipeline choosing one needs to know how much they
+# AGREE, because disagreement mass is exactly where threshold tuning
+# and method choice change the surviving corpus. For each method pair
+# this reports |A|, |B|, |A∩B| and the pair-set Jaccard. Flood-safety
+# is inherited: every input set is itself bucketed/capped (LSH bands,
+# SimHash chunks, star-shaped exact links — never all-pairs), so the
+# agreement join is pair-set-sized, keyed on (id_a, id_b). The LSH
+# side reuses the durable-memoized pair table the cluster family
+# shares — the matrix costs one SimHash pipeline + three joins.
+# ---------------------------------------------------------------------------
+
+def _exact_star_pairs(docs: DataFrame) -> DataFrame:
+    """Exact-dup links as (keep_id=id_a, id=id_b) star pairs — the
+    same shape both near-dup oracles append, linear in copies."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    return (docs.select(F.col("doc_id").cast("bigint").alias("id"),
+                        F.min("doc_id").over(w).cast("bigint")
+                        .alias("keep_id"))
+            .where(F.col("id") != F.col("keep_id"))
+            .select(F.col("keep_id").alias("id_a"),
+                    F.col("id").alias("id_b")))
+
+
+@register(
+    "dedup_method_agreement_matrix",
+    oracle=f"""
+    WITH mh AS (
+        SELECT id_a, id_b FROM ({minhash_pairs_oracle(threshold=0.5)}) t
+    ),
+    sh AS (
+        SELECT id_a, id_b FROM ({simhash_pairs_oracle(max_hamming=3)}) t
+    ),
+    exs AS (
+        SELECT g.keep_id AS id_a, d.id AS id_b
+        FROM (SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS dg
+              FROM documents) d
+        JOIN (SELECT md5(text) AS dg,
+                     MIN(CAST(doc_id AS BIGINT)) AS keep_id
+              FROM documents GROUP BY md5(text)) g USING (dg)
+        WHERE d.id != g.keep_id
+    ),
+    pairs AS (
+        SELECT 'minhash_lsh' AS m, id_a, id_b FROM mh
+        UNION ALL SELECT 'simhash', id_a, id_b FROM sh
+        UNION ALL SELECT 'exact', id_a, id_b FROM exs
+    ),
+    spine AS (SELECT unnest(['exact', 'minhash_lsh', 'simhash']) AS m),
+    sizes AS (
+        SELECT s.m, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM spine s LEFT JOIN (
+            SELECT m, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY m
+        ) c USING (m)
+    ),
+    combos AS (
+        SELECT a.m AS method_a, b.m AS method_b, a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.m < b.m
+    ),
+    common AS (
+        SELECT p.m AS method_a, q.m AS method_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM pairs p JOIN pairs q
+          ON p.id_a = q.id_a AND p.id_b = q.id_b AND p.m < q.m
+        GROUP BY p.m, q.m
+    )
+    SELECT c.method_a, c.method_b, c.n_a, c.n_b,
+           CAST(COALESCE(n.n_common, 0) AS BIGINT) AS n_common,
+           CASE WHEN c.n_a + c.n_b - COALESCE(n.n_common, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(n.n_common, 0) AS DOUBLE)
+                     / CAST(c.n_a + c.n_b - COALESCE(n.n_common, 0)
+                            AS DOUBLE) END AS pair_jaccard
+    FROM combos c LEFT JOIN common n
+      ON c.method_a = n.method_a AND c.method_b = n.method_b
+    """,
+    doc="dedup method-agreement matrix: |A|, |B|, |A∩B| and pair-set "
+        "Jaccard for each pair of dedup methods (exact star links, "
+        "memoized MinHash-LSH pairs, SimHash pairs) — the disagreement "
+        "mass is where method choice changes the surviving corpus; "
+        "all inputs are bucketed/capped sets, joins keyed on the pair",
+)
+def dedup_method_agreement_matrix(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mh = (minhash_pairs(spark, sf_dir, threshold=0.5)
+          .select(F.col("id_a").cast("bigint").alias("id_a"),
+                  F.col("id_b").cast("bigint").alias("id_b")))
+    sh = (dedup.simhash_candidate_pairs(docs, "doc_id", "text",
+                                        max_hamming=3)
+          .select(F.col("id_a").cast("bigint").alias("id_a"),
+                  F.col("id_b").cast("bigint").alias("id_b")))
+    ex = _exact_star_pairs(docs)
+    pairs = (ex.withColumn("m", F.lit("exact"))
+             .unionByName(mh.withColumn("m", F.lit("minhash_lsh")))
+             .unionByName(sh.withColumn("m", F.lit("simhash"))))
+    spine = spark.createDataFrame(
+        [("exact",), ("minhash_lsh",), ("simhash",)], "m string")
+    sizes = (spine.join(pairs.groupBy("m")
+                        .agg(F.count(F.lit(1)).cast("bigint").alias("cn")),
+                        "m", "left")
+             .select("m", F.coalesce(F.col("cn"), F.lit(0))
+                     .cast("bigint").alias("n")))
+    a = sizes.select(F.col("m").alias("method_a"), F.col("n").alias("n_a"))
+    b = sizes.select(F.col("m").alias("method_b"), F.col("n").alias("n_b"))
+    combos = a.join(F.broadcast(b), F.col("method_a") < F.col("method_b"))
+    p = pairs.select(F.col("m").alias("method_a"), "id_a", "id_b")
+    q = pairs.select(F.col("m").alias("method_b"),
+                     F.col("id_a").alias("qa"), F.col("id_b").alias("qb"))
+    common = (p.join(q, ((F.col("id_a") == F.col("qa"))
+                         & (F.col("id_b") == F.col("qb"))
+                         & (F.col("method_a") < F.col("method_b"))))
+              .groupBy("method_a", "method_b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    joined = combos.join(common, ["method_a", "method_b"], "left")
+    nc = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+    den = (F.col("n_a") + F.col("n_b") - nc).cast("double")
+    return joined.select(
+        "method_a", "method_b", "n_a", "n_b", nc.alias("n_common"),
+        F.when(den == 0, 0.0).otherwise(nc.cast("double") / den)
+        .alias("pair_jaccard"))

@@ -1499,3 +1499,73 @@ def mlprep_cluster_holdout_split(spark: SparkSession,
                  F.sum(F.col("n") - 1).cast("bigint")
                  .alias("n_dup_extra_docs"),
                  F.sum("chars").cast("bigint").alias("total_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length capacity curve: the OTHER padding audit.
+# mlprep_length_bucket_padding_waste prices fixed-shape INFERENCE
+# batching (pad each doc up to its 64-boundary); this query prices
+# TRAINING chunking — a document of t tokens becomes ceil(t/L) rows of
+# a fixed max_len L, and only the last chunk carries pad — swept over
+# candidate L values in one pass. The curve (chunk count, pad mass,
+# waste ppm per L) is the evidence for choosing max_len before a run:
+# small L wastes little pad but multiplies rows/attention resets; big
+# L wastes pad on short docs. Scale shape: the per-doc token count is
+# one map-only scan, the candidate sweep is a 5-way explode of ONE
+# integer column (not the text), and the groupBy lands on the 5-row
+# candidate spine. Integer-exact until the final waste rate.
+# ---------------------------------------------------------------------------
+
+_SEQLEN_CANDIDATES = (64, 128, 256, 512, 1024)
+
+
+@register(
+    "mlprep_seqlen_capacity_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS nt
+        FROM documents
+    ),
+    cand AS (SELECT unnest([{", ".join(str(c) for c in _SEQLEN_CANDIDATES)}])
+                    AS max_len),
+    sweep AS (
+        SELECT max_len, nt, (nt + max_len - 1) // max_len AS n_chunks
+        FROM tok, cand
+    )
+    SELECT CAST(max_len AS INTEGER) AS max_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunks) * max_len AS BIGINT) AS padded_tokens,
+           CAST((1000000 * (SUM(n_chunks) * max_len - SUM(nt)))
+                // (SUM(n_chunks) * max_len) AS BIGINT) AS waste_ppm
+    FROM sweep GROUP BY max_len
+    """,
+    doc="training-chunking capacity curve: padded token mass and waste "
+        "ppm at each candidate max_len (docs become ceil(t/L) chunks, "
+        "pad only in the last) — the seq-len selection evidence; one "
+        "token-count scan, a 5-way explode of one integer column, "
+        "5-row output",
+)
+def mlprep_seqlen_capacity_curve(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cands = "array(" + ", ".join(str(c) for c in _SEQLEN_CANDIDATES) + ")"
+    sweep = (docs.select(
+                F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+                .cast("bigint").alias("nt"))
+             .select("nt", F.explode(F.expr(cands)).alias("max_len"))
+             .withColumn("n_chunks",
+                         F.expr("(nt + max_len - 1) div max_len")))
+    g = (sweep.groupBy(F.col("max_len").cast("int").alias("max_len"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("nt").cast("bigint").alias("total_tokens"),
+              F.sum("n_chunks").cast("bigint").alias("n_chunks")))
+    padded = (F.col("n_chunks") * F.col("max_len")).cast("bigint")
+    return g.select(
+        "max_len", "n_docs", "total_tokens", "n_chunks",
+        padded.alias("padded_tokens"),
+        F.expr("(1000000 * (n_chunks * max_len - total_tokens))"
+               " div (n_chunks * max_len)").cast("bigint")
+        .alias("waste_ppm"))
