@@ -45,6 +45,11 @@ _SAMPLE_PRIORITY = [
     "dedup_mixture_shift_report", "events_session_duration_histogram",
     "stream_bot_score",
     "orders_customer_migration_matrix", "mlprep_shard_plan",
+    # round 11, tier 1 (second batch): the session's later additions
+    "events_user_type_diversity", "stream_type_diversity",
+    "mlprep_cluster_holdout_split", "dq_functional_dependency_audit",
+    "orders_reorder_gap_profile", "sim_loo_centroid_confusion",
+    "mlprep_seqlen_capacity_curve", "dedup_method_agreement_matrix",
     # round 11, tier 2: code changed this round — one driver re-draw
     # for the flood-cap schema change (its twin dedup_containment_pairs
     # and the size-gated events_session_overlap_pairs are locked by the
@@ -66,10 +71,9 @@ _SAMPLE_PRIORITY = [
     "stream_enriched_counts", "stream_session_windows_native",
     "stream_mix_downsample",
     "mm_frame_samples", "mm_audio_chunks", "mm_resize_meta",
-    "mm_payload_dedup_groups",
-    "sim_ivf_topk", "sim_embedding_stats", "sim_ann_recall",
-    "sim_embedding_quantize_stats",
-    "dedup_exact_stats", "dedup_exact_groups", "dedup_rate_by_source",
+    # (sim_*/dedup_*/mm_payload_dedup_groups tail names yielded their
+    # slots to the 8 second-batch additions — new-code-first policy;
+    # all remain green in the local two-scale gate)
 ]
 
 

@@ -286,3 +286,106 @@ def test_payload_entropy_empty_doc_parity(spark, sf_dir, tmp_path):
         tuple(r) for r in spec.fn(spark, sf_dir).collect())}
     got = {r[0]: r[1] for r in srows}
     assert got["src0"] == base["src0"]
+
+
+# ---------------------------------------------------------------------------
+# Second-batch round-11 additions: structural identities the value
+# hash can't state, plus plan shape for the two bounded nested-loops.
+# ---------------------------------------------------------------------------
+
+def test_diversity_census_accounts_for_every_user(spark, sf_dir):
+    """Band is a whole percent in [0, 100]; the bands partition the
+    user set exactly; a user with a single event type lands at 100."""
+    rows = REGISTRY["events_user_type_diversity"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r.concentration_pct <= 100
+        assert 1 <= r.min_types <= r.max_types
+        if r.concentration_pct == 100:
+            assert r.max_types == 1  # pure single-type users only
+        if r.min_types == 1:
+            assert r.concentration_pct == 100
+
+
+def test_cluster_holdout_split_identities(spark, sf_dir):
+    """Splits partition the corpus; the dup-mass identity holds
+    (extra docs = docs - clusters, per split)."""
+    rows = REGISTRY["mlprep_cluster_holdout_split"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.total_chars for r in rows) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0])
+    for r in rows:
+        assert r.n_docs - r.n_clusters == r.n_dup_extra_docs
+        assert r.n_dup_clusters <= r.n_dup_extra_docs or r.n_dup_clusters == 0
+
+
+def test_fd_audit_pk_holds_and_bounds(spark, sf_dir):
+    rows = {r.fd: r for r in
+            REGISTRY["dq_functional_dependency_audit"].fn(
+                spark, sf_dir).collect()}
+    pk = rows["orders.o_orderkey->o_custkey"]
+    assert pk.n_violating_groups == 0 and pk.violation_ppm == 0
+    assert pk.max_rhs_variants == 1
+    for r in rows.values():
+        assert 0 <= r.n_violating_groups <= r.n_lhs_groups
+        assert 0 <= r.violation_ppm <= _PPM
+
+
+def test_reorder_gap_profile_accounts_for_every_gap(spark, sf_dir):
+    """Each customer with k orders contributes exactly k-1 gaps."""
+    rows = REGISTRY["orders_reorder_gap_profile"].fn(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert 0 <= r.min_gap_days <= r.max_gap_days
+        assert r.gap_week == r.min_gap_days // 7
+
+
+def test_loo_confusion_classifies_every_live_vector(spark, sf_dir):
+    """Every vector with a nonzero quantized norm gets exactly one
+    prediction (LOO removes the vector from its own prototype, never
+    from the candidate label set); plan: broadcast nested-loop over
+    the L-row prototype table, no CartesianProduct."""
+    df = REGISTRY["sim_loo_centroid_confusion"].fn(spark, sf_dir)
+    rows = df.collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_live = emb.where(F.expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0"
+    )).count()
+    # a live vector can only drop out if its own label is a singleton
+    # AND every other prototype is zero — impossible here, so exact:
+    assert sum(r.n_vectors for r in rows) == n_live
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_seqlen_curve_chunk_monotonicity(spark, sf_dir):
+    rows = sorted(REGISTRY["mlprep_seqlen_capacity_curve"].fn(
+        spark, sf_dir).collect(), key=lambda r: r.max_len)
+    totals = {r.total_tokens for r in rows}
+    assert len(totals) == 1  # same corpus mass at every candidate
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_chunks <= a.n_chunks  # doubling L never adds chunks
+    for r in rows:
+        assert r.padded_tokens >= r.total_tokens
+        assert r.padded_tokens == r.n_chunks * r.max_len
+        assert 0 <= r.waste_ppm < _PPM
+
+
+def test_agreement_matrix_bounds_and_plan(spark, sf_dir):
+    df = REGISTRY["dedup_method_agreement_matrix"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 3  # full method spine even when a set is empty
+    for r in rows:
+        assert r.n_common <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.pair_jaccard <= 1.0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
