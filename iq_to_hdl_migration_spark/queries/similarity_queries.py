@@ -2626,3 +2626,98 @@ def sim_loo_centroid_confusion(spark: SparkSession,
             .groupBy(F.col("true_label").cast("int").alias("true_label"),
                      F.col("cand_label").cast("int").alias("pred_label"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors")))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation (MRR): for each probe vector, the rank of the
+# first SAME-LABEL neighbor under exact cosine — the standard
+# label-as-relevance retrieval metric (MRR = mean reciprocal rank)
+# that gates an embedding model/index before it serves. The naive
+# formulation ranks the whole corpus per probe (a corpus-sized sort in
+# 5 window partitions — dead at 100 TB); the scalable identity is
+# rank(c) = 1 + |{x : x ahead of c in (cosine DESC, cand_id)}|, so the
+# first-hit rank needs only (a) the best same-label candidate per
+# probe (an aggregate) and (b) one count of strictly-ahead candidates
+# (a second aggregate) — two map-side-combined passes over broadcast-
+# probe scores, no global sort at all. The oracle states the SAME rank
+# via ROW_NUMBER, proving the identity. Ties are impossible to get
+# wrong: ordering is (cosine DESC, cand_id ASC) in both.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_label_retrieval_mrr",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.vec_id AS cand_id, c.label AS cand_label,
+               list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cosine
+        FROM v q JOIN v c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, true_label, cand_id, cand_label, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+           CAST(MIN(rnk) AS BIGINT) AS first_hit_rank,
+           1.0 / CAST(MIN(rnk) AS DOUBLE) AS reciprocal_rank
+    FROM ranked WHERE cand_label = true_label
+    GROUP BY query_id, true_label
+    """,
+    doc="retrieval eval: rank of the first same-label neighbor per "
+        "probe under exact cosine (label-as-relevance MRR) — computed "
+        "by the count-better identity (best same-label aggregate + one "
+        "strictly-ahead count), never a corpus-wide per-probe sort; "
+        "oracle restates the same rank via ROW_NUMBER",
+)
+def sim_label_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
+         .withColumn("norm", F.sqrt(sim.dot_expr("vec", "vec")))
+         .select("vec_id", "label", "vec", "norm"))
+    probes = (v.where(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("true_label"),
+                      F.col("vec").alias("qvec"),
+                      F.col("norm").alias("qnorm")))
+    scored = (v.join(F.broadcast(probes),
+                     F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "true_label",
+                      F.col("vec_id").alias("cand_id"),
+                      F.col("label").alias("cand_label"),
+                      (sim.dot_expr("qvec", "vec")
+                       / (F.col("qnorm") * F.col("norm"))).alias("cosine")))
+    # best same-label candidate per probe: max (cosine, then lowest id)
+    best = (scored.where(F.col("cand_label") == F.col("true_label"))
+            .groupBy("query_id", "true_label")
+            .agg(F.max(F.struct(F.col("cosine"),
+                                (-F.col("cand_id")).alias("nid")))
+                 .alias("b"))
+            .select("query_id", "true_label",
+                    F.col("b.cosine").alias("best_cos"),
+                    (-F.col("b.nid")).alias("best_id")))
+    # strictly-ahead count under (cosine DESC, cand_id ASC)
+    joined = scored.join(F.broadcast(best.select(
+        F.col("query_id").alias("bq"), "best_cos", "best_id")),
+        F.col("query_id") == F.col("bq"))
+    ahead = ((F.col("cosine") > F.col("best_cos"))
+             | ((F.col("cosine") == F.col("best_cos"))
+                & (F.col("cand_id") < F.col("best_id"))))
+    n_better = (joined.groupBy("query_id")
+                .agg(F.sum(F.when(ahead, 1).otherwise(0)).cast("bigint")
+                     .alias("n_better")))
+    return (best.join(n_better, "query_id")
+            .select("query_id",
+                    F.col("true_label").cast("int").alias("true_label"),
+                    (F.col("n_better") + 1).cast("bigint")
+                    .alias("first_hit_rank"),
+                    (F.lit(1.0) / (F.col("n_better") + 1).cast("double"))
+                    .alias("reciprocal_rank")))

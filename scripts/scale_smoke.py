@@ -128,6 +128,12 @@ ROTATION = [
     "dq_profile_lineitem", "dq_benford_first_digit",
     "sketch_value_percentiles", "sketch_histogram_weekly_rollup",
     "stream_hourly_counts", "stream_exact_dedup",
+    # round-11 second batch
+    "events_user_type_diversity", "stream_type_diversity",
+    "mlprep_cluster_holdout_split", "dq_functional_dependency_audit",
+    "orders_reorder_gap_profile", "sim_loo_centroid_confusion",
+    "mlprep_seqlen_capacity_curve", "dedup_method_agreement_matrix",
+    "sim_label_retrieval_mrr",
 ]
 EXTRA = EXTRA + ROTATION
 
