@@ -50,7 +50,8 @@ _SAMPLE_PRIORITY = [
     "mlprep_cluster_holdout_split", "dq_functional_dependency_audit",
     "orders_reorder_gap_profile", "sim_loo_centroid_confusion",
     "mlprep_seqlen_capacity_curve", "dedup_method_agreement_matrix",
-    "sim_label_retrieval_mrr",
+    "sim_label_retrieval_mrr", "dq_k_anonymity_audit",
+    "stream_gap_histogram",
     # round 11, tier 2: code changed this round — one driver re-draw
     # for the flood-cap schema change (its twin dedup_containment_pairs
     # and the size-gated events_session_overlap_pairs are locked by the
@@ -71,10 +72,9 @@ _SAMPLE_PRIORITY = [
     "stream_sessionization", "stream_purchase_click_join",
     "stream_enriched_counts", "stream_session_windows_native",
     "stream_mix_downsample",
-    "mm_frame_samples", "mm_audio_chunks",
-    # (sim_*/dedup_*/mm_payload_dedup_groups/mm_resize_meta tail names yielded their
-    # slots to the 8 second-batch additions — new-code-first policy;
-    # all remain green in the local two-scale gate)
+    # (the sim_*/dedup_*/mm_* tail names yielded their slots to the
+    # 11 second-batch additions — new-code-first policy; all remain
+    # green in the local two-scale gate)
 ]
 
 

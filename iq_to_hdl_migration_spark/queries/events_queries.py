@@ -530,9 +530,8 @@ def graph_user_pagerank_fixedpoint_top20(spark: SparkSession,
             .select(F.col("node").alias("user_id"), "rank_q", "rank"))
 
 
-@register(
-    "events_gap_powerlaw_histogram",
-    oracle="""
+# shared with the streaming twin (stream_gap_histogram)
+GAP_HIST_ORACLE = """
     WITH g AS (
         SELECT event_type,
                epoch_us(CAST(ts AS TIMESTAMP))
@@ -548,7 +547,12 @@ def graph_user_pagerank_fixedpoint_top20(spark: SparkSession,
            CAST(COUNT(*) AS BIGINT) AS n_gaps
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY event_type, 2
-    """,
+    """
+
+
+@register(
+    "events_gap_powerlaw_histogram",
+    oracle=GAP_HIST_ORACLE,
     doc="inter-event gap distribution per event type in power-of-two "
         "second buckets (bucket = integer bit-length of the gap — the "
         "engine-portable log2 that needs no libm): the behavioral "

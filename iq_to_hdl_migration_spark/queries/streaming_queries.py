@@ -19,8 +19,8 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
-    BOT_SCORE_ORACLE, DIVERSITY_ORACLE, GINI_ORACLE, LIFECYCLE_ORACLE,
-    RETENTION_ORACLE)
+    BOT_SCORE_ORACLE, DIVERSITY_ORACLE, GAP_HIST_ORACLE, GINI_ORACLE,
+    LIFECYCLE_ORACLE, RETENTION_ORACLE)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
     AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
@@ -651,3 +651,21 @@ def stream_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_diversity_{next(_seq)}"
     return W.streaming_type_diversity(spark, sf_dir, name)
+
+
+@register(
+    "stream_gap_histogram",
+    oracle=GAP_HIST_ORACLE,  # shared with events_gap_powerlaw_histogram
+    doc="streaming twin of events_gap_powerlaw_histogram (20th twin, "
+        "second SEAM-CARRYING fold): inter-event gaps per (user, type) "
+        "span micro-batches, so each batch closes the boundary gap "
+        "against the carried last-event micros (the bot fold's seam "
+        "discipline) while the state is a bounded power-of-two gap "
+        "HISTOGRAM per key, not scalar counters; time-contiguity is "
+        "asserted in-plan and violations refuse loudly. The final "
+        "snapshot collapses onto (event_type, bucket) — equal to the "
+        "single-shot batch histogram bit-for-bit (shared oracle)",
+)
+def stream_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_gap_hist_{next(_seq)}"
+    return W.streaming_gap_histogram(spark, sf_dir, name)

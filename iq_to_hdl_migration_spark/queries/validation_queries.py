@@ -1203,3 +1203,76 @@ def dq_functional_dependency_audit(spark: SparkSession,
             .cast("bigint").alias("violation_ppm"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: privacy-engineering primitive for a release
+# gate — under a quasi-identifier tuple (here: nation, market
+# segment, order-count band), how many customers sit in equivalence
+# classes smaller than k? A class of size 1 is a re-identification;
+# sizes 2–4 are linkage-risky. The report is the class-SIZE histogram
+# (bounded domain) plus the risky-mass census per k ∈ {2, 5, 10} —
+# never the risky ROWS (which would scale with data and itself leak).
+# Scale shape: one custkey shuffle for the order counts, one QI-tuple
+# shuffle for the classes, then a histogram groupBy over the bounded
+# class-size domain. Integer-exact throughout.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_k_anonymity_audit",
+    oracle="""
+    WITH oc AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    qi AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CAST(COALESCE(n_orders, 0) // 5 AS INTEGER) AS order_band,
+               c_custkey
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    ),
+    classes AS (
+        SELECT nation, segment, order_band,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM qi GROUP BY nation, segment, order_band
+    )
+    SELECT class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_customers,
+           CAST(CASE WHEN class_size < 2 THEN SUM(class_size)
+                     ELSE 0 END AS BIGINT) AS below_k2,
+           CAST(CASE WHEN class_size < 5 THEN SUM(class_size)
+                     ELSE 0 END AS BIGINT) AS below_k5,
+           CAST(CASE WHEN class_size < 10 THEN SUM(class_size)
+                     ELSE 0 END AS BIGINT) AS below_k10
+    FROM classes GROUP BY class_size
+    """,
+    doc="k-anonymity audit over the (nation, segment, order-count "
+        "band) quasi-identifier: equivalence-class-size histogram "
+        "with the re-identifiable / linkage-risky customer mass per "
+        "k ∈ {2,5,10} — a census over the bounded class-size domain, "
+        "never the risky rows; two shuffles, integer-exact",
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    oc = (orders.groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    qi = (cust.join(oc, cust.c_custkey == oc.o_custkey, "left")
+          .select(F.col("c_nationkey").alias("nation"),
+                  F.col("c_mktsegment").alias("segment"),
+                  F.expr("CAST(coalesce(n_orders, 0) div 5 AS INT)")
+                  .alias("order_band")))
+    classes = (qi.groupBy("nation", "segment", "order_band")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("class_size")))
+    g = (classes.groupBy("class_size")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+              F.sum("class_size").cast("bigint").alias("n_customers")))
+    return g.select(
+        "class_size", "n_classes", "n_customers",
+        F.when(F.col("class_size") < 2, F.col("n_customers"))
+        .otherwise(0).cast("bigint").alias("below_k2"),
+        F.when(F.col("class_size") < 5, F.col("n_customers"))
+        .otherwise(0).cast("bigint").alias("below_k5"),
+        F.when(F.col("class_size") < 10, F.col("n_customers"))
+        .otherwise(0).cast("bigint").alias("below_k10"))

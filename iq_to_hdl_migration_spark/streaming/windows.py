@@ -1684,3 +1684,159 @@ def streaming_type_diversity(spark: SparkSession, sf_dir: str,
     final = sorted(os.listdir(snap_dir))[-1]
     snap = spark.read.parquet(os.path.join(snap_dir, final))
     return diversity_from_type_counts(snap)
+
+
+# ---------------------------------------------------------------------------
+# Gap-histogram twin: the second SEAM-CARRYING fold. Inter-event gaps
+# per (user, event_type) are not a commutative monoid — a gap can span
+# two micro-batches — so each batch closes the boundary gap against
+# the carried last-event micros, exactly the bot fold's discipline,
+# but the state is a bounded HISTOGRAM per key (≤ ~40 power-of-two
+# buckets) instead of scalar counters: one parquet snapshot holds
+# histogram rows (gap_bucket set, last_us NULL) and one seam row per
+# (user, type) (gap_bucket NULL, last_us set). Like the bot fold it
+# asserts time-contiguity in-plan and refuses out-of-order arrivals.
+# ---------------------------------------------------------------------------
+
+GAP_HIST_STATE_SCHEMA = ("user_id bigint, event_type string, "
+                         "gap_bucket int, n_gaps bigint, last_us bigint")
+
+_GAP_BUCKET_SQL = ("CAST(CASE WHEN gap_us <= 0 THEN 0 "
+                   "ELSE length(bin(gap_us div 1000000)) END AS INT)")
+
+
+def run_gap_hist_fold(spark: SparkSession, arrivals_dir: str,
+                      snap_dir: str, ckpt_dir: str) -> None:
+    """Drain the arrivals dir folding per-(user, type) gap-bucket
+    histograms with the boundary-gap carry. Resumable under the same
+    checkpoint dir; a replayed batch recomputes from the PRIOR
+    snapshot, so re-execution rewrites its snapshot byte-identically."""
+    import os
+
+    from pyspark.sql import Window as W_
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _process(batch_df, batch_id) -> None:
+        prev = spark.read.parquet(_latest_before(batch_id))
+        prev_hist = (prev.where(F.col("gap_bucket").isNotNull())
+                     .select("user_id", "event_type", "gap_bucket",
+                             "n_gaps"))
+        prev_seam = (prev.where(F.col("gap_bucket").isNull())
+                     .select("user_id", "event_type", "last_us"))
+
+        us = F.unix_micros(F.col("ts"))
+        w = W_.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        o = batch_df.select("user_id", "event_type", us.alias("us"),
+                            F.lag(us).over(w).alias("prev_us"))
+        d_hist = (o.where(F.col("prev_us").isNotNull())
+                  .withColumn("gap_us", F.col("us") - F.col("prev_us"))
+                  .select("user_id", "event_type",
+                          F.expr(_GAP_BUCKET_SQL).alias("gap_bucket"))
+                  .groupBy("user_id", "event_type", "gap_bucket")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps")))
+        spans = (o.groupBy("user_id", "event_type")
+                 .agg(F.min("us").cast("bigint").alias("first_us"),
+                      F.max("us").cast("bigint").alias("d_last_us")))
+
+        # ordered-fold contract: refuse non-contiguous arrivals loudly
+        joined = prev_seam.join(spans, ["user_id", "event_type"], "full")
+        guarded = joined.withColumn(
+            "first_us",
+            F.when(F.col("last_us").isNotNull()
+                   & F.col("first_us").isNotNull()
+                   & (F.col("first_us") <= F.col("last_us")),
+                   F.raise_error(F.concat(
+                       F.lit("gap fold: batch not time-contiguous "
+                             "for user_id="),
+                       F.col("user_id").cast("string"))))
+            .otherwise(F.col("first_us")))
+        boundary = (guarded
+                    .where(F.col("last_us").isNotNull()
+                           & F.col("first_us").isNotNull())
+                    .withColumn("gap_us",
+                                F.col("first_us") - F.col("last_us"))
+                    .select("user_id", "event_type",
+                            F.expr(_GAP_BUCKET_SQL).alias("gap_bucket"),
+                            F.lit(1).cast("bigint").alias("n_gaps")))
+        new_hist = (prev_hist.unionByName(d_hist).unionByName(boundary)
+                    .groupBy("user_id", "event_type", "gap_bucket")
+                    .agg(F.sum("n_gaps").cast("bigint").alias("n_gaps")))
+        new_seam = guarded.select(
+            "user_id", "event_type",
+            F.coalesce("d_last_us", "last_us").cast("bigint")
+            .alias("last_us"))
+
+        snap = (new_hist
+                .withColumn("last_us", F.lit(None).cast("bigint"))
+                .unionByName(new_seam
+                             .withColumn("gap_bucket",
+                                         F.lit(None).cast("int"))
+                             .withColumn("n_gaps",
+                                         F.lit(None).cast("bigint"))
+                             .select("user_id", "event_type",
+                                     "gap_bucket", "n_gaps", "last_us")))
+        (snap.write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def streaming_gap_histogram(spark: SparkSession, sf_dir: str,
+                            _query_name: str = "stream_gap_hist",
+                            n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_gap_powerlaw_histogram: the
+    seam-carrying histogram fold above; the final snapshot's histogram
+    rows collapse onto (event_type, bucket) — the same report as the
+    single-shot batch query, bit-for-bit (shared oracle).
+
+    Supersede-on-reinvoke contract: same as streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "gap_hist")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame([], GAP_HIST_STATE_SCHEMA)
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is not None:
+        _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                                  work, arrivals_dir)
+        run_gap_hist_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return (snap.where(F.col("gap_bucket").isNotNull())
+            .groupBy("event_type",
+                     F.col("gap_bucket").alias("gap_bucket_log2s"))
+            .agg(F.sum("n_gaps").cast("bigint").alias("n_gaps")))

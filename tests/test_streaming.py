@@ -648,3 +648,87 @@ def test_bot_fold_refuses_out_of_order_batch(spark, tmp_path):
         .otherwise(F.col("first_us")))
     with pytest.raises(Exception, match="not time-contiguous"):
         guard.collect()
+
+
+def test_gap_hist_fold_survives_restart(spark, sf_dir, tmp_path):
+    """Second seam-carrying fold's restart contract: gaps that span
+    the arrival seam AND the restart are closed exactly once — the
+    resumed fold's histogram must reproduce the single-shot batch
+    histogram bit-for-bit."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        events_gap_powerlaw_histogram)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts")
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    spark.createDataFrame(
+        [], W.GAP_HIST_STATE_SCHEMA).write.parquet(
+        os.path.join(snaps, "00000_init"))
+
+    cut = ev.agg(FF.expr("CAST(max(event_id) / 2 AS BIGINT)")).first()[0]
+
+    def arrive(df, name, mtime):
+        tmp = str(tmp_path / f"slice_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(arrivals, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    arrive(ev.where(FF.col("event_id") <= cut), "arr_000", 1_000_000)
+    W.run_gap_hist_fold(spark, arrivals, snaps, ckpt)
+    arrive(ev.where(FF.col("event_id") > cut), "arr_001", 1_000_001)
+    W.run_gap_hist_fold(spark, arrivals, snaps, ckpt)  # resumes
+
+    snap = spark.read.parquet(
+        os.path.join(snaps, sorted(os.listdir(snaps))[-1]))
+    got = sorted(tuple(r) for r in
+                 (snap.where(FF.col("gap_bucket").isNotNull())
+                  .groupBy("event_type",
+                           FF.col("gap_bucket").alias("gap_bucket_log2s"))
+                  .agg(FF.sum("n_gaps").cast("bigint").alias("n_gaps"))
+                  ).collect())
+    want = sorted(tuple(r) for r in
+                  events_gap_powerlaw_histogram(spark, sf_dir).collect())
+    assert got == want
+
+
+def test_gap_hist_fold_refuses_out_of_order_batch(spark, tmp_path):
+    """The seam guard is enforced in-plan for the histogram fold too."""
+    import os
+
+    import pytest
+
+    state = spark.createDataFrame(
+        [(7, "click", None, None, 1_800_000_000_000_000)],
+        W.GAP_HIST_STATE_SCHEMA)
+    late = spark.createDataFrame(
+        [(99, 7, "click", "2024-01-01 00:00:01")],
+        "event_id bigint, user_id bigint, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    us = F.unix_micros(F.col("ts"))
+    spans = (late.groupBy("user_id", "event_type")
+             .agg(F.min(us).cast("bigint").alias("first_us"),
+                  F.max(us).cast("bigint").alias("d_last_us")))
+    seam = state.where(F.col("gap_bucket").isNull()).select(
+        "user_id", "event_type", "last_us")
+    joined = seam.join(spans, ["user_id", "event_type"], "full")
+    guard = joined.withColumn(
+        "first_us",
+        F.when(F.col("last_us").isNotNull()
+               & F.col("first_us").isNotNull()
+               & (F.col("first_us") <= F.col("last_us")),
+               F.raise_error(F.lit("gap fold: batch not "
+                                   "time-contiguous")))
+        .otherwise(F.col("first_us")))
+    with pytest.raises(Exception, match="not time-contiguous"):
+        guard.collect()
