@@ -51,7 +51,8 @@ _SAMPLE_PRIORITY = [
     "orders_reorder_gap_profile", "sim_loo_centroid_confusion",
     "mlprep_seqlen_capacity_curve", "dedup_method_agreement_matrix",
     "sim_label_retrieval_mrr", "dq_k_anonymity_audit",
-    "stream_gap_histogram",
+    "stream_gap_histogram", "curation_policy_whatif",
+    "layout_partition_key_advisor",
     # round 11, tier 2: code changed this round — one driver re-draw
     # for the flood-cap schema change (its twin dedup_containment_pairs
     # and the size-gated events_session_overlap_pairs are locked by the
@@ -70,8 +71,7 @@ _SAMPLE_PRIORITY = [
     "events_type_affinity", "events_hourly_seasonality",
     "events_new_vs_returning", "events_burst_users",
     "stream_sessionization", "stream_purchase_click_join",
-    "stream_enriched_counts", "stream_session_windows_native",
-    "stream_mix_downsample",
+    "stream_enriched_counts",
     # (the sim_*/dedup_*/mm_* tail names yielded their slots to the
     # 11 second-batch additions — new-code-first policy; all remain
     # green in the local two-scale gate)

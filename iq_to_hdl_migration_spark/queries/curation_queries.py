@@ -563,3 +563,100 @@ def curation_filter_attrition(spark: SparkSession,
                  .alias("n_pass_all"),
                  (F.sum(F.when(passed, 1).otherwise(0)).cast("double")
                   / F.count(F.lit(1)).cast("double")).alias("pass_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Filter-policy what-if: before committing a quality-filter policy, a
+# curation pipeline asks "what would each candidate policy keep?" —
+# answered here for four policy bundles (min token count, min stopword
+# percent, min unique-token percent) in ONE corpus scan: the per-doc
+# integer features are computed once, the policy spine (4 rows) is
+# exploded against them map-side, and the verdict predicates are pure
+# integer comparisons (n_stop*100 >= pct*nt — no float thresholds), so
+# both engines agree bit-for-bit. Output is one row per policy with
+# the surviving doc/token mass — the decision table, not the doc list.
+# ---------------------------------------------------------------------------
+
+_POLICIES = [
+    # (policy, min_tokens, min_stopword_pct, min_unique_pct)
+    ("strict", 20, 5, 60),
+    ("moderate", 10, 2, 40),
+    ("lenient", 5, 0, 20),
+    ("length_only", 10, 0, 0),
+]
+
+
+@register(
+    "curation_policy_whatif",
+    oracle=rf"""
+    WITH feat AS (
+        SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS nt,
+               CAST(len(list_filter(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        x -> list_contains(['the','and','der','und','el',
+                                            'la','le','et'], x)))
+                    AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(
+                        string_split_regex(lower(trim(text)), '\s+')))
+                    AS BIGINT) AS n_uniq
+        FROM documents
+    ),
+    pol AS (
+        SELECT * FROM (VALUES {", ".join(
+            f"('{p}', {a}, {b}, {c})" for p, a, b, c in _POLICIES)})
+            p(policy, min_tokens, min_stop_pct, min_uniq_pct)
+    ),
+    sweep AS (
+        SELECT policy, nt,
+               CASE WHEN nt >= min_tokens
+                     AND n_stop * 100 >= min_stop_pct * nt
+                     AND n_uniq * 100 >= min_uniq_pct * nt
+                    THEN 1 ELSE 0 END AS keep
+        FROM feat, pol
+    )
+    SELECT policy,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(keep * nt) AS BIGINT) AS kept_tokens,
+           CAST((1000000 * SUM(keep)) // COUNT(*) AS BIGINT)
+               AS survival_ppm
+    FROM sweep GROUP BY policy
+    """,
+    doc="quality-filter policy what-if: surviving doc/token mass per "
+        "candidate policy bundle (min tokens, stopword pct, unique-"
+        "token pct) from ONE corpus scan — integer-exact predicates, "
+        "a 4-row policy spine exploded map-side, the decision table "
+        "a curation pipeline reads before committing a filter",
+)
+def curation_policy_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = r"split(lower(trim(text)), '\\s+')"
+    sw = "array('the','and','der','und','el','la','le','et')"
+    feat = docs.select(
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("nt"),
+        F.expr(f"CAST(size(filter({toks}, "
+               f"x -> array_contains({sw}, x))) AS BIGINT)").alias("n_stop"),
+        F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)")
+        .alias("n_uniq"))
+    spine = "array(" + ", ".join(
+        f"named_struct('policy', '{p}', 'min_tokens', {a}, "
+        f"'min_stop_pct', {b}, 'min_uniq_pct', {c})"
+        for p, a, b, c in _POLICIES) + ")"
+    sweep = (feat.select("nt", "n_stop", "n_uniq",
+                         F.explode(F.expr(spine)).alias("p"))
+             .select("nt",
+                     F.col("p.policy").alias("policy"),
+                     F.when((F.col("nt") >= F.col("p.min_tokens"))
+                            & (F.col("n_stop") * 100
+                               >= F.col("p.min_stop_pct") * F.col("nt"))
+                            & (F.col("n_uniq") * 100
+                               >= F.col("p.min_uniq_pct") * F.col("nt")),
+                            1).otherwise(0).alias("keep")))
+    return (sweep.groupBy("policy")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("keep").cast("bigint").alias("n_kept"),
+                 F.sum(F.col("keep") * F.col("nt")).cast("bigint")
+                 .alias("kept_tokens"),
+                 F.expr("(1000000 * sum(keep)) div count(*)")
+                 .cast("bigint").alias("survival_ppm")))

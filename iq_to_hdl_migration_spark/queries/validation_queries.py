@@ -1276,3 +1276,95 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0).cast("bigint").alias("below_k5"),
         F.when(F.col("class_size") < 10, F.col("n_customers"))
         .otherwise(0).cast("bigint").alias("below_k10"))
+
+
+# ---------------------------------------------------------------------------
+# Partition-key advisor: the layout decision a 100 TB migration makes
+# exactly once and lives with — for each candidate partition key, the
+# partition count, the row skew (hottest partition vs the mean, in
+# ppm), and the small-partition fraction. A key with few giant
+# partitions starves parallelism; one with thousands of near-empty
+# partitions drowns the planner in file listings. Each probe is one
+# groupBy on its key and one second-level aggregate over the bounded
+# partition spine; integer-exact (skew_ppm = 1e6·max·n/total).
+# ---------------------------------------------------------------------------
+
+_PART_PROBES = [
+    # (candidate, table, key expression — Spark and DuckDB dialects)
+    ("orders.month(o_orderdate)", "orders",
+     "date_trunc('month', o_orderdate)",
+     "date_trunc('month', o_orderdate)"),
+    ("orders.o_orderpriority", "orders",
+     "o_orderpriority", "o_orderpriority"),
+    ("customer.c_nationkey", "customer",
+     "c_nationkey", "c_nationkey"),
+    ("lineitem.month(l_shipdate)", "lineitem",
+     "date_trunc('month', l_shipdate)",
+     "date_trunc('month', l_shipdate)"),
+]
+
+
+def _partition_advisor_oracle() -> str:
+    blocks = []
+    for cand, table, _spark_k, duck_k in _PART_PROBES:
+        blocks.append(f"""
+    SELECT candidate, n_partitions, total_rows, max_rows, min_rows,
+           skew_ppm, n_tiny
+    FROM (
+        WITH g AS (SELECT {duck_k} AS k, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM {table} GROUP BY 1),
+        a AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+                   CAST(SUM(n) AS BIGINT) AS total_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_rows,
+                   CAST(MIN(n) AS BIGINT) AS min_rows
+            FROM g
+        ),
+        tiny AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tiny
+            FROM g, a WHERE n * 20 < total_rows // n_partitions + 1
+        )
+        SELECT '{cand}' AS candidate, n_partitions, total_rows,
+               max_rows, min_rows,
+               CAST((1000000 * max_rows * n_partitions) // total_rows
+                    AS BIGINT) AS skew_ppm,
+               n_tiny
+        FROM a, tiny
+    ) t""")
+    return " UNION ALL ".join(blocks)
+
+
+@register(
+    "layout_partition_key_advisor",
+    oracle=_partition_advisor_oracle(),
+    doc="partition-key advisor: per candidate key the partition count, "
+        "hottest-partition skew in ppm, and tiny-partition census "
+        "(below 5% of the mean) — the one-time physical-layout "
+        "decision table; one groupBy per probe over its key, second "
+        "aggregate over the bounded partition spine",
+)
+def layout_partition_key_advisor(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    out = None
+    for cand, table, spark_k, _duck_k in _PART_PROBES:
+        t = load_table(spark, sf_dir, table)
+        g = (t.groupBy(F.expr(spark_k).alias("k"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+        a = g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("n").cast("bigint").alias("total_rows"),
+            F.max("n").cast("bigint").alias("max_rows"),
+            F.min("n").cast("bigint").alias("min_rows"))
+        tiny = (g.crossJoin(F.broadcast(a.select(
+                    F.expr("total_rows div n_partitions + 1")
+                    .alias("mean_hi"))))
+                .where(F.col("n") * 20 < F.col("mean_hi"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_tiny")))
+        out_row = a.crossJoin(F.broadcast(tiny)).select(
+            F.lit(cand).alias("candidate"),
+            "n_partitions", "total_rows", "max_rows", "min_rows",
+            F.expr("(1000000 * max_rows * n_partitions) div total_rows")
+            .cast("bigint").alias("skew_ppm"),
+            "n_tiny")
+        out = out_row if out is None else out.unionByName(out_row)
+    return out
