@@ -167,3 +167,66 @@ def label_propagation(edges: DataFrame, n_iter: int = 3,
                   .select(F.col("u").alias("node"), "label")
                   .localCheckpoint(eager=True))
     return labels
+
+
+def pagerank_convergence(edges: DataFrame, iters: int = 10,
+                         src: str = "src", dst: str = "dst",
+                         weight: str = "weight") -> DataFrame:
+    """Convergence audit of the integer fixpoint: per iteration the
+    exact L1 and max |Δrank_q| between consecutive rank vectors —
+    BIGINT arithmetic end-to-end, so the whole trajectory (not just
+    the endpoint) is value-hash-checkable. One extra small join per
+    iteration over the node set; the per-iteration scalars are a
+    documented driver barrier (same class as the fixpoint's
+    dangling-mass collect)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(weight).cast("bigint").alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    n = nodes.count()
+    e_out = (e.join(e.groupBy("src").agg(F.sum("w").alias("out_w")),
+                    "src").cache())
+    base_q = (3 * PR_SCALE) // (PR_DAMP_DEN * n)
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("q"))
+    deltas: list[tuple] = []
+    for k in range(1, iters + 1):
+        contrib = (
+            ranks.join(e_out, ranks["node"] == e_out["src"])
+            .select("dst", F.expr("(q * w) div out_w").alias("cc"))
+            .groupBy("dst").agg(F.sum("cc").alias("c"))
+        ).localCheckpoint()
+        tot = (ranks.select(F.col("q").alias("x"),
+                            F.lit(True).alias("is_rank"))
+               .unionAll(contrib.select(F.col("c").alias("x"),
+                                        F.lit(False).alias("is_rank")))
+               .agg(F.sum(F.when(F.col("is_rank"), F.col("x")))
+                    .alias("prev_total"),
+                    F.sum(F.when(~F.col("is_rank"), F.col("x")))
+                    .alias("s"))
+               .collect()[0])
+        prev_total, s = tot["prev_total"], tot["s"] or 0
+        dangling_share = (prev_total - s) // n
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select("node",
+                    (F.lit(base_q)
+                     + F.expr(f"({PR_DAMP_NUM} * (coalesce(c, 0L)"
+                              f" + {dangling_share}L))"
+                              f" div {PR_DAMP_DEN}")).alias("q"))
+        ).localCheckpoint()
+        d = (new_ranks.alias("a")
+             .join(ranks.alias("b"), F.col("a.node") == F.col("b.node"))
+             .agg(F.sum(F.abs(F.col("a.q") - F.col("b.q")))
+                  .cast("bigint").alias("l1"),
+                  F.max(F.abs(F.col("a.q") - F.col("b.q")))
+                  .cast("bigint").alias("mx"))
+             .collect()[0])
+        deltas.append((k, d["l1"], d["mx"]))
+        ranks = new_ranks
+    return spark.createDataFrame(
+        deltas, "iteration int, l1_delta_q bigint, max_delta_q bigint"
+    ).withColumn("l1_delta",
+                 F.col("l1_delta_q").cast("double")
+                 / F.lit(float(PR_SCALE)))

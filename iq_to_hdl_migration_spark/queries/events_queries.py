@@ -498,6 +498,63 @@ def _pagerank_fixedpoint_oracle(iters: int) -> str:
     """)
 
 
+def _pagerank_convergence_oracle(iters: int) -> str:
+    """Reuses the generated fixpoint CTE chain and emits per-iteration
+    exact L1 / max |Δq| between consecutive rank vectors."""
+    from iq_to_hdl_migration_spark.operators.graph import PR_SCALE
+
+    chain = _pagerank_fixedpoint_oracle(iters)
+    # keep everything up to (and including) the final r{iters} CTE,
+    # drop the top-20 SELECT tail
+    head = chain[:chain.rindex("SELECT node AS user_id")]
+    deltas = []
+    for k in range(1, iters + 1):
+        deltas.append(f"""
+    SELECT CAST({k} AS INTEGER) AS iteration,
+           CAST(SUM(ABS(a.q - b.q)) AS BIGINT) AS l1_delta_q,
+           CAST(MAX(ABS(a.q - b.q)) AS BIGINT) AS max_delta_q,
+           CAST(SUM(ABS(a.q - b.q)) AS DOUBLE) / {float(PR_SCALE)!r}
+               AS l1_delta
+    FROM r{k} a JOIN r{k - 1} b ON a.node = b.node""")
+    return head + " UNION ALL ".join(deltas)
+
+
+def _copurchase_click_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The click->purchase hourly co-occurrence edge table shared by
+    the fixpoint PageRank queries."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id", "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"))
+    clicks = (hours.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("src"), "h"))
+    buys = (hours.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("dst"), "h"))
+    return (clicks.join(buys, "h")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
+@register(
+    "graph_pagerank_convergence_report",
+    oracle=_pagerank_convergence_oracle(iters=10),
+    doc="convergence audit of the integer fixed-point PageRank: exact "
+        "L1 and max |Δrank_q| per iteration (BIGINT end-to-end), so "
+        "the WHOLE trajectory value-hash-matches the generated DuckDB "
+        "CTE chain — the stop-early/iterate-more decision evidence for "
+        "the 100 TB run, not just the endpoint; one extra node-keyed "
+        "join per iteration, scalars via the documented driver barrier",
+)
+def graph_pagerank_convergence_report(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.graph import (
+        pagerank_convergence)
+
+    return pagerank_convergence(_copurchase_click_edges(spark, sf_dir),
+                                iters=10)
+
+
 @register(
     "graph_user_pagerank_fixedpoint_top20",
     oracle=_pagerank_fixedpoint_oracle(iters=10),
@@ -512,19 +569,8 @@ def graph_user_pagerank_fixedpoint_top20(spark: SparkSession,
                                          sf_dir: str) -> DataFrame:
     from iq_to_hdl_migration_spark.operators.graph import pagerank_fixedpoint
 
-    ev = load_table(spark, sf_dir, "events")
-    hours = ev.select(
-        "user_id", "event_type",
-        F.date_trunc("hour", F.col("ts")).alias("h"))
-    clicks = (hours.filter(F.col("event_type") == "click")
-              .select(F.col("user_id").alias("src"), "h"))
-    buys = (hours.filter(F.col("event_type") == "purchase")
-            .select(F.col("user_id").alias("dst"), "h"))
-    edges = (clicks.join(buys, "h")
-             .filter(F.col("src") != F.col("dst"))
-             .groupBy("src", "dst")
-             .agg(F.count(F.lit(1)).alias("weight")))
-    ranks = pagerank_fixedpoint(edges, iters=10)
+    ranks = pagerank_fixedpoint(_copurchase_click_edges(spark, sf_dir),
+                                iters=10)
     return (ranks.orderBy(F.desc("rank_q"), F.asc("node"))
             .limit(20)
             .select(F.col("node").alias("user_id"), "rank_q", "rank"))
