@@ -96,6 +96,10 @@ def main() -> None:
         "protocol": "exclusive fresh-process best-of-N after warm-up",
         "n": 3,
         "exclusive": not foreign,
+        # host noise diagnostic: 'exclusive' only proves no OTHER Spark
+        # session is live — a loaded host (noisy neighbor) still skews
+        # timings; readers should discount sessions with high load_1m
+        "load_1m": round(os.getloadavg()[0], 2),
     }))
 
 

@@ -1366,6 +1366,7 @@ DIVERSITY_ORACLE = """
         "diversity histogram behind segmentation/bot triage. Two "
         "shuffles then a ≤101-band groupBy — no window, no per-user "
         "state beyond one row",
+    bench=True,
 )
 def events_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -2583,6 +2583,7 @@ def sim_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label-sum prototype (dot' = d − qq, |S−v|² = SS − 2d + qq), "
         "one (label×dim) shuffle + broadcast L-row scoring, bounded "
         "L×L output",
+    bench=True,
 )
 def sim_loo_centroid_confusion(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
