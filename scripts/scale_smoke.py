@@ -134,6 +134,10 @@ ROTATION = [
     "orders_reorder_gap_profile", "sim_loo_centroid_confusion",
     "mlprep_seqlen_capacity_curve", "dedup_method_agreement_matrix",
     "sim_label_retrieval_mrr",
+    # round-11 third batch
+    "dq_k_anonymity_audit", "stream_gap_histogram",
+    "curation_policy_whatif", "layout_partition_key_advisor",
+    "graph_pagerank_convergence_report",
 ]
 EXTRA = EXTRA + ROTATION
 
