@@ -199,9 +199,8 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_funnel_counts",
-    oracle="""
+# shared with the streaming twin (stream_funnel_counts)
+FUNNEL_ORACLE = """
     WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
                FROM events WHERE event_type = 'view' GROUP BY user_id),
     c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
@@ -216,7 +215,12 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
            CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
            CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_buy
-    """,
+    """
+
+
+@register(
+    "events_funnel_counts",
+    oracle=FUNNEL_ORACLE,
     doc="ordered funnel (view -> later click -> later purchase) per "
         "user: three grouped mins chained by per-user joins — every "
         "stage shuffles on user_id only, and AQE reuses the exchange; "

@@ -19,8 +19,8 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
-    BOT_SCORE_ORACLE, DIVERSITY_ORACLE, GAP_HIST_ORACLE, GINI_ORACLE,
-    LIFECYCLE_ORACLE, RETENTION_ORACLE)
+    BOT_SCORE_ORACLE, DIVERSITY_ORACLE, FUNNEL_ORACLE, GAP_HIST_ORACLE,
+    GINI_ORACLE, LIFECYCLE_ORACLE, RETENTION_ORACLE)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
     AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
@@ -669,3 +669,21 @@ def stream_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_gap_hist_{next(_seq)}"
     return W.streaming_gap_histogram(spark, sf_dir, name)
+
+
+@register(
+    "stream_funnel_counts",
+    oracle=FUNNEL_ORACLE,  # shared with events_funnel_counts
+    doc="streaming twin of events_funnel_counts (21st twin, third "
+        "ORDERED fold): the chained funnel is not a commutative monoid "
+        "— each stage's qualifying time depends on the previous stage "
+        "— but under the id-contiguous time-ordered arrival contract a "
+        "stage time is FINAL once set, so state is three timestamps + "
+        "the seam last_us per user; within a batch the three stages "
+        "chain exactly like the batch query. Contiguity violations "
+        "refuse loudly in-plan. Equal to the single-shot batch report "
+        "bit-for-bit (shared oracle)",
+)
+def stream_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_funnel_{next(_seq)}"
+    return W.streaming_funnel_counts(spark, sf_dir, name)

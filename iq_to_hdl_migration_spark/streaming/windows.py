@@ -1840,3 +1840,152 @@ def streaming_gap_histogram(spark: SparkSession, sf_dir: str,
             .groupBy("event_type",
                      F.col("gap_bucket").alias("gap_bucket_log2s"))
             .agg(F.sum("n_gaps").cast("bigint").alias("n_gaps")))
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel twin: the third ORDERED fold. The chained funnel
+# (view -> later click -> later purchase) is not a commutative monoid
+# — a stage's qualifying time depends on the previous stage's — but
+# under the arrival contract (event_id-contiguous micro-batches over
+# time-ordered ids, the same contract the bot and gap folds assert),
+# a stage time is FINAL the moment it is set: every later batch's
+# events are strictly later, so coalesce(carried, batch-candidate) is
+# exact. State is three timestamps + the seam last_us per user.
+# Within a batch the three stages chain exactly like the batch query,
+# each constrained by the stage time resolved so far.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = ("user_id bigint, t_view_us bigint, "
+                       "t_click_us bigint, t_buy_us bigint, last_us bigint")
+
+
+def run_funnel_fold(spark: SparkSession, arrivals_dir: str,
+                    snap_dir: str, ckpt_dir: str) -> None:
+    """Drain the arrivals dir folding per-user ordered-funnel stage
+    times. Replay-safe: a replayed batch recomputes from the PRIOR
+    snapshot; refuses non-contiguous arrivals loudly."""
+    import os
+
+    schema = spark.read.parquet(arrivals_dir).schema
+
+    def _latest_before(batch_id: int) -> str:
+        subs = sorted(d for d in os.listdir(snap_dir)
+                      if d < f"{batch_id + 1:05d}_b")
+        return os.path.join(snap_dir, subs[-1])
+
+    def _process(batch_df, batch_id) -> None:
+        prev = spark.read.parquet(_latest_before(batch_id))
+        us = F.unix_micros(F.col("ts"))
+        b = batch_df.select("user_id", "event_type", us.alias("us"))
+        per_user = (b.groupBy("user_id")
+                    .agg(F.min(F.when(F.col("event_type") == "view",
+                                      F.col("us"))).alias("bv"),
+                         F.min("us").cast("bigint").alias("first_us"),
+                         F.max("us").cast("bigint").alias("d_last_us")))
+        joined = prev.join(per_user, "user_id", "full")
+        guarded = joined.withColumn(
+            "first_us",
+            F.when(F.col("last_us").isNotNull()
+                   & F.col("first_us").isNotNull()
+                   & (F.col("first_us") <= F.col("last_us")),
+                   F.raise_error(F.concat(
+                       F.lit("funnel fold: batch not time-contiguous "
+                             "for user_id="),
+                       F.col("user_id").cast("string"))))
+            .otherwise(F.col("first_us")))
+        s1 = guarded.select(
+            "user_id", "t_click_us", "t_buy_us",
+            F.coalesce("t_view_us", "bv").cast("bigint")
+            .alias("t_view_us"),
+            F.coalesce("d_last_us", "last_us").cast("bigint")
+            .alias("last_us"))
+        # stage 2: first click strictly after the resolved view time
+        clicks = (b.where(F.col("event_type") == "click")
+                  .join(s1.select("user_id", "t_view_us"), "user_id")
+                  .where(F.col("t_view_us").isNotNull()
+                         & (F.col("us") > F.col("t_view_us")))
+                  .groupBy("user_id")
+                  .agg(F.min("us").cast("bigint").alias("bc")))
+        s2 = (s1.join(clicks, "user_id", "left")
+              .select("user_id", "t_view_us", "t_buy_us", "last_us",
+                      F.coalesce("t_click_us", "bc").cast("bigint")
+                      .alias("t_click_us")))
+        buys = (b.where(F.col("event_type") == "purchase")
+                .join(s2.select("user_id", "t_click_us"), "user_id")
+                .where(F.col("t_click_us").isNotNull()
+                       & (F.col("us") > F.col("t_click_us")))
+                .groupBy("user_id")
+                .agg(F.min("us").cast("bigint").alias("bb")))
+        s3 = (s2.join(buys, "user_id", "left")
+              .select("user_id", "t_view_us", "t_click_us",
+                      F.coalesce("t_buy_us", "bb").cast("bigint")
+                      .alias("t_buy_us"),
+                      "last_us"))
+        (s3.select("user_id", "t_view_us", "t_click_us", "t_buy_us",
+                   "last_us")
+         .write.mode("overwrite")
+         .parquet(os.path.join(snap_dir, f"{batch_id + 1:05d}_b")))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(arrivals_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def funnel_counts_from_state(snap: DataFrame) -> DataFrame:
+    """Final snapshot -> the 1-row funnel report (shared tail shape
+    with events_funnel_counts)."""
+    return snap.agg(
+        F.sum(F.when(F.col("t_view_us").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_view"),
+        F.sum(F.when(F.col("t_click_us").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_view_click"),
+        F.sum(F.when(F.col("t_buy_us").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_view_click_buy"))
+
+
+def streaming_funnel_counts(spark: SparkSession, sf_dir: str,
+                            _query_name: str = "stream_funnel",
+                            n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_funnel_counts: the ordered-funnel fold
+    above; equal to the single-shot batch report bit-for-bit (shared
+    oracle). Supersede-on-reinvoke contract: same as
+    streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts")
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "funnel")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame([], FUNNEL_STATE_SCHEMA)
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is not None:
+        _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                                  work, arrivals_dir)
+        run_funnel_fold(spark, arrivals_dir, snap_dir, ckpt_dir)
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return funnel_counts_from_state(snap)

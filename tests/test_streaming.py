@@ -732,3 +732,50 @@ def test_gap_hist_fold_refuses_out_of_order_batch(spark, tmp_path):
         .otherwise(F.col("first_us")))
     with pytest.raises(Exception, match="not time-contiguous"):
         guard.collect()
+
+
+def test_funnel_fold_survives_restart(spark, sf_dir, tmp_path):
+    """Ordered-funnel fold restart contract: stage chains that span
+    the arrival seam AND the restart must resolve exactly once — the
+    resumed fold reproduces the single-shot batch funnel."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        events_funnel_counts)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts")
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    spark.createDataFrame(
+        [], W.FUNNEL_STATE_SCHEMA).write.parquet(
+        os.path.join(snaps, "00000_init"))
+
+    cut = ev.agg(FF.expr("CAST(max(event_id) / 2 AS BIGINT)")).first()[0]
+
+    def arrive(df, name, mtime):
+        tmp = str(tmp_path / f"slice_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(arrivals, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    arrive(ev.where(FF.col("event_id") <= cut), "arr_000", 1_000_000)
+    W.run_funnel_fold(spark, arrivals, snaps, ckpt)
+    arrive(ev.where(FF.col("event_id") > cut), "arr_001", 1_000_001)
+    W.run_funnel_fold(spark, arrivals, snaps, ckpt)  # resumes
+
+    snap = spark.read.parquet(
+        os.path.join(snaps, sorted(os.listdir(snaps))[-1]))
+    got = sorted(tuple(r) for r in
+                 W.funnel_counts_from_state(snap).collect())
+    want = sorted(tuple(r) for r in
+                  events_funnel_counts(spark, sf_dir).collect())
+    assert got == want
