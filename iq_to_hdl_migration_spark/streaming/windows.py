@@ -1883,8 +1883,11 @@ def run_funnel_fold(spark: SparkSession, arrivals_dir: str,
                          F.min("us").cast("bigint").alias("first_us"),
                          F.max("us").cast("bigint").alias("d_last_us")))
         joined = prev.join(per_user, "user_id", "full")
+        # the guard must ride a column the fold actually consumes
+        # (d_last_us feeds every snapshot row's last_us), or column
+        # pruning would silently drop the raise_error
         guarded = joined.withColumn(
-            "first_us",
+            "d_last_us",
             F.when(F.col("last_us").isNotNull()
                    & F.col("first_us").isNotNull()
                    & (F.col("first_us") <= F.col("last_us")),
@@ -1892,7 +1895,7 @@ def run_funnel_fold(spark: SparkSession, arrivals_dir: str,
                        F.lit("funnel fold: batch not time-contiguous "
                              "for user_id="),
                        F.col("user_id").cast("string"))))
-            .otherwise(F.col("first_us")))
+            .otherwise(F.col("d_last_us")))
         s1 = guarded.select(
             "user_id", "t_click_us", "t_buy_us",
             F.coalesce("t_view_us", "bv").cast("bigint")

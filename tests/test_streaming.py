@@ -779,3 +779,32 @@ def test_funnel_fold_survives_restart(spark, sf_dir, tmp_path):
     want = sorted(tuple(r) for r in
                   events_funnel_counts(spark, sf_dir).collect())
     assert got == want
+
+
+def test_funnel_fold_refuses_out_of_order_batch(spark, tmp_path):
+    """The guard must survive column pruning: a batch predating a
+    user's carried last_us raises through the consumed d_last_us."""
+    import os
+
+    import pytest
+
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
+    state = spark.createDataFrame(
+        [(7, 1_800_000_000_000_000, None, None, 1_800_000_000_000_000)],
+        W.FUNNEL_STATE_SCHEMA)
+    state.write.parquet(os.path.join(snaps, "00000_init"))
+    late = spark.createDataFrame(
+        [(99, 7, "view", "2024-01-01 00:00:01")],
+        "event_id bigint, user_id bigint, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tmp = str(tmp_path / "slice")
+    late.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+    os.rename(os.path.join(tmp, part),
+              os.path.join(arrivals, "arr_000.parquet"))
+    with pytest.raises(Exception, match="not time-contiguous"):
+        W.run_funnel_fold(spark, arrivals, snaps, ckpt)
