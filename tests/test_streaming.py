@@ -703,35 +703,32 @@ def test_gap_hist_fold_survives_restart(spark, sf_dir, tmp_path):
 
 
 def test_gap_hist_fold_refuses_out_of_order_batch(spark, tmp_path):
-    """The seam guard is enforced in-plan for the histogram fold too."""
+    """The seam guard must fire in the REAL fold (not a re-built
+    expression) — proving it survives column pruning."""
     import os
 
     import pytest
 
+    arrivals = str(tmp_path / "arrivals")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
+    os.makedirs(snaps)
     state = spark.createDataFrame(
         [(7, "click", None, None, 1_800_000_000_000_000)],
         W.GAP_HIST_STATE_SCHEMA)
+    state.write.parquet(os.path.join(snaps, "00000_init"))
     late = spark.createDataFrame(
         [(99, 7, "click", "2024-01-01 00:00:01")],
         "event_id bigint, user_id bigint, event_type string, ts string"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    us = F.unix_micros(F.col("ts"))
-    spans = (late.groupBy("user_id", "event_type")
-             .agg(F.min(us).cast("bigint").alias("first_us"),
-                  F.max(us).cast("bigint").alias("d_last_us")))
-    seam = state.where(F.col("gap_bucket").isNull()).select(
-        "user_id", "event_type", "last_us")
-    joined = seam.join(spans, ["user_id", "event_type"], "full")
-    guard = joined.withColumn(
-        "first_us",
-        F.when(F.col("last_us").isNotNull()
-               & F.col("first_us").isNotNull()
-               & (F.col("first_us") <= F.col("last_us")),
-               F.raise_error(F.lit("gap fold: batch not "
-                                   "time-contiguous")))
-        .otherwise(F.col("first_us")))
+    tmp = str(tmp_path / "slice")
+    late.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+    os.rename(os.path.join(tmp, part),
+              os.path.join(arrivals, "arr_000.parquet"))
     with pytest.raises(Exception, match="not time-contiguous"):
-        guard.collect()
+        W.run_gap_hist_fold(spark, arrivals, snaps, ckpt)
 
 
 def test_funnel_fold_survives_restart(spark, sf_dir, tmp_path):
