@@ -619,35 +619,35 @@ def test_bot_fold_survives_restart(spark, sf_dir, tmp_path):
 
 
 def test_bot_fold_refuses_out_of_order_batch(spark, tmp_path):
-    """The ordered-fold contract is enforced in-plan: a batch whose
-    events predate a user's carried last_us must raise, not silently
-    corrupt the boundary gap."""
+    """The ordered-fold contract is enforced in-plan BY THE REAL FOLD:
+    a batch whose events predate a user's carried last_us must raise
+    (driving run_bot_count_fold itself proves the guard survives
+    column pruning)."""
     import os
 
     import pytest
 
+    arrivals = str(tmp_path / "arrivals")
     snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(arrivals)
     os.makedirs(snaps)
     state = spark.createDataFrame(
         [(7, 3, 2, 0, 0, 1_800_000_000_000_000)],  # ~2027 in micros
         W.BOT_STATE_SCHEMA)
+    state.write.parquet(os.path.join(snaps, "00000_init"))
     late = spark.createDataFrame(
         [(99, 7, "2024-01-01 00:00:01", )],
         "event_id bigint, user_id bigint, ts string"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tmp = str(tmp_path / "slice")
+    late.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+    os.rename(os.path.join(tmp, part),
+              os.path.join(arrivals, "arr_000.parquet"))
     # the 2024 event predates the carried ~2027 last_us -> must raise
-    delta = W._bot_batch_delta(late)
-    joined = state.join(delta, "user_id", "full")
-    guard = joined.withColumn(
-        "first_us",
-        F.when(F.col("last_us").isNotNull()
-               & F.col("first_us").isNotNull()
-               & (F.col("first_us") <= F.col("last_us")),
-               F.raise_error(F.lit("bot fold: batch not "
-                                   "time-contiguous")))
-        .otherwise(F.col("first_us")))
     with pytest.raises(Exception, match="not time-contiguous"):
-        guard.collect()
+        W.run_bot_count_fold(spark, arrivals, snaps, ckpt)
 
 
 def test_gap_hist_fold_survives_restart(spark, sf_dir, tmp_path):
