@@ -137,7 +137,7 @@ ROTATION = [
     # round-11 third batch
     "dq_k_anonymity_audit", "stream_gap_histogram",
     "curation_policy_whatif", "layout_partition_key_advisor",
-    "graph_pagerank_convergence_report",
+    "graph_pagerank_convergence_report", "stream_funnel_counts",
 ]
 EXTRA = EXTRA + ROTATION
 
