@@ -54,6 +54,7 @@ _SAMPLE_PRIORITY = [
     "stream_gap_histogram", "curation_policy_whatif",
     "layout_partition_key_advisor", "graph_pagerank_convergence_report",
     "stream_funnel_counts", "dq_id_continuity_audit",
+    "dedup_pair_degree_census",
     # round 11, tier 2: code changed this round — one driver re-draw
     # for the flood-cap schema change (its twin dedup_containment_pairs
     # and the size-gated events_session_overlap_pairs are locked by the
@@ -69,7 +70,6 @@ _SAMPLE_PRIORITY = [
     "events_churn_gaps", "events_session_windows_native",
     "events_gap_powerlaw_histogram", "events_latest_per_user",
     "events_entry_exit_paths", "events_session_conversion",
-    "events_type_affinity",
     "stream_sessionization", "stream_purchase_click_join",
     "stream_enriched_counts",
     # (the sim_*/dedup_*/mm_* tail names yielded their slots to the

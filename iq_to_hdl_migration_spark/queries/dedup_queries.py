@@ -953,3 +953,48 @@ def dedup_method_agreement_matrix(spark: SparkSession,
         "method_a", "method_b", "n_a", "n_b", nc.alias("n_common"),
         F.when(den == 0, 0.0).otherwise(nc.cast("double") / den)
         .alias("pair_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup degree census: how many documents have exactly k near-dup
+# partners — the dup-multiplicity profile that picks the keep policy
+# (a corpus whose mass sits at degree 1–2 dedups safely with
+# keep-first; heavy high-degree mass means template families where
+# cluster-level sampling beats pairwise survivorship). Reuses the
+# memoized LSH pair table; degrees come from one explode of the pair
+# list (each pair contributes to two docs), and the census groupBy
+# runs over the bounded degree domain, never the doc set.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_pair_degree_census",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT id_a, id_b FROM ({minhash_pairs_oracle(threshold=0.5)}) t
+    ),
+    deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT id_a AS id FROM pairs
+              UNION ALL SELECT id_b FROM pairs) u
+        GROUP BY id
+    )
+    SELECT k AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(id) AS BIGINT) AS example_doc_id
+    FROM deg GROUP BY k
+    """,
+    doc="near-dup degree census over the memoized LSH pair graph: doc "
+        "count per near-dup-partner count k with an example doc per "
+        "band — the dup-multiplicity profile behind keep-policy choice "
+        "(pairwise survivorship vs cluster sampling); one explode of "
+        "the pair table + a bounded-degree groupBy",
+)
+def dedup_pair_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_pairs(spark, sf_dir, threshold=0.5)
+    ids = (pairs.select(F.col("id_a").cast("bigint").alias("id"))
+           .unionAll(pairs.select(F.col("id_b").cast("bigint").alias("id"))))
+    deg = (ids.groupBy("id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("k")))
+    return (deg.groupBy(F.col("k").alias("degree"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("id").cast("bigint").alias("example_doc_id")))

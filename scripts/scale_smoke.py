@@ -138,6 +138,7 @@ ROTATION = [
     "dq_k_anonymity_audit", "stream_gap_histogram",
     "curation_policy_whatif", "layout_partition_key_advisor",
     "graph_pagerank_convergence_report", "stream_funnel_counts",
+    "dq_id_continuity_audit", "dedup_pair_degree_census",
 ]
 EXTRA = EXTRA + ROTATION
 
