@@ -400,3 +400,54 @@ def test_retrieval_mrr_rank_identity(spark, sf_dir):
     for r in rows:
         assert r.first_hit_rank >= 1
         assert abs(r.reciprocal_rank - 1.0 / r.first_hit_rank) == 0.0
+
+
+def test_id_continuity_identities(spark, sf_dir):
+    rows = {r.probe: r for r in
+            REGISTRY["dq_id_continuity_audit"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r.min_id <= r.max_id
+        assert 0 <= r.n_missing == r.max_id - r.min_id + 1 - r.n_ids
+        assert r.n_dup_ids == r.n_rows - r.n_ids >= 0
+
+
+def test_policy_whatif_dominance(spark, sf_dir):
+    """strict's thresholds dominate moderate's dominate lenient's, so
+    survival must be monotone across that chain."""
+    rows = {r.policy: r for r in
+            REGISTRY["curation_policy_whatif"].fn(spark, sf_dir).collect()}
+    assert (rows["strict"].n_kept <= rows["moderate"].n_kept
+            <= rows["lenient"].n_kept)
+    for r in rows.values():
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.kept_tokens >= 0
+        assert 0 <= r.survival_ppm <= _PPM
+
+
+def test_partition_advisor_identities(spark, sf_dir):
+    rows = REGISTRY["layout_partition_key_advisor"].fn(
+        spark, sf_dir).collect()
+    by_table = {}
+    for r in rows:
+        assert r.min_rows <= r.max_rows
+        assert r.skew_ppm >= _PPM - 1  # max >= mean by definition
+        assert 0 <= r.n_tiny <= r.n_partitions
+        tbl = r.candidate.split(".")[0]
+        by_table.setdefault(tbl, set()).add(r.total_rows)
+    # same-table candidates must agree on the total row count
+    for tbl, totals in by_table.items():
+        assert len(totals) == 1, f"{tbl}: {totals}"
+
+
+def test_pair_degree_census_handshake(spark, sf_dir):
+    """Sum of degree x docs must equal twice the pair count (every
+    pair contributes one degree to each endpoint)."""
+    from iq_to_hdl_migration_spark.queries.dedup_queries import (
+        minhash_pairs)
+
+    rows = REGISTRY["dedup_pair_degree_census"].fn(spark, sf_dir).collect()
+    n_pairs = minhash_pairs(spark, sf_dir, threshold=0.5).count()
+    assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs
+    for r in rows:
+        assert r.degree >= 1 and r.n_docs >= 1
