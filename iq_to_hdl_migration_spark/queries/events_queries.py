@@ -363,9 +363,8 @@ def events_churn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_dau_wau",
-    oracle="""
+# shared with the streaming twin (stream_dau_wau)
+DAU_WAU_ORACLE = """
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS day
                 FROM events),
          days AS (SELECT DISTINCT day FROM ud)
@@ -376,15 +375,13 @@ def events_churn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM days d JOIN ud u
       ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
     GROUP BY d.day
-    """,
-    doc="DAU / rolling-7-day WAU: distinct (user, day) pairs first (the "
-        "only data-scale shuffle), then a range join against the tiny "
-        "day list — count-distinct-over-sliding-window without window "
-        "support for DISTINCT",
-)
-def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    """
+
+
+def dau_wau_from_user_days(ud: DataFrame) -> DataFrame:
+    """(user_id, day) distinct-pair frame -> the DAU/rolling-7-day-WAU
+    report; shared tail between the batch query and the streaming
+    twin (whose fold state collapses to exactly this frame)."""
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     joined = (ud.alias("u").join(
@@ -395,6 +392,20 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dau.join(wau, "day")
             .select("day", F.col("dau").cast("bigint").alias("dau"),
                     F.col("wau").cast("bigint").alias("wau")))
+
+
+@register(
+    "events_dau_wau",
+    oracle=DAU_WAU_ORACLE,
+    doc="DAU / rolling-7-day WAU: distinct (user, day) pairs first (the "
+        "only data-scale shuffle), then a range join against the tiny "
+        "day list — count-distinct-over-sliding-window without window "
+        "support for DISTINCT",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return dau_wau_from_user_days(ud)
 
 
 @register(

@@ -19,8 +19,8 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
-    BOT_SCORE_ORACLE, DIVERSITY_ORACLE, FUNNEL_ORACLE, GAP_HIST_ORACLE,
-    GINI_ORACLE, LIFECYCLE_ORACLE, RETENTION_ORACLE)
+    BOT_SCORE_ORACLE, DAU_WAU_ORACLE, DIVERSITY_ORACLE, FUNNEL_ORACLE,
+    GAP_HIST_ORACLE, GINI_ORACLE, LIFECYCLE_ORACLE, RETENTION_ORACLE)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
     AB_TEST_ORACLE, MARKET_BASKET_ORACLE)
 from iq_to_hdl_migration_spark.queries.mlprep_queries import _MIX_DUCK_CTES
@@ -687,3 +687,19 @@ def stream_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_funnel_{next(_seq)}"
     return W.streaming_funnel_counts(spark, sf_dir, name)
+
+
+@register(
+    "stream_dau_wau",
+    oracle=DAU_WAU_ORACLE,  # shared with events_dau_wau
+    doc="streaming twin of events_dau_wau (22nd twin): rides the "
+        "generalized composite-key count fold on (user, day) — the "
+        "additive count monoid whose snapshot carries the DISTINCT "
+        "presence DAU/WAU need for free; state is one row per active "
+        "(user, day) pair, the same frame the batch query shuffles "
+        "once. Equal to the single-shot report bit-for-bit (shared "
+        "oracle)",
+)
+def stream_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_dauwau_{next(_seq)}"
+    return W.streaming_dau_wau(spark, sf_dir, name)

@@ -1992,3 +1992,60 @@ def streaming_funnel_counts(spark: SparkSession, sf_dir: str,
     final = sorted(os.listdir(snap_dir))[-1]
     snap = spark.read.parquet(os.path.join(snap_dir, final))
     return funnel_counts_from_state(snap)
+
+
+def streaming_dau_wau(spark: SparkSession, sf_dir: str,
+                      _query_name: str = "stream_dau_wau",
+                      n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_dau_wau, riding the generalized
+    composite-key count fold: per-(user, day) counts are the additive
+    count monoid, and DAU/WAU need only the DISTINCT (user, day)
+    presence — which the count snapshot carries for free (count >= 1).
+    State is one row per active (user, day) pair — the same frame the
+    batch query shuffles once. Final snapshot feeds the shared tail,
+    so the report equals the single-shot batch result bit-for-bit
+    (shared oracle). Supersede-on-reinvoke contract: same as
+    streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        dau_wau_from_user_days)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", F.to_date("ts").alias("day")))
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "dau_wau")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame(
+        [], "user_id bigint, day date, n_events bigint")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return dau_wau_from_user_days(snap.select("user_id", "day"))
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
+
+    run_keyed_count_fold(spark, arrivals_dir, snap_dir, ckpt_dir,
+                         ["user_id", "day"])
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return dau_wau_from_user_days(snap.select("user_id", "day"))
