@@ -55,6 +55,7 @@ _SAMPLE_PRIORITY = [
     "layout_partition_key_advisor", "graph_pagerank_convergence_report",
     "stream_funnel_counts", "dq_id_continuity_audit",
     "dedup_pair_degree_census", "stream_dau_wau",
+    "part_abc_classification",
     # round 11, tier 2: code changed this round — one driver re-draw
     # for the flood-cap schema change (its twin dedup_containment_pairs
     # and the size-gated events_session_overlap_pairs are locked by the
@@ -68,7 +69,7 @@ _SAMPLE_PRIORITY = [
     "assessment_report",
     "events_error_rate_hourly", "events_sliding_hourly",
     "events_churn_gaps",
-    "events_gap_powerlaw_histogram", "events_latest_per_user",
+    "events_latest_per_user",
     "events_entry_exit_paths", "events_session_conversion",
     "stream_sessionization", "stream_purchase_click_join",
     "stream_enriched_counts",

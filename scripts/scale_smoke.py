@@ -139,6 +139,7 @@ ROTATION = [
     "curation_policy_whatif", "layout_partition_key_advisor",
     "graph_pagerank_convergence_report", "stream_funnel_counts",
     "dq_id_continuity_audit", "dedup_pair_degree_census",
+    "stream_dau_wau", "part_abc_classification",
 ]
 EXTRA = EXTRA + ROTATION
 
