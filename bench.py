@@ -87,14 +87,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Output contract (r11 verdict #1): the driver keeps only the LAST
+    # ~2000 characters of stdout, so the per-query dict — which grows
+    # with every headliner and already overflowed that window at 57
+    # queries — goes on its OWN line first, and the FINAL line is a
+    # short fixed-field summary (<300 chars) that always parses.
+    print(json.dumps({"queries": timings}))
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "protocol": "exclusive fresh-process best-of-N after warm-up",
         "n": 3,
+        "n_queries": len(timings),
         "exclusive": not foreign,
         # host noise diagnostic: 'exclusive' only proves no OTHER Spark
         # session is live — a loaded host (noisy neighbor) still skews

@@ -78,11 +78,10 @@ PR_DAMP_NUM = 17
 PR_DAMP_DEN = 20
 
 
-def pagerank_fixedpoint(edges: DataFrame, iters: int = 10,
-                        src: str = "src", dst: str = "dst",
-                        weight: str = "weight") -> DataFrame:
-    """Integer PageRank. Returns (node, rank_q BIGINT, rank DOUBLE)
-    with rank = rank_q / 2^40 (exact: rank_q < 2^53)."""
+def _fixedpoint_prep(edges: DataFrame, src: str, dst: str,
+                     weight: str) -> tuple[DataFrame, int, DataFrame]:
+    """Shared setup for the integer-fixpoint family: normalized edge
+    table with out-weights, the cached node spine, and |V|."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      F.col(weight).cast("bigint").alias("w"))
     nodes = (e.select(F.col("src").alias("node"))
@@ -91,36 +90,55 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 10,
     n = nodes.count()
     e_out = (e.join(e.groupBy("src").agg(F.sum("w").alias("out_w")),
                     "src").cache())
-    base_q = (3 * PR_SCALE) // (PR_DAMP_DEN * n)
+    return nodes, n, e_out
+
+
+def _fixedpoint_step(nodes: DataFrame, n: int, e_out: DataFrame,
+                     ranks: DataFrame) -> DataFrame:
+    """ONE exact-integer PageRank iteration (contrib join, the single
+    driver round-trip for both fixed-point scalars, dangling-share
+    math, new-rank projection) — the shared body of
+    `pagerank_fixedpoint` and `pagerank_convergence`, extracted so the
+    convergence audit can never desync from the fixpoint it audits."""
+    base_q = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // (PR_DAMP_DEN * n)
+    contrib = (
+        ranks.join(e_out, ranks["node"] == e_out["src"])
+        .select("dst", F.expr("(q * w) div out_w").alias("cc"))
+        .groupBy("dst").agg(F.sum("cc").alias("c"))
+    ).localCheckpoint()
+    # both fixed-point scalars in ONE driver round-trip: union the
+    # two frames tagged, conditional-sum, single collect (was two
+    # jobs per iteration — pure latency, identical integer values)
+    tot = (ranks.select(F.col("q").alias("x"),
+                        F.lit(True).alias("is_rank"))
+           .unionAll(contrib.select(F.col("c").alias("x"),
+                                    F.lit(False).alias("is_rank")))
+           .agg(F.sum(F.when(F.col("is_rank"), F.col("x")))
+                .alias("prev_total"),
+                F.sum(F.when(~F.col("is_rank"), F.col("x")))
+                .alias("s"))
+           .collect()[0])
+    prev_total, s = tot["prev_total"], tot["s"] or 0
+    dangling_share = (prev_total - s) // n
+    return (
+        nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        .select("node",
+                (F.lit(base_q)
+                 + F.expr(f"({PR_DAMP_NUM} * (coalesce(c, 0L)"
+                          f" + {dangling_share}L))"
+                          f" div {PR_DAMP_DEN}")).alias("q"))
+    )
+
+
+def pagerank_fixedpoint(edges: DataFrame, iters: int = 10,
+                        src: str = "src", dst: str = "dst",
+                        weight: str = "weight") -> DataFrame:
+    """Integer PageRank. Returns (node, rank_q BIGINT, rank DOUBLE)
+    with rank = rank_q / 2^40 (exact: rank_q < 2^53)."""
+    nodes, n, e_out = _fixedpoint_prep(edges, src, dst, weight)
     ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("q"))
     for _ in range(iters):
-        contrib = (
-            ranks.join(e_out, ranks["node"] == e_out["src"])
-            .select("dst", F.expr("(q * w) div out_w").alias("cc"))
-            .groupBy("dst").agg(F.sum("cc").alias("c"))
-        ).localCheckpoint()
-        # both fixed-point scalars in ONE driver round-trip: union the
-        # two frames tagged, conditional-sum, single collect (was two
-        # jobs per iteration — pure latency, identical integer values)
-        tot = (ranks.select(F.col("q").alias("x"),
-                            F.lit(True).alias("is_rank"))
-               .unionAll(contrib.select(F.col("c").alias("x"),
-                                        F.lit(False).alias("is_rank")))
-               .agg(F.sum(F.when(F.col("is_rank"), F.col("x")))
-                    .alias("prev_total"),
-                    F.sum(F.when(~F.col("is_rank"), F.col("x")))
-                    .alias("s"))
-               .collect()[0])
-        prev_total, s = tot["prev_total"], tot["s"] or 0
-        dangling_share = (prev_total - s) // n
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select("node",
-                    (F.lit(base_q)
-                     + F.expr(f"({PR_DAMP_NUM} * (coalesce(c, 0L)"
-                              f" + {dangling_share}L))"
-                              f" div {PR_DAMP_DEN}")).alias("q"))
-        )
+        ranks = _fixedpoint_step(nodes, n, e_out, ranks)
     return ranks.select(
         "node", F.col("q").alias("rank_q"),
         (F.col("q").cast("double") / F.lit(float(PR_SCALE))).alias("rank"))
@@ -178,44 +196,16 @@ def pagerank_convergence(edges: DataFrame, iters: int = 10,
     the endpoint) is value-hash-checkable. One extra small join per
     iteration over the node set; the per-iteration scalars are a
     documented driver barrier (same class as the fixpoint's
-    dangling-mass collect)."""
+    dangling-mass collect). Each iteration IS `_fixedpoint_step` — the
+    audit runs the literal fixpoint body, plus only the delta
+    aggregate."""
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
-                     F.col(weight).cast("bigint").alias("w"))
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .distinct().cache())
-    n = nodes.count()
-    e_out = (e.join(e.groupBy("src").agg(F.sum("w").alias("out_w")),
-                    "src").cache())
-    base_q = (3 * PR_SCALE) // (PR_DAMP_DEN * n)
+    nodes, n, e_out = _fixedpoint_prep(edges, src, dst, weight)
     ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("q"))
     deltas: list[tuple] = []
     for k in range(1, iters + 1):
-        contrib = (
-            ranks.join(e_out, ranks["node"] == e_out["src"])
-            .select("dst", F.expr("(q * w) div out_w").alias("cc"))
-            .groupBy("dst").agg(F.sum("cc").alias("c"))
-        ).localCheckpoint()
-        tot = (ranks.select(F.col("q").alias("x"),
-                            F.lit(True).alias("is_rank"))
-               .unionAll(contrib.select(F.col("c").alias("x"),
-                                        F.lit(False).alias("is_rank")))
-               .agg(F.sum(F.when(F.col("is_rank"), F.col("x")))
-                    .alias("prev_total"),
-                    F.sum(F.when(~F.col("is_rank"), F.col("x")))
-                    .alias("s"))
-               .collect()[0])
-        prev_total, s = tot["prev_total"], tot["s"] or 0
-        dangling_share = (prev_total - s) // n
-        new_ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select("node",
-                    (F.lit(base_q)
-                     + F.expr(f"({PR_DAMP_NUM} * (coalesce(c, 0L)"
-                              f" + {dangling_share}L))"
-                              f" div {PR_DAMP_DEN}")).alias("q"))
-        ).localCheckpoint()
+        new_ranks = _fixedpoint_step(nodes, n, e_out,
+                                     ranks).localCheckpoint()
         d = (new_ranks.alias("a")
              .join(ranks.alias("b"), F.col("a.node") == F.col("b.node"))
              .agg(F.sum(F.abs(F.col("a.q") - F.col("b.q")))

@@ -1109,8 +1109,9 @@ def trend_seasonal_decomposition_monthly(spark: SparkSession,
     FROM walked GROUP BY 1
     """,
     doc="ABC revenue classification without a global part sort: per-"
-        "part revenue quantized to BIGINT 1e-4 units, banded by integer "
-        "bit-length (~60 bounded bands), cumulative walk over the band "
+        "part revenue quantized to BIGINT 1e-4 units, banded sub-octave "
+        "(band = 32*bit_length + 5-bit mantissa, ~1000 bounded bands), "
+        "cumulative walk over the band "
         "spine descending, whole bands classified by integer share "
         "comparisons (A <80%, B <95%, C rest) — the exact-Gini "
         "histogram discipline applied to Pareto classing; one partkey "

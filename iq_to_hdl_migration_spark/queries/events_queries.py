@@ -462,7 +462,11 @@ def events_session_windows_native(spark: SparkSession,
 # rows-only" for any algorithm that can be cast to integer updates.
 # ---------------------------------------------------------------------------
 
-def _pagerank_fixedpoint_oracle(iters: int) -> str:
+def _pagerank_fixedpoint_cte(iters: int) -> str:
+    """The generated DuckDB CTE chain `WITH eb ..., r{iters} AS (...)`
+    — exposed separately from the top-20 SELECT tail so the
+    convergence oracle composes on the chain itself instead of
+    substring-searching the rendered SQL (r11 advice)."""
     from iq_to_hdl_migration_spark.operators.graph import PR_SCALE
 
     head = f"""
@@ -504,7 +508,13 @@ def _pagerank_fixedpoint_oracle(iters: int) -> str:
         FROM nodes no CROSS JOIN nn CROSS JOIN d{k} d
         LEFT JOIN c{k} c ON c.dst = no.node
     )""")
-    return (head + "," + ",".join(its) + f"""
+    return head + "," + ",".join(its)
+
+
+def _pagerank_fixedpoint_oracle(iters: int) -> str:
+    from iq_to_hdl_migration_spark.operators.graph import PR_SCALE
+
+    return (_pagerank_fixedpoint_cte(iters) + f"""
     SELECT node AS user_id, CAST(q AS BIGINT) AS rank_q,
            CAST(q AS DOUBLE) / {float(PR_SCALE)!r} AS rank
     FROM r{iters}
@@ -514,14 +524,12 @@ def _pagerank_fixedpoint_oracle(iters: int) -> str:
 
 
 def _pagerank_convergence_oracle(iters: int) -> str:
-    """Reuses the generated fixpoint CTE chain and emits per-iteration
-    exact L1 / max |Δq| between consecutive rank vectors."""
+    """Composes on the generated fixpoint CTE chain and emits
+    per-iteration exact L1 / max |Δq| between consecutive rank
+    vectors."""
     from iq_to_hdl_migration_spark.operators.graph import PR_SCALE
 
-    chain = _pagerank_fixedpoint_oracle(iters)
-    # keep everything up to (and including) the final r{iters} CTE,
-    # drop the top-20 SELECT tail
-    head = chain[:chain.rindex("SELECT node AS user_id")]
+    head = _pagerank_fixedpoint_cte(iters)
     deltas = []
     for k in range(1, iters + 1):
         deltas.append(f"""
@@ -1326,7 +1334,7 @@ def events_session_duration_histogram(spark: SparkSession,
 # even spread over k types. Users are banded by floor(100λ) — the whole-percent
 # concentration, ≤101 bounded bands — and the report is the banded census — the behavioral-diversity histogram a
 # segmentation or bot-triage pipeline reads. Scale shape: two shuffles
-# (user×type → user) then a bounded 11-band groupBy; no window at all.
+# (user×type → user) then a bounded ≤101-band groupBy; no window at all.
 # Exactness bound (honest): 100·Σcᵢ² must stay under 2^63, i.e. a
 # single user below ~3·10⁸ events of one type — far past any real
 # per-user activity; the production fix beyond is DECIMAL(38,0).

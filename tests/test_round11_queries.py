@@ -393,13 +393,47 @@ def test_agreement_matrix_bounds_and_plan(spark, sf_dir):
 
 def test_retrieval_mrr_rank_identity(spark, sf_dir):
     """The count-better rank must equal the window rank the oracle
-    states; locally re-derive via a full sort and compare, and check
-    the reciprocal identity."""
+    states; re-derive it here with an actual ROW_NUMBER window over the
+    same Spark-computed scores (full sort per probe) and assert
+    equality, plus the reciprocal identity."""
+    from pyspark.sql import Window
+
+    from iq_to_hdl_migration_spark.operators import similarity as sim
+    from iq_to_hdl_migration_spark.queries.similarity_queries import (
+        _N_QUERIES)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
     rows = REGISTRY["sim_label_retrieval_mrr"].fn(spark, sf_dir).collect()
     assert 0 < len(rows) <= 5
     for r in rows:
         assert r.first_hit_rank >= 1
         assert abs(r.reciprocal_rank - 1.0 / r.first_hit_rank) == 0.0
+
+    # window-rank re-derivation: same scores, the naive full-sort plan
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
+         .withColumn("norm", F.sqrt(sim.dot_expr("vec", "vec")))
+         .select("vec_id", "label", "vec", "norm"))
+    probes = (v.where(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("true_label"),
+                      F.col("vec").alias("qvec"),
+                      F.col("norm").alias("qnorm")))
+    scored = (v.join(F.broadcast(probes),
+                     F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "true_label",
+                      F.col("vec_id").alias("cand_id"),
+                      F.col("label").alias("cand_label"),
+                      (sim.dot_expr("qvec", "vec")
+                       / (F.col("qnorm") * F.col("norm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("cand_id"))
+    expected = {r2.query_id: r2.rnk for r2 in (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("cand_label") == F.col("true_label"))
+        .groupBy("query_id").agg(F.min("rnk").alias("rnk"))
+        .collect())}
+    assert {r.query_id: r.first_hit_rank for r in rows} == expected
 
 
 def test_id_continuity_identities(spark, sf_dir):
