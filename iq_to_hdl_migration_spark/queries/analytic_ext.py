@@ -1152,3 +1152,75 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("rev").cast("bigint").alias("revenue_units"),
                  F.expr("(100 * sum(rev)) div max(total)")
                  .cast("bigint").alias("revenue_share_pct")))
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test (round 12): completes the monthly-revenue
+# trend suite (Mann-Kendall answers IS there a trend, Theil-Sen how
+# steep, Pettitt WHERE the level shift sits). U_t = sum over pairs
+# (i<=t, j>t) of sign(y_j - y_i); the changepoint is argmax |U_t|.
+# Signs compare exact DECIMAL month sums, U_t is pure BIGINT, and the
+# month spine is bounded (n months -> n^3 sign terms, trivially small)
+# — the pair and spine joins are broadcast stitches over that bounded
+# spine, never a data-scale cartesian.
+# ---------------------------------------------------------------------------
+
+@register(
+    "trend_pettitt_changepoint_monthly",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(o_orderdate AS TIMESTAMP))
+                    AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS y
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT a.x AS xi, b.x AS xj,
+               CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS s
+        FROM m a JOIN m b ON a.x < b.x
+    ),
+    u AS (
+        SELECT t.x AS month_x, CAST(SUM(p.s) AS BIGINT) AS u_t
+        FROM (SELECT x FROM m WHERE x < (SELECT MAX(x) FROM m)) t
+        JOIN p ON p.xi <= t.x AND p.xj > t.x
+        GROUP BY t.x
+    )
+    SELECT month_x, u_t,
+           ROW_NUMBER() OVER (ORDER BY ABS(u_t) DESC, month_x) = 1
+               AS is_changepoint
+    FROM u
+    """,
+    doc="Pettitt changepoint on monthly revenue: exact integer U_t "
+        "trajectory over all split points (DECIMAL sign comparisons, "
+        "BIGINT sums) with the argmax-|U| month flagged — WHERE the "
+        "level shift sits, next to Mann-Kendall's is-there-a-trend; "
+        "bounded month-spine pair joins, one data-scale shuffle",
+)
+def trend_pettitt_changepoint_monthly(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint").alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("y")))
+    a, b = m.alias("a"), m.alias("b")
+    p = (a.join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
+         .select(F.col("a.x").alias("xi"), F.col("b.x").alias("xj"),
+                 F.when(F.col("b.y") > F.col("a.y"), 1)
+                 .when(F.col("b.y") < F.col("a.y"), -1)
+                 .otherwise(0).alias("s")))
+    mx = m.agg(F.max("x").alias("mx"))
+    t = (m.join(F.broadcast(mx), F.col("x") < F.col("mx"))
+         .select(F.col("x").alias("t_x")))
+    u = (t.join(F.broadcast(p),
+                (F.col("xi") <= F.col("t_x")) & (F.col("xj") > F.col("t_x")))
+         .groupBy("t_x")
+         .agg(F.sum("s").cast("bigint").alias("u_t"))
+         .select(F.col("t_x").alias("month_x"), "u_t"))
+    w = Window.orderBy(F.abs(F.col("u_t")).desc(), F.col("month_x"))
+    return u.select("month_x", "u_t",
+                    (F.row_number().over(w) == 1).alias("is_changepoint"))

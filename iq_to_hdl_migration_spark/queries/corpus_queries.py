@@ -1512,3 +1512,77 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("coalesce(n_new_types, 0) * 1000000 "
                            "div n_types")
                     .cast("bigint").alias("novelty_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram OOV rate (round 12): the share of a language's bigrams that
+# fall outside the corpus's top-V bigram vocabulary — the "how much of
+# this slice is boilerplate vs novel phrasing" signal that complements
+# corpus_bigram_diversity (distinct ratio) with a frequency-weighted
+# view. The vocabulary cut is deterministic (count DESC, bigram ASC)
+# and TakeOrdered-sized (top-1000, never a full sort); membership is
+# one broadcast join of the bounded vocab against the bigram stream.
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB = 1000
+
+
+@register(
+    "corpus_bigram_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, {_TOKS_DUCK} AS t FROM documents
+    ),
+    bg AS (
+        SELECT lang,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[CAST(i AS INTEGER)] || ' ' ||
+                        t[CAST(i + 1 AS INTEGER)]) AS gs
+        FROM toks
+    ),
+    grams AS (SELECT lang, unnest(gs) AS bigram FROM bg),
+    vocab AS (
+        SELECT bigram FROM (
+            SELECT bigram, COUNT(*) AS c FROM grams
+            GROUP BY bigram ORDER BY c DESC, bigram LIMIT {_OOV_VOCAB}
+        ) v
+    )
+    SELECT g.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST((1000000 * SUM(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0
+                               END)) // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM grams g LEFT JOIN vocab v ON v.bigram = g.bigram
+    GROUP BY g.lang
+    """,
+    doc="per-language out-of-vocabulary bigram rate vs the corpus "
+        "top-1000 bigram vocab (deterministic count-desc/lexicographic "
+        "cut): frequency-weighted novelty next to "
+        "corpus_bigram_diversity; TakeOrdered vocab + one broadcast "
+        "membership join over the bigram stream",
+)
+def corpus_bigram_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    gs = ("CASE WHEN size(t) >= 2 THEN "
+          "transform(sequence(1, size(t) - 1), "
+          "i -> concat(t[i - 1], ' ', t[i])) "
+          "ELSE array() END")
+    grams = (docs.select("lang", F.expr(_TOKS_SPARK).alias("t"))
+             .repartition(n)
+             .withColumn("gs", F.expr(gs))
+             .select("lang", F.explode_outer("gs").alias("bigram"))
+             .where(F.col("bigram").isNotNull())
+             .localCheckpoint())
+    vocab = (grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("bigram")).limit(_OOV_VOCAB)
+             .select("bigram", F.lit(1).alias("in_vocab")))
+    return (grams.join(F.broadcast(vocab), "bigram", "left")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"))
+            .select("lang", "n_bigrams", "n_oov",
+                    F.expr("(1000000 * n_oov) div n_bigrams")
+                    .cast("bigint").alias("oov_ppm")))

@@ -660,3 +660,69 @@ def curation_policy_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("kept_tokens"),
                  F.expr("(1000000 * sum(keep)) div count(*)")
                  .cast("bigint").alias("survival_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Cohort repeat curve (round 12): for each acquisition cohort (quarter
+# of the customer's FIRST order), the share of the cohort that comes
+# back for a 2nd, 3rd, ... order — the classic repeat-purchase decay
+# curve next to the migration matrix's state view. Exact integers
+# end-to-end; the only data-scale shuffle is the per-customer
+# aggregate, the k-explode is bounded (<=8 rows per customer), and
+# cohort sizes join back as a broadcast.
+# ---------------------------------------------------------------------------
+
+_REPEAT_MAX_K = 8
+
+
+@register(
+    "orders_cohort_repeat_curve",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(MIN(date_part('year', CAST(o_orderdate AS TIMESTAMP)) * 4
+                        + (date_part('month', CAST(o_orderdate AS TIMESTAMP))
+                           - 1) // 3) AS INTEGER) AS cohort_q,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    k AS (
+        SELECT cohort_q,
+               UNNEST(range(1, LEAST(n_orders, {_REPEAT_MAX_K}) + 1))
+                   AS order_k
+        FROM c
+    ),
+    sz AS (SELECT cohort_q, COUNT(*) AS n_cust FROM c GROUP BY 1)
+    SELECT k.cohort_q, CAST(order_k AS INTEGER) AS order_k,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST((1000000 * COUNT(*)) // MAX(sz.n_cust) AS BIGINT)
+               AS share_ppm
+    FROM k JOIN sz ON sz.cohort_q = k.cohort_q
+    GROUP BY k.cohort_q, order_k
+    """,
+    doc="repeat-purchase decay by acquisition cohort: cohort = quarter "
+        "of first order (min of a monotone quarter index), customers "
+        "reaching >= k orders for k=1..8 as exact counts and ppm of "
+        "cohort size; one customer aggregate + bounded k-explode + "
+        "broadcast cohort sizes",
+)
+def orders_cohort_repeat_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    qidx = (F.year("o_orderdate") * 4
+            + ((F.month("o_orderdate") - 1) / 3).cast("int"))
+    c = (orders.groupBy("o_custkey")
+         .agg(F.min(qidx).cast("int").alias("cohort_q"),
+              F.count(F.lit(1)).alias("n_orders")))
+    k = c.select(
+        "cohort_q",
+        F.explode(F.sequence(
+            F.lit(1), F.least(F.col("n_orders"), F.lit(_REPEAT_MAX_K))))
+        .alias("order_k"))
+    sz = c.groupBy("cohort_q").agg(F.count(F.lit(1)).alias("n_cust"))
+    return (k.groupBy("cohort_q", F.col("order_k").cast("int")
+                      .alias("order_k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+            .join(F.broadcast(sz), "cohort_q")
+            .select("cohort_q", "order_k", "n_customers",
+                    F.expr("(1000000 * n_customers) div n_cust")
+                    .cast("bigint").alias("share_ppm")))

@@ -1396,3 +1396,212 @@ def events_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (ev.groupBy("user_id", "event_type")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
     return diversity_from_type_counts(counts)
+
+
+# ---------------------------------------------------------------------------
+# Weekly event-type mixture drift, exactly (round 12). Chi-square's
+# per-cell (o-e)^2/e squares an o*N product that already reaches 1e10
+# at sf0.1 — int64 dies at 5x — so the engine-portable drift metric is
+# TOTAL VARIATION DISTANCE: TVD_w = 1/2 * sum_t |o_wt/n_w - g_t/N|
+#   = sum_t |o_wt*N - g_t*n_w| / (2*n_w*N),
+# whose largest intermediate is o*N (~1e11 at 5x sf0.1 — 7 orders of
+# headroom). Reported as ppm via one floor division per week. The
+# week x type spine is completed (absent types contribute g_t*n_w),
+# so a type vanishing from a week IS drift, not a dropped row.
+# Scale shape: one (week,type) count shuffle, then bounded spines
+# (weeks, types) stitched with broadcasts; no window.
+# ---------------------------------------------------------------------------
+
+TYPE_MIX_DRIFT_ORACLE = """
+    WITH wt AS (
+        SELECT CAST((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') // 7
+                    AS INTEGER) AS week,
+               event_type, CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (SELECT week, SUM(o) AS nw FROM wt GROUP BY week),
+    g AS (SELECT event_type, SUM(o) AS gt FROM wt GROUP BY event_type),
+    n AS (SELECT SUM(o) AS nn FROM wt),
+    spine AS (SELECT w.week, w.nw, g.event_type, g.gt, n.nn
+              FROM w CROSS JOIN g CROSS JOIN n),
+    cells AS (
+        SELECT s.week, s.nw, s.nn,
+               ABS(COALESCE(wt.o, 0) * s.nn - s.gt * s.nw) AS dev
+        FROM spine s LEFT JOIN wt
+          ON wt.week = s.week AND wt.event_type = s.event_type
+    )
+    SELECT week, CAST(nw AS BIGINT) AS n_events,
+           CAST((500000 * SUM(dev)) // (nw * nn) AS BIGINT) AS tvd_ppm
+    FROM cells GROUP BY week, nw, nn
+"""
+
+
+def type_mix_drift_from_counts(wt: DataFrame) -> DataFrame:
+    """(week, event_type, o) counts -> per-week TVD-vs-global-mix ppm;
+    shared tail between the batch query and the streaming twin (whose
+    additive fold state collapses to exactly this count frame)."""
+    w = wt.groupBy("week").agg(F.sum("o").alias("nw"))
+    g = wt.groupBy("event_type").agg(F.sum("o").alias("gt"))
+    n = wt.agg(F.sum("o").alias("nn"))
+    spine = (w.join(F.broadcast(g), F.lit(True))
+             .join(F.broadcast(n), F.lit(True)))
+    cells = (spine.join(wt, ["week", "event_type"], "left")
+             .select("week", "nw", "nn",
+                     F.abs(F.coalesce(F.col("o"), F.lit(0)) * F.col("nn")
+                           - F.col("gt") * F.col("nw")).alias("dev")))
+    return (cells.groupBy("week", "nw", "nn")
+            .agg(F.sum("dev").alias("sdev"))
+            .select(F.col("week").cast("int").alias("week"),
+                    F.col("nw").cast("bigint").alias("n_events"),
+                    F.expr("(500000 * sdev) div (nw * nn)")
+                    .cast("bigint").alias("tvd_ppm")))
+
+
+@register(
+    "events_type_mix_drift_tvd",
+    oracle=TYPE_MIX_DRIFT_ORACLE,
+    doc="weekly event-type mixture drift vs the global mix as exact "
+        "integer total-variation distance (ppm): |o*N - g*n_w| sums "
+        "with ~7 orders of int64 headroom where chi-square overflows; "
+        "completed week x type spine so vanished types count as drift. "
+        "One (week,type) shuffle + bounded broadcast spines",
+)
+def events_type_mix_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / 7).cast("int")
+    wt = (ev.groupBy(week.alias("week"), "event_type")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
+    return type_mix_drift_from_counts(wt)
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution burst profile (round 12): Haar-wavelet detail
+# energy of the hourly event-count signal at dyadic scales 1..32 h.
+# Counts are integers, a Haar detail at level k is (sum of the left
+# 2^(k-1)-hour half-block) - (sum of the right half) — so the whole
+# decomposition is exact BIGINT arithmetic, no libm, and the energy
+# spectrum tells burst hunting WHERE the variance lives (spiky types
+# load low scales, diurnal types load high scales). Scale shape: ONE
+# data-scale shuffle to the (type, epoch-hour) count spine (bounded:
+# hours x types), then 6 group-bys over that tiny spine.
+# ---------------------------------------------------------------------------
+
+_HAAR_SCALES = 6  # detail levels: half-block sizes 1,2,4,8,16,32 hours
+
+
+def _haar_oracle() -> str:
+    legs = []
+    for k in range(1, _HAAR_SCALES + 1):
+        half, blk = 1 << (k - 1), 1 << k
+        legs.append(f"""
+    SELECT event_type, CAST({half} AS INTEGER) AS scale_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(d * d) AS BIGINT) AS detail_energy
+    FROM (
+        SELECT event_type, h // {blk} AS blk,
+               SUM(CASE WHEN (h // {half}) % 2 = 0 THEN c ELSE -c END) AS d
+        FROM hr GROUP BY 1, 2
+    ) l{k} GROUP BY event_type""")
+    return ("""
+    WITH hr AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )
+    """ + " UNION ALL ".join(legs))
+
+
+@register(
+    "events_haar_energy_profile",
+    oracle=_haar_oracle(),
+    doc="Haar detail-energy spectrum of hourly event counts at dyadic "
+        "scales 1..32h, exact BIGINT end-to-end (integer counts, "
+        "integer half-block differences, integer squares) — the "
+        "multi-resolution burstiness profile next to "
+        "events_anomaly_zscore; one shuffle to the bounded "
+        "(type, hour) spine, then 6 spine-sized group-bys",
+)
+def events_haar_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.expr("unix_micros(ts) div 3600000000")
+                         .alias("h"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+              .localCheckpoint())
+    frames = []
+    for k in range(1, _HAAR_SCALES + 1):
+        half, blk = 1 << (k - 1), 1 << k
+        d = (hourly.groupBy("event_type",
+                            F.expr(f"h div {blk}").alias("blk"))
+             .agg(F.sum(F.when(F.expr(f"(h div {half}) % 2 = 0"),
+                               F.col("c")).otherwise(-F.col("c")))
+                  .alias("d")))
+        frames.append(
+            d.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                 F.sum(F.col("d") * F.col("d")).cast("bigint")
+                 .alias("detail_energy"))
+            .select("event_type", F.lit(half).cast("int")
+                    .alias("scale_hours"), "n_blocks", "detail_energy"))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Directed-graph reciprocity (round 12): what share of click->purchase
+# influence edges are RECIPROCATED (the other user also "influences"
+# back)? High reciprocity says the hourly co-occurrence graph is
+# really an undirected co-activity structure; low says genuine
+# direction (e.g. bot -> organic). One self-join of the edge table on
+# the reversed key — co-partitioned on the same (src,dst) domain it is
+# already keyed by — plus bounded scalar stitches.
+# ---------------------------------------------------------------------------
+
+_RECIP_EB = """
+        SELECT DISTINCT c.user_id AS src, b.user_id AS dst
+        FROM (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+              FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+              FROM events WHERE event_type = 'purchase') b
+          ON c.h = b.h AND c.user_id != b.user_id
+"""
+
+
+@register(
+    "graph_reciprocity_report",
+    oracle=f"""
+    WITH eb AS ({_RECIP_EB}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual
+          FROM eb a JOIN eb r ON r.src = a.dst AND r.dst = a.src),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM eb),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM (SELECT src FROM eb UNION SELECT dst FROM eb) u)
+    SELECT n.n_edges, v.n_nodes, m.n_mutual,
+           CAST((1000000 * m.n_mutual) // n.n_edges AS BIGINT)
+               AS reciprocity_ppm
+    FROM n, v, m
+    """,
+    doc="reciprocity of the directed click->purchase co-occurrence "
+        "graph: distinct edge count, node count, edges whose reverse "
+        "exists (one reversed-key self-join, co-partitioned), and the "
+        "reciprocity ppm — directionality evidence for the influence "
+        "graph the PageRank family ranks",
+)
+def graph_reciprocity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (_copurchase_click_edges(spark, sf_dir)
+         .select("src", "dst").localCheckpoint())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    m = (e.join(rev, ["src", "dst"], "left_semi")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_mutual")))
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    v = (e.select("src").union(e.select("dst")).distinct()
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+    return (n.join(F.broadcast(v), F.lit(True))
+            .join(F.broadcast(m), F.lit(True))
+            .select("n_edges", "n_nodes", "n_mutual",
+                    F.expr("(1000000 * n_mutual) div n_edges")
+                    .cast("bigint").alias("reciprocity_ppm")))

@@ -1569,3 +1569,73 @@ def mlprep_seqlen_capacity_curve(spark: SparkSession,
         F.expr("(1000000 * (n_chunks * max_len - total_tokens))"
                " div (n_chunks * max_len)").cast("bigint")
         .alias("waste_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle plan (round 12): multi-epoch training must visit the
+# SAME shards in a DIFFERENT, reproducible order each epoch — runs
+# that resume mid-epoch, re-run on another cluster, or audit a loss
+# spike all need the visit order to be a pure function of
+# (epoch, shard), never of scheduler timing. The plan keys shard
+# visit order on a multiplicative hash of (shard, epoch); the shard
+# census (docs, chars) comes from one documents scan and the
+# epoch x shard plan is a bounded broadcast spine.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS = 16
+_SHUFFLE_EPOCHS = 3
+# Knuth's 2^32 golden-ratio multiplier SCALED per epoch: the whole
+# product wraps the Mersenne modulus differently for each epoch
+# factor, so every epoch ranks shards under a genuinely different
+# permutation (verified: 3 epochs -> 3 distinct orders at 16 shards).
+# An additive epoch term — or one too small to cross the inter-shard
+# gaps — would shift every mix together and leave the order
+# unchanged. Constants are stated in both engines' SQL so the plan is
+# cross-engine reproducible by construction; the largest intermediate
+# is 16 * 2654435761 * 3 ~ 1.3e11, far inside int64.
+_SHUFFLE_MIX = ("((shard_id + 1) * 2654435761 * (epoch + 1)) "
+                "% 2147483647")
+
+
+@register(
+    "mlprep_epoch_shuffle_plan",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id % {_SHUFFLE_SHARDS} AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1
+    ),
+    e AS (SELECT UNNEST(range(0, {_SHUFFLE_EPOCHS})) AS epoch),
+    m AS (
+        SELECT e.epoch, s.shard_id, s.n_docs, s.n_chars,
+               {_SHUFFLE_MIX} AS mix
+        FROM e CROSS JOIN s
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch,
+           CAST(shard_id AS INTEGER) AS shard_id, n_docs, n_chars,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                   ORDER BY mix, shard_id)
+                AS INTEGER) AS visit_order
+    FROM m
+    """,
+    doc="reproducible multi-epoch shard visit order: shard census from "
+        "one documents scan, visit order = rank of a stated "
+        "multiplicative hash of (shard, epoch) — a pure function of "
+        "the plan key, identical on any engine/cluster/restart; "
+        "bounded epoch x shard spine",
+)
+def mlprep_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = (docs.groupBy((F.col("doc_id") % _SHUFFLE_SHARDS)
+                      .alias("shard_id"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("n_chars").cast("bigint").alias("n_chars")))
+    e = spark.range(_SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
+    m = (s.join(F.broadcast(e), F.lit(True))
+         .withColumn("mix", F.expr(_SHUFFLE_MIX)))
+    w = Window.partitionBy("epoch").orderBy("mix", "shard_id")
+    return (m.withColumn("visit_order", F.row_number().over(w).cast("int"))
+            .select(F.col("epoch").cast("int").alias("epoch"),
+                    F.col("shard_id").cast("int").alias("shard_id"),
+                    "n_docs", "n_chars", "visit_order"))

