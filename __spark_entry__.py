@@ -35,47 +35,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_registry_vs_oracle.py still covers the full registry at
 # whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 11, tier 1: brand-new queries — first driver rows
-    "events_lifecycle_stages", "stream_retention_cohorts",
-    "graph_hits_scores", "graph_clustering_topk",
-    "corpus_novelty_curve", "sim_ivf_balance_report",
-    "mlprep_tokenizer_fertility_report", "mm_payload_entropy_report",
-    "stream_lifecycle_stages", "events_bot_score_report",
-    "events_attribution_time_decay", "orders_ship_lag_profile",
-    "dedup_mixture_shift_report", "events_session_duration_histogram",
-    "stream_bot_score",
-    "orders_customer_migration_matrix", "mlprep_shard_plan",
-    # round 11, tier 1 (second batch): the session's later additions
-    "events_user_type_diversity", "stream_type_diversity",
-    "mlprep_cluster_holdout_split", "dq_functional_dependency_audit",
-    "orders_reorder_gap_profile", "sim_loo_centroid_confusion",
-    "mlprep_seqlen_capacity_curve", "dedup_method_agreement_matrix",
-    "sim_label_retrieval_mrr", "dq_k_anonymity_audit",
-    "stream_gap_histogram", "curation_policy_whatif",
-    "layout_partition_key_advisor", "graph_pagerank_convergence_report",
-    "stream_funnel_counts", "dq_id_continuity_audit",
-    "dedup_pair_degree_census", "stream_dau_wau",
-    "part_abc_classification",
-    # round 11, tier 2: code changed this round — one driver re-draw
-    # for the flood-cap schema change (its twin dedup_containment_pairs
-    # and the size-gated events_session_overlap_pairs are locked by the
-    # same gate + plan tests; slots go to the never-sampled tail)
-    "dedup_ngram_jaccard_pairs",
-    # round 11, tier 3: never-sampled rows (67 after r10) — the last
-    # §2 names without first-party driver evidence first, then the
-    # events_*/stream_*/mm_*/sim_*/dedup_*/orders_* blocks the r10
-    # verdict called out
-    "a2_table_row_widths", "a3_capable_servers", "a6_max_table_size",
-    "assessment_report",
-    "events_error_rate_hourly", "events_sliding_hourly",
-    "events_churn_gaps",
-    "events_latest_per_user",
-    "events_entry_exit_paths", "events_session_conversion",
-    "stream_sessionization", "stream_purchase_click_join",
-    "stream_enriched_counts",
-    # (the sim_*/dedup_*/mm_* tail names yielded their slots to the
-    # 11 second-batch additions — new-code-first policy; all remain
-    # green in the local two-scale gate)
+    # round 12, tier 1: brand-new queries — first driver rows
+    "events_type_mix_drift_tvd", "stream_type_mix_drift",
+    "events_haar_energy_profile", "dq_cross_field_audit",
+    "trend_pettitt_changepoint_monthly", "sim_quantization_rank_fidelity",
+    "mlprep_epoch_shuffle_plan", "orders_cohort_repeat_curve",
+    "corpus_bigram_oov_rate", "graph_reciprocity_report",
+    # round 12, tier 1b: first ORACLED draws — these two carried
+    # exact-count oracles gated to the HLL exact-mode range this round
+    # (sketch_distinct_users_daily's r9 row was err: no_oracle; this
+    # sample flips it green)
+    "sketch_distinct_users_daily", "sketch_distinct_users_rollup",
+    # round 12, tier 2: code changed this round (the fixpoint PageRank
+    # iteration body was extracted into a shared helper) — one oracled
+    # re-draw for each consumer proves the refactor byte-safe
+    "graph_user_pagerank_fixedpoint_top20",
+    "graph_pagerank_convergence_report",
+    # round 12, tier 3: the never-sampled tail (54 names after r11),
+    # families the r11 verdict called out first. The three float
+    # rows-only entries (graph_user_pagerank_top20, sim_ann_recall,
+    # sim_ivf_topk) are deliberately NOT queued: a draw records
+    # err: no_oracle by design; their oracled twins carry the
+    # evidence. After this round the never-driver-sampled tail is
+    # 14 oracled names + those 3 rows-only entries = 17 (<= 25).
+    "events_burst_users", "events_gap_powerlaw_histogram",
+    "events_hourly_seasonality", "events_new_vs_returning",
+    "events_session_windows_native", "events_type_affinity",
+    "dedup_exact_groups", "dedup_exact_stats",
+    "dedup_rate_by_source", "dedup_survivorship",
+    "sim_embedding_quantize_stats", "sim_embedding_stats",
+    "mm_audio_chunks", "mm_frame_samples",
+    "mm_payload_dedup_groups", "mm_resize_meta",
+    "orders_backlog_daily", "orders_basket_size_distribution",
+    "orders_monthly_growth", "orders_quarter_share",
+    "stream_mix_downsample", "stream_session_windows_native",
+    "text_bpe_token_estimate", "text_contamination_scan",
+    "text_token_topk",
+    "corpus_bigram_diversity", "corpus_token_budget",
+    "dq_pk_uniqueness_audit", "dq_profile_lineitem",
+    "docs_cross_source_duplication", "docs_lang_source_independence",
+    "asof_purchase_attribution", "attribution_first_click",
+    "class_balance_weights", "cohort_ltv_curve",
+    "curation_funnel_report",
 ]
 
 
