@@ -1095,11 +1095,29 @@ def _kcore_oracle() -> str:
     bench=True,
 )
 def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Storage discipline (r12, found by the 10x curvature point): the
+    # census row for round i is materialized EAGERLY as a tiny
+    # localCheckpoint so no reference to round i's full edge
+    # checkpoint outlives round i+1 — peak storage is two live edge
+    # sets instead of all rounds' (O(|E|), not O(rounds x |E|)); the
+    # superseded checkpoints are reclaimed by the context cleaner as
+    # their last Python reference drops. Same rows, same plan shape,
+    # zero driver collects.
     ee = _copurchase_edges(spark, sf_dir)
     nd = (ee.select(F.col("u").alias("node"))
           .union(ee.select(F.col("v").alias("node"))).distinct())
-    census = [(0, nd, ee)]
-    for i in range(1, _KCORE_ROUNDS + 1):
+    rows = []
+    for i in range(0, _KCORE_ROUNDS + 1):
+        rows.append(
+            (nd.agg(F.count(F.lit(1)).alias("n_nodes"))
+             .crossJoin(ee.agg(F.count(F.lit(1)).alias("n_edges")))
+             .select(F.lit(i).cast("int").alias("round"),
+                     F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                     F.col("n_edges").cast("bigint").alias("n_edges"))
+             .localCheckpoint())
+        )
+        if i == _KCORE_ROUNDS:
+            break
         deg = (ee.select(F.col("u").alias("node"))
                .unionAll(ee.select(F.col("v").alias("node")))
                .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -1107,15 +1125,9 @@ def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ee = (ee.join(nd.withColumnRenamed("node", "u"), "u", "left_semi")
               .join(nd.withColumnRenamed("node", "v"), "v", "left_semi")
               .select("u", "v").localCheckpoint())
-        census.append((i, nd, ee))
-    out = None
-    for i, nd_i, ee_i in census:
-        row = (nd_i.agg(F.count(F.lit(1)).alias("n_nodes"))
-               .crossJoin(ee_i.agg(F.count(F.lit(1)).alias("n_edges")))
-               .select(F.lit(i).cast("int").alias("round"),
-                       F.col("n_nodes").cast("bigint").alias("n_nodes"),
-                       F.col("n_edges").cast("bigint").alias("n_edges")))
-        out = row if out is None else out.unionByName(row)
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out
 
 

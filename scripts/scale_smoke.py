@@ -106,40 +106,33 @@ EXTRA = [
 # a 5x timing of them measures constant data. Swap this list out each
 # round; SCALE.md records which rotation ran when.
 ROTATION = [
-    # round-11 rotation: r11 additions first, then the never-swept
-    # relational/analytic/events/text/mm/dq/sketch/stream tail
-    "events_lifecycle_stages", "stream_retention_cohorts",
-    "graph_hits_scores", "graph_clustering_topk",
-    "corpus_novelty_curve", "sim_ivf_balance_report",
-    "mlprep_tokenizer_fertility_report", "mm_payload_entropy_report",
-    "q2_min_price_supplier", "q4_order_priority", "q7_nation_volume",
-    "q11_part_value_share", "q12_priority_lines",
-    "q13_order_distribution", "q14_promo_revenue_share",
-    "q15_top_suppliers", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "rollup_order_revenue", "cube_lineitem_counts",
-    "grouping_sets_mktsegment_nation", "pivot_status_by_priority",
-    "unpivot_lineitem_metrics",
-    "events_funnel_counts", "events_activity_islands",
-    "events_anomaly_zscore", "events_conversion_latency_percentiles",
-    "text_df_histogram", "text_token_stats", "text_pii_scan",
-    "text_length_histogram",
-    "mm_binary_features",
-    "dq_profile_lineitem", "dq_benford_first_digit",
-    "sketch_value_percentiles", "sketch_histogram_weekly_rollup",
-    "stream_hourly_counts", "stream_exact_dedup",
-    # round-11 second batch
-    "events_user_type_diversity", "stream_type_diversity",
-    "mlprep_cluster_holdout_split", "dq_functional_dependency_audit",
-    "orders_reorder_gap_profile", "sim_loo_centroid_confusion",
-    "mlprep_seqlen_capacity_curve", "dedup_method_agreement_matrix",
-    "sim_label_retrieval_mrr",
-    # round-11 third batch
-    "dq_k_anonymity_audit", "stream_gap_histogram",
-    "curation_policy_whatif", "layout_partition_key_advisor",
-    "graph_pagerank_convergence_report", "stream_funnel_counts",
-    "dq_id_continuity_audit", "dedup_pair_degree_census",
-    "stream_dau_wau", "part_abc_classification",
+    # round-12 rotation: r12 additions first, then never-swept names
+    # across the events/dedup/docs/dq/mlprep/mm/orders/text families
+    "events_type_mix_drift_tvd", "events_haar_energy_profile",
+    "dq_cross_field_audit", "trend_pettitt_changepoint_monthly",
+    "sim_quantization_rank_fidelity", "mlprep_epoch_shuffle_plan",
+    "orders_cohort_repeat_curve", "corpus_bigram_oov_rate",
+    "graph_reciprocity_report", "stream_type_mix_drift",
+    "sketch_distinct_users_daily", "sketch_distinct_users_rollup",
+    # never-swept tail
+    "events_attribution_time_decay", "events_bot_score_report",
+    "events_session_duration_histogram", "events_churn_gaps",
+    "events_latest_per_user", "events_sliding_hourly",
+    "events_error_rate_hourly", "events_json_extract",
+    "events_user_topk",
+    "dedup_mixture_shift_report", "dedup_survivor_length_bias",
+    "dedup_exact_stats", "dedup_rate_by_source",
+    "docs_simhash_bit_drift", "dq_mad_outlier_docs",
+    "dq_freshness_report", "drift_ks_statistic",
+    "mlprep_packing_assignments", "mlprep_length_bucket_padding_waste",
+    "mlprep_shard_plan",
+    "mm_payload_dedup_groups", "mm_audio_chunks",
+    "orders_customer_migration_matrix", "orders_ship_lag_profile",
+    "text_fingerprints", "text_pii_redact",
+    "text_contamination_incremental",
+    "sample_weighted_priority", "range_join_price_bracket",
+    "q_top_parts_by_revenue", "stream_sessionization",
+    "stream_incremental_dedup",
 ]
 EXTRA = EXTRA + ROTATION
 
