@@ -41,6 +41,9 @@ _SAMPLE_PRIORITY = [
     "trend_pettitt_changepoint_monthly", "sim_quantization_rank_fidelity",
     "mlprep_epoch_shuffle_plan", "orders_cohort_repeat_curve",
     "corpus_bigram_oov_rate", "graph_reciprocity_report",
+    "stream_haar_energy", "graph_degree_census",
+    "orders_calendar_seasonality", "dq_null_profile_all_tables",
+    "corpus_char_class_profile",
     # round 12, tier 1b: first ORACLED draws — these two carried
     # exact-count oracles gated to the HLL exact-mode range this round
     # (sketch_distinct_users_daily's r9 row was err: no_oracle; this
@@ -57,7 +60,7 @@ _SAMPLE_PRIORITY = [
     # sim_ivf_topk) are deliberately NOT queued: a draw records
     # err: no_oracle by design; their oracled twins carry the
     # evidence. After this round the never-driver-sampled tail is
-    # 14 oracled names + those 3 rows-only entries = 17 (<= 25).
+    # 19 oracled names + those 3 rows-only entries = 22 (<= 25).
     "events_burst_users", "events_gap_powerlaw_histogram",
     "events_hourly_seasonality", "events_new_vs_returning",
     "events_session_windows_native", "events_type_affinity",
@@ -74,9 +77,6 @@ _SAMPLE_PRIORITY = [
     "corpus_bigram_diversity", "corpus_token_budget",
     "dq_pk_uniqueness_audit", "dq_profile_lineitem",
     "docs_cross_source_duplication", "docs_lang_source_independence",
-    "asof_purchase_attribution", "attribution_first_click",
-    "class_balance_weights", "cohort_ltv_curve",
-    "curation_funnel_report",
 ]
 
 

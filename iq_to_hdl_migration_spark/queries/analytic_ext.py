@@ -1224,3 +1224,75 @@ def trend_pettitt_changepoint_monthly(spark: SparkSession,
     w = Window.orderBy(F.abs(F.col("u_t")).desc(), F.col("month_x"))
     return u.select("month_x", "u_t",
                     (F.row_number().over(w) == 1).alias("is_changepoint"))
+
+
+# ---------------------------------------------------------------------------
+# Calendar seasonality (round 12): month-of-year and day-of-week
+# revenue shares in one report — the two calendar spines every demand
+# forecast starts from. Day-of-week is computed as epoch-days mod 7
+# (0 = Thursday, 1970-01-01's weekday) so both engines agree by
+# construction instead of by engine-specific DOW conventions. Revenue
+# is quantized to BIGINT cents; shares multiply the BUCKET revenue by
+# 1e6 (bucket rev ~ total/12, so the product stays ~2 orders under
+# int64 even at 10x sf0.1 — multiplying the TOTAL would overflow).
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_calendar_seasonality",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(date_part('month', CAST(o_orderdate AS TIMESTAMP))
+                    AS INTEGER) AS moy,
+               CAST((CAST(o_orderdate AS TIMESTAMP)::DATE
+                     - DATE '1970-01-01') % 7 AS INTEGER) AS dow,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS rq
+        FROM orders
+    ),
+    t AS (SELECT CAST(SUM(rq) AS BIGINT) AS total FROM r),
+    u AS (
+        SELECT 'month_of_year' AS kind, moy AS idx,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(rq) AS BIGINT) AS revenue_units
+        FROM r GROUP BY moy
+        UNION ALL
+        SELECT 'day_of_week' AS kind, dow AS idx,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(rq) AS BIGINT) AS revenue_units
+        FROM r GROUP BY dow
+    )
+    SELECT kind, idx, n_orders, revenue_units,
+           CAST((1000000 * revenue_units) // t.total AS BIGINT)
+               AS share_ppm
+    FROM u, t
+    """,
+    doc="month-of-year and day-of-week revenue seasonality in one "
+        "report: exact BIGINT cent sums, engine-neutral weekday "
+        "(epoch-days mod 7, 0 = Thursday), shares as exact ppm of "
+        "total revenue; one scan, two bounded-spine aggregates, "
+        "broadcast total",
+)
+def orders_calendar_seasonality(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.month("o_orderdate").cast("int").alias("moy"),
+        (F.datediff(F.to_date("o_orderdate"),
+                    F.lit("1970-01-01").cast("date")) % 7)
+        .cast("int").alias("dow"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("rq"))
+    t = r.agg(F.sum("rq").cast("bigint").alias("total"))
+    moy = (r.groupBy(F.col("moy").alias("idx"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("rq").cast("bigint").alias("revenue_units"))
+           .select(F.lit("month_of_year").alias("kind"), "idx",
+                   "n_orders", "revenue_units"))
+    dow = (r.groupBy(F.col("dow").alias("idx"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("rq").cast("bigint").alias("revenue_units"))
+           .select(F.lit("day_of_week").alias("kind"), "idx",
+                   "n_orders", "revenue_units"))
+    return (moy.unionByName(dow)
+            .join(F.broadcast(t), F.lit(True))
+            .select("kind", "idx", "n_orders", "revenue_units",
+                    F.expr("(1000000 * revenue_units) div total")
+                    .cast("bigint").alias("share_ppm")))

@@ -1586,3 +1586,70 @@ def corpus_bigram_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "n_bigrams", "n_oov",
                     F.expr("(1000000 * n_oov) div n_bigrams")
                     .cast("bigint").alias("oov_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile (round 12): the per-language composition of
+# the corpus in exact integer ppm — the cheap structural quality
+# signal (a lang slice suddenly heavy in digits or punctuation is a
+# scrape regression) next to text_quality_scores' per-doc view. Class
+# counts come from length deltas of global regexp_replace (DuckDB
+# needs the explicit 'g' flag; Spark replaces globally by default) —
+# one scan, one bounded groupBy, no explode.
+# ---------------------------------------------------------------------------
+
+# (class label, regex class) — patterns chosen to read identically in
+# a DuckDB single-quoted literal (no backslash escape processing) and
+# a Java regex: \s is the 2-char sequence backslash-s in BOTH.
+_CHAR_CLASSES = [
+    ("alpha", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "\\s"),
+]
+
+
+@register(
+    "corpus_char_class_profile",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+               {", ".join(
+                   f"CAST(length(text) - length(regexp_replace(text, "
+                   f"'{cc}', '', 'g')) AS BIGINT) AS n_{label}"
+                   for label, cc in _CHAR_CLASSES)}
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           {", ".join(
+               f"CAST((1000000 * SUM(n_{label})) // SUM(n_chars) "
+               f"AS BIGINT) AS {label}_ppm"
+               for label, _ in _CHAR_CLASSES)},
+           CAST((1000000 * (SUM(n_chars)
+                {"".join(f" - SUM(n_{label})" for label, _ in _CHAR_CLASSES)}
+                )) // SUM(n_chars) AS BIGINT) AS other_ppm
+    FROM d GROUP BY lang
+    """,
+    doc="per-language character-class composition (alpha/digit/space/"
+        "other ppm, exact integers): the corpus-level scrape-"
+        "regression signal next to text_quality_scores; class counts "
+        "via global-regexp length deltas, one scan + bounded groupBy",
+)
+def corpus_char_class_profile(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", F.length("text").cast("bigint").alias("n_chars"),
+        *[(F.length("text")
+           - F.length(F.regexp_replace(F.col("text"), cc, "")))
+          .cast("bigint").alias(f"n_{label}")
+          for label, cc in _CHAR_CLASSES])
+    aggs = [F.sum("n_chars").cast("bigint").alias("n_chars")] + [
+        F.expr(f"CAST((1000000 * sum(n_{label})) div sum(n_chars) "
+               f"AS BIGINT)").alias(f"{label}_ppm")
+        for label, _ in _CHAR_CLASSES]
+    other = " - ".join(["sum(n_chars)"]
+                       + [f"sum(n_{label})" for label, _ in _CHAR_CLASSES])
+    aggs.append(F.expr(f"CAST((1000000 * ({other})) div sum(n_chars) "
+                       "AS BIGINT)").alias("other_ppm"))
+    return d.groupBy("lang").agg(*aggs)

@@ -1490,6 +1490,33 @@ def events_type_mix_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAAR_SCALES = 6  # detail levels: half-block sizes 1,2,4,8,16,32 hours
 
 
+def haar_energy_from_hourly(hourly: DataFrame) -> DataFrame:
+    """(event_type, h, c) hourly-count spine -> the 6-scale Haar
+    detail-energy report; shared tail between the batch query and the
+    streaming twin (whose additive fold state collapses to exactly
+    this spine)."""
+    hourly = hourly.localCheckpoint()
+    frames = []
+    for k in range(1, _HAAR_SCALES + 1):
+        half, blk = 1 << (k - 1), 1 << k
+        d = (hourly.groupBy("event_type",
+                            F.expr(f"h div {blk}").alias("blk"))
+             .agg(F.sum(F.when(F.expr(f"(h div {half}) % 2 = 0"),
+                               F.col("c")).otherwise(-F.col("c")))
+                  .alias("d")))
+        frames.append(
+            d.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                 F.sum(F.col("d") * F.col("d")).cast("bigint")
+                 .alias("detail_energy"))
+            .select("event_type", F.lit(half).cast("int")
+                    .alias("scale_hours"), "n_blocks", "detail_energy"))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def _haar_oracle() -> str:
     legs = []
     for k in range(1, _HAAR_SCALES + 1):
@@ -1513,9 +1540,12 @@ def _haar_oracle() -> str:
     """ + " UNION ALL ".join(legs))
 
 
+HAAR_ORACLE = _haar_oracle()
+
+
 @register(
     "events_haar_energy_profile",
-    oracle=_haar_oracle(),
+    oracle=HAAR_ORACLE,
     doc="Haar detail-energy spectrum of hourly event counts at dyadic "
         "scales 1..32h, exact BIGINT end-to-end (integer counts, "
         "integer half-block differences, integer squares) — the "
@@ -1528,27 +1558,8 @@ def events_haar_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (ev.groupBy("event_type",
                          F.expr("unix_micros(ts) div 3600000000")
                          .alias("h"))
-              .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-              .localCheckpoint())
-    frames = []
-    for k in range(1, _HAAR_SCALES + 1):
-        half, blk = 1 << (k - 1), 1 << k
-        d = (hourly.groupBy("event_type",
-                            F.expr(f"h div {blk}").alias("blk"))
-             .agg(F.sum(F.when(F.expr(f"(h div {half}) % 2 = 0"),
-                               F.col("c")).otherwise(-F.col("c")))
-                  .alias("d")))
-        frames.append(
-            d.groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-                 F.sum(F.col("d") * F.col("d")).cast("bigint")
-                 .alias("detail_energy"))
-            .select("event_type", F.lit(half).cast("int")
-                    .alias("scale_hours"), "n_blocks", "detail_energy"))
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    return haar_energy_from_hourly(hourly)
 
 
 # ---------------------------------------------------------------------------
@@ -1605,3 +1616,44 @@ def graph_reciprocity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_edges", "n_nodes", "n_mutual",
                     F.expr("(1000000 * n_mutual) div n_edges")
                     .cast("bigint").alias("reciprocity_ppm")))
+
+
+@register(
+    "graph_degree_census",
+    oracle=f"""
+    WITH eb AS ({_RECIP_EB}),
+    outd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+             FROM eb GROUP BY src),
+    ind AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM eb GROUP BY dst),
+    u AS (
+        SELECT 'out' AS side, length(bin(d)) AS band, d FROM outd
+        UNION ALL
+        SELECT 'in' AS side, length(bin(d)) AS band, d FROM ind
+    )
+    SELECT side, CAST(band AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) AS BIGINT) AS total_degree
+    FROM u GROUP BY side, band
+    """,
+    doc="octave-banded in/out degree census of the directed "
+        "click->purchase graph (band = bit length of the degree — the "
+        "exact-integer power-law histogram discipline): per side the "
+        "node count and degree mass per band, the skew evidence the "
+        "PageRank/triangle family's salting decisions read; two "
+        "degree aggregates + a bounded <=64-band groupBy",
+)
+def graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (_copurchase_click_edges(spark, sf_dir)
+         .select("src", "dst").localCheckpoint())
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"))
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"))
+    u = (outd.select(F.lit("out").alias("side"), "d")
+         .unionByName(ind.select(F.lit("in").alias("side"), "d")))
+    return (u.groupBy("side",
+                      F.length(F.bin(F.col("d"))).cast("int")
+                      .alias("band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                 F.sum("d").cast("bigint").alias("total_degree")))

@@ -19,6 +19,7 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
+    HAAR_ORACLE,
     TYPE_MIX_DRIFT_ORACLE,
     BOT_SCORE_ORACLE, DAU_WAU_ORACLE, DIVERSITY_ORACLE, FUNNEL_ORACLE,
     GAP_HIST_ORACLE, GINI_ORACLE, LIFECYCLE_ORACLE, RETENTION_ORACLE)
@@ -722,3 +723,20 @@ def stream_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_mix_drift_{next(_seq)}"
     return W.streaming_type_mix_drift(spark, sf_dir, name)
+
+
+@register(
+    "stream_haar_energy",
+    # shared with events_haar_energy_profile
+    oracle=HAAR_ORACLE,
+    doc="streaming twin of events_haar_energy_profile (24th twin): "
+        "rides the generalized composite-key count fold on "
+        "(event_type, epoch-hour) — the hourly count spine is the "
+        "additive count monoid (bounded by hours x the type "
+        "vocabulary), and the final snapshot feeds the same exact-"
+        "integer Haar tail, so the 6-scale energy spectrum equals the "
+        "single-shot result bit-for-bit (shared oracle)",
+)
+def stream_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_haar_{next(_seq)}"
+    return W.streaming_haar_energy(spark, sf_dir, name)

@@ -1505,3 +1505,94 @@ def dq_cross_field_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v").cast("bigint").alias("n_violations"),
                 F.expr("(1000000 * v) div n").cast("bigint")
                 .alias("violation_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Warehouse-wide null profile (round 12): dq_profile_lineitem's
+# per-column discipline extended to EVERY table in one report — the
+# completeness dashboard a 100 TB ingest checks before anything else.
+# One aggregate pass per table (conditional sums for all columns at
+# once, unpivoted with stack()), unioned across the bounded table
+# spine; at cluster scale each leg is one map-side-combined scan.
+# The column spine is pinned statically so the Spark report and the
+# DuckDB oracle audit the same contract (a schema drift shows up as a
+# query error, which is the right failure mode for a contract check).
+# ---------------------------------------------------------------------------
+
+_NULL_PROFILE_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value",
+               "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def _null_profile_oracle() -> str:
+    legs = []
+    for t, cols in _NULL_PROFILE_COLUMNS.items():
+        sums = ", ".join(
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n{i}"
+            for i, c in enumerate(cols))
+        unions = " UNION ALL ".join(
+            f"SELECT '{t}' AS table_name, '{c}' AS column_name, n, "
+            f"n{i} AS n_nulls FROM a_{t}"
+            for i, c in enumerate(cols))
+        legs.append(
+            f"a_{t} AS (SELECT COUNT(*) AS n, {sums} FROM {t})")
+        legs.append(f"u_{t} AS ({unions})")
+    body = " UNION ALL ".join(
+        f"SELECT * FROM u_{t}" for t in _NULL_PROFILE_COLUMNS)
+    return ("WITH " + ", ".join(legs)
+            + f""" SELECT table_name, column_name,
+                 CAST(n AS BIGINT) AS n_rows,
+                 CAST(n_nulls AS BIGINT) AS n_nulls,
+                 CAST(CASE WHEN n = 0 THEN 0
+                      ELSE (1000000 * n_nulls) // n END AS BIGINT)
+                     AS null_ppm
+          FROM ({body}) t""")
+
+
+@register(
+    "dq_null_profile_all_tables",
+    oracle=_null_profile_oracle(),
+    doc="warehouse-wide completeness profile: per (table, column) row "
+        "count, null count and null ppm for every table in the star "
+        "schema + corpus — one conditional-sum aggregate pass per "
+        "table unpivoted via stack(), unioned over the bounded table "
+        "spine; the first dashboard a 100 TB ingest gate reads",
+)
+def dq_null_profile_all_tables(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _NULL_PROFILE_COLUMNS.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"n{i}") for i, c in enumerate(cols)]
+        agg = df.agg(*aggs)
+        stack = ", ".join(f"'{c}', n{i}" for i, c in enumerate(cols))
+        leg = (agg.select(
+            F.lit(t).alias("table_name"),
+            F.expr(f"stack({len(cols)}, {stack}) "
+                   "AS (column_name, n_nulls)"),
+            F.col("n"))
+            .select("table_name", "column_name",
+                    F.col("n").cast("bigint").alias("n_rows"),
+                    F.col("n_nulls").cast("bigint").alias("n_nulls"),
+                    F.expr("CASE WHEN n = 0 THEN 0 "
+                           "ELSE (1000000 * n_nulls) div n END")
+                    .cast("bigint").alias("null_ppm")))
+        out = leg if out is None else out.unionByName(leg)
+    return out

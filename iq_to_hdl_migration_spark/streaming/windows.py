@@ -2110,3 +2110,62 @@ def streaming_type_mix_drift(spark: SparkSession, sf_dir: str,
     snap = spark.read.parquet(os.path.join(snap_dir, final))
     return type_mix_drift_from_counts(
         snap.select("week", "event_type", F.col("n_events").alias("o")))
+
+
+def streaming_haar_energy(spark: SparkSession, sf_dir: str,
+                          _query_name: str = "stream_haar",
+                          n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_haar_energy_profile, riding the
+    generalized composite-key count fold on (event_type, epoch-hour):
+    the hourly count spine is the additive count monoid bounded by
+    hours x the fixed type vocabulary, and the final snapshot feeds
+    the SAME exact-integer Haar tail, so the multi-resolution energy
+    spectrum equals the single-shot result bit-for-bit (shared
+    oracle). Supersede-on-reinvoke contract: same as
+    streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        haar_energy_from_hourly)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.expr("unix_micros(ts) div 3600000000").alias("h")))
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "haar_energy")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame(
+        [], "event_type string, h bigint, n_events bigint")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return haar_energy_from_hourly(
+            snap.select("event_type", "h", F.col("n_events").alias("c")))
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
+
+    run_keyed_count_fold(spark, arrivals_dir, snap_dir, ckpt_dir,
+                         ["event_type", "h"])
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return haar_energy_from_hourly(
+        snap.select("event_type", "h", F.col("n_events").alias("c")))

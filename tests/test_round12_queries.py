@@ -202,3 +202,52 @@ def test_cross_field_audit_rule_spine(spark, sf_dir):
         assert r.n_checked == li_count
         assert 0 <= r.n_violations <= r.n_checked
         assert r.violation_ppm == (_PPM * r.n_violations) // r.n_checked
+
+
+def test_haar_streaming_twin_equals_batch(spark, sf_dir):
+    batch = {(r.event_type, r.scale_hours): (r.n_blocks, r.detail_energy)
+             for r in REGISTRY["events_haar_energy_profile"].fn(
+                 spark, sf_dir).collect()}
+    stream = {(r.event_type, r.scale_hours): (r.n_blocks, r.detail_energy)
+              for r in REGISTRY["stream_haar_energy"].fn(
+                  spark, sf_dir).collect()}
+    assert batch == stream
+
+
+def test_degree_census_mass_conservation(spark, sf_dir):
+    """Total out-degree mass == total in-degree mass == edge count
+    (every directed edge contributes one to each side), and each
+    band's degree mass sits inside the band's arithmetic range."""
+    rows = REGISTRY["graph_degree_census"].fn(spark, sf_dir).collect()
+    sides = {"in": 0, "out": 0}
+    for r in rows:
+        sides[r.side] += r.total_degree
+        lo, hi = 1 << (r.band - 1), (1 << r.band) - 1
+        assert r.n_nodes * lo <= r.total_degree <= r.n_nodes * hi
+    assert sides["in"] == sides["out"]
+    rec = REGISTRY["graph_reciprocity_report"].fn(spark,
+                                                  sf_dir).collect()[0]
+    assert sides["out"] == rec.n_edges
+
+
+def test_calendar_seasonality_accounting(spark, sf_dir):
+    """Both calendar spines account for every order and the same
+    revenue; indices are valid; floor shares sum to <= 1e6 and miss
+    at most one ppm per bucket."""
+    rows = REGISTRY["orders_calendar_seasonality"].fn(spark,
+                                                      sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    by_kind: dict[str, list] = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r)
+    assert set(by_kind) == {"month_of_year", "day_of_week"}
+    assert {r.idx for r in by_kind["month_of_year"]} <= set(range(1, 13))
+    assert {r.idx for r in by_kind["day_of_week"]} <= set(range(7))
+    rev = None
+    for kind, rs in by_kind.items():
+        assert sum(r.n_orders for r in rs) == n_orders
+        k_rev = sum(r.revenue_units for r in rs)
+        assert rev is None or k_rev == rev
+        rev = k_rev
+        share = sum(r.share_ppm for r in rs)
+        assert _PPM - len(rs) <= share <= _PPM
