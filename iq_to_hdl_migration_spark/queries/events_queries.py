@@ -1459,6 +1459,7 @@ def type_mix_drift_from_counts(wt: DataFrame) -> DataFrame:
 
 @register(
     "events_type_mix_drift_tvd",
+    bench=True,
     oracle=TYPE_MIX_DRIFT_ORACLE,
     doc="weekly event-type mixture drift vs the global mix as exact "
         "integer total-variation distance (ppm): |o*N - g*n_w| sums "
@@ -1545,6 +1546,7 @@ HAAR_ORACLE = _haar_oracle()
 
 @register(
     "events_haar_energy_profile",
+    bench=True,
     oracle=HAAR_ORACLE,
     doc="Haar detail-energy spectrum of hourly event counts at dyadic "
         "scales 1..32h, exact BIGINT end-to-end (integer counts, "
@@ -1584,6 +1586,7 @@ _RECIP_EB = """
 
 @register(
     "graph_reciprocity_report",
+    bench=True,
     oracle=f"""
     WITH eb AS ({_RECIP_EB}),
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual

@@ -2741,6 +2741,7 @@ _FIDELITY_K = 20
 
 @register(
     "sim_quantization_rank_fidelity",
+    bench=True,
     oracle=f"""
     WITH {_QUANT_CTE},
     fv AS (

@@ -1566,6 +1566,7 @@ def _null_profile_oracle() -> str:
 
 @register(
     "dq_null_profile_all_tables",
+    bench=True,
     oracle=_null_profile_oracle(),
     doc="warehouse-wide completeness profile: per (table, column) row "
         "count, null count and null ppm for every table in the star "
