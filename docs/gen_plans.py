@@ -17,6 +17,30 @@ from iq_to_hdl_migration_spark.session import get_spark
 SF_DIR = "/root/testdata/sf0.1"
 
 NOTES = {
+    "events_haar_energy_profile":
+        "One data-scale shuffle to the bounded (type, epoch-hour) "
+        "count spine (localCheckpointed once), then six spine-sized "
+        "group-bys — the dyadic block keys are pure integer division, "
+        "exact BIGINT end-to-end.",
+    "events_type_mix_drift_tvd":
+        "One (week, type) count shuffle; the week x type spine is "
+        "completed with broadcast stitches so vanished types count as "
+        "drift; |o*N - g*n_w| keeps ~7 orders of int64 headroom where "
+        "chi-square overflows.",
+    "graph_reciprocity_report":
+        "Edge table built once (localCheckpoint), reversed-key "
+        "left_semi self-join co-partitioned on the same (src,dst) "
+        "domain; the three scalars stitch via broadcast — no "
+        "cartesian, no collect.",
+    "sim_quantization_rank_fidelity":
+        "Both rankings ride the broadcast-probe scored passes the "
+        "oracled topk queries already do; the Kendall pair join is "
+        "20x20 per probe (bounded) and broadcast.",
+    "dq_null_profile_all_tables":
+        "One conditional-sum aggregate pass per table (map-side "
+        "combined), stack() unpivot of the single aggregated row, "
+        "union over the bounded table spine — N rules for one scan "
+        "per table.",
     "graph_clustering_topk":
         "Degree-ordered orientation caps adjacency arrays at sqrt(2m); "
         "triangles exploded into corners only (output-bound, never the "
