@@ -626,11 +626,14 @@ def trend_theil_sen_monthly_revenue(spark: SparkSession,
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
+    # the ~80-row monthly frame feeds four independent branches; the
+    # eager checkpoint scans orders ONCE instead of once per branch
+    # (Catalyst does not dedupe common subplans across self-joins)
     m = (orders.groupBy(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("bigint").alias("x"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("double").alias("y")))
+             .cast("double").alias("y"))).localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
     slopes = (a.join(b, F.col("a.x") < F.col("b.x"))
               .select(((F.col("b.y") - F.col("a.y"))
@@ -731,7 +734,7 @@ def trend_mann_kendall_monthly_revenue(spark: SparkSession,
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("bigint").alias("x"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("decimal(18,2)").alias("y")))
+             .cast("decimal(18,2)").alias("y"))).localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
     s = (a.join(b, F.col("a.x") < F.col("b.x"))
          .agg(F.sum(F.when(F.col("b.y") > F.col("a.y"), 1)
@@ -826,7 +829,7 @@ def trend_spearman_acf_monthly_revenue(spark: SparkSession,
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("bigint").alias("x"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("decimal(18,2)").alias("y")))
+             .cast("decimal(18,2)").alias("y"))).localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
     pairs = (a.join(b, (F.col("b.x") - F.col("a.x")).between(1, 6))
              .select((F.col("b.x") - F.col("a.x")).alias("lag"),
@@ -1027,7 +1030,7 @@ def trend_seasonal_decomposition_monthly(spark: SparkSession,
         .cast("bigint").alias("x"),
         F.month("o_orderdate").cast("int").alias("month_of_year"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .alias("ydec")))
+             .alias("ydec"))).localCheckpoint()
     w = Window.orderBy("x").rowsBetween(-6, 6)
     t = m.select(
         "x", "month_of_year",
@@ -1206,7 +1209,7 @@ def trend_pettitt_changepoint_monthly(spark: SparkSession,
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("bigint").alias("x"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("decimal(18,2)").alias("y")))
+             .cast("decimal(18,2)").alias("y"))).localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
     p = (a.join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
          .select(F.col("a.x").alias("xi"), F.col("b.x").alias("xj"),
