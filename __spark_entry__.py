@@ -43,7 +43,7 @@ _SAMPLE_PRIORITY = [
     "corpus_bigram_oov_rate", "graph_reciprocity_report",
     "stream_haar_energy", "graph_degree_census",
     "orders_calendar_seasonality", "dq_null_profile_all_tables",
-    "corpus_char_class_profile",
+    "corpus_char_class_profile", "dedup_cluster_size_histogram",
     # round 12, tier 1b: first ORACLED draws — these two carried
     # exact-count oracles gated to the HLL exact-mode range this round
     # (sketch_distinct_users_daily's r9 row was err: no_oracle; this
@@ -60,7 +60,7 @@ _SAMPLE_PRIORITY = [
     # sim_ivf_topk) are deliberately NOT queued: a draw records
     # err: no_oracle by design; their oracled twins carry the
     # evidence. After this round the never-driver-sampled tail is
-    # 19 oracled names + those 3 rows-only entries = 22 (<= 25).
+    # 20 oracled names + those 3 rows-only entries = 23 (<= 25).
     "events_burst_users", "events_gap_powerlaw_histogram",
     "events_hourly_seasonality", "events_new_vs_returning",
     "events_session_windows_native", "events_type_affinity",
@@ -76,7 +76,7 @@ _SAMPLE_PRIORITY = [
     "text_token_topk",
     "corpus_bigram_diversity", "corpus_token_budget",
     "dq_pk_uniqueness_audit", "dq_profile_lineitem",
-    "docs_cross_source_duplication", "docs_lang_source_independence",
+    "docs_cross_source_duplication",
 ]
 
 

@@ -1017,3 +1017,38 @@ def dedup_pair_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (deg.groupBy(F.col("k").alias("degree"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.min("id").cast("bigint").alias("example_doc_id")))
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    # composes on the same recursive-closure oracle the clusters query
+    # hash-checks against — the histogram is a bounded rebanding of
+    # that result (band = bit length of the cluster size)
+    oracle=f"""
+    SELECT CAST(length(bin(n_members)) AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_members) AS BIGINT) AS n_docs,
+           CAST(MIN(n_members) AS BIGINT) AS min_size,
+           CAST(MAX(n_members) AS BIGINT) AS max_size
+    FROM ({minhash_clusters_oracle(threshold=0.7)}) c
+    GROUP BY 1
+    """,
+    doc="octave-banded near-dup cluster-size census (band = bit length "
+        "of cluster size, <=64 bounded bands): how duplicate mass "
+        "distributes across cluster scales — the dedup-policy evidence "
+        "(a fat tail of huge clusters says boilerplate, many pairs say "
+        "true near-dups); reads the memoized component table, one "
+        "bounded groupBy on top",
+)
+def dedup_cluster_size_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    comp = minhash_components(spark, sf_dir, threshold=0.7)
+    sizes = (comp.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("n_members"))
+             .where(F.col("n_members") > 1))
+    return (sizes.groupBy(F.length(F.bin(F.col("n_members")))
+                          .cast("int").alias("band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                 F.sum("n_members").cast("bigint").alias("n_docs"),
+                 F.min("n_members").cast("bigint").alias("min_size"),
+                 F.max("n_members").cast("bigint").alias("max_size")))

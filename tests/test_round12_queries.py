@@ -251,3 +251,19 @@ def test_calendar_seasonality_accounting(spark, sf_dir):
         rev = k_rev
         share = sum(r.share_ppm for r in rs)
         assert _PPM - len(rs) <= share <= _PPM
+
+
+def test_cluster_size_histogram_accounting(spark, sf_dir):
+    """Bands partition the clusters reported by dedup_minhash_clusters:
+    cluster and doc mass must reconcile exactly, and every band's
+    min/max sit inside its power-of-two range."""
+    hist = REGISTRY["dedup_cluster_size_histogram"].fn(spark,
+                                                       sf_dir).collect()
+    clusters = REGISTRY["dedup_minhash_clusters"].fn(spark,
+                                                     sf_dir).collect()
+    assert sum(r.n_clusters for r in hist) == len(clusters)
+    assert sum(r.n_docs for r in hist) == sum(c.n_members
+                                              for c in clusters)
+    for r in hist:
+        lo, hi = 1 << (r.band - 1), (1 << r.band) - 1
+        assert lo <= r.min_size <= r.max_size <= hi
