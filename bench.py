@@ -1,6 +1,9 @@
 """Headline benchmark: runs every registry query marked bench=True at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
-line the driver records as BENCH_r{N}.json.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints TWO JSON
+lines: first the per-query timings dict on its own line, then a short
+fixed-field summary as the FINAL line — the driver records only the
+last ~2000 characters of stdout as BENCH_r{N}.json, so the summary
+line is the contract and always fits that window.
 
 Each query is executed twice: a warm-up collect (JIT/codegen, file
 listing) then a timed collect — we're measuring the engine, not JVM

@@ -2645,6 +2645,29 @@ def sim_loo_centroid_confusion(spark: SparkSession,
 # wrong: ordering is (cosine DESC, cand_id ASC) in both.
 # ---------------------------------------------------------------------------
 
+def _float_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact float-cosine scores of every corpus vector against each
+    probe (query_id, cand_id, cosine[, true_label]) — the broadcast-
+    probe pass shared by the MRR report and the quantization rank-
+    fidelity report (the float twin of _quantized_scored)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
+         .withColumn("norm", F.sqrt(sim.dot_expr("vec", "vec")))
+         .select("vec_id", "label", "vec", "norm"))
+    probes = (v.where(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("true_label"),
+                      F.col("vec").alias("qvec"),
+                      F.col("norm").alias("qnorm")))
+    return (v.join(F.broadcast(probes),
+                   F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "true_label",
+                    F.col("vec_id").alias("cand_id"),
+                    F.col("label").alias("cand_label"),
+                    (sim.dot_expr("qvec", "vec")
+                     / (F.col("qnorm") * F.col("norm"))).alias("cosine")))
+
+
 @register(
     "sim_label_retrieval_mrr",
     oracle=f"""
@@ -2680,22 +2703,7 @@ def sim_loo_centroid_confusion(spark: SparkSession,
         "oracle restates the same rank via ROW_NUMBER",
 )
 def sim_label_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
-         .withColumn("norm", F.sqrt(sim.dot_expr("vec", "vec")))
-         .select("vec_id", "label", "vec", "norm"))
-    probes = (v.where(F.col("vec_id") < _N_QUERIES)
-              .select(F.col("vec_id").alias("query_id"),
-                      F.col("label").alias("true_label"),
-                      F.col("vec").alias("qvec"),
-                      F.col("norm").alias("qnorm")))
-    scored = (v.join(F.broadcast(probes),
-                     F.col("vec_id") != F.col("query_id"))
-              .select("query_id", "true_label",
-                      F.col("vec_id").alias("cand_id"),
-                      F.col("label").alias("cand_label"),
-                      (sim.dot_expr("qvec", "vec")
-                       / (F.col("qnorm") * F.col("norm"))).alias("cosine")))
+    scored = _float_scored(spark, sf_dir)
     # best same-label candidate per probe: max (cosine, then lowest id)
     best = (scored.where(F.col("cand_label") == F.col("true_label"))
             .groupBy("query_id", "true_label")
@@ -2796,19 +2804,7 @@ def sim_quantization_rank_fidelity(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
-         .withColumn("norm", F.sqrt(sim.dot_expr("vec", "vec")))
-         .select("vec_id", "label", "vec", "norm"))
-    probes = (v.where(F.col("vec_id") < _N_QUERIES)
-              .select(F.col("vec_id").alias("query_id"),
-                      F.col("vec").alias("qvec"),
-                      F.col("norm").alias("qnorm")))
-    scored = (v.join(F.broadcast(probes),
-                     F.col("vec_id") != F.col("query_id"))
-              .select("query_id", F.col("vec_id").alias("cand_id"),
-                      (sim.dot_expr("qvec", "vec")
-                       / (F.col("qnorm") * F.col("norm"))).alias("cosine")))
+    scored = _float_scored(spark, sf_dir)
     we = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                 F.asc("cand_id"))
     etop = (scored.withColumn("re", F.row_number().over(we))

@@ -88,7 +88,6 @@ def audit(spark, sf_dir: str) -> dict[str, list[str]]:
             df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # noqa: BLE001 - audit must keep going
-            DataFrame.collect = orig_collect
             flags[name] = [f"ERROR {str(ex)[:120]}"]
             continue
         f = []

@@ -9,7 +9,8 @@ survives scale-up; superlinear growth flags a plan that would fall
 over at 100 TB.
 
 Run: python scripts/scale_smoke.py [K] [out_dir]
-Prints one JSON line comparing per-query seconds at 1x vs Kx.
+Prints one JSON line on stdout comparing per-query seconds at 1x vs
+Kx; the untimed dedup-memo ingest cost per corpus goes to stderr.
 """
 
 from __future__ import annotations
@@ -143,7 +144,9 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     from iq_to_hdl_migration_spark.queries.dedup_queries import (
         warm_dedup_memos)
     memo_sec = warm_dedup_memos(spark, sf_dir)
-    print(json.dumps({"memo_build_sec": memo_sec, "dir": sf_dir}))
+    import sys as _sys
+    print(json.dumps({"memo_build_sec": memo_sec, "dir": sf_dir}),
+          file=_sys.stderr)
 
     reg = load_all()
     out = {}

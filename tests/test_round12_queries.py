@@ -267,3 +267,18 @@ def test_cluster_size_histogram_accounting(spark, sf_dir):
     for r in hist:
         lo, hi = 1 << (r.band - 1), (1 << r.band) - 1
         assert lo <= r.min_size <= r.max_size <= hi
+
+
+def test_type_mix_drift_exact_past_int64(spark, sf_dir):
+    """The TVD tail must stay exact where int64 products overflow
+    (per-cell o*N at ~4e22): synthetic week counts at 4e11 total
+    events, known closed-form TVD 22.5% both weeks."""
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        type_mix_drift_from_counts)
+
+    rows = [(0, "a", 100_000_000_000), (0, "b", 100_000_000_000),
+            (1, "a", 190_000_000_000), (1, "b", 10_000_000_000)]
+    wt = spark.createDataFrame(rows, "week int, event_type string, o bigint")
+    out = {r.week: r.tvd_ppm
+           for r in type_mix_drift_from_counts(wt).collect()}
+    assert out == {0: 225000, 1: 225000}
