@@ -1271,27 +1271,33 @@ def trend_pettitt_changepoint_monthly(spark: SparkSession,
     doc="month-of-year and day-of-week revenue seasonality in one "
         "report: exact BIGINT cent sums, engine-neutral weekday "
         "(epoch-days mod 7, 0 = Thursday), shares as exact ppm of "
-        "total revenue; one scan, two bounded-spine aggregates, "
-        "broadcast total",
+        "total revenue; ONE orders scan aggregated to the bounded "
+        "12x7 (moy, dow) grid (eagerly checkpointed, the trend-suite "
+        "scan-once pattern), both margins + the total derived from "
+        "that ~84-row frame (r12 verdict #5)",
 )
 def orders_calendar_seasonality(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    r = orders.select(
+    grid = (orders.select(
         F.month("o_orderdate").cast("int").alias("moy"),
         (F.datediff(F.to_date("o_orderdate"),
                     F.lit("1970-01-01").cast("date")) % 7)
         .cast("int").alias("dow"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("rq"))
-    t = r.agg(F.sum("rq").cast("bigint").alias("total"))
-    moy = (r.groupBy(F.col("moy").alias("idx"))
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-                F.sum("rq").cast("bigint").alias("revenue_units"))
+        .groupBy("moy", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum("rq").cast("bigint").alias("rev"))
+        .localCheckpoint())  # <=84 rows; the single orders scan
+    t = grid.agg(F.sum("rev").cast("bigint").alias("total"))
+    moy = (grid.groupBy(F.col("moy").alias("idx"))
+           .agg(F.sum("n").cast("bigint").alias("n_orders"),
+                F.sum("rev").cast("bigint").alias("revenue_units"))
            .select(F.lit("month_of_year").alias("kind"), "idx",
                    "n_orders", "revenue_units"))
-    dow = (r.groupBy(F.col("dow").alias("idx"))
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-                F.sum("rq").cast("bigint").alias("revenue_units"))
+    dow = (grid.groupBy(F.col("dow").alias("idx"))
+           .agg(F.sum("n").cast("bigint").alias("n_orders"),
+                F.sum("rev").cast("bigint").alias("revenue_units"))
            .select(F.lit("day_of_week").alias("kind"), "idx",
                    "n_orders", "revenue_units"))
     return (moy.unionByName(dow)

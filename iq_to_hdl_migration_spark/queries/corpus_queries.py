@@ -1600,11 +1600,14 @@ def corpus_bigram_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (class label, regex class) — patterns chosen to read identically in
 # a DuckDB single-quoted literal (no backslash escape processing) and
-# a Java regex: \s is the 2-char sequence backslash-s in BOTH.
+# a Java regex. The whitespace class is pinned to an EXPLICIT set
+# (r12 advice): Java's \s includes \x0B (vertical tab) while RE2's
+# does not, so a document containing \x0B would diverge the two
+# engines; [ \t\n\r\f] is the same set in both.
 _CHAR_CLASSES = [
     ("alpha", "[A-Za-z]"),
     ("digit", "[0-9]"),
-    ("space", "\\s"),
+    ("space", "[ \\t\\n\\r\\f]"),
 ]
 
 

@@ -43,6 +43,12 @@ _LGK = 14  # HLL precision: ~0.5% relative standard error
     # those scales; past it the sketch's documented ~0.5% error takes
     # over and the entry reverts to the rows-only + local ±3σ bridge
     # discipline (tests/test_bridge_invariants.py).
+    # EMPIRICAL gate (r12 advice): exact-mode equality holds on the
+    # CURRENT corpora; a coupon-hash collision in a regenerated corpus
+    # could undercount by 1 at these scales even though the sketch is
+    # behaving as documented. If a regen ever reddens this row, the
+    # correct response is to lower oracle_max_sf (or drop to the
+    # rows-only bridge), not to doubt the sketch.
     oracle_max_sf=0.1,
     oracle="""
     SELECT CAST(ts AS TIMESTAMP)::DATE AS day, event_type,
@@ -70,7 +76,9 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same exact-mode argument as sketch_distinct_users_daily: the
     # union of exact-mode sketches is exact while total coupons stay
     # under the lgK=14 promotion threshold (probed exact at sf0.1:
-    # max 1500 distinct users per type)
+    # max 1500 distinct users per type); same empirical caveat — a
+    # coupon collision on a regenerated corpus reddens the row without
+    # a sketch defect (see the note on the daily entry)
     oracle_max_sf=0.1,
     oracle="""
     SELECT event_type,

@@ -59,8 +59,14 @@ _BARRIER_GRANDFATHER = {
 def audit(spark, sf_dir: str) -> dict[str, list[str]]:
     # patch the CONCRETE DataFrame class: in Spark 4 the classic
     # implementation overrides collect(), so patching the abstract
-    # pyspark.sql.DataFrame would count nothing
+    # pyspark.sql.DataFrame would count nothing. Guard (r12 advice):
+    # assert the registry's frames ARE this class — a connect-vs-
+    # classic mismatch would otherwise silently count zero barriers.
     DataFrame = type(spark.range(1))
+    import pyspark.sql as _sql
+    assert issubclass(DataFrame, _sql.DataFrame), (
+        "probe frame class does not derive from pyspark.sql.DataFrame "
+        "— the barrier counter would patch the wrong class")
 
     flags: dict[str, list[str]] = {}
     orig_collect = DataFrame.collect
@@ -85,6 +91,12 @@ def audit(spark, sf_dir: str) -> dict[str, list[str]]:
             finally:
                 DataFrame.collect = orig_collect
             barriers = barrier_n["n"]
+            if not isinstance(df, DataFrame):
+                # a frame of another concrete class (e.g. connect)
+                # would have dodged the patched collect — flag loudly
+                # instead of silently counting zero barriers
+                flags[name] = [f"unpatched-frame-class:{type(df).__name__}"]
+                continue
             df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # noqa: BLE001 - audit must keep going
