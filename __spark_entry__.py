@@ -35,48 +35,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_registry_vs_oracle.py still covers the full registry at
 # whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 12, tier 1: brand-new queries — first driver rows
-    "events_type_mix_drift_tvd", "stream_type_mix_drift",
-    "events_haar_energy_profile", "dq_cross_field_audit",
-    "trend_pettitt_changepoint_monthly", "sim_quantization_rank_fidelity",
-    "mlprep_epoch_shuffle_plan", "orders_cohort_repeat_curve",
-    "corpus_bigram_oov_rate", "graph_reciprocity_report",
-    "stream_haar_energy", "graph_degree_census",
-    "orders_calendar_seasonality", "dq_null_profile_all_tables",
-    "corpus_char_class_profile", "dedup_cluster_size_histogram",
-    # round 12, tier 1b: first ORACLED draws — these two carried
-    # exact-count oracles gated to the HLL exact-mode range this round
-    # (sketch_distinct_users_daily's r9 row was err: no_oracle; this
-    # sample flips it green)
-    "sketch_distinct_users_daily", "sketch_distinct_users_rollup",
-    # round 12, tier 2: code changed this round (the fixpoint PageRank
-    # iteration body was extracted into a shared helper) — one oracled
-    # re-draw for each consumer proves the refactor byte-safe
+    # round 13, tier 1: brand-new queries — first driver rows
+    "graph_copurchase_cap_census", "graph_cap_rank_mass_profile",
+    "graph_edge_weight_histogram", "customer_rfm_segments",
+    "orders_reorder_interval_histogram", "text_hapax_ratio_by_source",
+    "dq_date_coverage_by_month",
+    # round 13, tier 2: code/oracle changed this round. The
+    # click->purchase edge builder is now flood-capped (per hour, top
+    # EDGE_CAP purchasers) and all five consumers' oracles were
+    # re-derived over the capped graph — each gets an oracled re-draw;
+    # orders_calendar_seasonality moved to a single-scan plan and
+    # corpus_char_class_profile pinned its whitespace class.
     "graph_user_pagerank_fixedpoint_top20",
     "graph_pagerank_convergence_report",
-    # round 12, tier 3: the never-sampled tail (54 names after r11),
-    # families the r11 verdict called out first. The three float
+    "graph_reciprocity_report", "graph_degree_census",
+    "orders_calendar_seasonality", "corpus_char_class_profile",
+    # round 13, tier 3: the ENTIRE remaining never-sampled oracled
+    # tail (20 names after r12) — after this round every oracled
+    # registry entry has a driver row on record; only the 3 declared
     # rows-only entries (graph_user_pagerank_top20, sim_ann_recall,
-    # sim_ivf_topk) are deliberately NOT queued: a draw records
-    # err: no_oracle by design; their oracled twins carry the
-    # evidence. After this round the never-driver-sampled tail is
-    # 20 oracled names + those 3 rows-only entries = 23 (<= 25).
-    "events_burst_users", "events_gap_powerlaw_histogram",
-    "events_hourly_seasonality", "events_new_vs_returning",
-    "events_session_windows_native", "events_type_affinity",
-    "dedup_exact_groups", "dedup_exact_stats",
-    "dedup_rate_by_source", "dedup_survivorship",
-    "sim_embedding_quantize_stats", "sim_embedding_stats",
-    "mm_audio_chunks", "mm_frame_samples",
-    "mm_payload_dedup_groups", "mm_resize_meta",
-    "orders_backlog_daily", "orders_basket_size_distribution",
-    "orders_monthly_growth", "orders_quarter_share",
-    "stream_mix_downsample", "stream_session_windows_native",
-    "text_bpe_token_estimate", "text_contamination_scan",
-    "text_token_topk",
-    "corpus_bigram_diversity", "corpus_token_budget",
-    "dq_pk_uniqueness_audit", "dq_profile_lineitem",
-    "docs_cross_source_duplication",
+    # sim_ivf_topk) remain undrawn, by design (a draw would record
+    # err: no_oracle; their oracled twins carry the evidence).
+    "asof_purchase_attribution", "attribution_first_click",
+    "class_balance_weights", "cohort_ltv_curve",
+    "curation_funnel_report", "customer_balance_position",
+    "customer_order_cadence", "doc_length_quartiles_by_lang",
+    "docs_lang_source_independence", "fuzzy_name_pairs",
+    "layout_dictionary_advisor", "lineitem_discount_curve",
+    "mix_apply_downsample", "mlprep_sequence_packing",
+    "nation_pareto_8020", "ols_qty_vs_discount_by_brand",
+    "part_supply_redundancy", "sample_stratified_docs",
+    "ship_latency_by_nation", "trend_holt_forecast_monthly_revenue",
 ]
 
 

@@ -1656,3 +1656,49 @@ def corpus_char_class_profile(spark: SparkSession,
     aggs.append(F.expr(f"CAST((1000000 * ({other})) div sum(n_chars) "
                        "AS BIGINT)").alias("other_ppm"))
     return d.groupBy("lang").agg(*aggs)
+
+
+@register(
+    "text_hapax_ratio_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS_DUCK}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST((1000000 * SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hapax_ppm,
+           CAST(SUM(tf) AS BIGINT) AS total_tokens
+    FROM tf GROUP BY source
+    """,
+    doc="hapax legomena share per source: vocabulary size, tokens "
+        "occurring exactly once, their ppm of the vocabulary, and "
+        "total token mass — the lexical-health signal next to "
+        "text_vocab_stats' type-token ratio (a scrape regression or "
+        "template flood moves hapax share before it moves TTR); same "
+        "whitespace tokenizer as the rest of the text family, one "
+        "(source, token) shuffle with map-side combine, then a "
+        "bounded per-source rollup",
+)
+def text_hapax_ratio_by_source(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("source",
+                      F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+          .groupBy("source", "token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    hap = F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).cast("bigint")
+    return (tf.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+                 hap.alias("n_hapax"),
+                 F.sum("tf").cast("bigint").alias("total_tokens"))
+            .select("source", "vocab_size", "n_hapax",
+                    F.expr("(1000000 * n_hapax) div vocab_size")
+                    .cast("bigint").alias("hapax_ppm"),
+                    "total_tokens"))

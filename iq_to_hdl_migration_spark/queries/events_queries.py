@@ -1770,3 +1770,80 @@ def graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("band"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
                  F.sum("d").cast("bigint").alias("total_degree")))
+
+
+# ---------------------------------------------------------------------------
+# Cap-sensitivity diagnostics (round 13): with the edge builder now
+# flood-capped at EDGE_CAP, the natural reviewer question is "how much
+# co-occurrence mass would a tighter cap keep?" — answered exactly by
+# banding the per-hour purchaser RANK the builder already computes.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_cap_rank_mass_profile",
+    oracle=f"""
+    WITH {_EB_CTES},
+    j AS (
+        SELECT CAST(length(bin(b.rn)) AS INTEGER) AS rank_band,
+               c.cw * b.bw AS m
+        FROM ch c JOIN bk b ON c.h = b.h AND b.rn <= {EDGE_CAP}
+                           AND c.src != b.dst
+    )
+    SELECT rank_band, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(m) AS BIGINT) AS weight_mass
+    FROM j GROUP BY rank_band
+    """,
+    doc="cap-sensitivity profile of the flood-capped click->purchase "
+        "edge builder: join cells and co-occurrence weight mass per "
+        "octave band of the per-hour purchaser rank (band 1 = the "
+        "hour's top purchaser, band b = ranks 2^(b-1)..2^b-1), so the "
+        "cumulative mass through band b is exactly what a cap of "
+        "2^b - 1 would keep — the evidence for tightening or loosening "
+        "EDGE_CAP without re-materializing the graph; one capped "
+        "hour-bucket join, bounded <=5-band output",
+)
+def graph_cap_rank_mass_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select("user_id", "event_type",
+                      F.date_trunc("hour", F.col("ts")).alias("h"))
+    ch = (hours.filter(F.col("event_type") == "click")
+          .groupBy(F.col("user_id").alias("src"), "h")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cw")))
+    bh = (hours.filter(F.col("event_type") == "purchase")
+          .groupBy(F.col("user_id").alias("dst"), "h")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("bw")))
+    rnw = Window.partitionBy("h").orderBy(F.desc("bw"), F.asc("dst"))
+    bk = (bh.withColumn("rn", F.row_number().over(rnw))
+          .filter(F.col("rn") <= EDGE_CAP))
+    j = (ch.join(bk, "h").filter(F.col("src") != F.col("dst"))
+         .select(F.length(F.bin(F.col("rn"))).cast("int")
+                 .alias("rank_band"),
+                 (F.col("cw") * F.col("bw")).alias("m")))
+    return (j.groupBy("rank_band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                 F.sum("m").cast("bigint").alias("weight_mass")))
+
+
+@register(
+    "graph_edge_weight_histogram",
+    oracle=f"""
+    WITH {_EB_CTES}
+    SELECT CAST(length(bin(w)) AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(w) AS BIGINT) AS total_weight
+    FROM eb GROUP BY 1
+    """,
+    doc="octave-banded weight histogram of the capped click->purchase "
+        "edge table (band = bit length of the edge weight): edge count "
+        "and weight mass per band — the heavy-tail evidence behind the "
+        "PageRank family's damping and the reciprocity read; consumes "
+        "the stored graph (warm memo read), bounded <=64-band output",
+)
+def graph_edge_weight_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    e = _copurchase_click_edges(spark, sf_dir)
+    return (e.groupBy(F.length(F.bin(F.col("weight"))).cast("int")
+                      .alias("band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+                 F.sum("weight").cast("bigint").alias("total_weight")))

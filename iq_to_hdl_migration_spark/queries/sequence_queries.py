@@ -1588,3 +1588,113 @@ def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.col("d") * (F.col("d") - 1)).cast("double"))
             .orderBy(F.desc("clustering"), F.asc("node"))
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 13): the classic recency/frequency/monetary
+# customer grid. All three quartile assignments happen on the
+# PER-CUSTOMER aggregate (one row per customer — orders of magnitude
+# smaller than raw orders), so the three global NTILE sorts each sort
+# that reduced frame, not the fact table; at 100 TB the same plan
+# holds with the aggregate bucketed by custkey. NTILE(4) with a
+# unique custkey tiebreaker is deterministic and identical in Spark
+# and DuckDB (remainder rows go to the earliest buckets in both).
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey AS custkey,
+               CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                    AS BIGINT) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT NTILE(4) OVER (ORDER BY last_day DESC, custkey) AS r_q,
+               NTILE(4) OVER (ORDER BY n_orders DESC, custkey) AS f_q,
+               NTILE(4) OVER (ORDER BY cents DESC, custkey) AS m_q,
+               n_orders, cents
+        FROM per
+    )
+    SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_units
+    FROM q GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per-customer recency (last order "
+        "epoch-day) / frequency / monetary (exact cents) quartiles via "
+        "NTILE(4) with custkey tiebreakers (quartile 1 = best), rolled "
+        "up to the <=64-cell segment grid with customer counts and "
+        "revenue mass — the marketing-mix table every retention "
+        "campaign starts from; quartiles sort the per-customer "
+        "aggregate, never raw orders",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max(F.datediff(F.to_date("o_orderdate"),
+                                 F.lit("1970-01-01").cast("date")))
+                .cast("bigint").alias("last_day"),
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100)
+                      .cast("bigint")).cast("bigint").alias("cents")))
+    q = per.select(
+        F.ntile(4).over(Window.orderBy(F.desc("last_day"),
+                                       F.asc("custkey"))).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("n_orders"),
+                                       F.asc("custkey"))).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("cents"),
+                                       F.asc("custkey"))).alias("m_q"),
+        "n_orders", "cents")
+    return (q.groupBy(F.col("r_q").cast("int").alias("r_q"),
+                      F.col("f_q").cast("int").alias("f_q"),
+                      F.col("m_q").cast("int").alias("m_q"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum("n_orders").cast("bigint").alias("n_orders"),
+                 F.sum("cents").cast("bigint").alias("revenue_units")))
+
+
+@register(
+    "orders_reorder_interval_histogram",
+    oracle="""
+    WITH g AS (
+        SELECT date_diff('day',
+                   CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    )
+    SELECT CAST(CASE WHEN gap <= 0 THEN 0
+                     ELSE length(bin(gap)) END AS INTEGER) AS gap_band_log2d,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="octave-banded histogram of per-customer inter-order gaps in "
+        "days (band = bit length of the gap; 0 = same-day reorder) — "
+        "the global repurchase-rhythm distribution complementing "
+        "customer_order_cadence's per-segment means; one custkey "
+        "window then a bounded <=16-band groupBy, exact integers "
+        "end-to-end",
+)
+def orders_reorder_interval_histogram(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (o.select("o_custkey", "o_orderdate", "o_orderkey")
+         .withColumn("gap", F.datediff(
+             F.col("o_orderdate").cast("date"),
+             F.lag(F.col("o_orderdate").cast("date")).over(w)))
+         .where(F.col("gap").isNotNull()))
+    return (g.groupBy(F.when(F.col("gap") <= 0, F.lit(0))
+                      .otherwise(F.length(F.bin(F.col("gap"))))
+                      .cast("int").alias("gap_band_log2d"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+                 F.sum("gap").cast("bigint").alias("sum_gap_days")))

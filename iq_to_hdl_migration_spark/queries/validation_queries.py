@@ -1597,3 +1597,46 @@ def dq_null_profile_all_tables(spark: SparkSession,
                     .cast("bigint").alias("null_ppm")))
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+@register(
+    "dq_date_coverage_by_month",
+    oracle="""
+    SELECT CAST(date_part('year', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS year,
+           CAST(date_part('month', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS month,
+           CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS n_days_with_orders,
+           CAST(MAX(date_part('day',
+                    last_day(CAST(o_orderdate AS DATE)))) AS BIGINT)
+               AS n_calendar_days,
+           CAST((1000000 * COUNT(DISTINCT CAST(o_orderdate AS DATE)))
+                // MAX(date_part('day', last_day(CAST(o_orderdate AS DATE))))
+                AS BIGINT) AS coverage_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="calendar-coverage audit: per (year, month), how many distinct "
+        "days actually carry orders vs the month's calendar days, as "
+        "exact ppm — a silent ingest gap (a dropped day of files) "
+        "shows up here before it skews any trend query; one scan, "
+        "bounded month-grain groupBy with map-side combine",
+)
+def dq_date_coverage_by_month(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (o.groupBy(F.year(d).cast("int").alias("year"),
+                      F.month(d).cast("int").alias("month"))
+            .agg(F.countDistinct(d).cast("bigint")
+                 .alias("n_days_with_orders"),
+                 F.max(F.dayofmonth(F.last_day(d))).cast("bigint")
+                 .alias("n_calendar_days"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+            .select("year", "month", "n_days_with_orders",
+                    "n_calendar_days",
+                    F.expr("(1000000 * n_days_with_orders) "
+                           "div n_calendar_days").cast("bigint")
+                    .alias("coverage_ppm"),
+                    "n_orders"))

@@ -1,0 +1,173 @@
+"""Round-13 invariants beyond registry-vs-oracle equality: the
+flood-capped co-occurrence edge builder's cap laws (per-hour fan-out
+bound, census mass conservation, rank-band/edge-mass reconciliation),
+RFM quartile balance, gap-histogram mass accounting, hapax bounds,
+and calendar-coverage bounds — structural properties a value-hash
+can't articulate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iq_to_hdl_migration_spark.queries import load_all
+from iq_to_hdl_migration_spark.queries.events_queries import (
+    EDGE_CAP, _copurchase_graph)
+
+REGISTRY = load_all()
+
+_PPM = 1_000_000
+
+
+def test_copurchase_cap_fanout_bound(spark, sf_dir):
+    """No clicker links to more than EDGE_CAP purchasers within any
+    hour — re-derived from raw events: every edge's dst must be among
+    its shared hour's top-EDGE_CAP purchasers, so a node's TOTAL
+    out-degree is bounded by EDGE_CAP x (hours it clicked in)."""
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    g = _copurchase_graph(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    hours_per_clicker = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("src"),
+                F.date_trunc("hour", "ts").alias("h"))
+        .distinct().groupBy("src").count()
+        .withColumnRenamed("count", "n_hours"))
+    outdeg = g["edges"].groupBy("src").count()
+    viol = (outdeg.join(hours_per_clicker, "src")
+            .filter(F.col("count") > EDGE_CAP * F.col("n_hours"))
+            .count())
+    assert viol == 0
+
+
+def test_copurchase_census_mass_conservation(spark, sf_dir):
+    """Per hour: kept + overflow = purchasers, kept <= EDGE_CAP; and
+    the census's total purchaser count equals the raw distinct
+    (hour, purchaser) cell count."""
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    g = _copurchase_graph(spark, sf_dir)
+    rows = g["census"].collect()
+    for r in rows:
+        assert r.n_kept + r.n_overflow == r.n_purchasers
+        assert 1 <= r.n_kept <= EDGE_CAP
+        assert r.n_purchases >= r.n_purchasers
+    ev = load_table(spark, sf_dir, "events")
+    raw_cells = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.date_trunc("hour", "ts"))
+                 .distinct().count())
+    assert sum(r.n_purchasers for r in rows) == raw_cells
+
+
+def test_cap_census_report_matches_stored_census(spark, sf_dir):
+    """The oracled band report aggregates the stored census exactly."""
+    rows = REGISTRY["graph_copurchase_cap_census"].fn(spark,
+                                                      sf_dir).collect()
+    census = _copurchase_graph(spark, sf_dir)["census"].collect()
+    want_hours = len(census)
+    assert sum(r.n_hours for r in rows) == want_hours
+    assert (sum(r.total_overflow for r in rows)
+            == sum(c.n_overflow for c in census))
+    for r in rows:
+        assert r.total_kept + r.total_overflow == r.total_purchasers
+
+
+def test_rank_mass_profile_reconciles_with_edges(spark, sf_dir):
+    """The rank-band weight mass sums to the capped edge table's total
+    weight (every joined (h, src, dst) cell lands in exactly one rank
+    band, and edge weight is the sum of its cells' masses); band 1
+    (the hour's top purchaser) is always present and its cell count
+    never exceeds the total click-cell count."""
+    prof = REGISTRY["graph_cap_rank_mass_profile"].fn(spark,
+                                                      sf_dir).collect()
+    edges = _copurchase_graph(spark, sf_dir)["edges"]
+    total_w = edges.agg(F.sum("weight")).collect()[0][0]
+    assert sum(r.weight_mass for r in prof) == total_w
+    bands = {r.rank_band for r in prof}
+    assert 1 in bands
+    assert all(1 <= b <= EDGE_CAP.bit_length() for b in bands)
+
+
+def test_edge_weight_histogram_mass(spark, sf_dir):
+    """Band histogram conserves edge count and weight mass."""
+    hist = REGISTRY["graph_edge_weight_histogram"].fn(spark,
+                                                      sf_dir).collect()
+    edges = _copurchase_graph(spark, sf_dir)["edges"]
+    n, w = edges.agg(F.count(F.lit(1)), F.sum("weight")).collect()[0]
+    assert sum(r.n_edges for r in hist) == n
+    assert sum(r.total_weight for r in hist) == w
+    for r in hist:
+        # band b holds weights in [2^(b-1), 2^b): mass bounds follow
+        assert (r.total_weight >= r.n_edges * (1 << (r.band - 1))
+                and r.total_weight < r.n_edges * (1 << r.band))
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    """Each NTILE(4) axis splits customers into four near-equal groups
+    (sizes differ by at most 1), and grid counts/revenue reconcile
+    with the per-customer aggregate."""
+    rows = REGISTRY["customer_rfm_segments"].fn(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = o.select("o_custkey").distinct().count()
+    n_orders = o.count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert sum(r.n_orders for r in rows) == n_orders
+    for axis in ("r_q", "f_q", "m_q"):
+        sizes = {}
+        for r in rows:
+            sizes[getattr(r, axis)] = (sizes.get(getattr(r, axis), 0)
+                                       + r.n_customers)
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_reorder_histogram_accounts_every_gap(spark, sf_dir):
+    """Gap count equals orders minus distinct customers (each customer
+    contributes n_orders - 1 gaps), and per-band means sit inside the
+    band's day range."""
+    rows = REGISTRY["orders_reorder_interval_histogram"].fn(
+        spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+    for r in rows:
+        if r.gap_band_log2d == 0:
+            assert r.sum_gap_days == 0
+        else:
+            lo = 1 << (r.gap_band_log2d - 1)
+            hi = 1 << r.gap_band_log2d
+            assert (r.n_gaps * lo <= r.sum_gap_days
+                    < r.n_gaps * hi)
+
+
+def test_hapax_ratio_bounds(spark, sf_dir):
+    """hapax <= vocab <= total tokens; ppm consistent; and per-source
+    vocab matches text_vocab_stats' distinct_tokens exactly (same
+    tokenizer by construction)."""
+    rows = {r.source: r for r in
+            REGISTRY["text_hapax_ratio_by_source"].fn(spark,
+                                                      sf_dir).collect()}
+    vocab = {r.source: r for r in
+             REGISTRY["text_vocab_stats"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(vocab)
+    for s, r in rows.items():
+        assert 0 <= r.n_hapax <= r.vocab_size <= r.total_tokens
+        assert r.hapax_ppm == (_PPM * r.n_hapax) // r.vocab_size
+        assert r.vocab_size == vocab[s].distinct_tokens
+        assert r.total_tokens == vocab[s].total_tokens
+
+
+def test_date_coverage_bounds(spark, sf_dir):
+    """Coverage days within calendar days; ppm consistent; order
+    counts reconcile with the raw table."""
+    rows = REGISTRY["dq_date_coverage_by_month"].fn(spark,
+                                                    sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert sum(r.n_orders for r in rows) == o.count()
+    for r in rows:
+        assert 1 <= r.month <= 12
+        assert 28 <= r.n_calendar_days <= 31
+        assert 1 <= r.n_days_with_orders <= r.n_calendar_days
+        assert r.coverage_ppm == (
+            _PPM * r.n_days_with_orders) // r.n_calendar_days
