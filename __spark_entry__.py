@@ -39,7 +39,7 @@ _SAMPLE_PRIORITY = [
     "graph_copurchase_cap_census", "graph_cap_rank_mass_profile",
     "graph_edge_weight_histogram", "customer_rfm_segments",
     "orders_reorder_interval_histogram", "text_hapax_ratio_by_source",
-    "dq_date_coverage_by_month",
+    "dq_date_coverage_by_month", "events_fano_factor_hourly",
     # round 13, tier 2: code/oracle changed this round. The
     # click->purchase edge builder is now flood-capped (per hour, top
     # EDGE_CAP purchasers) and all five consumers' oracles were

@@ -1847,3 +1847,83 @@ def graph_edge_weight_histogram(spark: SparkSession,
                       .alias("band"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"),
                  F.sum("weight").cast("bigint").alias("total_weight")))
+
+
+@register(
+    "events_fano_factor_hourly",
+    oracle="""
+    WITH b AS (
+        SELECT epoch_us(date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))))
+                   AS lo,
+               epoch_us(date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))))
+                   AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(lo, hi, 3600000000)) AS h
+              FROM b) g
+    ),
+    cnt AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT s.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(COALESCE(c.c, 0)) AS BIGINT) AS s1,
+               CAST(SUM(COALESCE(c.c, 0) * COALESCE(c.c, 0)) AS BIGINT)
+                   AS s2
+        FROM spine s LEFT JOIN cnt c
+          ON c.event_type = s.event_type AND c.h = s.h
+        GROUP BY s.event_type
+    )
+    SELECT event_type, n_hours, s1 AS n_events,
+           CAST(CASE WHEN n_hours <= 1 OR s1 = 0 THEN 0
+                     ELSE (1000000 * (n_hours * s2 - s1 * s1))
+                          // (s1 * (n_hours - 1)) END AS BIGINT)
+               AS fano_ppm
+    FROM f
+    """,
+    doc="hourly burstiness per event type as the exact Fano factor "
+        "(variance-to-mean ratio of hourly counts, ppm): counts are "
+        "zero-filled over the table's global hour spine (a Poisson "
+        "process reads ~1e6; bursty types read higher) — the "
+        "dispersion evidence behind watermark and session-gap "
+        "choices; integer moment sums end-to-end, one hour-grain "
+        "aggregate left-joined to a generated bounded spine "
+        "(sequence/explode, <=8760 rows/type-year), division only in "
+        "the final ppm",
+)
+def events_fano_factor_hourly(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.date_trunc("hour", F.min("ts"))).alias("lo"),
+        F.unix_micros(F.date_trunc("hour", F.max("ts"))).alias("hi"))
+    spine = (ev.select("event_type").distinct()
+             .join(F.broadcast(b), F.lit(True))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         F.col("lo"), F.col("hi"),
+                         F.lit(3_600_000_000).cast("bigint")))
+                     .alias("h")))
+    cnt = (ev.groupBy("event_type",
+                      F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                      .alias("h"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    c0 = F.coalesce(F.col("c"), F.lit(0).cast("bigint"))
+    f = (spine.join(cnt, ["event_type", "h"], "left")
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+              F.sum(c0).cast("bigint").alias("s1"),
+              F.sum(c0 * c0).cast("bigint").alias("s2")))
+    return f.select(
+        "event_type", "n_hours", F.col("s1").alias("n_events"),
+        F.when((F.col("n_hours") <= 1) | (F.col("s1") == 0), F.lit(0))
+        .otherwise(F.expr("(1000000 * (n_hours * s2 - s1 * s1)) "
+                          "div (s1 * (n_hours - 1))"))
+        .cast("bigint").alias("fano_ppm"))

@@ -42,6 +42,11 @@ _UNITS = {
     "text_winnowing_fingerprints": ("docs", "documents"),
     "dedup_ngram_jaccard_pairs": ("docs", "documents"),
     "q21_sole_return_suppliers": ("lineitems", "lineitem"),
+    # round-13 tier-2 campaign (r12 verdict #6)
+    "graph_reciprocity_report": ("edges", "clickpurchase"),
+    "dedup_containment_pairs": ("docs", "documents"),
+    "stream_type_mix_drift": ("events", "events"),
+    "snapshot_version_diff": ("orders", "orders"),
 }
 
 
@@ -51,6 +56,10 @@ def _unit_count(spark, sf_dir: str, kind: str) -> int:
         from iq_to_hdl_migration_spark.queries.sequence_queries import (
             _copurchase_edges)
         return _copurchase_edges(spark, sf_dir).count()
+    if kind == "clickpurchase":
+        from iq_to_hdl_migration_spark.queries.events_queries import (
+            _copurchase_click_edges)
+        return _copurchase_click_edges(spark, sf_dir).count()
     return load_table(spark, sf_dir, kind).count()
 
 

@@ -107,33 +107,34 @@ EXTRA = [
 # a 5x timing of them measures constant data. Swap this list out each
 # round; SCALE.md records which rotation ran when.
 ROTATION = [
-    # round-12 rotation: r12 additions first, then never-swept names
-    # across the events/dedup/docs/dq/mlprep/mm/orders/text families
-    "events_type_mix_drift_tvd", "events_haar_energy_profile",
-    "dq_cross_field_audit", "trend_pettitt_changepoint_monthly",
-    "sim_quantization_rank_fidelity", "mlprep_epoch_shuffle_plan",
-    "orders_cohort_repeat_curve", "corpus_bigram_oov_rate",
-    "graph_reciprocity_report", "stream_type_mix_drift",
-    "sketch_distinct_users_daily", "sketch_distinct_users_rollup",
+    # round-13 rotation: r13 additions and cap-affected names first,
+    # then the never-swept tail across events/orders/stream/text/
+    # sample/sim/dq/mm/trend families
+    "graph_cap_rank_mass_profile", "graph_copurchase_cap_census",
+    "graph_edge_weight_histogram", "customer_rfm_segments",
+    "orders_reorder_interval_histogram", "text_hapax_ratio_by_source",
+    "dq_date_coverage_by_month", "events_fano_factor_hourly",
+    "graph_degree_census",
+    "orders_calendar_seasonality", "corpus_char_class_profile",
     # never-swept tail
-    "events_attribution_time_decay", "events_bot_score_report",
-    "events_session_duration_histogram", "events_churn_gaps",
-    "events_latest_per_user", "events_sliding_hourly",
-    "events_error_rate_hourly", "events_json_extract",
-    "events_user_topk",
-    "dedup_mixture_shift_report", "dedup_survivor_length_bias",
-    "dedup_exact_stats", "dedup_rate_by_source",
-    "docs_simhash_bit_drift", "dq_mad_outlier_docs",
-    "dq_freshness_report", "drift_ks_statistic",
-    "mlprep_packing_assignments", "mlprep_length_bucket_padding_waste",
-    "mlprep_shard_plan",
-    "mm_payload_dedup_groups", "mm_audio_chunks",
-    "orders_customer_migration_matrix", "orders_ship_lag_profile",
-    "text_fingerprints", "text_pii_redact",
-    "text_contamination_incremental",
-    "sample_weighted_priority", "range_join_price_bracket",
-    "q_top_parts_by_revenue", "stream_sessionization",
-    "stream_incremental_dedup",
+    "assessment_report", "bucketed_colocated_join_revenue",
+    "class_balance_weights", "corpus_bigram_diversity",
+    "corpus_token_budget", "customer_balance_position",
+    "customer_order_cadence", "decile_binned_revenue",
+    "dedup_cluster_size_histogram", "doc_length_quartiles_by_lang",
+    "docs_lang_source_independence", "dq_pk_uniqueness_audit",
+    "events_ab_test_report", "events_burst_users",
+    "events_entry_exit_paths", "events_hourly_seasonality",
+    "events_json_typed", "events_new_vs_returning",
+    "fuzzy_name_pairs", "lineitem_discount_curve",
+    "mm_frame_samples", "mm_resize_meta",
+    "mode_priority_by_status", "nation_pareto_8020",
+    "ols_qty_vs_discount_by_brand", "orders_basket_size_distribution",
+    "orders_monthly_growth", "part_supply_redundancy",
+    "q19_bracketed_revenue", "q22_idle_rich_customers",
+    "sample_stratified_docs", "sim_ann_multiprobe2_topk",
+    "sim_embedding_stats", "stream_user_gini",
+    "supplier_hhi_by_nation", "trend_holt_forecast_monthly_revenue",
 ]
 EXTRA = EXTRA + ROTATION
 

@@ -171,3 +171,27 @@ def test_date_coverage_bounds(spark, sf_dir):
         assert 1 <= r.n_days_with_orders <= r.n_calendar_days
         assert r.coverage_ppm == (
             _PPM * r.n_days_with_orders) // r.n_calendar_days
+
+
+def test_fano_factor_spine_and_moments(spark, sf_dir):
+    """Every type shares the same global hour spine; event mass
+    reconciles with the raw table; and the ppm value matches an
+    independently computed exact integer formula."""
+    rows = REGISTRY["events_fano_factor_hourly"].fn(spark,
+                                                    sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert len({r.n_hours for r in rows}) == 1  # shared spine
+    assert sum(r.n_events for r in rows) == ev.count()
+    # independent recompute for one type via pandas
+    import pandas as pd
+    t = rows[0].event_type
+    pdf = (ev.filter(F.col("event_type") == t)
+           .select((F.unix_micros(F.date_trunc("hour", "ts"))
+                    / 3_600_000_000).cast("bigint").alias("hb"))
+           .groupBy("hb").count().toPandas())
+    n = rows[0].n_hours
+    s1 = int(pdf["count"].sum())
+    s2 = int((pdf["count"] ** 2).sum())  # zero hours add nothing
+    want = (_PPM * (n * s2 - s1 * s1)) // (s1 * (n - 1))
+    got = next(r.fano_ppm for r in rows if r.event_type == t)
+    assert got == want
