@@ -584,3 +584,74 @@ def orders_reorder_gap_profile(spark: SparkSession,
                  .alias("n_customers"),
                  F.min("gap_days").cast("bigint").alias("min_gap_days"),
                  F.max("gap_days").cast("bigint").alias("max_gap_days")))
+
+
+@register(
+    "part_abc_classification",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT rev,
+               SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(rev) OVER () AS tot
+        FROM pr
+    ),
+    cls AS (
+        SELECT CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+                    WHEN cum * 100 <= tot * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           CAST((1000000 * COUNT(*))
+                // (SELECT COUNT(*) FROM pr) AS BIGINT) AS part_share_ppm
+    FROM cls GROUP BY abc_class
+    """,
+    doc="ABC inventory classification of parts by discounted revenue: "
+        "class A = parts inside the first 80% of cumulative revenue, "
+        "B = to 95%, C = the tail — class sizes, revenue mass and "
+        "part-count share; thresholds as exact decimal "
+        "cross-multiplication (cum*10 <= tot*8), never float "
+        "comparisons. The cumulative window sorts the PER-PART "
+        "aggregate (one row per part), not lineitem; 3-row output",
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = (li.withColumn(
+        "rev", F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+        .groupBy("l_partkey")
+        .agg(F.sum("rev").cast("decimal(18,4)").alias("rev")))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    ranked = pr.select(
+        "rev",
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("rev").over(
+            Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing))
+        .alias("tot"))
+    n_parts_total = pr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("npt"))
+    cls = ranked.select(
+        F.when(F.col("cum") * 10 <= F.col("tot") * 8, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C")).alias("abc_class"),
+        "rev")
+    return (cls.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+                 F.sum("rev").cast("double").alias("revenue"))
+            .join(F.broadcast(n_parts_total), F.lit(True))
+            .select("abc_class", "n_parts", "revenue",
+                    F.expr("(1000000 * n_parts) div npt").cast("bigint")
+                    .alias("part_share_ppm")))
