@@ -195,3 +195,22 @@ def test_fano_factor_spine_and_moments(spark, sf_dir):
     want = (_PPM * (n * s2 - s1 * s1)) // (s1 * (n - 1))
     got = next(r.fano_ppm for r in rows if r.event_type == t)
     assert got == want
+
+
+def test_abc_classification_partition(spark, sf_dir):
+    """Classes partition parts exactly; A-class revenue stays within
+    80% of the total (by construction of the cross-multiplied
+    threshold); part-count shares ppm reconcile."""
+    rows = {r.abc_class: r for r in
+            REGISTRY["part_abc_classification"].fn(spark,
+                                                   sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    total_rev = sum(r.revenue for r in rows.values())
+    assert rows["A"].revenue <= 0.8 * total_rev * (1 + 1e-9)
+    assert (rows["A"].revenue + rows["B"].revenue
+            <= 0.95 * total_rev * (1 + 1e-9))
+    for r in rows.values():
+        assert r.part_share_ppm == (_PPM * r.n_parts) // n_parts
