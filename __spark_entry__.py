@@ -40,7 +40,7 @@ _SAMPLE_PRIORITY = [
     "graph_edge_weight_histogram", "customer_rfm_segments",
     "orders_reorder_interval_histogram", "text_hapax_ratio_by_source",
     "dq_date_coverage_by_month", "events_fano_factor_hourly",
-    "part_abc_classification",
+    "part_abc_classification", "sim_quantized_l2_histogram",
     # round 13, tier 2: code/oracle changed this round. The
     # click->purchase edge builder is now flood-capped (per hour, top
     # EDGE_CAP purchasers) and all five consumers' oracles were

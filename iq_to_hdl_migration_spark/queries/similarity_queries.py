@@ -2831,3 +2831,69 @@ def sim_quantization_rank_fidelity(spark: SparkSession,
                     .cast("bigint").alias("discordant"),
                     ((2.0 * F.col("concordant") - F.col("n_pairs"))
                      / F.col("n_pairs")).alias("kendall_tau")))
+
+
+@register(
+    "sim_quantized_l2_histogram",
+    oracle=f"""
+    WITH
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vec,
+               greatest(list_max(list_transform(vec, x -> abs(x))) / 127.0,
+                        1e-30) AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(vec, x -> FLOOR(x / scale + 0.5)) AS qv
+        FROM s
+    ),
+    qq AS (
+        SELECT vec_id, qv,
+               CAST(list_dot_product(qv, qv) AS BIGINT) AS sq
+        FROM q
+    ),
+    d AS (
+        SELECT CAST(a.sq + b.sq
+                    - 2 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                    AS BIGINT) AS dist_sq
+        FROM qq a JOIN qq b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    )
+    SELECT CAST(CASE WHEN dist_sq <= 0 THEN 0
+                     ELSE length(bin(dist_sq)) END AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dist_sq) AS BIGINT) AS total_dist_sq
+    FROM d GROUP BY 1
+    """,
+    doc="octave-banded histogram of EXACT integer squared L2 distances "
+        "between the int8-quantized probe vectors and the whole "
+        "corpus (|q|<=127, dim 64 -> every distance < 2^23, so the "
+        "double-held arithmetic is exact and engine-order-independent "
+        "in both engines): the geometry-spread evidence behind the "
+        "IVF nprobe and LSH band choices, from the same stored "
+        "quantized corpus the retrieval family serves; probes "
+        "broadcast, corpus scanned once, bounded <=24-band output",
+)
+def sim_quantized_l2_histogram(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    d = _quantized_corpus(spark, sf_dir)
+    qq = d.select("vec_id", "qv",
+                  sim.dot_expr("qv", "qv").cast("bigint").alias("sq"))
+    probes = (qq.where(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("qv").alias("qv_q"),
+                      F.col("sq").alias("sq_q")))
+    dist = (qq.join(F.broadcast(probes),
+                    F.col("vec_id") != F.col("query_id"))
+            .select((F.col("sq_q") + F.col("sq")
+                     - 2 * sim.dot_expr("qv_q", "qv").cast("bigint"))
+                    .cast("bigint").alias("dist_sq")))
+    return (dist.groupBy(F.when(F.col("dist_sq") <= 0, F.lit(0))
+                         .otherwise(F.length(F.bin(F.col("dist_sq"))))
+                         .cast("int").alias("band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum("dist_sq").cast("bigint").alias("total_dist_sq")))

@@ -214,3 +214,22 @@ def test_abc_classification_partition(spark, sf_dir):
             <= 0.95 * total_rev * (1 + 1e-9))
     for r in rows.values():
         assert r.part_share_ppm == (_PPM * r.n_parts) // n_parts
+
+
+def test_quantized_l2_histogram_pair_accounting(spark, sf_dir):
+    """Pair count equals n_probes x (corpus - 1); distances respect
+    the int8 geometry bound (dim 64, |q| <= 127 -> dist_sq < 64*254^2);
+    band mass bounds hold."""
+    rows = REGISTRY["sim_quantized_l2_histogram"].fn(spark,
+                                                     sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    n_probes = emb.filter(F.col("vec_id") < 5).count()
+    assert sum(r.n_pairs for r in rows) == n_probes * (n - 1)
+    dim = len(emb.select("embedding").first()[0])
+    bound = dim * 254 * 254
+    for r in rows:
+        assert 0 <= r.band <= bound.bit_length()
+        if r.band > 0:
+            lo, hi = 1 << (r.band - 1), 1 << r.band
+            assert r.n_pairs * lo <= r.total_dist_sq < r.n_pairs * hi
