@@ -67,6 +67,19 @@ _SAMPLE_PRIORITY = [
     "nation_pareto_8020", "ols_qty_vs_discount_by_brand",
     "part_supply_redundancy", "sample_stratified_docs",
     "ship_latency_by_nation", "trend_holt_forecast_monthly_revenue",
+    # round 13, tier 4: deliberate re-draws to fill the 50 slots —
+    # the two sketch exact-mode rows (their gate comments changed
+    # this round; a fresh green row re-proves the code didn't), the
+    # four r12 "apparent regression" names the loaded driver session
+    # flagged (a clean-session row settles them), the quantized-store
+    # consumers next to the new L2 histogram, and recent r12 rows.
+    "sketch_distinct_users_daily", "sketch_distinct_users_rollup",
+    "snapshot_version_diff", "text_bm25_topk",
+    "trade_flow_matrix", "text_boilerplate_ngrams",
+    "dedup_minhash_clusters", "curation_grand_funnel",
+    "sim_quantized_topk", "sim_pq_adc_topk",
+    "events_type_mix_drift_tvd", "stream_type_mix_drift",
+    "mlprep_epoch_shuffle_plan", "dq_null_profile_all_tables",
 ]
 
 
