@@ -41,6 +41,7 @@ _SAMPLE_PRIORITY = [
     "orders_reorder_interval_histogram", "text_hapax_ratio_by_source",
     "dq_date_coverage_by_month", "events_fano_factor_hourly",
     "part_abc_classification", "sim_quantized_l2_histogram",
+    "stream_fano_factor",
     # round 13, tier 2: code/oracle changed this round. The
     # click->purchase edge builder is now flood-capped (per hour, top
     # EDGE_CAP purchasers) and all five consumers' oracles were
@@ -79,7 +80,7 @@ _SAMPLE_PRIORITY = [
     "dedup_minhash_clusters", "curation_grand_funnel",
     "sim_quantized_topk", "sim_pq_adc_topk",
     "events_type_mix_drift_tvd", "stream_type_mix_drift",
-    "mlprep_epoch_shuffle_plan", "dq_null_profile_all_tables",
+    "dq_null_profile_all_tables",
 ]
 
 

@@ -1849,9 +1849,8 @@ def graph_edge_weight_histogram(spark: SparkSession,
                  F.sum("weight").cast("bigint").alias("total_weight")))
 
 
-@register(
-    "events_fano_factor_hourly",
-    oracle="""
+# shared with the streaming twin (stream_fano_factor)
+FANO_ORACLE = """
     WITH b AS (
         SELECT epoch_us(date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))))
                    AS lo,
@@ -1887,7 +1886,12 @@ def graph_edge_weight_histogram(spark: SparkSession,
                           // (s1 * (n_hours - 1)) END AS BIGINT)
                AS fano_ppm
     FROM f
-    """,
+    """
+
+
+@register(
+    "events_fano_factor_hourly",
+    oracle=FANO_ORACLE,
     doc="hourly burstiness per event type as the exact Fano factor "
         "(variance-to-mean ratio of hourly counts, ppm): counts are "
         "zero-filled over the table's global hour spine (a Poisson "
@@ -1901,20 +1905,27 @@ def graph_edge_weight_histogram(spark: SparkSession,
 def events_fano_factor_hourly(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(
-        F.unix_micros(F.date_trunc("hour", F.min("ts"))).alias("lo"),
-        F.unix_micros(F.date_trunc("hour", F.max("ts"))).alias("hi"))
-    spine = (ev.select("event_type").distinct()
-             .join(F.broadcast(b), F.lit(True))
-             .select("event_type",
-                     F.explode(F.sequence(
-                         F.col("lo"), F.col("hi"),
-                         F.lit(3_600_000_000).cast("bigint")))
-                     .alias("h")))
     cnt = (ev.groupBy("event_type",
                       F.unix_micros(F.date_trunc("hour", F.col("ts")))
                       .alias("h"))
            .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    return fano_from_hourly(cnt, step=3_600_000_000)
+
+
+def fano_from_hourly(cnt: DataFrame, step: int) -> DataFrame:
+    """The exact-integer Fano tail over an hourly count table
+    (event_type, h, c): spine bounds and the type vocabulary derive
+    from the counts themselves (every hour with events has a count
+    row, so min/max h over counts equal min/max over raw events) —
+    which lets the streaming twin feed the SAME tail from its fold
+    snapshot and share the oracle bit-for-bit."""
+    b = cnt.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = (cnt.select("event_type").distinct()
+             .join(F.broadcast(b), F.lit(True))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         F.col("lo"), F.col("hi"),
+                         F.lit(step).cast("bigint"))).alias("h")))
     c0 = F.coalesce(F.col("c"), F.lit(0).cast("bigint"))
     f = (spine.join(cnt, ["event_type", "h"], "left")
          .groupBy("event_type")

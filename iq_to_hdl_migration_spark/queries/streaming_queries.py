@@ -19,6 +19,7 @@ from iq_to_hdl_migration_spark.queries import register
 from iq_to_hdl_migration_spark.queries.dedup_oracles import (
     incremental_pairs_oracle)
 from iq_to_hdl_migration_spark.queries.events_queries import (
+    FANO_ORACLE,
     HAAR_ORACLE,
     TYPE_MIX_DRIFT_ORACLE,
     BOT_SCORE_ORACLE, DAU_WAU_ORACLE, DIVERSITY_ORACLE, FUNNEL_ORACLE,
@@ -740,3 +741,20 @@ def stream_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_haar_{next(_seq)}"
     return W.streaming_haar_energy(spark, sf_dir, name)
+
+
+@register(
+    "stream_fano_factor",
+    # shared with events_fano_factor_hourly
+    oracle=FANO_ORACLE,
+    doc="streaming twin of events_fano_factor_hourly (25th twin): "
+        "rides the generalized composite-key count fold on "
+        "(event_type, epoch-hour) — the same additive count monoid "
+        "the Haar twin folds — and feeds the final snapshot into the "
+        "shared exact-integer Fano tail (spine bounds derived from "
+        "the counts themselves), so the burstiness report equals the "
+        "single-shot result bit-for-bit (shared oracle)",
+)
+def stream_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"q_stream_fano_{next(_seq)}"
+    return W.streaming_fano_factor(spark, sf_dir, name)

@@ -2169,3 +2169,64 @@ def streaming_haar_energy(spark: SparkSession, sf_dir: str,
     snap = spark.read.parquet(os.path.join(snap_dir, final))
     return haar_energy_from_hourly(
         snap.select("event_type", "h", F.col("n_events").alias("c")))
+
+
+def streaming_fano_factor(spark: SparkSession, sf_dir: str,
+                          _query_name: str = "stream_fano",
+                          n_batches: int = 4) -> DataFrame:
+    """Streaming twin of events_fano_factor_hourly, riding the SAME
+    generalized composite-key count fold as the Haar twin (the
+    (event_type, epoch-hour) count spine is the additive count
+    monoid): the final snapshot feeds the shared exact-integer Fano
+    tail (`fano_from_hourly`), whose spine bounds derive from the
+    counts themselves, so the dispersion report equals the single-shot
+    result bit-for-bit. Supersede-on-reinvoke contract: same as
+    streaming_bottomk_sample."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        fano_from_hourly)
+    from iq_to_hdl_migration_spark.sources.tables import load_table
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.expr("unix_micros(ts) div 3600000000").alias("h")))
+
+    wkey = (spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir), "fano_factor")
+    prev = _STREAM_WORK_DIRS.pop(wkey, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=f"{_query_name}_")
+    _STREAM_WORK_DIRS[wkey] = work
+    arrivals_dir = os.path.join(work, "arrivals")
+    snap_dir = os.path.join(work, "snaps")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(arrivals_dir)
+    os.makedirs(snap_dir)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    empty = spark.createDataFrame(
+        [], "event_type string, h bigint, n_events bigint")
+    empty.write.parquet(os.path.join(snap_dir, "00000_init"))
+
+    lo, hi = _id_span(ev, "event_id")
+    if hi is None:
+        snap = spark.read.parquet(os.path.join(snap_dir, "00000_init"))
+        return fano_from_hourly(
+            snap.select("event_type", "h",
+                        F.col("n_events").alias("c")), step=1)
+    _stage_id_sliced_arrivals(ev, "event_id", lo, hi, n_batches,
+                              work, arrivals_dir)
+
+    run_keyed_count_fold(spark, arrivals_dir, snap_dir, ckpt_dir,
+                         ["event_type", "h"])
+
+    final = sorted(os.listdir(snap_dir))[-1]
+    snap = spark.read.parquet(os.path.join(snap_dir, final))
+    return fano_from_hourly(
+        snap.select("event_type", "h", F.col("n_events").alias("c")),
+        step=1)

@@ -233,3 +233,13 @@ def test_quantized_l2_histogram_pair_accounting(spark, sf_dir):
         if r.band > 0:
             lo, hi = 1 << (r.band - 1), 1 << r.band
             assert r.n_pairs * lo <= r.total_dist_sq < r.n_pairs * hi
+
+
+def test_fano_streaming_twin_equals_batch(spark, sf_dir):
+    batch = {r.event_type: (r.n_hours, r.n_events, r.fano_ppm) for r in
+             REGISTRY["events_fano_factor_hourly"].fn(spark,
+                                                      sf_dir).collect()}
+    stream = {r.event_type: (r.n_hours, r.n_events, r.fano_ppm) for r in
+              REGISTRY["stream_fano_factor"].fn(spark,
+                                                sf_dir).collect()}
+    assert batch == stream
