@@ -78,7 +78,7 @@ _SAMPLE_PRIORITY = [
     "snapshot_version_diff", "text_bm25_topk",
     "trade_flow_matrix", "text_boilerplate_ngrams",
     "dedup_minhash_clusters", "curation_grand_funnel",
-    "sim_quantized_topk", "sim_pq_adc_topk",
+    "sim_quantized_topk", "events_dau_overlap_jaccard",
     "events_type_mix_drift_tvd", "stream_type_mix_drift",
     "dq_null_profile_all_tables",
 ]

@@ -1938,3 +1938,62 @@ def fano_from_hourly(cnt: DataFrame, step: int) -> DataFrame:
         .otherwise(F.expr("(1000000 * (n_hours * s2 - s1 * s1)) "
                           "div (s1 * (n_hours - 1))"))
         .cast("bigint").alias("fano_ppm"))
+
+
+@register(
+    "events_dau_overlap_jaccard",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS TIMESTAMP)::DATE AS day, user_id
+        FROM events
+    ),
+    sz AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM du GROUP BY day
+    ),
+    inter AS (
+        SELECT b.day AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM du a JOIN du b
+          ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+        GROUP BY b.day
+    )
+    SELECT c.day, p.n_users AS n_prev, c.n_users AS n_curr,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST((1000000 * COALESCE(i.n_inter, 0))
+                // (p.n_users + c.n_users - COALESCE(i.n_inter, 0))
+                AS BIGINT) AS jaccard_ppm
+    FROM sz c
+    JOIN sz p ON p.day = c.day - INTERVAL 1 DAY
+    LEFT JOIN inter i ON i.day = c.day
+    """,
+    doc="day-over-day active-user Jaccard: for each day with an "
+        "active previous day, |DAU_prev intersect DAU_curr| / "
+        "|union| in exact ppm — the audience-stability signal next "
+        "to stream_dau_wau (a bot flood or tracking regression moves "
+        "this before it moves raw DAU); one distinct (day, user) "
+        "shuffle, a user-keyed next-day self-join, then bounded "
+        "day-grain stitches",
+)
+def events_dau_overlap_jaccard(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    sz = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    nxt = du.select(F.date_add("day", 1).alias("day"),
+                    F.col("user_id"))
+    inter = (nxt.join(du, ["day", "user_id"], "left_semi")
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter")))
+    c = sz.select(F.col("day"), F.col("n_users").alias("n_curr"))
+    p = sz.select(F.date_add("day", 1).alias("day"),
+                  F.col("n_users").alias("n_prev"))
+    ni = F.coalesce(F.col("n_inter"), F.lit(0).cast("bigint"))
+    return (c.join(p, "day")
+            .join(F.broadcast(inter), ["day"], "left")
+            .select("day", "n_prev", "n_curr",
+                    ni.alias("n_inter"),
+                    F.expr("(1000000 * coalesce(n_inter, 0)) div "
+                           "(n_prev + n_curr - coalesce(n_inter, 0))")
+                    .cast("bigint").alias("jaccard_ppm")))

@@ -243,3 +243,19 @@ def test_fano_streaming_twin_equals_batch(spark, sf_dir):
               REGISTRY["stream_fano_factor"].fn(spark,
                                                 sf_dir).collect()}
     assert batch == stream
+
+
+def test_dau_overlap_jaccard_bounds(spark, sf_dir):
+    """Intersection bounded by both day sizes; Jaccard ppm consistent
+    and in [0, 1e6]; every day except the first active day draws a
+    row (the corpus has no empty days)."""
+    rows = REGISTRY["events_dau_overlap_jaccard"].fn(spark,
+                                                     sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    assert len(rows) == n_days - 1
+    for r in rows:
+        assert 0 <= r.n_inter <= min(r.n_prev, r.n_curr)
+        union = r.n_prev + r.n_curr - r.n_inter
+        assert r.jaccard_ppm == (_PPM * r.n_inter) // union
+        assert 0 <= r.jaccard_ppm <= _PPM
