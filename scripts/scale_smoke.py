@@ -136,6 +136,35 @@ ROTATION = [
     "sim_embedding_stats", "stream_user_gini",
     "supplier_hhi_by_nation", "trend_holt_forecast_monthly_revenue",
 ]
+# Round-13 direct tail sweep (docs/SCALE.md): these 40 names were
+# timed OUTSIDE the rotation via scale_curvature --time at 1x and 5x,
+# completing 5x coverage of every data-scaled registry name. Recorded
+# here (not added to EXTRA) so coverage reconstruction counts them
+# without growing the per-round sweep.
+SWEPT_DIRECT = [
+    "events_dau_overlap_jaccard", "orders_cumulative_share",
+    "orders_quarter_share", "q20_bulk_part_suppliers",
+    "q6_revenue_forecast", "q_anti_customers_without_orders",
+    "q_intersect_except_custkeys", "q_lineitem_stats",
+    "q_nation_revenue_dense_top3", "q_nation_revenue_rank",
+    "q_union_order_events", "sample_bottomk_per_lang",
+    "sim_quantized_l2_histogram", "skew_split_hot_join_revenue",
+    "snapshot_incremental_view_maintenance",
+    "snapshot_time_travel_audit", "stats_mad_quantity_by_flag",
+    "stats_price_quantiles", "stream_ab_test",
+    "stream_boilerplate_gate", "stream_bot_score",
+    "stream_bottomk_sample", "stream_dsir_gate",
+    "stream_enriched_counts", "stream_fano_factor",
+    "stream_haar_energy", "stream_lifecycle_stages",
+    "stream_market_basket", "stream_mix_downsample",
+    "stream_purchase_click_join", "stream_scd2_history",
+    "stream_session_windows_native", "text_bpe_token_estimate",
+    "text_contamination_scan", "text_token_topk",
+    "trend_mann_kendall_monthly_revenue",
+    "trend_spearman_acf_monthly_revenue", "graph_user_pagerank_top20",
+    "sim_ann_recall", "sim_ivf_topk",
+]
+
 EXTRA = EXTRA + ROTATION
 
 
