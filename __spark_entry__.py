@@ -77,7 +77,7 @@ _SAMPLE_PRIORITY = [
     "sketch_distinct_users_daily", "sketch_distinct_users_rollup",
     "snapshot_version_diff", "text_bm25_topk",
     "trade_flow_matrix", "text_boilerplate_ngrams",
-    "dedup_minhash_clusters", "curation_grand_funnel",
+    "dedup_quality_interaction", "curation_grand_funnel",
     "sim_quantized_topk", "events_dau_overlap_jaccard",
     "events_type_mix_drift_tvd", "stream_type_mix_drift",
     "dq_null_profile_all_tables",

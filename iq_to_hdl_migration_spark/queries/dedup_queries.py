@@ -1052,3 +1052,64 @@ def dedup_cluster_size_histogram(spark: SparkSession,
                  F.sum("n_members").cast("bigint").alias("n_docs"),
                  F.min("n_members").cast("bigint").alias("min_size"),
                  F.max("n_members").cast("bigint").alias("max_size")))
+
+
+@register(
+    "dedup_quality_interaction",
+    oracle="""
+    WITH q AS (
+        SELECT source,
+               md5(text) AS sig,
+               CASE WHEN len(string_split_regex(lower(trim(text)),
+                                                '\\s+')) >= 10
+                     AND len(list_filter(
+                             string_split_regex(lower(trim(text)),
+                                                '\\s+'),
+                             x -> list_contains(
+                                 ['the','a','and','of','to','in','is'],
+                                 x))) > 0
+                    THEN 'good' ELSE 'low' END AS quality_label
+        FROM documents
+    ),
+    g AS (SELECT sig, CAST(COUNT(*) AS BIGINT) AS n
+          FROM q GROUP BY sig)
+    SELECT source, quality_label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST((1000000 * SUM(CASE WHEN g.n > 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM q JOIN g USING (sig)
+    GROUP BY source, quality_label
+    """,
+    doc="quality x exact-duplication interaction: per (source, "
+        "quality_label) the share of docs whose md5 text signature "
+        "appears more than once — answers 'do low-quality docs "
+        "duplicate more?', the signal that decides whether to dedup "
+        "before or after quality filtering in the curation order; "
+        "same md5 signature as the exact-dedup family and the same "
+        "good/low heuristic as text_quality_scores, one sig-keyed "
+        "shuffle + a bounded rollup",
+)
+def dedup_quality_interaction(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.queries.text_queries import (
+        _SW_SQL, _TOKS_SPARK)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_stop = (f"size(filter({_TOKS_SPARK}, "
+              f"x -> array_contains({_SW_SQL}, x)))")
+    q = docs.select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("sig"),
+        F.expr(f"""CASE WHEN size({_TOKS_SPARK}) >= 10 AND {n_stop} > 0
+                   THEN 'good' ELSE 'low' END""").alias("quality_label"))
+    g = q.groupBy("sig").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("bigint")
+    return (q.join(g, "sig")
+            .groupBy("source", "quality_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 dup.alias("n_dup_docs"))
+            .select("source", "quality_label", "n_docs", "n_dup_docs",
+                    F.expr("(1000000 * n_dup_docs) div n_docs")
+                    .cast("bigint").alias("dup_ppm")))

@@ -259,3 +259,23 @@ def test_dau_overlap_jaccard_bounds(spark, sf_dir):
         union = r.n_prev + r.n_curr - r.n_inter
         assert r.jaccard_ppm == (_PPM * r.n_inter) // union
         assert 0 <= r.jaccard_ppm <= _PPM
+
+
+def test_quality_dedup_interaction_reconciles(spark, sf_dir):
+    """Doc counts reconcile with the corpus and with
+    dedup_exact_stats' duplicate accounting; ppm consistent."""
+    rows = REGISTRY["dedup_quality_interaction"].fn(spark,
+                                                    sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert r.dup_ppm == (_PPM * r.n_dup_docs) // r.n_docs
+    # total docs-in-duplicate-groups must exceed the distinct-sig
+    # shortfall (each dup GROUP of size n contributes n docs here but
+    # n-1 dupes to dedup_exact_stats' n_dupes)
+    stats = REGISTRY["dedup_exact_stats"].fn(spark, sf_dir).collect()
+    n_dupes = sum(s.n_dupes for s in stats)
+    total_dup_docs = sum(r.n_dup_docs for r in rows)
+    assert total_dup_docs >= n_dupes
+    assert total_dup_docs <= 2 * n_dupes  # group size >= 2
