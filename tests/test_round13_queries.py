@@ -279,3 +279,44 @@ def test_quality_dedup_interaction_reconciles(spark, sf_dir):
     total_dup_docs = sum(r.n_dup_docs for r in rows)
     assert total_dup_docs >= n_dupes
     assert total_dup_docs <= 2 * n_dupes  # group size >= 2
+
+
+def test_fano_tail_property_random_tables(spark):
+    """Property lock on the shared Fano tail (batch + streaming twin
+    both feed it): on random small hourly count tables the exact ppm
+    matches a brute-force zero-filled recompute, including the
+    single-hour and single-type degenerate shapes."""
+    import random
+
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        fano_from_hourly)
+
+    rng = random.Random(13)
+    for trial in range(6):
+        n_types = rng.randint(1, 3)
+        lo = rng.randint(0, 5)
+        hi = lo + rng.randint(0, 8)
+        rows = []
+        for t in range(n_types):
+            for h in range(lo, hi + 1):
+                if rng.random() < 0.6:
+                    rows.append((f"t{t}", h, rng.randint(1, 9)))
+        if not rows:
+            rows = [("t0", lo, 1)]
+        cnt = spark.createDataFrame(
+            rows, "event_type string, h bigint, c bigint")
+        got = {r.event_type: (r.n_hours, r.n_events, r.fano_ppm)
+               for r in fano_from_hourly(cnt, step=1).collect()}
+        # brute force over the table-wide [min_h, max_h] spine
+        mn = min(h for _, h, _ in rows)
+        mx = max(h for _, h, _ in rows)
+        spine = list(range(mn, mx + 1))
+        types = {t for t, _, _ in rows}
+        for t in types:
+            byh = {h: c for tt, h, c in rows if tt == t}
+            xs = [byh.get(h, 0) for h in spine]
+            n, s1 = len(xs), sum(xs)
+            s2 = sum(x * x for x in xs)
+            want = (0 if n <= 1 or s1 == 0
+                    else (_PPM * (n * s2 - s1 * s1)) // (s1 * (n - 1)))
+            assert got[t] == (n, s1, want), (trial, t)
