@@ -536,17 +536,22 @@ def stats_mad_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(c_custkey AS BIGINT) AS c_custkey,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * 100, 0)
+                AS BIGINT) AS acctbal_cents,
            cume_dist() OVER w AS bal_cume_dist,
            percent_rank() OVER w AS bal_percent_rank
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment
-                 ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey)
+                 ORDER BY CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * 100,
+                                     0) AS BIGINT), c_custkey)
     QUALIFY cume_dist() OVER w >= 0.95
     """,
     doc="top-5%-by-balance report per market segment via cume_dist + "
         "percent_rank (rational rank/n doubles, hash-stable); one "
-        "shuffle on the segment key",
+        "shuffle on the segment key.  Balance is emitted as BIGINT "
+        "cents, not DECIMAL — top-level DECIMAL outputs are "
+        "driver-hash-unsafe (the round-6 HUGEINT bug class) and are "
+        "forbidden by scripts/lint_oracle_types.py.",
 )
 def customer_balance_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -554,8 +559,10 @@ def customer_balance_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment",
         F.col("c_custkey").cast("bigint").alias("c_custkey"),
-        F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"))
-    w = Window.partitionBy("c_mktsegment").orderBy("acctbal", "c_custkey")
+        F.round(F.col("c_acctbal").cast("decimal(18,2)") * 100, 0)
+        .cast("bigint").alias("acctbal_cents"))
+    w = Window.partitionBy("c_mktsegment").orderBy("acctbal_cents",
+                                                   "c_custkey")
     return (cust
             .withColumn("bal_cume_dist", F.cume_dist().over(w))
             .withColumn("bal_percent_rank", F.percent_rank().over(w))

@@ -6,10 +6,14 @@ invisible — int128 fetches as a plain Python ``int`` so value compares
 pass — but the DRIVER's order-insensitive value hash is type-sensitive
 on the fetch path, so an equal-valued HUGEINT column hash-mismatches
 (round-6 red rows ``graph_user_pagerank_fixedpoint_top20`` and
-``mlprep_packing_assignments``).  This lint binds every registered
-oracle with ``DESCRIBE`` (plan-only, no execution — runs the whole
-261-oracle registry in seconds) and fails if any output column is
-HUGEINT/UHUGEINT.
+``mlprep_packing_assignments``).  Round 13 showed DECIMAL outputs hit
+the same class: ``customer_balance_position`` emitted DECIMAL(18,2),
+bit-equal locally but red under the driver hash (DuckDB fetches
+Decimal objects, Spark fetches Decimal with a different wire shape).
+This lint binds every registered oracle with ``DESCRIBE`` (plan-only,
+no execution — runs the whole registry in seconds) and fails if any
+top-level output column is HUGEINT/UHUGEINT or any DECIMAL type.
+Emit money as BIGINT cents instead.
 
 Usage: python scripts/lint_oracle_types.py [sf_dir]
 Exit 0 = clean.
@@ -26,6 +30,13 @@ sys.path.insert(0, str(ROOT))
 FORBIDDEN = {"HUGEINT", "UHUGEINT"}
 
 
+def _unsafe(duck_type: str) -> bool:
+    """True if a top-level output column of this DuckDB type is
+    driver-hash-unsafe: int128 variants, or any DECIMAL(p,s)."""
+    t = duck_type.upper()
+    return t in FORBIDDEN or t.startswith("DECIMAL")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entry_mod
@@ -36,7 +47,7 @@ def main() -> int:
     osql = entry_mod.oracle_sql()
     for name, sql in osql.items():
         rows = con.execute(f"DESCRIBE {sql}").fetchall()
-        hits = [(r[0], r[1]) for r in rows if r[1].upper() in FORBIDDEN]
+        hits = [(r[0], r[1]) for r in rows if _unsafe(r[1])]
         if hits:
             bad[name] = hits
     print(f"oracle-type lint: {len(osql)} oracles, {len(bad)} with "

@@ -19,9 +19,18 @@ from iq_to_hdl_migration_spark.sources.tables import TABLES, table_path
 # DuckDB types that are invisible locally but break the DRIVER's value
 # hash: int128 fetches as Python int (== int64 values), yet the driver's
 # fetch path renders it as a non-int64 and the hash diverges (round-6
-# red rows rank_q / chunk_id).  Every SUM-descended oracle column must
-# be CAST(... AS BIGINT); this assertion makes the local gate catch it.
+# red rows rank_q / chunk_id).  Round 13 added DECIMAL to the class:
+# customer_balance_position was bit-equal locally but red under the
+# driver hash because both engines fetch Decimal objects with different
+# wire shapes.  Every SUM-descended / money column must be CAST to
+# BIGINT (cents for money); this assertion makes the local gate catch
+# it before the driver does.
 _FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def _type_unsafe(duck_type: str) -> bool:
+    t = duck_type.upper()
+    return t in _FORBIDDEN_ORACLE_TYPES or t.startswith("DECIMAL")
 
 
 def oracle_connection(sf_dir: str):
@@ -34,10 +43,11 @@ def oracle_connection(sf_dir: str):
 
 def assert_oracle_types_portable(types, cols, name: str = "?"):
     bad = [(c, str(t)) for c, t in zip(cols, types)
-           if str(t).upper() in _FORBIDDEN_ORACLE_TYPES]
+           if _type_unsafe(str(t))]
     assert not bad, (
         f"{name}: oracle emits driver-hash-unsafe DuckDB types {bad}; "
-        f"wrap SUM-derived columns in CAST(... AS BIGINT)")
+        f"wrap SUM-derived columns in CAST(... AS BIGINT) and emit "
+        f"money as BIGINT cents, never DECIMAL")
 
 
 def run_oracle(sql: str, sf_dir: str, name: str = "?"):
