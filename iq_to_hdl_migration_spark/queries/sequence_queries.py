@@ -1591,14 +1591,17 @@ def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# RFM segmentation (round 13): the classic recency/frequency/monetary
-# customer grid. All three quartile assignments happen on the
-# PER-CUSTOMER aggregate (one row per customer — orders of magnitude
-# smaller than raw orders), so the three global NTILE sorts each sort
-# that reduced frame, not the fact table; at 100 TB the same plan
-# holds with the aggregate bucketed by custkey. NTILE(4) with a
-# unique custkey tiebreaker is deterministic and identical in Spark
-# and DuckDB (remainder rows go to the earliest buckets in both).
+# RFM segmentation (round 13; re-planned round 14): the classic
+# recency/frequency/monetary customer grid. The quartiles are over the
+# PER-CUSTOMER aggregate (one row per customer), but a global NTILE
+# window is still a single-partition sort of that whole frame — at
+# 100 TB of orders that is ~billions of customers in one task (the r13
+# header claimed bucketing would save it; it cannot — a global NTILE
+# needs global ranks).  Round 14 replaces the three NTILE windows with
+# operators.ranking.global_rank (range-partitioned two-phase rank, no
+# single-partition sort) + ntile_from_rank arithmetic, which
+# reproduces NTILE(4)-with-unique-tiebreaker exactly (remainder rows
+# to the earliest buckets, same rule in Spark and DuckDB).
 # ---------------------------------------------------------------------------
 
 @register(
@@ -1632,10 +1635,14 @@ def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "NTILE(4) with custkey tiebreakers (quartile 1 = best), rolled "
         "up to the <=64-cell segment grid with customer counts and "
         "revenue mass — the marketing-mix table every retention "
-        "campaign starts from; quartiles sort the per-customer "
-        "aggregate, never raw orders",
+        "campaign starts from; quartiles via distributed two-phase "
+        "global rank (operators/ranking.py), never a single-partition "
+        "NTILE sort",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.ranking import (
+        global_rank, ntile_from_rank)
+
     o = load_table(spark, sf_dir, "orders")
     per = (o.groupBy(F.col("o_custkey").alias("custkey"))
            .agg(F.max(F.datediff(F.to_date("o_orderdate"),
@@ -1644,14 +1651,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("n_orders"),
                 F.sum(F.floor(F.col("o_totalprice") * 100)
                       .cast("bigint")).cast("bigint").alias("cents")))
-    q = per.select(
-        F.ntile(4).over(Window.orderBy(F.desc("last_day"),
-                                       F.asc("custkey"))).alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("n_orders"),
-                                       F.asc("custkey"))).alias("f_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("cents"),
-                                       F.asc("custkey"))).alias("m_q"),
-        "n_orders", "cents")
+    n_df = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    q = per.crossJoin(F.broadcast(n_df))
+    for metric, out in (("last_day", "r_q"), ("n_orders", "f_q"),
+                        ("cents", "m_q")):
+        q = global_rank(q, [F.col(metric).desc(), F.col("custkey").asc()],
+                        rank_col=f"_rk_{out}")
+        q = q.withColumn(out,
+                         ntile_from_rank(F.col(f"_rk_{out}"),
+                                         F.col("_n"), 4))
     return (q.groupBy(F.col("r_q").cast("int").alias("r_q"),
                       F.col("f_q").cast("int").alias("f_q"),
                       F.col("m_q").cast("int").alias("m_q"))

@@ -320,3 +320,29 @@ def test_fano_tail_property_random_tables(spark):
             want = (0 if n <= 1 or s1 == 0
                     else (_PPM * (n * s2 - s1 * s1)) // (s1 * (n - 1)))
             assert got[t] == (n, s1, want), (trial, t)
+
+def test_fano_tail_exact_past_int64_moments(spark):
+    """Round 14: the ppm numerator 1e6*(n*s2 - s1*s1) overflows int64
+    once s1 passes ~3e9 events/type; the tail now runs the moment
+    arithmetic in 128-bit integers internally (DECIMAL(38,0) in
+    Spark, HUGEINT in the oracle).  Counts of ~4e9/hour make every
+    intermediate blow through 2^63 while the final ppm stays small —
+    Python bigints give the exact expected value."""
+    from iq_to_hdl_migration_spark.queries.events_queries import (
+        fano_from_hourly)
+
+    rows = [("big", h, 4_000_000_000 + (h % 2) * 1_000_000_000)
+            for h in range(5)]
+    rows += [("small", 1, 3), ("small", 3, 8)]
+    cnt = spark.createDataFrame(
+        rows, "event_type string, h bigint, c bigint")
+    got = {r.event_type: (r.n_hours, r.n_events, r.fano_ppm)
+           for r in fano_from_hourly(cnt, step=1).collect()}
+    for t in ("big", "small"):
+        byh = {h: c for tt, h, c in rows if tt == t}
+        xs = [byh.get(h, 0) for h in range(5)]
+        n, s1 = len(xs), sum(xs)
+        s2 = sum(x * x for x in xs)
+        want = (1_000_000 * (n * s2 - s1 * s1)) // (s1 * (n - 1))
+        assert got[t] == (n, s1, want), t
+    assert got["big"][2] > 0  # sanity: the big type is non-degenerate
