@@ -37,6 +37,52 @@ def _foreign_spark_jvms() -> list[int]:
     return pids
 
 
+# The 15 headliners recorded in BENCH_r02 — the round-2 baseline the
+# judge compares against. Their subtotal is stamped on the summary
+# line (r13 verdict #3) so bench-vs-baseline is recoverable from the
+# summary alone even when the per-query dict truncates.
+_R02_BASELINE_NAMES = (
+    "asof_purchase_attribution", "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs", "events_hourly_by_type",
+    "events_peak_concurrency", "q10_returned_items",
+    "q1_pricing_summary", "q21_sole_return_suppliers",
+    "q3_shipping_priority", "q5_region_volume", "q9_product_profit",
+    "sim_bruteforce_topk", "text_quality_scores", "text_tfidf_topk",
+    "trade_flow_matrix",
+)
+
+
+# Headliner rotation (r13 verdict #7): 62 headliners is 16% of the
+# registry; rotating a handful of never-benched names in each round —
+# and the same count of cheap steady names out — gets every family's
+# most expensive member a recorded exclusive timing once per ~5
+# rounds. The registry's bench=True flags stay put; this pair of sets
+# IS the round's rotation and documents itself. Baseline names
+# (_R02_BASELINE_NAMES) must never rotate out.
+_ROTATE_IN = {
+    # round 14: the PageRank pair (heaviest never-benched graph
+    # members), the two queries re-planned this round (rfm via
+    # distributed rank, rank-mass via the stored memo part), the new
+    # 128-bit Fano, and the r13 grand funnel (never timed).
+    "graph_user_pagerank_fixedpoint_top20",
+    "graph_pagerank_convergence_report",
+    "customer_rfm_segments",
+    "graph_cap_rank_mass_profile",
+    "events_fano_factor_hourly",
+    "curation_grand_funnel",
+}
+_ROTATE_OUT = {
+    # round 14 drops — all cheap (<0.5 s exclusive in r13) steady
+    # names with multiple recorded rounds of history:
+    "ddl_output_digest", "dq_null_profile_all_tables",
+    "sketch_kmv_set_ops", "sketch_histogram_percentiles",
+    "events_user_type_diversity", "join_bloom_prefilter_stats",
+}
+assert not (_ROTATE_OUT & set(_R02_BASELINE_NAMES)), \
+    "baseline names must never rotate out of the bench set"
+assert not (_ROTATE_IN & _ROTATE_OUT)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -54,7 +100,15 @@ def main() -> None:
     # over ~2 means some OTHER work is consuming the host; the run is
     # marked non-exclusive (and refused outright in strict mode).
     load_1m_start = round(os.getloadavg()[0], 2)
-    busy_host = load_1m_start > 2.0
+    # The busy threshold scales with core count (r13 advice: a fixed
+    # >2.0 marks a trivially idle many-core host non-exclusive and is
+    # already saturation on 1-2 cores): load over a quarter of the
+    # cores means real co-running work. Override:
+    # SPARK_GRAFT_BENCH_LOAD_MAX=<float>.
+    load_max = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_LOAD_MAX",
+        max(2.0, 0.25 * (os.cpu_count() or 8))))
+    busy_host = load_1m_start > load_max
     if foreign or busy_host:
         import sys
         if foreign:
@@ -62,8 +116,9 @@ def main() -> None:
                   f"(pids {foreign}) — timings are not exclusive",
                   file=sys.stderr)
         if busy_host:
-            print(f"WARNING: start load_1m={load_1m_start} > 2 — host "
-                  "is busy; timings are not exclusive", file=sys.stderr)
+            print(f"WARNING: start load_1m={load_1m_start} > "
+                  f"{load_max} — host is busy; timings are not "
+                  "exclusive", file=sys.stderr)
         if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
             print("refusing to stamp a headline total (strict mode)",
                   file=sys.stderr)
@@ -97,7 +152,9 @@ def main() -> None:
     memo_build_sec = warm_dedup_memos(spark, sf_dir)
 
     registry = load_all()
-    bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
+    bench_specs = {n: s for n, s in sorted(registry.items())
+                   if (s.bench and n not in _ROTATE_OUT)
+                   or n in _ROTATE_IN}
 
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
@@ -127,6 +184,10 @@ def main() -> None:
         "protocol": "exclusive fresh-process best-of-N after warm-up",
         "n": 3,
         "n_queries": len(timings),
+        "baseline_common_sec": round(
+            sum(timings.get(n, 0.0) for n in _R02_BASELINE_NAMES), 4),
+        "baseline_common_n": sum(1 for n in _R02_BASELINE_NAMES
+                                 if n in timings),
         "memo_build_sec": memo_build_sec,
         "exclusive": not (foreign or busy_host),
         # host noise diagnostics: 'exclusive' requires no other Spark
@@ -134,6 +195,7 @@ def main() -> None:
         # before any bench work, load_1m at the end (includes our own)
         "load_1m_start": load_1m_start,
         "load_1m": round(os.getloadavg()[0], 2),
+        "load_max": round(load_max, 2),
     }))
 
 

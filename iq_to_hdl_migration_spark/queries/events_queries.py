@@ -595,10 +595,26 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> dict:
               .agg(F.count(F.lit(1)).cast("bigint").alias("bw")))
         rnw = Window.partitionBy("h").orderBy(F.desc("bw"), F.asc("dst"))
         bk = bh.withColumn("rn", F.row_number().over(rnw))
-        edges = (ch.join(bk.filter(F.col("rn") <= EDGE_CAP), "h")
+        # One hour-bucket join feeds BOTH the edge aggregate and the
+        # rank-band mass profile (r13 advice: the profile used to
+        # re-derive ch/bk/cap in a second place — drift risk); the
+        # joined cell frame is EDGE_CAP-linear and checkpointed once
+        # so neither consumer re-pays the join.
+        cells = (ch.join(bk.filter(F.col("rn") <= EDGE_CAP), "h")
                  .filter(F.col("src") != F.col("dst"))
-                 .groupBy("src", "dst")
+                 .select("src", "dst", "rn", "cw", "bw")
+                 .localCheckpoint())
+        edges = (cells.groupBy("src", "dst")
                  .agg(F.sum(F.col("cw") * F.col("bw")).alias("weight")))
+        rank_mass = (cells
+                     .select(F.length(F.bin(F.col("rn"))).cast("int")
+                             .alias("rank_band"),
+                             (F.col("cw") * F.col("bw")).alias("m"))
+                     .groupBy("rank_band")
+                     .agg(F.count(F.lit(1)).cast("bigint")
+                          .alias("n_cells"),
+                          F.sum("m").cast("bigint")
+                          .alias("weight_mass")))
         census = (bh.groupBy("h")
                   .agg(F.count(F.lit(1)).cast("bigint")
                        .alias("n_purchasers"),
@@ -612,10 +628,15 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> dict:
                                      F.lit(0).cast("bigint"))
                           .alias("n_overflow")))
         return {"edges": edges.localCheckpoint(),
-                "census": census.localCheckpoint()}
+                "census": census.localCheckpoint(),
+                "rank_mass": rank_mass.localCheckpoint()}
 
+    # "v2": the rank_mass part joined the structure in round 14 — the
+    # version bump changes the memo key so a persisted v1 {edges,
+    # census} snapshot is missed (fail-closed) instead of served with
+    # a missing part.
     return durable_memo("click_purchase_edges", spark, sf_dir, ev,
-                        build, extra=(EDGE_CAP,))
+                        build, extra=(EDGE_CAP, "v2"))
 
 
 def _copurchase_click_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1796,33 +1817,20 @@ def graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="cap-sensitivity profile of the flood-capped click->purchase "
         "edge builder: join cells and co-occurrence weight mass per "
         "octave band of the per-hour purchaser rank (band 1 = the "
-        "hour's top purchaser, band b = ranks 2^(b-1)..2^b-1), so the "
+        "hour's top purchaser, band b = ranks 2^(b-1)..2^b-1).  For "
+        "every band whose full rank range survives the cap, the "
         "cumulative mass through band b is exactly what a cap of "
-        "2^b - 1 would keep — the evidence for tightening or loosening "
-        "EDGE_CAP without re-materializing the graph; one capped "
-        "hour-bucket join, bounded <=5-band output",
+        "2^b - 1 would keep; the LAST band is clipped at EDGE_CAP "
+        "(with EDGE_CAP=16, band 5 holds only rank 16, not 16..31), "
+        "so its cumulative total corresponds to the cap itself — the "
+        "evidence for tightening EDGE_CAP without re-materializing "
+        "the graph; reads the builder's stored rank_mass part (the "
+        "cap/tie-break rule lives ONLY in _copurchase_graph), "
+        "bounded <=5-band output",
 )
 def graph_cap_rank_mass_profile(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    hours = ev.select("user_id", "event_type",
-                      F.date_trunc("hour", F.col("ts")).alias("h"))
-    ch = (hours.filter(F.col("event_type") == "click")
-          .groupBy(F.col("user_id").alias("src"), "h")
-          .agg(F.count(F.lit(1)).cast("bigint").alias("cw")))
-    bh = (hours.filter(F.col("event_type") == "purchase")
-          .groupBy(F.col("user_id").alias("dst"), "h")
-          .agg(F.count(F.lit(1)).cast("bigint").alias("bw")))
-    rnw = Window.partitionBy("h").orderBy(F.desc("bw"), F.asc("dst"))
-    bk = (bh.withColumn("rn", F.row_number().over(rnw))
-          .filter(F.col("rn") <= EDGE_CAP))
-    j = (ch.join(bk, "h").filter(F.col("src") != F.col("dst"))
-         .select(F.length(F.bin(F.col("rn"))).cast("int")
-                 .alias("rank_band"),
-                 (F.col("cw") * F.col("bw")).alias("m")))
-    return (j.groupBy("rank_band")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-                 F.sum("m").cast("bigint").alias("weight_mass")))
+    return _copurchase_graph(spark, sf_dir)["rank_mass"]
 
 
 @register(

@@ -45,3 +45,20 @@ def test_scale_smoke_rotation_names_registered():
         names = getattr(smoke, attr)
         missing = [n for n in names if n not in reg]
         assert not missing, f"scale_smoke {attr} typos: {missing}"
+
+
+def test_bench_rotation_names_registered():
+    bench = _load("_bench_for_test", ROOT / "bench.py")
+    reg = load_all()
+    for attr in ("_ROTATE_IN", "_ROTATE_OUT", "_R02_BASELINE_NAMES"):
+        names = getattr(bench, attr)
+        missing = [n for n in names if n not in reg]
+        assert not missing, f"bench {attr} typos: {missing}"
+    # rotating out a name that isn't benched, or in a name that
+    # already is, silently shrinks/doubles the intended rotation
+    benched = {n for n, s in reg.items() if s.bench}
+    assert set(bench._ROTATE_OUT) <= benched
+    assert not (set(bench._ROTATE_IN) & benched)
+    # every baseline name must be in the effective headliner set
+    effective = (benched - set(bench._ROTATE_OUT)) | set(bench._ROTATE_IN)
+    assert set(bench._R02_BASELINE_NAMES) <= effective
