@@ -354,26 +354,20 @@ def cap_pairs(pairs: DataFrame, part_cols: list[str], order_col: str,
     pre-cap partner count (`n_partners`) and how many partners were
     dropped (`n_overflow`). Total output is bounded by n_docs x cap —
     linear in the corpus no matter how degenerate the duplicate
-    structure. Both window functions ride ONE ordered window spec (the
-    count uses an unbounded frame over it), so the plan carries a
-    single exchange + a single sort — one WindowExec, not two.
-    """
-    from pyspark.sql import Window
+    structure.
 
-    wo = (Window.partitionBy(*part_cols)
-          .orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc()))
-    full = wo.rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing)
-    return (pairs
-            .withColumn("n_partners",
-                        F.count(F.lit(1)).over(full).cast("bigint"))
-            .withColumn("_rn", F.row_number().over(wo))
-            .where(F.col("_rn") <= cap)
-            .withColumn("n_overflow",
-                        F.greatest(F.lit(0),
-                                   F.col("n_partners") - cap)
-                        .cast("bigint"))
-            .drop("_rn"))
+    Since round 14 this is a thin contract-preserving wrapper over
+    the shared flood-cap primitive operators.fanout.capped_fanout
+    (one implementation + one property test for the whole cap
+    family, instead of the three hand-rolled copies rounds 11-13
+    each found a missing instance of).
+    """
+    from iq_to_hdl_migration_spark.operators.fanout import capped_fanout
+
+    return capped_fanout(
+        pairs, part_cols,
+        [F.col(order_col).desc(), F.col(tiebreak_col).asc()], cap,
+        count_col="n_partners", overflow_col="n_overflow")["kept"]
 
 
 def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],

@@ -593,14 +593,23 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> dict:
         bh = (hours.filter(F.col("event_type") == "purchase")
               .groupBy(F.col("user_id").alias("dst"), "h")
               .agg(F.count(F.lit(1)).cast("bigint").alias("bw")))
-        rnw = Window.partitionBy("h").orderBy(F.desc("bw"), F.asc("dst"))
-        bk = bh.withColumn("rn", F.row_number().over(rnw))
-        # One hour-bucket join feeds BOTH the edge aggregate and the
-        # rank-band mass profile (r13 advice: the profile used to
-        # re-derive ch/bk/cap in a second place — drift risk); the
-        # joined cell frame is EDGE_CAP-linear and checkpointed once
-        # so neither consumer re-pays the join.
-        cells = (ch.join(bk.filter(F.col("rn") <= EDGE_CAP), "h")
+        # Shared flood-cap primitive (r14): rank purchasers per hour
+        # by (bw DESC, dst ASC), keep EDGE_CAP, with the per-hour
+        # census carrying the purchase mass alongside the kept/
+        # overflow counts. One hour-bucket join then feeds BOTH the
+        # edge aggregate and the rank-band mass profile (r13 advice:
+        # the profile used to re-derive ch/bk/cap in a second place —
+        # drift risk); the joined cell frame is EDGE_CAP-linear and
+        # checkpointed once so neither consumer re-pays the join.
+        from iq_to_hdl_migration_spark.operators.fanout import (
+            capped_fanout)
+        fan = capped_fanout(
+            bh, ["h"], [F.desc("bw"), F.asc("dst")], EDGE_CAP,
+            rank_col="rn",
+            census_aggs=(F.sum("bw").cast("bigint")
+                         .alias("n_purchases"),))
+        cells = (ch.join(fan["kept"].select("dst", "h", "bw", "rn"),
+                         "h")
                  .filter(F.col("src") != F.col("dst"))
                  .select("src", "dst", "rn", "cw", "bw")
                  .localCheckpoint())
@@ -615,18 +624,10 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> dict:
                           .alias("n_cells"),
                           F.sum("m").cast("bigint")
                           .alias("weight_mass")))
-        census = (bh.groupBy("h")
-                  .agg(F.count(F.lit(1)).cast("bigint")
-                       .alias("n_purchasers"),
-                       F.sum("bw").cast("bigint").alias("n_purchases"))
-                  .select(F.unix_micros("h").alias("hour_us"),
-                          "n_purchasers", "n_purchases",
-                          F.least(F.col("n_purchasers"),
-                                  F.lit(EDGE_CAP).cast("bigint"))
-                          .alias("n_kept"),
-                          F.greatest(F.col("n_purchasers") - EDGE_CAP,
-                                     F.lit(0).cast("bigint"))
-                          .alias("n_overflow")))
+        census = fan["census"].select(
+            F.unix_micros("h").alias("hour_us"),
+            F.col("n_in_bucket").alias("n_purchasers"),
+            "n_purchases", "n_kept", "n_overflow")
         return {"edges": edges.localCheckpoint(),
                 "census": census.localCheckpoint(),
                 "rank_mass": rank_mass.localCheckpoint()}

@@ -1452,16 +1452,19 @@ def _semdedup_oracle() -> str:
     bench=True,
 )
 def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from iq_to_hdl_migration_spark.operators.fanout import capped_fanout
 
     emb = load_table(spark, sf_dir, "embeddings")
     # One scalar count to derive k (the index-build step of a
     # materialize-once structure — at 100 TB this is table metadata).
     k = _sd_k(emb.count())
     _, _, assign = _fp_kmeans_assign(emb, k, _SD_ITERS)
-    wr = Window.partitionBy("cid").orderBy("vec_id")
-    scan = (assign.withColumn("rnk", F.row_number().over(wr))
-            .where(F.col("rnk") <= _SD_CAP).select("vec_id", "cid"))
+    # Shared flood-cap primitive (r14): rank members per cluster by
+    # vec_id, scan only the first _SD_CAP; the census part is the
+    # per-cluster membership/overflow frame the report joins below.
+    fan = capped_fanout(assign, ["cid"], [F.col("vec_id").asc()],
+                        _SD_CAP)
+    scan = fan["kept"].select("vec_id", "cid")
     qa = emb.select(
         "vec_id",
         F.expr(f"transform({sim.as_double_array('embedding')}, "
@@ -1507,19 +1510,19 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .applyInPandas(_cluster_dups,
                           "cid bigint, id_a bigint, id_b bigint, "
                           "cos double"))
-    members = assign.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_members"))
+    # the helper census IS the membership/truncation frame; this
+    # report's n_kept means "not dropped as a duplicate" (a different
+    # notion from the census's n_kept = scanned), hence the renames
+    members = fan["census"].select(
+        "cid", F.col("n_in_bucket").cast("bigint").alias("n_members"),
+        F.col("n_kept").cast("bigint").alias("n_scanned"),
+        F.col("n_overflow").cast("bigint").alias("n_overflow"))
     dstat = dup.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.countDistinct("id_b").alias("n_dropped"),
         F.max("cos").alias("max_cos"))
     return (members.join(dstat, "cid", "left")
-            .select("cid", "n_members",
-                    F.least("n_members", F.lit(_SD_CAP)).cast("bigint")
-                    .alias("n_scanned"),
-                    F.greatest(F.col("n_members") - F.lit(_SD_CAP),
-                               F.lit(0)).cast("bigint")
-                    .alias("n_overflow"),
+            .select("cid", "n_members", "n_scanned", "n_overflow",
                     F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint")
                     .alias("n_dup_pairs"),
                     F.coalesce("n_dropped", F.lit(0)).cast("bigint")
