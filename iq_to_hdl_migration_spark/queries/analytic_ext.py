@@ -1312,3 +1312,64 @@ def orders_calendar_seasonality(spark: SparkSession,
             .select("kind", "idx", "n_orders", "revenue_units",
                     F.expr("(1000000 * revenue_units) div total")
                     .cast("bigint").alias("share_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Customer lifetime-value deciles (round 14): the revenue-concentration
+# table ("the top decile holds X% of LTV") every monetization review
+# opens with.  Like customer_rfm_segments, the decile assignment needs
+# GLOBAL ranks over the per-customer aggregate — a bare NTILE(10)
+# window is a single-task sort of every customer, so the Spark side
+# uses operators/ranking.global_rank + ntile_from_rank (exact NTILE
+# arithmetic, distributed two-phase rank).  Exact BIGINT cents
+# end-to-end; 10-row output.
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_ltv_decile_profile",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT NTILE(10) OVER (ORDER BY cents DESC, custkey) AS decile,
+               cents
+        FROM per
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents
+    FROM q GROUP BY 1
+    """,
+    doc="customer lifetime-value deciles (decile 1 = highest LTV): "
+        "customer count, exact cents mass, and the cents range per "
+        "decile — the revenue-concentration evidence behind retention "
+        "spend; decile via distributed two-phase global rank + exact "
+        "NTILE arithmetic (operators/ranking.py), never a "
+        "single-partition window sort",
+)
+def customer_ltv_decile_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.ranking import (
+        global_rank, ntile_from_rank)
+
+    o = load_table(spark, sf_dir, "orders")
+    per = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100)
+                      .cast("bigint")).cast("bigint").alias("cents")))
+    n_df = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = global_rank(per.crossJoin(F.broadcast(n_df)),
+                         [F.col("cents").desc(), F.col("custkey").asc()],
+                         rank_col="_rk")
+    dec = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("_rk"), F.col("_n"), 10))
+    return (dec.groupBy(F.col("decile").cast("int").alias("decile"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum("cents").cast("bigint").alias("total_cents"),
+                 F.max("cents").cast("bigint").alias("max_cents"),
+                 F.min("cents").cast("bigint").alias("min_cents")))

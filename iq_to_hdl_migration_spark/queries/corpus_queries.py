@@ -1702,3 +1702,64 @@ def text_hapax_ratio_by_source(spark: SparkSession,
                     F.expr("(1000000 * n_hapax) div vocab_size")
                     .cast("bigint").alias("hapax_ppm"),
                     "total_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Rank-frequency (Zipf) profile over the GLOBAL vocabulary (round 14):
+# octave bands of each token's global frequency rank, with the type
+# count and token mass per band — the full-curve companion to
+# text_zipf_constancy's top-20 head diagnostic (corpus mixing, scrape
+# regressions, and template floods bend different parts of the curve).
+# The global rank is the scale problem: a ROW_NUMBER() window with no
+# PARTITION BY is a single-task sort of the whole vocabulary, so the
+# Spark side uses operators/ranking.global_rank (range-partitioned
+# two-phase rank — no single-partition sort anywhere; the oracle's
+# global window is fine single-node).  Integer counts end-to-end;
+# bounded <=64-band output.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_zipf_rank_profile",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT unnest({_TOKS_DUCK}) AS token FROM documents
+    ),
+    freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY token
+    ),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r
+        FROM freq
+    )
+    SELECT CAST(length(bin(r)) AS INTEGER) AS rank_band,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(f) AS BIGINT) AS total_freq,
+           CAST(MAX(f) AS BIGINT) AS max_freq,
+           CAST(MIN(f) AS BIGINT) AS min_freq
+    FROM ranked GROUP BY 1
+    """,
+    doc="octave-banded rank-frequency profile of the global "
+        "vocabulary (band = bit length of the frequency rank; Zipf "
+        "predicts near-equal token mass per octave): type count, "
+        "token mass, and the frequency range per band — the "
+        "whole-curve Zipf evidence behind vocabulary truncation and "
+        "rarity-filter choices; the global rank runs as a "
+        "distributed two-phase range rank (operators/ranking.py), "
+        "never a single-partition window sort",
+)
+def text_zipf_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("f")))
+    ranked = global_rank(freq, [F.desc("f"), F.asc("token")],
+                         rank_col="r")
+    return (ranked.groupBy(F.length(F.bin(F.col("r"))).cast("int")
+                           .alias("rank_band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum("f").cast("bigint").alias("total_freq"),
+                 F.max("f").cast("bigint").alias("max_freq"),
+                 F.min("f").cast("bigint").alias("min_freq")))

@@ -1113,3 +1113,74 @@ def dedup_quality_interaction(spark: SparkSession,
             .select("source", "quality_label", "n_docs", "n_dup_docs",
                     F.expr("(1000000 * n_dup_docs) div n_docs")
                     .cast("bigint").alias("dup_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Partner-fanout census for the capped pair generator (round 14): with
+# every pair family routed through operators/fanout.capped_fanout, the
+# natural audit is "how big were the fan-outs the cap saw?" — octave
+# bands of each doc's PRE-cap qualifying-partner count, with how much
+# of the pair mass the PAIR_CAP kept vs dropped per band.  The same
+# announced-truncation discipline as graph_copurchase_cap_census, on
+# the dedup side; at any corpus scale the output is <=64 bands and the
+# input is the capped pair table itself (n_docs x cap rows).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_partner_fanout_census",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source, lang, doc_id,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+                   AS tok
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.source, a.lang, a.doc_id AS id_a
+        FROM toks a
+        JOIN toks b ON a.source = b.source AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.tok, b.tok)))
+                     AS DOUBLE) >= 0.5
+    ),
+    per_doc AS (
+        SELECT source, lang, id_a,
+               CAST(COUNT(*) AS BIGINT) AS n_partners
+        FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT CAST(length(bin(n_partners)) AS INTEGER) AS partner_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_partners) AS BIGINT) AS total_partners,
+           CAST(SUM(LEAST(n_partners, {dedup.PAIR_CAP})) AS BIGINT)
+               AS total_kept,
+           CAST(SUM(GREATEST(n_partners - {dedup.PAIR_CAP}, 0))
+                AS BIGINT) AS total_overflow
+    FROM per_doc GROUP BY 1
+    """,
+    doc="octave-banded census of per-doc qualifying-partner counts "
+        "in the >=0.5-Jaccard pair generator: docs, total partner "
+        "mass, and the PAIR_CAP kept/dropped split per band — the "
+        "dedup-side announced-truncation audit (the graph family's "
+        "cap census applied to the pair family); consumes the capped "
+        "pair table's census columns, output bounded <=64 bands",
+)
+def dedup_partner_fanout_census(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_within_groups(
+        docs, ["source", "lang"], "doc_id", "text", min_jaccard=0.5,
+        pair_cap=dedup.PAIR_CAP)
+    per_doc = (pairs.groupBy("source", "lang", "id_a")
+               .agg(F.max("n_partners").alias("n_partners")))
+    cap = F.lit(dedup.PAIR_CAP).cast("bigint")
+    return (per_doc.groupBy(F.length(F.bin(F.col("n_partners")))
+                            .cast("int").alias("partner_band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_partners").cast("bigint")
+                 .alias("total_partners"),
+                 F.sum(F.least(F.col("n_partners"), cap)).cast("bigint")
+                 .alias("total_kept"),
+                 F.sum(F.greatest(F.col("n_partners") - cap,
+                                  F.lit(0).cast("bigint")))
+                 .cast("bigint").alias("total_overflow")))

@@ -1639,3 +1639,69 @@ def mlprep_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("epoch").cast("int").alias("epoch"),
                     F.col("shard_id").cast("int").alias("shard_id"),
                     "n_docs", "n_chars", "visit_order"))
+
+
+# ---------------------------------------------------------------------------
+# Packing-fragmentation histogram (round 14): with concat-and-chunk
+# packing, every document spans chunk_start..chunk_end — a doc that
+# spans many chunks is sliced into that many attention-fragmented
+# pieces. The span distribution (octave-banded: span 1 = intact, 2 =
+# cut once, ...) against token mass is the evidence for choosing
+# max_seq_len: it prices "how much of the corpus gets shredded" at a
+# given budget. Same exact integer prefix sum as
+# mlprep_sequence_packing (one window per source shard), one bounded
+# <=64-band rollup.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mlprep_packing_span_histogram",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_incl
+        FROM tok
+    ),
+    span AS (
+        SELECT ((cum_incl - 1) // {_PACK_MAX_LEN})
+               - ((cum_incl - n_tok) // {_PACK_MAX_LEN}) + 1 AS n_spans,
+               n_tok
+        FROM cum
+    )
+    SELECT CAST(length(bin(n_spans)) AS INTEGER) AS span_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_spans) AS BIGINT) AS max_spans
+    FROM span GROUP BY 1
+    """,
+    doc="octave-banded histogram of how many max_seq_len=512 chunks "
+        "each packed document spans (band 1 = intact docs, higher "
+        "bands = docs shredded across 2^(b-1)..2^b-1 chunks) with "
+        "the token mass per band — prices attention fragmentation "
+        "for the packing budget; exact integer prefix sum per source "
+        "shard, bounded <=64-band output",
+)
+def mlprep_packing_span_histogram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    m = _PACK_MAX_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id",
+        F.size(F.expr(r"split(lower(trim(text)), '\\s+')"))
+        .cast("bigint").alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    span = (tok.withColumn("cum_incl", F.sum("n_tok").over(w))
+            .select(((F.expr(f"(cum_incl - 1) div {m}"))
+                     - F.expr(f"(cum_incl - n_tok) div {m}") + 1)
+                    .alias("n_spans"), "n_tok"))
+    return (span.groupBy(F.length(F.bin(F.col("n_spans"))).cast("int")
+                         .alias("span_band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("total_tokens"),
+                 F.max("n_spans").cast("bigint").alias("max_spans")))

@@ -1640,3 +1640,70 @@ def dq_date_coverage_by_month(spark: SparkSession,
                            "div n_calendar_days").cast("bigint")
                     .alias("coverage_ppm"),
                     "n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Numeric-headroom audit (round 14): every money column this engine
+# emits rides the BIGINT-cents discipline (the oracle-type lint
+# forbids DECIMAL/HUGEINT at top level), and this round's Fano fix
+# showed how quietly an integer expression can approach 2^63.  This
+# audit measures, per monetary/quantity column, the actual maximum
+# |value| in cents and the bits of headroom left below int64 — the
+# evidence that the cents contract holds at the current corpus and
+# how much scale-up margin remains.  One scan per table with
+# conditional aggregates, bounded 8-row output.
+# ---------------------------------------------------------------------------
+
+_OVERFLOW_COLS = [
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_discount"),
+    ("lineitem", "l_tax"),
+    ("customer", "c_acctbal"),
+    ("supplier", "s_acctbal"),
+    ("part", "p_retailprice"),
+]
+
+
+def _overflow_oracle() -> str:
+    parts = []
+    for t, c in _OVERFLOW_COLS:
+        parts.append(f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(CAST(FLOOR(ABS({c}) * 100) AS BIGINT)) AS BIGINT)
+               AS max_abs_cents,
+           CAST(63 - length(bin(MAX(CAST(FLOOR(ABS({c}) * 100)
+                                         AS BIGINT)))) AS INTEGER)
+               AS headroom_bits
+    FROM {t}""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_numeric_overflow_audit",
+    oracle=_overflow_oracle(),
+    doc="int64-headroom audit of every monetary/quantity column: max "
+        "|value| in exact cents and the bits of headroom below 2^63 "
+        "— the standing evidence for the engine-wide BIGINT-cents "
+        "contract (scripts/lint_oracle_types.py) and the scale-up "
+        "margin it leaves; one conditional-aggregate scan per table, "
+        "8-row output",
+)
+def dq_numeric_overflow_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    out = None
+    for t, c in _OVERFLOW_COLS:
+        tab = load_table(spark, sf_dir, t)
+        mac = F.max(F.floor(F.abs(F.col(c)) * 100).cast("bigint"))
+        row = tab.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            mac.cast("bigint").alias("max_abs_cents")).select(
+            F.lit(t).alias("table_name"),
+            F.lit(c).alias("column_name"),
+            "n_rows", "max_abs_cents",
+            (F.lit(63) - F.length(F.bin(F.col("max_abs_cents"))))
+            .cast("int").alias("headroom_bits"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -47,6 +47,10 @@ _UNITS = {
     "dedup_containment_pairs": ("docs", "documents"),
     "stream_type_mix_drift": ("events", "events"),
     "snapshot_version_diff": ("orders", "orders"),
+    # round-14 campaign (r13 verdict #4): the last untiered heavy
+    # hitters
+    "graph_part_copurchase_communities": ("edges", "copurchase"),
+    "customer_rfm_segments": ("orders", "orders"),
 }
 
 
