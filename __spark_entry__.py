@@ -35,52 +35,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_registry_vs_oracle.py still covers the full registry at
 # whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 13, tier 1: brand-new queries — first driver rows
-    "graph_copurchase_cap_census", "graph_cap_rank_mass_profile",
-    "graph_edge_weight_histogram", "customer_rfm_segments",
-    "orders_reorder_interval_histogram", "text_hapax_ratio_by_source",
-    "dq_date_coverage_by_month", "events_fano_factor_hourly",
-    "part_abc_classification", "sim_quantized_l2_histogram",
-    "stream_fano_factor",
-    # round 13, tier 2: code/oracle changed this round. The
-    # click->purchase edge builder is now flood-capped (per hour, top
-    # EDGE_CAP purchasers) and all five consumers' oracles were
-    # re-derived over the capped graph — each gets an oracled re-draw;
-    # orders_calendar_seasonality moved to a single-scan plan and
-    # corpus_char_class_profile pinned its whitespace class.
+    # round 14, tier 1: the r13 red row, fixed — DECIMAL(18,2) output
+    # recast to BIGINT cents on both engines (the round-6
+    # driver-hash-unsafe type class; the oracle-type lint now forbids
+    # DECIMAL registry-wide). Front-loaded so its green row leads.
+    "customer_balance_position",
+    # round 14, tier 2: brand-new queries — first driver rows
+    "text_zipf_rank_profile", "dedup_partner_fanout_census",
+    "mlprep_packing_span_histogram", "customer_ltv_decile_profile",
+    "dq_numeric_overflow_audit",
+    # round 14, tier 3: code/oracle changed this round — regression
+    # re-draws under the driver's own hash. customer_rfm_segments was
+    # re-planned (global NTILE windows -> distributed two-phase rank);
+    # the two Fano queries moved their moment arithmetic to 128-bit
+    # internally; the click->purchase builder now stores a rank_mass
+    # part and routes its cap through the shared capped_fanout helper
+    # (all its consumers re-drawn), as do the dedup pair generators
+    # and the SemDeDup scan cap.
+    "customer_rfm_segments", "events_fano_factor_hourly",
+    "stream_fano_factor", "graph_cap_rank_mass_profile",
+    "graph_copurchase_cap_census", "graph_edge_weight_histogram",
+    "graph_degree_census", "graph_reciprocity_report",
     "graph_user_pagerank_fixedpoint_top20",
     "graph_pagerank_convergence_report",
-    "graph_reciprocity_report", "graph_degree_census",
-    "orders_calendar_seasonality", "corpus_char_class_profile",
-    # round 13, tier 3: the ENTIRE remaining never-sampled oracled
-    # tail (20 names after r12) — after this round every oracled
-    # registry entry has a driver row on record; only the 3 declared
-    # rows-only entries (graph_user_pagerank_top20, sim_ann_recall,
-    # sim_ivf_topk) remain undrawn, by design (a draw would record
-    # err: no_oracle; their oracled twins carry the evidence).
-    "asof_purchase_attribution", "attribution_first_click",
-    "class_balance_weights", "cohort_ltv_curve",
-    "curation_funnel_report", "customer_balance_position",
-    "customer_order_cadence", "doc_length_quartiles_by_lang",
-    "docs_lang_source_independence", "fuzzy_name_pairs",
-    "layout_dictionary_advisor", "lineitem_discount_curve",
-    "mix_apply_downsample", "mlprep_sequence_packing",
-    "nation_pareto_8020", "ols_qty_vs_discount_by_brand",
-    "part_supply_redundancy", "sample_stratified_docs",
-    "ship_latency_by_nation", "trend_holt_forecast_monthly_revenue",
-    # round 13, tier 4: deliberate re-draws to fill the 50 slots —
-    # the two sketch exact-mode rows (their gate comments changed
-    # this round; a fresh green row re-proves the code didn't), the
-    # four r12 "apparent regression" names the loaded driver session
-    # flagged (a clean-session row settles them), the quantized-store
-    # consumers next to the new L2 histogram, and recent r12 rows.
-    "sketch_distinct_users_daily", "sketch_distinct_users_rollup",
-    "snapshot_version_diff", "text_bm25_topk",
-    "trade_flow_matrix", "text_boilerplate_ngrams",
-    "dedup_quality_interaction", "curation_grand_funnel",
-    "sim_quantized_topk", "events_dau_overlap_jaccard",
-    "events_type_mix_drift_tvd", "stream_type_mix_drift",
-    "dq_null_profile_all_tables",
+    "dedup_ngram_jaccard_pairs", "dedup_containment_pairs",
+    "dedup_semdedup_clusters", "dedup_incremental_pairs",
+    "dedup_threshold_sweep", "dedup_survivorship",
+    "dedup_cluster_quality_report",
+    # round 14, tier 4: re-draws that keep every family's recent
+    # evidence fresh — one or two rows per family that did NOT change
+    # this round, rotating through members whose last green row is
+    # oldest (r5-r9 vintage), so no family's driver evidence goes
+    # stale while the changed-code tiers consume the budget.
+    "q1_pricing_summary", "q9_product_profit",
+    "q21_sole_return_suppliers", "asof_purchase_attribution",
+    "scd2_user_type_history", "events_retention_cohorts",
+    "events_sessionization", "events_interarrival_dispersion",
+    "text_langid_heuristic", "text_token_rarity_scores",
+    "text_zipf_constancy", "text_vocab_stats",
+    "sim_bruteforce_topk", "sim_ann_multiprobe2_topk",
+    "sim_pq_adc_topk", "sim_quantization_rank_fidelity",
+    "sketch_countmin_heavy_hitters", "sketch_hll_overlap_matrix",
+    "mlprep_sequence_packing", "mlprep_token_budget_selection",
+    "mix_temperature_sampling", "curation_grand_funnel",
+    "corpus_token_budget", "snapshot_version_diff",
+    "dq_pk_uniqueness_audit", "v11_content_diff_report",
+    "s7_generated_ddl",
 ]
 
 

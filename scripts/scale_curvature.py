@@ -51,6 +51,13 @@ _UNITS = {
     # hitters
     "graph_part_copurchase_communities": ("edges", "copurchase"),
     "customer_rfm_segments": ("orders", "orders"),
+    # round-14 new queries (oracle-first discipline: every addition
+    # gets a 5x point in its birth round)
+    "text_zipf_rank_profile": ("docs", "documents"),
+    "dedup_partner_fanout_census": ("docs", "documents"),
+    "mlprep_packing_span_histogram": ("docs", "documents"),
+    "customer_ltv_decile_profile": ("orders", "orders"),
+    "dq_numeric_overflow_audit": ("lineitems", "lineitem"),
 }
 
 

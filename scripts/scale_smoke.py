@@ -163,6 +163,14 @@ SWEPT_DIRECT = [
     "trend_mann_kendall_monthly_revenue",
     "trend_spearman_acf_monthly_revenue", "graph_user_pagerank_top20",
     "sim_ann_recall", "sim_ivf_topk",
+    # round-14 direct sweeps (docs/SCALE.md "Round 14"): the four
+    # 10x-curvature heavy hitters re-measured and the five r14
+    # additions timed at 1x and 5x in their birth round
+    "dedup_ngram_jaccard_pairs", "graph_part_copurchase_communities",
+    "graph_kcore_census", "customer_rfm_segments",
+    "text_zipf_rank_profile", "dedup_partner_fanout_census",
+    "mlprep_packing_span_histogram", "customer_ltv_decile_profile",
+    "dq_numeric_overflow_audit",
 ]
 
 EXTRA = EXTRA + ROTATION
