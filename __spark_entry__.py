@@ -43,7 +43,7 @@ _SAMPLE_PRIORITY = [
     # round 14, tier 2: brand-new queries — first driver rows
     "text_zipf_rank_profile", "dedup_partner_fanout_census",
     "mlprep_packing_span_histogram", "customer_ltv_decile_profile",
-    "dq_numeric_overflow_audit",
+    "dq_numeric_overflow_audit", "sim_ivf_balance_census",
     # round 14, tier 3: code/oracle changed this round — regression
     # re-draws under the driver's own hash. customer_rfm_segments was
     # re-planned (global NTILE windows -> distributed two-phase rank);
@@ -72,7 +72,7 @@ _SAMPLE_PRIORITY = [
     "scd2_user_type_history", "events_retention_cohorts",
     "events_sessionization", "events_interarrival_dispersion",
     "text_langid_heuristic", "text_token_rarity_scores",
-    "text_zipf_constancy", "text_vocab_stats",
+    "text_zipf_constancy",
     "sim_bruteforce_topk", "sim_ann_multiprobe2_topk",
     "sim_pq_adc_topk", "sim_quantization_rank_fidelity",
     "sketch_countmin_heavy_hitters", "sketch_hll_overlap_matrix",

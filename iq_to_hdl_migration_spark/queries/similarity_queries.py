@@ -2900,3 +2900,47 @@ def sim_quantized_l2_histogram(spark: SparkSession,
                          .cast("int").alias("band"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
                  F.sum("dist_sq").cast("bigint").alias("total_dist_sq")))
+
+
+# ---------------------------------------------------------------------------
+# IVF posting-list balance census (round 14): the serving-cost story
+# of an IVF index is its cluster-size distribution — a hot posting
+# list makes every probe that lands on it pay the whole hot list (the
+# skew twin of the LSH bucket census on the dedup side). This reports
+# the trained index's per-cluster population with exact integer share
+# ppm: the evidence behind nprobe choices and whether the index needs
+# re-training or list-splitting before the next corpus doubling.
+# Reads the memoized trained index (warm read, like every IVF
+# consumer); k-row bounded output.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_ivf_balance_census",
+    oracle=f"""
+    {_fp_kmeans_ctes(_IVF_K, _IVF_ITERS, final_update=False)},
+    sizes AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM a{_IVF_ITERS} GROUP BY cid
+    ),
+    tot AS (SELECT SUM(n_vectors) AS n FROM sizes)
+    SELECT CAST(s.cid AS BIGINT) AS cid, s.n_vectors,
+           CAST((1000000 * s.n_vectors) // t.n AS BIGINT) AS share_ppm
+    FROM sizes s, tot t
+    """,
+    doc="posting-list balance census of the trained fixed-point IVF "
+        "index: per-cluster vector count and exact integer share ppm "
+        "— the probe-cost skew evidence behind nprobe and list-split "
+        "decisions (a hot list is paid by every probe that lands on "
+        "it); warm read of the memoized index, k-row bounded output",
+)
+def sim_ivf_balance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, assign = _fp_kmeans_assign(emb, _IVF_K, _IVF_ITERS)
+    sizes = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    tot = sizes.agg(F.sum("n_vectors").cast("bigint").alias("_n"))
+    return (sizes.crossJoin(F.broadcast(tot))
+            .select(F.col("cid").cast("bigint").alias("cid"),
+                    "n_vectors",
+                    F.expr("(1000000 * n_vectors) div _n")
+                    .cast("bigint").alias("share_ppm")))

@@ -58,6 +58,7 @@ _UNITS = {
     "mlprep_packing_span_histogram": ("docs", "documents"),
     "customer_ltv_decile_profile": ("orders", "orders"),
     "dq_numeric_overflow_audit": ("lineitems", "lineitem"),
+    "sim_ivf_balance_census": ("vectors", "embeddings"),
     # round-14 tier-2 continuation (r13 verdict #6: 10x points for the
     # most expensive headliners each round)
     "sim_loo_centroid_confusion": ("vectors", "embeddings"),

@@ -170,7 +170,7 @@ SWEPT_DIRECT = [
     "graph_kcore_census", "customer_rfm_segments",
     "text_zipf_rank_profile", "dedup_partner_fanout_census",
     "mlprep_packing_span_histogram", "customer_ltv_decile_profile",
-    "dq_numeric_overflow_audit",
+    "dq_numeric_overflow_audit", "sim_ivf_balance_census",
 ]
 
 EXTRA = EXTRA + ROTATION
