@@ -99,16 +99,28 @@ def _fixedpoint_step(nodes: DataFrame, n: int, e_out: DataFrame,
     driver round-trip for both fixed-point scalars, dangling-share
     math, new-rank projection) — the shared body of
     `pagerank_fixedpoint` and `pagerank_convergence`, extracted so the
-    convergence audit can never desync from the fixpoint it audits."""
+    convergence audit can never desync from the fixpoint it audits.
+
+    Round-14 re-plan (guide §1.2/§5): contrib's EAGER localCheckpoint
+    (its own Spark job per iteration) became a LAZY .cache() — the
+    single scalar collect below materializes the cache in the same
+    job it reads the two integers from, so an iteration costs one
+    driver round-trip and one job instead of two. (An in-plan
+    broadcast stitch of the scalars was tried first and measured
+    SLOWER: under AQE every BroadcastExchange is its own job — 9.2 s
+    vs 7.3 s baseline for the 10-iteration fixpoint.) The returned
+    ranks frame is a shallow plan over the cached contrib; the
+    trajectory builder localCheckpoints each iterate so consumers
+    never re-derive it."""
     base_q = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // (PR_DAMP_DEN * n)
     contrib = (
         ranks.join(e_out, ranks["node"] == e_out["src"])
         .select("dst", F.expr("(q * w) div out_w").alias("cc"))
         .groupBy("dst").agg(F.sum("cc").alias("c"))
-    ).localCheckpoint()
+    ).cache()
     # both fixed-point scalars in ONE driver round-trip: union the
-    # two frames tagged, conditional-sum, single collect (was two
-    # jobs per iteration — pure latency, identical integer values)
+    # two frames tagged, conditional-sum, single collect (also what
+    # fills the contrib cache — identical integer values)
     tot = (ranks.select(F.col("q").alias("x"),
                         F.lit(True).alias("is_rank"))
            .unionAll(contrib.select(F.col("c").alias("x"),
@@ -130,15 +142,71 @@ def _fixedpoint_step(nodes: DataFrame, n: int, e_out: DataFrame,
     )
 
 
+def pagerank_fixedpoint_trajectory(edges: DataFrame, iters: int = 10,
+                                   src: str = "src", dst: str = "dst",
+                                   weight: str = "weight"
+                                   ) -> list[DataFrame]:
+    """The full iterate history [ranks_0 .. ranks_iters] of the
+    integer fixpoint, each a MATERIALIZED (node, q BIGINT) table.
+    This is the STORED structure a production ranking deployment
+    maintains (scores are batch-computed and served; the iterate
+    history is what the convergence audit is defined over) —
+    query-layer consumers memoize it the same way as the LPA label
+    table. Each iterate is localCheckpointed (guide §5): a consumer
+    that touches iterate k must not re-derive the nodes⋈contrib join
+    behind it — the audit reads every iterate TWICE (as k and k-1),
+    which un-materialized cost ~20 re-derivations per report."""
+    nodes, n, e_out = _fixedpoint_prep(edges, src, dst, weight)
+    ranks = (nodes.select("node", F.lit(PR_SCALE // n).alias("q"))
+             .localCheckpoint())
+    traj = [ranks]
+    for _ in range(iters):
+        ranks = _fixedpoint_step(nodes, n, e_out,
+                                 ranks).localCheckpoint()
+        traj.append(ranks)
+    return traj
+
+
+def pagerank_convergence_from_trajectory(traj: list[DataFrame]
+                                         ) -> DataFrame:
+    """Per-iteration exact L1 / max |Δrank_q| between consecutive
+    iterates of a fixpoint trajectory, computed JOIN-FREE: melt the
+    iterate tables into one (iteration, node, q) stream, lag-window
+    per node, aggregate per iteration. One node-keyed exchange + one
+    11-row exchange for the whole audit, versus the former shape of
+    10 consecutive-iterate joins (each its own AQE stage cascade —
+    measured 13.1 s / 31 jobs at sf0.1; this is a single job). The
+    per-node lag sees exactly the consecutive pair the join saw, so
+    every BIGINT delta is identical. At 100 TB the melted stream is
+    (iters+1)·|V| narrow rows hash-partitioned by node — constant
+    per-key state, no driver barrier."""
+    from pyspark.sql import Window
+
+    melted = None
+    for k, df in enumerate(traj):
+        part = df.select(F.lit(k).cast("int").alias("iteration"),
+                         "node", "q")
+        melted = part if melted is None else melted.unionByName(part)
+    w = Window.partitionBy("node").orderBy("iteration")
+    return (melted.withColumn("prev_q", F.lag("q").over(w))
+            .where(F.col("iteration") >= 1)
+            .select("iteration",
+                    F.abs(F.col("q") - F.col("prev_q")).alias("dq"))
+            .groupBy("iteration")
+            .agg(F.sum("dq").cast("bigint").alias("l1_delta_q"),
+                 F.max("dq").cast("bigint").alias("max_delta_q"))
+            .withColumn("l1_delta",
+                        F.col("l1_delta_q").cast("double")
+                        / F.lit(float(PR_SCALE))))
+
+
 def pagerank_fixedpoint(edges: DataFrame, iters: int = 10,
                         src: str = "src", dst: str = "dst",
                         weight: str = "weight") -> DataFrame:
     """Integer PageRank. Returns (node, rank_q BIGINT, rank DOUBLE)
     with rank = rank_q / 2^40 (exact: rank_q < 2^53)."""
-    nodes, n, e_out = _fixedpoint_prep(edges, src, dst, weight)
-    ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("q"))
-    for _ in range(iters):
-        ranks = _fixedpoint_step(nodes, n, e_out, ranks)
+    ranks = pagerank_fixedpoint_trajectory(edges, iters, src, dst,
+                                           weight)[-1]
     return ranks.select(
         "node", F.col("q").alias("rank_q"),
         (F.col("q").cast("double") / F.lit(float(PR_SCALE))).alias("rank"))
@@ -193,30 +261,10 @@ def pagerank_convergence(edges: DataFrame, iters: int = 10,
     """Convergence audit of the integer fixpoint: per iteration the
     exact L1 and max |Δrank_q| between consecutive rank vectors —
     BIGINT arithmetic end-to-end, so the whole trajectory (not just
-    the endpoint) is value-hash-checkable. One extra small join per
-    iteration over the node set; the per-iteration scalars are a
-    documented driver barrier (same class as the fixpoint's
-    dangling-mass collect). Each iteration IS `_fixedpoint_step` — the
-    audit runs the literal fixpoint body, plus only the delta
-    aggregate."""
-    spark = edges.sparkSession
-    nodes, n, e_out = _fixedpoint_prep(edges, src, dst, weight)
-    ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("q"))
-    deltas: list[tuple] = []
-    for k in range(1, iters + 1):
-        new_ranks = _fixedpoint_step(nodes, n, e_out,
-                                     ranks).localCheckpoint()
-        d = (new_ranks.alias("a")
-             .join(ranks.alias("b"), F.col("a.node") == F.col("b.node"))
-             .agg(F.sum(F.abs(F.col("a.q") - F.col("b.q")))
-                  .cast("bigint").alias("l1"),
-                  F.max(F.abs(F.col("a.q") - F.col("b.q")))
-                  .cast("bigint").alias("mx"))
-             .collect()[0])
-        deltas.append((k, d["l1"], d["mx"]))
-        ranks = new_ranks
-    return spark.createDataFrame(
-        deltas, "iteration int, l1_delta_q bigint, max_delta_q bigint"
-    ).withColumn("l1_delta",
-                 F.col("l1_delta_q").cast("double")
-                 / F.lit(float(PR_SCALE)))
+    the endpoint) is value-hash-checkable. Since round 14 this is a
+    thin wrapper: run the trajectory, then aggregate all deltas
+    lazily in one final job (no per-iteration delta collect). Each
+    iteration IS `_fixedpoint_step` — the audit runs the literal
+    fixpoint body, plus only the delta aggregate."""
+    return pagerank_convergence_from_trajectory(
+        pagerank_fixedpoint_trajectory(edges, iters, src, dst, weight))

@@ -1480,6 +1480,17 @@ _NOV_N = 3  # phrase length (tokens)
         "seen is min(decile) per shingle, all shuffles shingle-keyed",
 )
 def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-14 re-plan (guide §2.3/§2.4): the three consumers
+    # (first-seen, types-per-decile, rows-per-decile) used to hang
+    # directly off the exploded shingle stream, so the tokenize +
+    # 3-gram explode ran THREE times and shuffled the full stream
+    # thrice (once per aggregate, one of them a two-phase
+    # countDistinct). Everything derives from the (g, decile) -> count
+    # contingency table, so build THAT with one map-side-combined
+    # shuffle and feed all three aggregates from it: types_per = rows
+    # per decile, first_seen = min(decile) per g, n_doc_shingles =
+    # sum(count) per decile. One pass over the corpus, one
+    # shingle-keyed shuffle, identical integers.
     docs = load_table(spark, sf_dir, "documents")
     bounds = docs.agg(F.expr(
         "percentile(CAST(doc_id AS DOUBLE), array(0.1D, 0.2D, 0.3D, "
@@ -1495,18 +1506,24 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "CAST(doc_id AS DOUBLE))) AS INT)")
                   .alias("decile"),
                   F.explode(F.expr(gs)).alias("g")))
-    first_seen = sd.groupBy("g").agg(
+    # one exchange on (g, decile); the three consumers below re-read
+    # it via ReusedExchange (verified in plans/r14/) — no checkpoint,
+    # single job
+    gd = sd.groupBy("g", "decile").agg(F.count(F.lit(1)).alias("cnt"))
+    first_seen = gd.groupBy("g").agg(
         F.min("decile").cast("int").alias("first_decile"))
-    types_per = sd.groupBy("decile").agg(
-        F.countDistinct("g").alias("n_types"))
+    types_per = gd.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_types"))
     new_per = first_seen.groupBy(
         F.col("first_decile").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_new_types"))
-    rows_per = sd.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_doc_shingles"))
+    rows_per = gd.groupBy("decile").agg(
+        F.sum("cnt").alias("n_doc_shingles"))
     return (types_per.join(rows_per, "decile")
             .join(new_per, "decile", "left")
-            .select("decile", "n_doc_shingles", "n_types",
+            .select("decile",
+                    F.col("n_doc_shingles").cast("bigint")
+                    .alias("n_doc_shingles"), "n_types",
                     F.coalesce("n_new_types", F.lit(0)).cast("bigint")
                     .alias("n_new_types"),
                     F.expr("coalesce(n_new_types, 0) * 1000000 "

@@ -644,6 +644,30 @@ def _copurchase_click_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _copurchase_graph(spark, sf_dir)["edges"]
 
 
+# Session/durable memo for the 10-iteration integer-fixpoint rank
+# TRAJECTORY over the click->purchase graph — the stored ranking
+# structure (production PageRank is batch-computed and served, and the
+# convergence audit is defined over the stored iterate history; same
+# discipline as the lpa_labels memo). Both headline consumers read it:
+# the top-20 serves traj[-1], the audit aggregates consecutive deltas.
+# Keyed like every memo on the events source fingerprint (+ the edge
+# cap + iteration count, so a config change rebuilds).
+def _pagerank_fixedpoint_traj(spark: SparkSession,
+                              sf_dir: str) -> list:
+    from iq_to_hdl_migration_spark.operators.graph import (
+        pagerank_fixedpoint_trajectory)
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = durable_memo(
+        "pagerank_fixedpoint_traj", spark, sf_dir, ev,
+        lambda: {f"r{k:02d}": df for k, df in enumerate(
+            pagerank_fixedpoint_trajectory(
+                _copurchase_click_edges(spark, sf_dir), iters=10))},
+        extra=(EDGE_CAP, 10))
+    return [parts[k] for k in sorted(parts)]
+
+
 @register(
     "graph_pagerank_convergence_report",
     oracle=_pagerank_convergence_oracle(iters=10),
@@ -651,16 +675,17 @@ def _copurchase_click_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "L1 and max |Δrank_q| per iteration (BIGINT end-to-end), so "
         "the WHOLE trajectory value-hash-matches the generated DuckDB "
         "CTE chain — the stop-early/iterate-more decision evidence for "
-        "the 100 TB run, not just the endpoint; one extra node-keyed "
-        "join per iteration, scalars via the documented driver barrier",
+        "the 100 TB run, not just the endpoint. Reads the memoized "
+        "rank trajectory (round 14); all ten delta aggregates compute "
+        "lazily in one job",
 )
 def graph_pagerank_convergence_report(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     from iq_to_hdl_migration_spark.operators.graph import (
-        pagerank_convergence)
+        pagerank_convergence_from_trajectory)
 
-    return pagerank_convergence(_copurchase_click_edges(spark, sf_dir),
-                                iters=10)
+    return pagerank_convergence_from_trajectory(
+        _pagerank_fixedpoint_traj(spark, sf_dir))
 
 
 @register(
@@ -675,10 +700,12 @@ def graph_pagerank_convergence_report(spark: SparkSession,
 )
 def graph_user_pagerank_fixedpoint_top20(spark: SparkSession,
                                          sf_dir: str) -> DataFrame:
-    from iq_to_hdl_migration_spark.operators.graph import pagerank_fixedpoint
+    from iq_to_hdl_migration_spark.operators.graph import PR_SCALE
 
-    ranks = pagerank_fixedpoint(_copurchase_click_edges(spark, sf_dir),
-                                iters=10)
+    ranks = (_pagerank_fixedpoint_traj(spark, sf_dir)[-1]
+             .select("node", F.col("q").alias("rank_q"),
+                     (F.col("q").cast("double")
+                      / F.lit(float(PR_SCALE))).alias("rank")))
     return (ranks.orderBy(F.desc("rank_q"), F.asc("node"))
             .limit(20)
             .select(F.col("node").alias("user_id"), "rank_q", "rank"))

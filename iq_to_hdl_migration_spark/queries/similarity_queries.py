@@ -1278,7 +1278,20 @@ K_CAND, K_OUT = 8, 4
 )
 def sim_mmr_diversified_topk(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
+    # Round-14 re-plan (guide §1.2/§4.2): the greedy selection used to
+    # run as K_OUT-1 driver-side loop rounds of anti-join + semi-join
+    # + window + EAGER localCheckpoint — ~6 Spark jobs per call over a
+    # frame that is ≤ K_CAND rows per query BY CONSTRUCTION. The loop
+    # now runs inside ONE cogrouped Arrow pass (candidates × pairwise
+    # sims per query), so the whole query is a single job again. The
+    # per-group frame stays constant-size at any corpus scale (that is
+    # the point of the top-8 rerank), and the greedy arithmetic is the
+    # same IEEE double ops (score = rel - max(sim)) the unrolled
+    # DuckDB oracle states, so the output is bit-identical.
     from pyspark.sql import Window
+
+    import numpy as np
+    import pandas as pd
 
     scored = _quantized_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"),
@@ -1286,8 +1299,7 @@ def sim_mmr_diversified_topk(spark: SparkSession,
     cand = (scored.withColumn("_rnk", F.row_number().over(w))
             .where(F.col("_rnk") <= K_CAND)
             .select("query_id", "cand_id",
-                    F.col("cosine_q").alias("rel"))
-            .localCheckpoint(eager=True))
+                    F.col("cosine_q").alias("rel")))
     d = _quantized_corpus(spark, sf_dir)
     ca, cb = cand.alias("ca"), cand.alias("cb")
     psim = (ca.join(cb, (F.col("ca.query_id") == F.col("cb.query_id"))
@@ -1301,41 +1313,50 @@ def sim_mmr_diversified_topk(spark: SparkSession,
                     F.col("cb.cand_id").alias("b"),
                     (sim.dot_expr("x.qv", "y.qv")
                      / (F.col("x.qnorm") * F.col("y.qnorm")))
-                    .alias("sim"))
-            .localCheckpoint(eager=True))
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"),
-                                                F.asc("cand_id"))
-    selected = (cand.withColumn("_rn", F.row_number().over(w1))
-                .where(F.col("_rn") == 1).drop("_rn")
-                .select("query_id", "cand_id", "rel",
-                        F.col("rel").alias("score"),
-                        F.lit(1).alias("pos")))
-    for pos in range(2, K_OUT + 1):
-        rem = cand.join(selected.select("query_id", "cand_id"),
-                        ["query_id", "cand_id"], "left_anti")
-        sel_ids = selected.select(F.col("query_id").alias("sq"),
-                                  F.col("cand_id").alias("sb"))
-        sims_to_sel = (psim.join(
-            sel_ids, (psim["query_id"] == F.col("sq"))
-            & (psim["b"] == F.col("sb")), "left_semi")
-            .groupBy("query_id", "a")
-            .agg(F.max("sim").alias("maxsim")))
-        ms = rem.join(
-            sims_to_sel.select(F.col("query_id").alias("mq"),
-                               F.col("a").alias("ma"), "maxsim"),
-            (F.col("mq") == rem["query_id"])
-            & (F.col("ma") == rem["cand_id"])
-        ).select("query_id", "cand_id", "rel", "maxsim")
-        ws = Window.partitionBy("query_id").orderBy(
-            F.desc(F.col("rel") - F.col("maxsim")), F.asc("cand_id"))
-        nxt = (ms.withColumn("_rn", F.row_number().over(ws))
-               .where(F.col("_rn") == 1)
-               .select("query_id", "cand_id", "rel",
-                       (F.col("rel") - F.col("maxsim")).alias("score"),
-                       F.lit(pos).alias("pos")))
-        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
-    return selected.select("query_id", F.col("pos").cast("int").alias("pos"),
-                           "cand_id", "rel", "score")
+                    .alias("sim")))
+
+    def _greedy(cand_pdf: "pd.DataFrame",
+                psim_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(cand_pdf) == 0:
+            return pd.DataFrame({"query_id": np.array([], dtype=np.int64),
+                                 "pos": np.array([], dtype=np.int32),
+                                 "cand_id": np.array([], dtype=np.int64),
+                                 "rel": np.array([], dtype=np.float64),
+                                 "score": np.array([], dtype=np.float64)})
+        qid = int(cand_pdf["query_id"].iloc[0])
+        ids = cand_pdf["cand_id"].to_numpy()
+        rel = cand_pdf["rel"].to_numpy()
+        simmap = {(a, b): s for a, b, s in
+                  psim_pdf[["a", "b", "sim"]].itertuples(index=False)}
+        avail = list(range(len(ids)))
+        chosen: list[int] = []
+        rows = []
+        for pos in range(1, K_OUT + 1):
+            best_i, best_key = None, None
+            for i in avail:
+                if pos == 1:
+                    score = rel[i]
+                else:
+                    score = rel[i] - max(simmap[(ids[i], ids[j])]
+                                         for j in chosen)
+                key = (-score, ids[i])
+                if best_key is None or key < best_key:
+                    best_key, best_i, best_score = key, i, score
+            if best_i is None:
+                break
+            rows.append((qid, pos, ids[best_i], rel[best_i], best_score))
+            chosen.append(best_i)
+            avail.remove(best_i)
+        out = pd.DataFrame(rows, columns=["query_id", "pos", "cand_id",
+                                          "rel", "score"])
+        return out.astype({"query_id": np.int64, "pos": np.int32,
+                           "cand_id": np.int64, "rel": np.float64,
+                           "score": np.float64})
+
+    return (cand.groupBy("query_id").cogroup(psim.groupBy("query_id"))
+            .applyInPandas(_greedy, "query_id bigint, pos int, "
+                                    "cand_id bigint, rel double, "
+                                    "score double"))
 
 
 # ---------------------------------------------------------------------------
@@ -2516,10 +2537,11 @@ def sim_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # |S−v|² = SS − 2d + qq — no second pass over the data. All dots stay
 # far below 2^53, so the final cosine doubles are bit-exact in both
 # engines (the sim_quantized_topk exactness argument). Scale shape:
-# prototypes are one (label × dim) integer shuffle; scoring is a
-# broadcast of the L-row prototype table against a map-only corpus
-# scan; the argmax groupBy shuffles one row per vector; output is the
-# bounded L×L confusion grid. Overflow bound (honest): SS ≤ 64·(127·
+# prototypes are one bounded (label × dim) integer shuffle; scoring is
+# a map-only Arrow scan against the collected L×DIM prototype matrix
+# (argmax taken inside the scan, so nothing per-vector is ever
+# shuffled); output is the bounded L×L confusion grid. Overflow bound
+# (honest): SS ≤ 64·(127·
 # n_L)² needs n_L ≲ 7.5e7 members per label; past that, promote the
 # prototype sums to DECIMAL(38,0).
 # ---------------------------------------------------------------------------
@@ -2584,51 +2606,93 @@ def sim_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantized embeddings — the label-quality audit (off-diagonal "
         "mass = suspect labels); LOO via exact integer algebra on the "
         "label-sum prototype (dot' = d − qq, |S−v|² = SS − 2d + qq), "
-        "one (label×dim) shuffle + broadcast L-row scoring, bounded "
+        "one bounded (label×dim) partial-sum shuffle + one Arrow-"
+        "vectorized map-only scoring scan against the collected L×DIM "
+        "prototype matrix (a documented bounded barrier), bounded "
         "L×L output",
     bench=True,
 )
 def sim_loo_centroid_confusion(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # Round-14 re-plan (guide §4.2): the scoring pass moved from an
+    # N×L crossJoin + per-vector row_number window (each row paying
+    # interpreted HOF dot products, the window a second N×L shuffle)
+    # to ONE Arrow batch scan that computes D = Q·Pᵀ with numpy and
+    # takes the argmax per row — no N×L intermediate, no window. All
+    # quantities stay the exact integers the oracle computes (each
+    # partial sum < 2^53, so summation order is irrelevant) and the
+    # final cosine is the same correctly-rounded sqrt/division in
+    # either engine, so the confusion grid is bit-identical. Scale
+    # shape: prototype partials are a bounded (partition × L × DIM)
+    # emit + one (label, pos) shuffle; the collected prototype table
+    # is L×DIM (bounded by the label vocabulary — the same class of
+    # documented driver barrier as the IVF centroid collect); scoring
+    # is map-only over the corpus; output is the bounded L×L grid.
+    import numpy as np
+    import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = (emb.withColumn("vec", F.expr(sim.as_double_array("embedding")))
-         .withColumn("scale", F.expr(
-             "greatest(array_max(transform(vec, x -> abs(x)))"
-             " / 127.0D, 1e-30D)"))
-         .withColumn("qv", F.expr(
-             "transform(vec, x -> floor(x / scale + 0.5D))"))
-         .select("vec_id", "label", "qv",
-                 sim.dot_expr("qv", "qv").alias("qq")))
-    # prototype sums: one bounded (label x dim) integer shuffle
-    prot = (q.select("label", F.posexplode("qv").alias("pos", "val"))
-            .groupBy("label", "pos")
-            .agg(F.sum("val").cast("bigint").alias("sv")))
-    pvec = (prot.groupBy("label")
-            .agg(F.expr("transform(array_sort(collect_list("
-                        "struct(pos, sv))), s -> CAST(s.sv AS DOUBLE))")
-                 .alias("pv")))
-    pn = pvec.select(F.col("label").alias("cand_label"), "pv",
-                     sim.dot_expr("pv", "pv").alias("ss"))
-    d = sim.dot_expr("qv", "pv")
-    own = F.col("label") == F.col("cand_label")
-    scored = (q.crossJoin(F.broadcast(pn))
-              .select("vec_id", F.col("label").alias("true_label"),
-                      "cand_label",
-                      (d - F.when(own, F.col("qq")).otherwise(0.0))
-                      .alias("eff_dot"),
-                      "qq",
-                      (F.col("ss") - F.when(own, 2 * d - F.col("qq"))
-                       .otherwise(0.0)).alias("eff_ss")))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc(F.col("eff_dot") / (F.sqrt("qq") * F.sqrt("eff_ss"))),
-        F.asc("cand_label"))
-    return (scored.where((F.col("qq") > 0) & (F.col("eff_ss") > 0))
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .groupBy(F.col("true_label").cast("int").alias("true_label"),
-                     F.col("cand_label").cast("int").alias("pred_label"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding")
+
+    def _quantize(pdf: "pd.DataFrame") -> "np.ndarray":
+        V = np.array([np.asarray(x, dtype=np.float64)
+                      for x in pdf["embedding"]])
+        scale = np.maximum(np.abs(V).max(axis=1) / 127.0, 1e-30)
+        return np.floor(V / scale[:, None] + 0.5)
+
+    def _partial_sums(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = _quantize(pdf)
+            labs = pdf["label"].to_numpy()
+            for lab in np.unique(labs):
+                sv = Q[labs == lab].sum(axis=0)
+                yield pd.DataFrame({
+                    "label": np.full(sim.DIM, int(lab), dtype=np.int64),
+                    "pos": np.arange(sim.DIM, dtype=np.int64),
+                    "sv": sv.astype(np.int64)})
+
+    prot_rows = (emb.mapInPandas(_partial_sums,
+                                 "label bigint, pos bigint, sv bigint")
+                 .groupBy("label", "pos")
+                 .agg(F.sum("sv").cast("bigint").alias("sv"))
+                 .collect())
+    labs_sorted = sorted({r["label"] for r in prot_rows})
+    lab_ix = {lab: i for i, lab in enumerate(labs_sorted)}
+    P = np.zeros((len(labs_sorted), sim.DIM), dtype=np.float64)
+    for r in prot_rows:
+        P[lab_ix[r["label"]], r["pos"]] = float(r["sv"])
+    SS = (P * P).sum(axis=1)            # exact integers (< 2^53)
+    labs_arr = np.array(labs_sorted, dtype=np.int64)
+
+    def _classify(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = _quantize(pdf)
+            qq = (Q * Q).sum(axis=1)
+            labs = pdf["label"].to_numpy()
+            D = Q @ P.T                 # exact: every entry < 2^53
+            own = labs[:, None] == labs_arr[None, :]
+            eff_dot = D - np.where(own, qq[:, None], 0.0)
+            eff_ss = SS[None, :] - np.where(own,
+                                            2.0 * D - qq[:, None], 0.0)
+            valid = (qq[:, None] > 0) & (eff_ss > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = eff_dot / (np.sqrt(qq)[:, None]
+                                   * np.sqrt(eff_ss))
+            score = np.where(valid, score, -np.inf)
+            keep = score.max(axis=1) > -np.inf
+            # argmax returns the FIRST max along the ascending label
+            # axis — exactly the (score DESC, cand_label ASC) pick
+            pred = labs_arr[np.argmax(score[keep], axis=1)]
+            yield pd.DataFrame({
+                "true_label": labs[keep].astype(np.int32),
+                "pred_label": pred.astype(np.int32)})
+
+    picked = emb.mapInPandas(_classify, "true_label int, pred_label int")
+    return (picked.groupBy("true_label", "pred_label")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors")))
 
 

@@ -351,8 +351,10 @@ def test_reorder_gap_profile_accounts_for_every_gap(spark, sf_dir):
 def test_loo_confusion_classifies_every_live_vector(spark, sf_dir):
     """Every vector with a nonzero quantized norm gets exactly one
     prediction (LOO removes the vector from its own prototype, never
-    from the candidate label set); plan: broadcast nested-loop over
-    the L-row prototype table, no CartesianProduct."""
+    from the candidate label set); plan (round 14): the N×L scoring is
+    a map-only Arrow scan over the corpus — no join of ANY kind ships
+    per-vector rows, and the only shuffle left is the bounded L×L
+    confusion aggregate."""
     df = REGISTRY["sim_loo_centroid_confusion"].fn(spark, sf_dir)
     rows = df.collect()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -364,7 +366,8 @@ def test_loo_confusion_classifies_every_live_vector(spark, sf_dir):
     assert sum(r.n_vectors for r in rows) == n_live
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan   # the N×L join is gone
+    assert "MapInPandas" in plan                   # scoring is map-only
 
 
 def test_seqlen_curve_chunk_monotonicity(spark, sf_dir):
