@@ -436,7 +436,14 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
         )
 
     t = float(min_jaccard)
-    sized = toks.withColumn("sz", F.size("tok"))
+    # Round-14 re-plan (guide §2.4/§5): `sized` feeds the posting
+    # pipeline AND both verify sides, and `prefix` is BOTH sides of
+    # the candidate self-join — left lazy, the tokenizer ran 4x and
+    # the two-window posting pipeline 2x per call (measured 5.6 s at
+    # sf0.1; 3.5 s after). localCheckpoint (not cache) so each call
+    # still computes from the parquet inputs — checkpoints are
+    # per-DataFrame and never shared across calls.
+    sized = toks.withColumn("sz", F.size("tok")).localCheckpoint()
     posted = sized.select(*group_cols, "id", "sz",
                           F.explode("tok").alias("w"))
     # in-group document frequency as a window count over (group, w):
@@ -461,7 +468,8 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
                      <= F.col("sz")
                      - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1)
               .where(F.col("df") >= 2)
-              .select(*group_cols, "id", "w", "sz", "rn"))
+              .select(*group_cols, "id", "w", "sz", "rn")
+              .localCheckpoint())
     # PPJoin length filter (lossless): jaccard >= t forces
     # t * max(|A|,|B|) <= min(|A|,|B|), so size-mismatched pairs are
     # discarded at the candidate join — before any token-array verify.
@@ -500,12 +508,23 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
     side_b = sized.select(F.col("id").alias("id_b"),
                           F.col("tok").alias("tok_b"),
                           F.col("sz").alias("sz_b"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (tok arrays are distinct):
+    # arithmetic instead of materializing a merged array per pair.
+    # The scored candidate table is checkpointed BEFORE the threshold
+    # filter (round 14, guide §1.2): left lazy, the optimizer pushes
+    # `jaccard >= t` into the join condition and re-evaluates
+    # array_intersect three times per candidate row (twice in the
+    # pushed predicate, once in the projection — visible in the
+    # before-plan's Join condition). The checkpoint pins ONE intersect
+    # per candidate and drops the token arrays before the census/cap
+    # window, which then shuffles ids + 3 ints, not arrays.
+    scored = (cand.join(side_a, "id_a").join(side_b, "id_b")
+              .select(*group_cols, "id_a", "id_b", "sz_a", "sz_b",
+                      F.size(F.array_intersect("tok_a", "tok_b"))
+                      .alias("n_inter"))
+              .localCheckpoint())
     return _capped(
-        cand.join(side_a, "id_a").join(side_b, "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("tok_a", "tok_b")))
-        # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (tok arrays are
-        # distinct): arithmetic instead of materializing a merged
-        # array per candidate pair — one array op per pair, not two
+        scored
         .withColumn("n_union",
                     F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
         .withColumn("jaccard",

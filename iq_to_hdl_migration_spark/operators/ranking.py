@@ -37,8 +37,14 @@ def global_rank(df: DataFrame, order_cols: list[Column],
     exchange of the same frame + a broadcast of ``num_partitions``
     offset rows; no single-partition sort anywhere.
     """
+    # materialized (round 14, guide §2.4): `ranged` feeds the offset
+    # broadcast AND the ranked output — left lazy, the range shuffle
+    # (and its sampling pass over the whole upstream) re-executed for
+    # each consumer, which turned chained rank calls into a quadratic
+    # job cascade. One checkpoint pins one range shuffle per call.
     ranged = (df.repartitionByRange(num_partitions, *order_cols)
-              .withColumn(_PID, F.spark_partition_id()))
+              .withColumn(_PID, F.spark_partition_id())
+              .localCheckpoint())
     counts = ranged.groupBy(_PID).agg(
         F.count(F.lit(1)).cast("bigint").alias("_gr_cnt"))
     w_off = (Window.orderBy(_PID)
