@@ -826,6 +826,17 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
     train_pred; None trains on everything with vec_id < k seeds.
     `pred_tag` names the predicate in the memo key (a Column isn't
     hashable); callers with a train_pred MUST pass a distinct tag."""
+    idx = _fp_kmeans_index(emb, k, iters, train_pred, pred_tag)
+    return idx["v"], idx["cents"], idx["assign"]
+
+
+def _fp_kmeans_index(emb: DataFrame, k: int, iters: int,
+                     train_pred=None, pred_tag: str = "") -> dict:
+    """The full memoized k-means index: {v, cents, assign, varr},
+    where varr is the row-per-vector quantized ARRAY table
+    (vec_id, qa DOUBLE[], qq2 = exact |q|² integer) — the stored form
+    exact re-rankers consume so they never re-explode to per-dim rows
+    (round 14)."""
     from pyspark.sql import Window
 
     from iq_to_hdl_migration_spark.sources.memo import durable_memo
@@ -837,11 +848,15 @@ def _fp_kmeans_assign(emb: DataFrame, k: int, iters: int,
     def train() -> dict:
         return _fp_kmeans_train(emb, k, iters, train_pred, Window)
 
-    idx = durable_memo(
+    # "p2" stamps the part-set generation (varr added round 14): a
+    # persisted pre-r14 index has the same fingerprint but no varr
+    # part, so the key must miss it and rebuild rather than serve a
+    # structure this code would KeyError on.
+    return durable_memo(
         "kmeans_index", spark, "", emb, train,
-        extra=(k, iters, pred_tag if train_pred is not None else ""),
+        extra=(k, iters, pred_tag if train_pred is not None else "",
+               "p2"),
         single_live=False)
-    return idx["v"], idx["cents"], idx["assign"]
 
 
 def _fp_kmeans_train(emb: DataFrame, k: int, iters: int,
@@ -885,7 +900,17 @@ def _fp_kmeans_train(emb: DataFrame, k: int, iters: int,
                  .select("cid", "dim",
                          F.coalesce("ucq", "cq").alias("cq"))
                  .localCheckpoint())
-    return {"v": v, "cents": cents, "assign": assign}
+    # row-per-vector quantized array table for exact re-ranking: the
+    # same floor(x * 2^20) integers as `v`, shaped as one DOUBLE[]
+    # row per vector with its exact squared norm (every value and
+    # every 64-term partial sum < 2^53, so double ops on them are
+    # exact in any order)
+    qa = (f"transform({sim.as_double_array('embedding')}, "
+          f"x -> CAST(FLOOR(x * {_IVF_SCALE!r}) AS DOUBLE))")
+    varr = (emb.select("vec_id", F.expr(qa).alias("qa"))
+            .withColumn("qq2", sim.dot_expr("qa", "qa"))
+            .localCheckpoint())
+    return {"v": v, "cents": cents, "assign": assign, "varr": varr}
 
 
 @register(
@@ -1822,40 +1847,60 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, iters, probe = _IVF_K, _IVF_ITERS, _IVF_PROBE
     base_pred = ((F.col("vec_id") >= _N_QUERIES)
                  & (F.col("vec_id") % 5 != 0))
-    v, cents, assign = _fp_kmeans_assign(emb, k, iters,
-                                         train_pred=base_pred,
-                                         pred_tag="base_no_mod5")
-    batch = v.where((F.col("vec_id") >= _N_QUERIES)
-                    & (F.col("vec_id") % 5 == 0))
-    bdist = (batch.join(cents.hint("broadcast"), "dim")
-             .groupBy("vec_id", "cid")
-             .agg(F.sum((F.col("qv") - F.col("cq"))
-                        * (F.col("qv") - F.col("cq"))).alias("d2")))
-    wb = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    bassign = (bdist.withColumn("rn", F.row_number().over(wb))
-               .where(F.col("rn") == 1).select("vec_id", "cid"))
+    idx = _fp_kmeans_index(emb, k, iters, train_pred=base_pred,
+                           pred_tag="base_no_mod5")
+    v, cents, assign, varr = (idx["v"], idx["cents"], idx["assign"],
+                              idx["varr"])
+    # Round-14 re-plan (guide §2.4): the arriving batch's
+    # nearest-centroid pass and the queries' probe ranking used to be
+    # two separate join+groupBy+window pipelines over the same cached
+    # per-dim table — six tiny sequential AQE stages whose latency
+    # dominated the call. Both are "rank centroids per vector", so
+    # score (batch ∪ queries) against the frozen centroids in ONE
+    # exchange and ONE vec_id-partitioned window, then split. The
+    # per-vector window sees exactly the rows each separate window
+    # saw, so ranks (and every downstream integer) are identical.
+    scored = (v.where((F.col("vec_id") < _N_QUERIES)
+                      | (F.col("vec_id") % 5 == 0))
+              .join(cents.hint("broadcast"), "dim")
+              .groupBy("vec_id", "cid")
+              .agg(F.sum((F.col("qv") - F.col("cq"))
+                         * (F.col("qv") - F.col("cq"))).alias("d2")))
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked = (scored.withColumn("rn", F.row_number().over(wv))
+              .where(((F.col("vec_id") >= _N_QUERIES)
+                      & (F.col("rn") == 1))
+                     | ((F.col("vec_id") < _N_QUERIES)
+                        & (F.col("rn") <= probe)))
+              .localCheckpoint())
+    bassign = (ranked.where(F.col("vec_id") >= _N_QUERIES)
+               .select("vec_id", "cid"))
     postings = assign.unionByName(bassign)
-    qdist = (v.where(F.col("vec_id") < _N_QUERIES)
-             .join(cents.hint("broadcast"), "dim")
-             .groupBy(F.col("vec_id").alias("query_id"), F.col("cid"))
-             .agg(F.sum((F.col("qv") - F.col("cq"))
-                        * (F.col("qv") - F.col("cq"))).alias("d2")))
-    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
-    probes = (qdist.withColumn("rn", F.row_number().over(wp))
-              .where(F.col("rn") <= probe).select("query_id", "cid"))
+    probes = (ranked.where(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"), "cid"))
     cand = (probes.join(postings.withColumnRenamed("vec_id", "cand_id"),
                         "cid")
             .where(F.col("cand_id") != F.col("query_id"))
             .select("query_id", "cand_id"))
-    qv_q = v.select(F.col("vec_id").alias("query_id"), "dim",
-                    F.col("qv").alias("qq"))
-    qv_c = v.select(F.col("vec_id").alias("cand_id"), "dim",
-                    F.col("qv").alias("qc"))
-    pair = (cand.join(qv_q.hint("broadcast"), "query_id")
-            .join(qv_c, ["cand_id", "dim"])
-            .groupBy("query_id", "cand_id")
-            .agg(F.sum((F.col("qq") - F.col("qc"))
-                       * (F.col("qq") - F.col("qc"))).alias("qdist")))
+    # exact re-rank over the stored ARRAY table (round 14, guide
+    # §2.3): qdist = |q|² + |c|² − 2·q·c — the per-dim row identity —
+    # with the dot an in-plan array aggregate, so the candidate table
+    # joins two row-per-vector frames instead of exploding to 64 rows
+    # per pair and re-aggregating. All quantities are exact integers
+    # < 2^53 (see varr), so the BIGINT qdist is bit-identical to the
+    # oracle's per-dim sum.
+    va_q = varr.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qa").alias("qa_q"),
+        F.col("qq2").alias("qq2_q"))
+    va_c = varr.select(F.col("vec_id").alias("cand_id"),
+                       F.col("qa").alias("qa_c"),
+                       F.col("qq2").alias("qq2_c"))
+    pair = (cand.join(va_q.hint("broadcast"), "query_id")
+            .join(va_c, "cand_id")
+            .select("query_id", "cand_id",
+                    (F.col("qq2_q") + F.col("qq2_c")
+                     - F.lit(2.0) * sim.dot_expr("qa_q", "qa_c"))
+                    .alias("qdist")))
     wr = Window.partitionBy("query_id").orderBy("qdist", "cand_id")
     return (pair.withColumn("rnk", F.row_number().over(wr))
             .where(F.col("rnk") <= 5)
