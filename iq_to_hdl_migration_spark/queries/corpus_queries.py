@@ -988,13 +988,23 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
           f"array_distinct(transform(sequence(1, size(t) - {_BP_N} + 1), "
           f"i -> concat_ws(' ', slice(t, i, {_BP_N})))) "
           f"ELSE array() END")
+    # Round-14 re-plan (guide §2.3/§2.4): the exploded shingle stream
+    # feeds THREE consumers (df, per-doc totals, boilerplate hits) —
+    # left lazy, the tokenizer + 8-gram explode ran three times per
+    # call. localCheckpoint materializes it once; each consumer scans
+    # the stored stream. And because `gs` is array_distinct'ed per
+    # document, (doc_id, g) rows are already unique, so the df count
+    # is a plain COUNT(*) — COUNT(DISTINCT doc_id) planned as TWO
+    # exchanges (partial keys (g, doc_id), then g); same integer, one
+    # exchange.
     g = (docs.select("doc_id", "source", F.expr(_TOKS_SPARK).alias("t"))
          .repartition(n)
          .withColumn("gs", F.expr(gs))
          .select("doc_id", "source", F.explode_outer("gs").alias("g"))
-         .where(F.col("g").isNotNull()))
+         .where(F.col("g").isNotNull())
+         .localCheckpoint())
     df = g.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("n_docs_with"))
+        F.count(F.lit(1)).alias("n_docs_with"))
     # the denominator (per-doc shingle totals) needs no df join at
     # all, and the numerator only needs posting lists of shingles that
     # MEET the boilerplate threshold — so the shingle-keyed join
