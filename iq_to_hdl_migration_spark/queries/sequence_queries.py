@@ -1634,7 +1634,10 @@ def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators.ranking.global_rank (range-partitioned two-phase rank, no
 # single-partition sort) + ntile_from_rank arithmetic, which
 # reproduces NTILE(4)-with-unique-tiebreaker exactly (remainder rows
-# to the earliest buckets, same rule in Spark and DuckDB).
+# to the earliest buckets, same rule in Spark and DuckDB).  The three
+# metrics are melted into one (custkey, mid, val) frame and ranked by
+# ONE range shuffle with mid leading the sort order, so each metric's
+# within-block rank is melted_rank - (mid-1)*n exactly.
 # ---------------------------------------------------------------------------
 
 @register(
@@ -1680,12 +1683,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-14 re-plan (guide §1.2/§2.3): the three global_rank calls
     # used to CHAIN on the widening frame, so each range shuffle's
     # sampling pass re-executed the orders aggregate plus every prior
-    # rank pipeline (45 Spark jobs, 3.5 s at sf0.1). Now the
-    # per-customer aggregate is checkpointed once and each rank runs
-    # over a projected (custkey, metric) two-column frame — the range
-    # shuffles move 16 bytes/row instead of the whole row — then the
-    # three rank tables join back on custkey. Identical ranks, 10
-    # jobs, 0.5 s.
+    # rank pipeline (45 Spark jobs, 3.5 s at sf0.1). First pass:
+    # checkpoint the per-customer aggregate and rank three projected
+    # two-column frames (30 jobs, 2.1 s). Second pass (below): melt
+    # the metrics and rank ONCE (15 jobs, 1.6 s).
     per = (o.groupBy(F.col("o_custkey").alias("custkey"))
            .agg(F.max(F.datediff(F.to_date("o_orderdate"),
                                  F.lit("1970-01-01").cast("date")))
@@ -1695,16 +1696,39 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("bigint")).cast("bigint").alias("cents"))
            .localCheckpoint())
     n_df = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    q = per.crossJoin(F.broadcast(n_df))
-    for metric, out in (("last_day", "r_q"), ("n_orders", "f_q"),
-                        ("cents", "m_q")):
-        rk = global_rank(per.select("custkey", metric),
-                         [F.col(metric).desc(), F.col("custkey").asc()],
-                         rank_col=f"_rk_{out}")
-        q = q.join(rk.select("custkey", f"_rk_{out}"), "custkey")
-        q = q.withColumn(out,
-                         ntile_from_rank(F.col(f"_rk_{out}"),
-                                         F.col("_n"), 4))
+    # ONE global rank instead of three (round 14 second pass): melt
+    # the three metrics into (custkey, mid, val) — 3n narrow rows —
+    # and rank the melted frame under (mid, val DESC, custkey). The
+    # metric id LEADS the sort order, so each metric's block is
+    # contiguous and its within-metric rank is EXACTLY
+    # melted_rank - (mid-1)*n, independent of where the range
+    # boundaries fall. Three range shuffles (each with a sampling
+    # pass, a checkpoint, and an offset broadcast) collapse into one.
+    melted = per.select(
+        "custkey",
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("mid"),
+                     F.col("last_day").alias("val")),
+            F.struct(F.lit(2).alias("mid"),
+                     F.col("n_orders").alias("val")),
+            F.struct(F.lit(3).alias("mid"),
+                     F.col("cents").alias("val")))).alias("x")
+    ).select("custkey", "x.mid", "x.val")
+    rk = global_rank(melted,
+                     [F.col("mid").asc(), F.col("val").desc(),
+                      F.col("custkey").asc()], rank_col="_grk")
+    quart = (rk.crossJoin(F.broadcast(n_df))
+             .withColumn("_rk", F.col("_grk")
+                         - (F.col("mid") - 1).cast("bigint")
+                         * F.col("_n"))
+             .withColumn("_q", ntile_from_rank(F.col("_rk"),
+                                               F.col("_n"), 4))
+             .groupBy("custkey")
+             .agg(*[F.max(F.when(F.col("mid") == m, F.col("_q")))
+                    .alias(out)
+                    for m, out in ((1, "r_q"), (2, "f_q"),
+                                   (3, "m_q"))]))
+    q = per.join(quart, "custkey")
     return (q.groupBy(F.col("r_q").cast("int").alias("r_q"),
                       F.col("f_q").cast("int").alias("f_q"),
                       F.col("m_q").cast("int").alias("m_q"))
