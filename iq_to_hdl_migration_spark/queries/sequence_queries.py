@@ -1134,41 +1134,51 @@ def _kcore_oracle() -> str:
     bench=True,
 )
 def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Storage discipline (r12, found by the 10x curvature point): the
-    # census row for round i is materialized EAGERLY as a tiny
-    # localCheckpoint so no reference to round i's full edge
-    # checkpoint outlives round i+1 — peak storage is two live edge
-    # sets instead of all rounds' (O(|E|), not O(rounds x |E|)); the
-    # superseded checkpoints are reclaimed by the context cleaner as
-    # their last Python reference drops. Same rows, same plan shape,
-    # zero driver collects.
+    # Round-14 second pass (guide §2.4; was 2.9 s/33 jobs at round
+    # start, 2.7 s/36 after the nd checkpoint): at sf0.1 this query
+    # was pure job-scheduling latency — three eager materializations
+    # per round (census row, survivor list, filtered edges). Each
+    # round now checkpoints exactly TWO frames: the degree table
+    # deg_i over the current edge set (the shuffle the peeling needs
+    # anyway) and the filtered edge set. EVERY census number is then
+    # arithmetic over the stored node-sized degree tables — no census
+    # jobs at all:
+    #   |nd_0| = rows(deg_1),             |ee_0| = sum(deg_1.d)/2,
+    #   |nd_i| = rows(deg_i : d >= K),    |ee_i| = sum(deg_{i+1}.d)/2
+    # (one trailing degree pass over the last edge set supplies
+    # deg_{rounds+1}). Storage discipline is unchanged from r12: the
+    # returned frame references only the degree checkpoints (O(nodes)
+    # each, never O(edges)); at most two edge checkpoints are live at
+    # once and superseded ones are reclaimed as their Python reference
+    # drops. 2.7 s/36 jobs -> measured below.
     ee = _copurchase_edges(spark, sf_dir)
-    nd = (ee.select(F.col("u").alias("node"))
-          .union(ee.select(F.col("v").alias("node"))).distinct())
-    rows = []
-    for i in range(0, _KCORE_ROUNDS + 1):
-        rows.append(
-            (nd.agg(F.count(F.lit(1)).alias("n_nodes"))
-             .crossJoin(ee.agg(F.count(F.lit(1)).alias("n_edges")))
-             .select(F.lit(i).cast("int").alias("round"),
-                     F.col("n_nodes").cast("bigint").alias("n_nodes"),
-                     F.col("n_edges").cast("bigint").alias("n_edges"))
-             .localCheckpoint())
-        )
+    degs = []
+    for i in range(_KCORE_ROUNDS + 1):
+        # explode(array(u, v)) emits both endpoint rows in ONE scan of
+        # the edge set (the former unionAll planned two)
+        deg = (ee.select(F.explode(F.array("u", "v")).alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+               .localCheckpoint())
+        degs.append(deg)
         if i == _KCORE_ROUNDS:
             break
-        deg = (ee.select(F.col("u").alias("node"))
-               .unionAll(ee.select(F.col("v").alias("node")))
-               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-        # the surviving-node list is read THREE times (both semi-join
-        # sides + next round's census) — checkpointed (round 14) so
-        # the degree groupBy over the previous edge set runs once per
-        # round, not three times; it is the smallest frame in the loop
-        nd = (deg.where(F.col("d") >= _KCORE_K).select("node")
-              .localCheckpoint())
+        nd = deg.where(F.col("d") >= _KCORE_K).select("node")
         ee = (ee.join(nd.withColumnRenamed("node", "u"), "u", "left_semi")
               .join(nd.withColumnRenamed("node", "v"), "v", "left_semi")
               .select("u", "v").localCheckpoint())
+    rows = []
+    for i in range(_KCORE_ROUNDS + 1):
+        surv = (degs[i].agg(F.count(F.lit(1)).alias("n_nodes"))
+                if i == 0 else
+                degs[i - 1].where(F.col("d") >= _KCORE_K)
+                .agg(F.count(F.lit(1)).alias("n_nodes")))
+        edges = degs[i].agg((F.sum("d") / 2).cast("bigint")
+                            .alias("n_edges"))
+        rows.append(
+            surv.crossJoin(edges)
+            .select(F.lit(i).cast("int").alias("round"),
+                    F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                    "n_edges"))
     out = rows[0]
     for row in rows[1:]:
         out = out.unionByName(row)
