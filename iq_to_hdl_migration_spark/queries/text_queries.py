@@ -413,9 +413,19 @@ def winnow_fps_frame(docs: DataFrame) -> DataFrame:
     subs = (f"transform(sequence(1, greatest(length(norm)"
             f" - {_WINNOW_K} + 1, 1)), "
             f"i -> substring(norm, i, {_WINNOW_K}))")
+    # hash-repartition BY doc_id (round 14, guide §2.4): posexplode is
+    # narrow, so every gram row of a doc stays in its doc's partition
+    # — partitioning by doc_id up front satisfies the window's
+    # required distribution AND the final distinct's (doc_id is a
+    # prefix of its keys), removing BOTH downstream exchanges: the
+    # whole corpus-chars gram stream (~25M rows at sf0.1) never rides
+    # a shuffle. The repartition stays a materialization barrier (it
+    # is still an Exchange), so the CollapseProject rule below cannot
+    # inline the regexp either. 1.42 s -> 0.99 s at sf0.1, 3
+    # exchanges -> 1.
     posed = (docs
              .select("doc_id", F.expr(_NORM_SPARK).alias("norm"))
-             .repartition(n)
+             .repartition(n, "doc_id")
              .withColumn("ng", F.expr(f"greatest(length(norm)"
                                       f" - {_WINNOW_K} + 1, 1)"))
              .withColumn("gs", F.expr(subs))
