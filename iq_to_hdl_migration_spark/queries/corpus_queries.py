@@ -293,10 +293,16 @@ def text_contamination_13gram(spark: SparkSession,
           f"transform(sequence(1, size(t) - {_CONTAM_N} + 1), "
           f"i -> concat_ws(' ', slice(t, i, {_CONTAM_N}))) "
           f"ELSE array() END")
+    # hash-repartition BY doc_id (round 14, guide §2.4, same move as
+    # text_winnowing_fingerprints): explode is narrow, so the train
+    # distinct on (doc_id, g) and the totals groupBy(doc_id) are both
+    # satisfied by the up-front partitioning and plan without their
+    # own exchanges; only the small eval-gram distinct and the hit
+    # join shuffle by g
     toks = (docs.select("doc_id",
                         F.expr(_EVAL_SPLIT).alias("is_eval"),
                         F.expr(_TOKS_SPARK).alias("t"))
-            .repartition(n))
+            .repartition(n, "doc_id"))
     # explode_outer + null filter, NOT explode: the inferred
     # size(gs) > 0 generator filter would re-evaluate the gram
     # transform per row below the barrier (see text_winnowing_
@@ -1203,8 +1209,13 @@ def text_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
           f"transform(sequence(1, size(t) - {_DG_N} + 1), "
           f"i -> concat_ws(' ', slice(t, i, {_DG_N}))) "
           f"ELSE array() END")
+    # hash-repartition BY doc_id (round 14, guide §2.4): every groupBy
+    # below keys on doc_id (tf on (doc_id, source, g), per_doc on
+    # (doc_id, source)), so the up-front partitioning satisfies both
+    # and the exploded gram stream never rides another exchange; the
+    # final per-source rollup moves only per-doc rows
     g = (docs.select("doc_id", "source", F.expr(_TOKS_SPARK).alias("t"))
-         .repartition(n)
+         .repartition(n, "doc_id")
          .withColumn("gs", F.expr(gs))
          .select("doc_id", "source", F.explode_outer("gs").alias("g"))
          .where(F.col("g").isNotNull()))
