@@ -1621,26 +1621,30 @@ def haar_energy_from_hourly(hourly: DataFrame) -> DataFrame:
     detail-energy report; shared tail between the batch query and the
     streaming twin (whose additive fold state collapses to exactly
     this spine)."""
+    # Round-14 re-plan (guide §2.4): the former per-scale loop ran 6
+    # separate two-exchange legs over the (tiny) spine — 12 sequential
+    # AQE stages of a few-thousand-row frame, pure scheduling latency.
+    # Exploding the scale index k folds all 6 legs into ONE pipeline:
+    # one exchange on (event_type, k, blk), one on (event_type, k).
+    # Same integers per (type, scale): blk = h div 2^k and the half-
+    # block sign (h div 2^(k-1)) % 2 are computed per exploded row
+    # with shiftleft, exactly the per-leg constants.
     hourly = hourly.localCheckpoint()
-    frames = []
-    for k in range(1, _HAAR_SCALES + 1):
-        half, blk = 1 << (k - 1), 1 << k
-        d = (hourly.groupBy("event_type",
-                            F.expr(f"h div {blk}").alias("blk"))
-             .agg(F.sum(F.when(F.expr(f"(h div {half}) % 2 = 0"),
-                               F.col("c")).otherwise(-F.col("c")))
-                  .alias("d")))
-        frames.append(
-            d.groupBy("event_type")
+    scales = F.array(*[F.lit(k) for k in range(1, _HAAR_SCALES + 1)])
+    e = hourly.select("event_type", "h", "c",
+                      F.explode(scales).alias("k"))
+    d = (e.groupBy("event_type", "k",
+                   F.expr("h div shiftleft(1, k)").alias("blk"))
+         .agg(F.sum(F.when(
+             F.expr("(h div shiftleft(1, k - 1)) % 2 = 0"),
+             F.col("c")).otherwise(-F.col("c"))).alias("d")))
+    return (d.groupBy("event_type", "k")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
                  F.sum(F.col("d") * F.col("d")).cast("bigint")
                  .alias("detail_energy"))
-            .select("event_type", F.lit(half).cast("int")
+            .select("event_type",
+                    F.expr("shiftleft(1, k - 1)").cast("int")
                     .alias("scale_hours"), "n_blocks", "detail_energy"))
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
 
 
 def _haar_oracle() -> str:
