@@ -194,9 +194,38 @@ def diff_snapshots(spark: SparkSession, table_dir: str,
     hash anti-semantics shuffle on the full row — at 100 TB, diff a
     PARTITION's snapshots, not the whole table, exactly like the
     per-table content diff in operators/diff.py (V11)."""
+    from pyspark.sql import functions as F
+
+    new_m = _load_manifest(table_dir, v_new)
+    old_m = _load_manifest(table_dir, v_old)
+    old_files, new_files = set(old_m["files"]), set(new_m["files"])
+
+    def _read(files: list[str], schema: str) -> DataFrame:
+        root = _local_dir(table_dir)
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*(str(root / f) for f in files))
+
+    # Manifest fast path (round 14, guide §6: manifests make change
+    # detection metadata work): snapshot data files are immutable
+    # (appends write only their delta dir, overwrites start a fresh
+    # list, nothing is ever rewritten in place), so when one version's
+    # file set CONTAINS the other's, the versions differ exactly by
+    # the extra files and the change feed is a direct read of them —
+    # no exceptAll over either side. This is multiset-exact:
+    # (old ⊎ delta) ∖ old = delta and old ∖ (old ⊎ delta) = ∅, which
+    # is precisely what the general path computes. Covers append
+    # chains (inserts only), rollbacks to an ancestor (deletes only),
+    # and identical file sets (empty feed).
+    if old_files <= new_files:
+        ins = _read(sorted(new_files - old_files), new_m["schema"])
+        return ins.withColumn("_change", F.lit("insert"))
+    if new_files <= old_files:
+        dels = _read(sorted(old_files - new_files), old_m["schema"])
+        return dels.withColumn("_change", F.lit("delete"))
+
     new_df = read_snapshot(spark, table_dir, v_new)
     old_df = read_snapshot(spark, table_dir, v_old)
-    from pyspark.sql import functions as F
     ins = new_df.exceptAll(old_df).withColumn("_change", F.lit("insert"))
     dels = old_df.exceptAll(new_df).withColumn("_change", F.lit("delete"))
     return ins.unionByName(dels)

@@ -112,3 +112,43 @@ def test_snapshot_diff_is_a_cdc_feed(spark, sf_dir, tmp_path):
     d23 = diff_snapshots(spark, tdir, 2, 3)
     assert d23.where("_change = 'insert'").count() == 5
     assert d23.where("_change = 'delete'").count() == 15
+
+
+def test_diff_manifest_fast_path_matches_exceptall(spark, sf_dir,
+                                                   tmp_path):
+    """The round-14 manifest-delta CDC path: an append-chain diff reads
+    only the delta files (no exceptAll anywhere in the plan) and is
+    multiset-identical to the general exceptAll diff — including when
+    the appended batch duplicates rows already present."""
+    from iq_to_hdl_migration_spark.sources.snapshots import (
+        diff_snapshots, read_snapshot)
+
+    tdir = str(tmp_path / "tbl")
+    write_snapshot(_nations(spark, sf_dir, 0, 9), tdir)           # v1
+    # v2 appends a batch that DUPLICATES keys 5..9 (multiset case)
+    write_snapshot(_nations(spark, sf_dir, 5, 14), tdir)          # v2
+
+    d12 = diff_snapshots(spark, tdir, 1, 2)
+    plan = d12._jdf.queryExecution().executedPlan().toString()
+    assert "Except" not in plan, "append diff must be manifest-only"
+
+    # multiset-exact vs the general path computed directly
+    new_df = read_snapshot(spark, tdir, 2)
+    old_df = read_snapshot(spark, tdir, 1)
+    want_ins = sorted(r.n_nationkey
+                      for r in new_df.exceptAll(old_df).collect())
+    got_ins = sorted(r.n_nationkey for r in
+                     d12.where("_change = 'insert'").collect())
+    assert got_ins == want_ins == list(range(5, 15))
+    assert d12.where("_change = 'delete'").count() == 0
+
+    # rollback to v1 exposes a SUBSET of v2's files: deletes only,
+    # still manifest-only
+    rollback(tdir, 1)                                             # v3
+    d23 = diff_snapshots(spark, tdir, 2, 3)
+    plan23 = d23._jdf.queryExecution().executedPlan().toString()
+    assert "Except" not in plan23
+    assert d23.where("_change = 'insert'").count() == 0
+    assert sorted(r.n_nationkey for r in
+                  d23.where("_change = 'delete'").collect()) \
+        == list(range(5, 15))
