@@ -62,24 +62,33 @@ _SAMPLE_PRIORITY = [
     "dedup_semdedup_clusters", "dedup_incremental_pairs",
     "dedup_threshold_sweep", "dedup_survivorship",
     "dedup_cluster_quality_report",
-    # round 14, tier 4: re-draws that keep every family's recent
-    # evidence fresh — one or two rows per family that did NOT change
-    # this round, rotating through members whose last green row is
-    # oldest (r5-r9 vintage), so no family's driver evidence goes
-    # stale while the changed-code tiers consume the budget.
-    "q1_pricing_summary", "q9_product_profit",
-    "q21_sole_return_suppliers", "asof_purchase_attribution",
-    "scd2_user_type_history", "events_retention_cohorts",
-    "events_sessionization", "events_interarrival_dispersion",
-    "text_langid_heuristic", "text_token_rarity_scores",
-    "text_zipf_constancy",
-    "sim_bruteforce_topk", "sim_ann_multiprobe2_topk",
-    "sim_pq_adc_topk", "sim_quantization_rank_fidelity",
-    "sketch_countmin_heavy_hitters", "sketch_hll_overlap_matrix",
-    "mlprep_sequence_packing", "mlprep_token_budget_selection",
-    "mix_temperature_sampling", "curation_grand_funnel",
-    "corpus_token_budget", "snapshot_version_diff",
-    "dq_pk_uniqueness_audit", "v11_content_diff_report",
+    # round 14, tier 3b: the OPTIMIZATION phase re-planned these
+    # queries' physical shape without changing what they compute
+    # (see OPTIMIZATION_r14.md) — each gets a driver slot so the
+    # restructure is proven under the driver's own hash: the PageRank
+    # trajectory/LOO/MMR/novelty re-plans, the oriented-adjacency
+    # triangle family, the degree-table k-core census, the melted RFM
+    # rank (rfm is tier 3 already), the array-table IVF re-rank (and
+    # one co-consumer of the extended k-means index memo), the
+    # doc_id-partitioned gram pipelines, the single-pass Haar legs
+    # (batch + streaming twin), and the manifest-delta snapshot CDC.
+    "sim_ivf_incremental_topk", "sim_ivf_fixedpoint_topk",
+    "sim_loo_centroid_confusion", "sim_mmr_diversified_topk",
+    "corpus_novelty_curve", "graph_triangle_counts",
+    "graph_clustering_topk", "graph_part_copurchase_communities",
+    "graph_kcore_census", "text_boilerplate_ngrams",
+    "text_winnowing_fingerprints", "text_winnowing_match_pairs",
+    "text_winnowing_similarity", "text_dup_ngram_chars",
+    "text_contamination_13gram", "events_haar_energy_profile",
+    "stream_haar_energy", "snapshot_version_diff",
+    "snapshot_time_travel_audit",
+    # round 14, tier 4: re-draws that keep unchanged families'
+    # evidence fresh — trimmed to fit the 50-slot window now that the
+    # optimization tier consumes re-draw budget; the dropped rotation
+    # names all have green rows from r11-r13.
+    "q1_pricing_summary", "asof_purchase_attribution",
+    "scd2_user_type_history", "text_langid_heuristic",
+    "sim_bruteforce_topk", "sketch_countmin_heavy_hitters",
     "s7_generated_ddl",
 ]
 
