@@ -1237,10 +1237,18 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     k, M = _KMV_K, _KMV_M
+    # ut feeds BOTH the sketch build and the exact-union audit side;
+    # left lazy, the events scan + per-row md5 + (type, hv) distinct
+    # ran twice (the sketch's eager checkpoint below breaks exchange
+    # reuse with the audit subtree — 0 ReusedExchange in the before
+    # plan). Checkpointing the distinct frame pins ONE scan + ONE
+    # distinct — at scale that halves the dominant full-table pass;
+    # per-call localCheckpoint, so every invocation still computes
+    # from the parquet inputs.
     ut = (ev.select("event_type",
                     F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)),"
                            " 1, 15), 16, 10) AS BIGINT)").alias("hv"))
-          .distinct())
+          .distinct().localCheckpoint())
     wk = Window.partitionBy("event_type").orderBy("hv")
     sk = (ut.withColumn("rn", F.row_number().over(wk))
           .where(F.col("rn") <= k).select("event_type", "hv")
