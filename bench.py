@@ -1,9 +1,10 @@
 """Headline benchmark: runs every registry query marked bench=True at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints TWO JSON
-lines: first the per-query timings dict on its own line, then a short
-fixed-field summary as the FINAL line — the driver records only the
-last ~2000 characters of stdout as BENCH_r{N}.json, so the summary
-line is the contract and always fits that window.
+lines: first the full-precision per-query timings dict on its own
+line, then the fixed-field summary as the FINAL line — with a
+compacted `queries` dict folded in (r14 verdict #1) and shrunk until
+the line fits the ~2000-character stdout tail the driver records as
+BENCH_r{N}.json, so the per-query record parses again.
 
 Each query is executed twice: a warm-up collect (JIT/codegen, file
 listing) then a timed collect — we're measuring the engine, not JVM
@@ -143,13 +144,16 @@ def main() -> None:
         stage_warehouse(spark, sf_dir, wh)
         os.environ["SPARK_GRAFT_WAREHOUSE"] = wh
 
-    # Ingest phase 2 (untimed, r11 verdict #4): the dedup pair graphs
-    # and components are STORED structures at 100 TB — build them here
-    # so every report query benches its contractual warm read; the
-    # cold build cost is recorded on the summary line as ingest.
-    from iq_to_hdl_migration_spark.queries.dedup_queries import (
-        warm_dedup_memos)
-    memo_build_sec = warm_dedup_memos(spark, sf_dir)
+    # Ingest phase 2 (untimed, r11 verdict #4 + r14 verdict #2): ALL
+    # durable memos — dedup pair graphs, co-purchase graph structures,
+    # the PageRank trajectory, the trained vector indexes, the
+    # winnowing index — are STORED structures at 100 TB, built here in
+    # one named step so every report query benches its contractual
+    # warm read and `memo_build_sec` stamps the FULL ingest cost
+    # (r14 stamped only the three dedup structures; the other memos
+    # built silently inside the first consumer's untimed warm-up).
+    from iq_to_hdl_migration_spark.queries.warm import warm_all_memos
+    memo_build_sec = warm_all_memos(spark, sf_dir)
 
     registry = load_all()
     bench_specs = {n: s for n, s in sorted(registry.items())
@@ -166,17 +170,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    # Output contract (r11 verdict #1): the driver keeps only the LAST
-    # ~2000 characters of stdout, so the per-query dict — which grows
-    # with every headliner and already overflowed that window at 57
-    # queries — goes on its OWN line first, and the FINAL line is a
-    # short fixed-field summary (<300 chars) that always parses. The
-    # dict is sorted ASCENDING by time (r12 verdict #4) so the most
-    # expensive queries land at the surviving END of the driver's
-    # truncation window.
-    print(json.dumps({"queries": dict(
-        sorted(timings.items(), key=lambda kv: kv[1]))}))
+    # Output contract (r11 verdict #1, repaired per r14 verdict #1):
+    # the driver keeps only the LAST ~2000 characters of stdout and
+    # parses the FINAL JSON line — at 62 headliners the full-precision
+    # per-query dict alone exceeds that window, which left
+    # PERF_r14.per_query EMPTY. Two lines, both valid JSON:
+    #   line 1 — the full-precision per-query dict plus end-of-run
+    #   load diagnostics (repo/log-facing archive, may truncate in the
+    #   driver's tail);
+    #   line 2 (FINAL) — the fixed-field summary WITH a compacted
+    #   `queries` dict (2-decimal seconds, most expensive names, the
+    #   cheapest folded into rest_sec/rest_n) shrunk until the whole
+    #   line fits the driver's window, so per-query round-over-round
+    #   and scaling comparisons parse again.
     print(json.dumps({
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "load_1m": round(os.getloadavg()[0], 2),
+        "load_max": round(load_max, 2),
+    }))
+    summary = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -190,13 +202,28 @@ def main() -> None:
                                  if n in timings),
         "memo_build_sec": memo_build_sec,
         "exclusive": not (foreign or busy_host),
-        # host noise diagnostics: 'exclusive' requires no other Spark
-        # JVM at start AND start load_1m <= 2; load_1m_start is stamped
-        # before any bench work, load_1m at the end (includes our own)
+        # 'exclusive' requires no other Spark JVM at start AND start
+        # load_1m under the scaled threshold; load_1m_start is stamped
+        # before any bench work (end-of-run load is on line 1)
         "load_1m_start": load_1m_start,
-        "load_1m": round(os.getloadavg()[0], 2),
-        "load_max": round(load_max, 2),
-    }))
+    }
+    # Compact per-query record, shrunk to fit: keep the most expensive
+    # names exact (2 decimals), fold the cheapest into rest_sec until
+    # the final line is under the driver's stdout-tail window.
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    keep = len(by_cost)
+    while keep > 0:
+        kept = dict(sorted(by_cost[:keep], key=lambda kv: kv[1]))
+        line = json.dumps(dict(
+            summary,
+            rest_sec=round(sum(v for _, v in by_cost[keep:]), 2),
+            rest_n=len(by_cost) - keep,
+            queries={k: round(v, 2) for k, v in kept.items()},
+        ), separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+        keep -= 1
+    print(line)
 
 
 if __name__ == "__main__":

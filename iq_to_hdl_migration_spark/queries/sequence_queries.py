@@ -1785,3 +1785,12 @@ def orders_reorder_interval_histogram(spark: SparkSession,
                       .cast("int").alias("gap_band_log2d"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
                  F.sum("gap").cast("bigint").alias("sum_gap_days")))
+
+
+def warm_graph_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Build the stored co-purchase graph structures (edge list, LPA
+    label table, degree-oriented adjacency) inside the registry-level
+    ingest warm-up so `memo_build_sec` covers them (r14 verdict #2)."""
+    _copurchase_edges(spark, sf_dir)
+    _lpa_labels(spark, sf_dir)
+    _oriented_copurchase(spark, sf_dir)

@@ -766,3 +766,9 @@ def mlprep_tokenizer_fertility_report(spark: SparkSession,
                     .cast("bigint").alias("fertility_ppm"),
                     F.expr("n_chars * 1000000 div n_bpe_tokens")
                     .cast("bigint").alias("chars_per_token_ppm")))
+
+
+def warm_text_memos(spark: SparkSession, sf_dir: str) -> None:
+    """Build the winnowing fingerprint index inside the registry-level
+    ingest warm-up so `memo_build_sec` covers it (r14 verdict #2)."""
+    _winnow_fps(spark, sf_dir)

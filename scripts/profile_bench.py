@@ -6,7 +6,7 @@ additionally records:
   - the number of Spark jobs the timed run issues (job-count is the
     fixed-overhead proxy: eager localCheckpoints each cost a job)
   - the final adaptive physical plan (explain formatted), written to
-    plans/r14/<name>_<tag>.txt when --plans TAG is given
+    plans/r15/<name>_<tag>.txt when --plans TAG is given
 
 Usage:
   python scripts/profile_bench.py [--plans before] [name ...]
@@ -76,7 +76,7 @@ def main() -> None:
         out[name] = {"sec": round(best, 4), "jobs": jobs}
         print(f"{name}: {best:.3f}s jobs={jobs}", flush=True)
         if plan_tag:
-            pdir = ROOT / "plans" / "r14"
+            pdir = ROOT / "plans" / "r15"
             pdir.mkdir(parents=True, exist_ok=True)
             df = spec.fn(spark, sf_dir)
             txt = df._sc._jvm.PythonSQLUtils.explainString(
