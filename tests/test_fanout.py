@@ -98,9 +98,13 @@ def test_census_aggs_ride_along(spark):
     assert got == want
 
 
-def test_single_window_exec(spark):
-    """The count and the rank must ride ONE ordered window spec — a
-    second WindowExec would double the sort cost at scale."""
+def test_windowgrouplimit_plan_shape(spark):
+    """Round 15 (guide §2.5): the rank must ride a rank-ONLY window
+    so the plan carries a map-side WindowGroupLimit that truncates
+    flooded buckets to top-k per partition BEFORE the exchange; the
+    announced-truncation counts come from the census join, never from
+    an unbounded count over the same window (which would defeat the
+    group limit and ship the whole flood)."""
     df = _flood(spark, [40, 40])
     kept = capped_fanout(df, ["bucket"],
                          [F.desc("s"), F.asc("id")], 8)["kept"]
@@ -109,7 +113,26 @@ def test_single_window_exec(spark):
     # AQE's toString prints the final plan AND the initial plan —
     # audit only the final segment
     final = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final, final
     wlines = [l for l in final.splitlines() if "Window [" in l]
     assert len(wlines) == 1, final
-    # ...and that one window computes both the count and the rank
-    assert "count(1)" in wlines[0] and "row_number()" in wlines[0]
+    assert "row_number()" in wlines[0]
+    assert "count(1)" not in wlines[0], wlines[0]
+
+
+def test_null_bucket_key_is_a_group(spark):
+    """A NULL bucket key forms a group (window/groupBy semantics);
+    the census attach must be null-safe or those rows silently
+    vanish from `kept`."""
+    df = spark.createDataFrame(
+        [(None, 1, 5), (None, 2, 4), (None, 3, 3), ("b", 4, 2)],
+        "bucket string, id bigint, s bigint")
+    fan = capped_fanout(df, ["bucket"], [F.desc("s"), F.asc("id")], 2,
+                        rank_col="rn")
+    kept = fan["kept"].collect()
+    nulls = [r for r in kept if r["bucket"] is None]
+    assert len(nulls) == 2
+    assert all(r["n_in_bucket"] == 3 and r["n_overflow"] == 1
+               for r in nulls)
+    census = {r["bucket"]: r for r in fan["census"].collect()}
+    assert census[None]["n_kept"] == 2 and census[None]["n_overflow"] == 1
