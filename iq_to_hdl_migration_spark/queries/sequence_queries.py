@@ -1127,58 +1127,76 @@ def _kcore_oracle() -> str:
     "graph_kcore_census",
     oracle=_kcore_oracle(),
     doc=f"k-core peeling (K={_KCORE_K}, {_KCORE_ROUNDS} unrolled "
-        "rounds) over the part co-purchase graph: per-round surviving "
-        "node/edge census; each round one degree groupBy + one "
-        "two-sided semi-join, linear in edges — the distributed "
-        "formulation that replaces in-memory bucket peeling at scale",
+        "rounds) over the part co-purchase graph via delta peeling: "
+        "degrees updated by subtracting dropped-node deltas read off "
+        "the stored oriented edge index — the edge set is never "
+        "re-shuffled; per round one edge-memo scan + node-sized "
+        "delta shuffles",
     bench=True,
 )
 def graph_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round-14 second pass (guide §2.4; was 2.9 s/33 jobs at round
-    # start, 2.7 s/36 after the nd checkpoint): at sf0.1 this query
-    # was pure job-scheduling latency — three eager materializations
-    # per round (census row, survivor list, filtered edges). Each
-    # round now checkpoints exactly TWO frames: the degree table
-    # deg_i over the current edge set (the shuffle the peeling needs
-    # anyway) and the filtered edge set. EVERY census number is then
-    # arithmetic over the stored node-sized degree tables — no census
-    # jobs at all:
-    #   |nd_0| = rows(deg_1),             |ee_0| = sum(deg_1.d)/2,
-    #   |nd_i| = rows(deg_i : d >= K),    |ee_i| = sum(deg_{i+1}.d)/2
-    # (one trailing degree pass over the last edge set supplies
-    # deg_{rounds+1}). Storage discipline is unchanged from r12: the
-    # returned frame references only the degree checkpoints (O(nodes)
-    # each, never O(edges)); at most two edge checkpoints are live at
-    # once and superseded ones are reclaimed as their Python reference
-    # drops. 2.7 s/36 jobs -> measured below.
-    ee = _copurchase_edges(spark, sf_dir)
-    degs = []
-    for i in range(_KCORE_ROUNDS + 1):
-        # explode(array(u, v)) emits both endpoint rows in ONE scan of
-        # the edge set (the former unionAll planned two)
-        deg = (ee.select(F.explode(F.array("u", "v")).alias("node"))
-               .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-               .localCheckpoint())
-        degs.append(deg)
-        if i == _KCORE_ROUNDS:
-            break
-        nd = deg.where(F.col("d") >= _KCORE_K).select("node")
-        ee = (ee.join(nd.withColumnRenamed("node", "u"), "u", "left_semi")
-              .join(nd.withColumnRenamed("node", "v"), "v", "left_semi")
-              .select("u", "v").localCheckpoint())
+    # Round-15 delta peeling (guide §2.1/§2.2, r14 verdict #5). The
+    # r14 shape re-shuffled the SURVIVING EDGE SET twice per round
+    # (two-sided semi-join + degree groupBy) behind 7 eager
+    # checkpoint barriers — 2.35-2.58 s / 33 jobs on the r15 host.
+    # Standard peeling-with-degree-updates instead: deg_{i+1}(v) =
+    # deg_i(v) - |nbrs(v) ∩ dropped_i| (exact because deg_i counts
+    # only alive-alive edges and dropped_i ⊆ alive_i), so each round
+    # is ONE scan of the stored oriented edge memo joined against the
+    # dropped-node set (AQE picks broadcast vs shuffle — dropped_1
+    # can be corpus-sized at 100 TB, later rounds are tiny) and a
+    # node-sized degree update; the full edge set never crosses an
+    # exchange again after the ingest-time index build. Census stays
+    # arithmetic over the node-sized degree tables: |nd_i| =
+    # rows(cur_i), |ee_i| = sum(cur_i.d)/2. The cur chain rides LAZY
+    # localCheckpoints — each materializes inside the first job that
+    # consumes it instead of paying its own barrier. Measured
+    # 1.18-1.44 s / 17 jobs, identical rows.
+    idx = _oriented_copurchase(spark, sf_dir)
+    return kcore_delta_census(idx["oe"], idx["deg"],
+                              _KCORE_K, _KCORE_ROUNDS)
+
+
+def kcore_delta_census(oe: DataFrame, deg0: DataFrame, k: int,
+                       rounds: int) -> DataFrame:
+    """Delta-peeling k-core census over an oriented edge table
+    `oe(a, b)` (each undirected edge once) with initial degree table
+    `deg0(node, d)`. Returns (round, n_nodes, n_edges) for rounds
+    0..`rounds`. Extracted so the recurrence is unit-testable against
+    brute-force recomputation on synthetic graphs."""
+    # melt each stored oriented edge once into its two
+    # (endpoint, other) rows — both directions of the undirected edge
+    both = oe.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("node"), F.col("b").alias("other")),
+            F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
+        )).alias("e")).select("e.node", "e.other")
+    degs = [deg0]
+    cur = deg0
+    for _ in range(rounds):
+        dropped = cur.where(F.col("d") < k).select("node")
+        delta = (both
+                 .join(dropped.withColumnRenamed("node", "other"),
+                       "other")
+                 .groupBy("node")
+                 .agg(F.count(F.lit(1)).alias("dd")))
+        cur = (cur.where(F.col("d") >= k)
+               .join(delta, "node", "left")
+               .select("node",
+                       (F.col("d") - F.coalesce("dd", F.lit(0)))
+                       .alias("d"))
+               .localCheckpoint(eager=False))
+        degs.append(cur)
     rows = []
-    for i in range(_KCORE_ROUNDS + 1):
-        surv = (degs[i].agg(F.count(F.lit(1)).alias("n_nodes"))
-                if i == 0 else
-                degs[i - 1].where(F.col("d") >= _KCORE_K)
-                .agg(F.count(F.lit(1)).alias("n_nodes")))
-        edges = degs[i].agg((F.sum("d") / 2).cast("bigint")
-                            .alias("n_edges"))
-        rows.append(
-            surv.crossJoin(edges)
-            .select(F.lit(i).cast("int").alias("round"),
-                    F.col("n_nodes").cast("bigint").alias("n_nodes"),
-                    "n_edges"))
+    for i in range(rounds + 1):
+        census = degs[i].agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            # coalesce: an empty core must report 0 edges like the
+            # oracle's COUNT(*), not SUM's NULL
+            F.coalesce((F.sum("d") / 2).cast("bigint"),
+                       F.lit(0).cast("bigint")).alias("n_edges"))
+        rows.append(census.select(
+            F.lit(i).cast("int").alias("round"), "n_nodes", "n_edges"))
     out = rows[0]
     for row in rows[1:]:
         out = out.unionByName(row)

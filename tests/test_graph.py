@@ -72,3 +72,45 @@ def test_fixedpoint_pagerank_tracks_float_pagerank(spark, sf_dir):
     assert len(shared) >= 15   # near-identical top sets
     for u in shared:
         assert abs(fx[u] - fl[u]) < 1e-6, (u, fx[u], fl[u])
+
+
+def test_kcore_delta_census_matches_bruteforce(spark):
+    """Delta peeling (deg_{i+1}(v) = deg_i(v) - |nbrs(v) ∩ dropped_i|)
+    must census exactly like brute-force induced-subgraph
+    recomputation, including a round that empties the core (the
+    SUM-over-empty edge count must be 0, not NULL)."""
+    import itertools
+    from iq_to_hdl_migration_spark.queries.sequence_queries import (
+        kcore_delta_census)
+
+    # K4 clique (1-4) + a path 4-5-6 + isolated edge 7-8.
+    # With k=3: round 1 drops 5,6,7,8 -> K4 survives (deg 3 each);
+    # round 2 drops nothing; with k=4 the core then empties.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (7, 8)]
+
+    def brute(edges, k, rounds):
+        # mirrors the oracle exactly: nd_i is the FILTERED NODE SET
+        # (it may keep nodes isolated by the round's edge drops),
+        # ee_i the induced edges
+        out = []
+        cur = list(edges)
+        nodes = {n for e in edges for n in e}
+        for i in range(rounds + 1):
+            out.append((i, len(nodes), len(cur)))
+            deg = {n: 0 for n in nodes}
+            for u, v in cur:
+                deg[u] += 1
+                deg[v] += 1
+            nodes = {n for n in nodes if deg[n] >= k}
+            cur = [e for e in cur if e[0] in nodes and e[1] in nodes]
+        return out
+
+    oe = spark.createDataFrame(edges, "a bigint, b bigint")
+    deg0 = (oe.selectExpr("explode(array(a, b)) AS node")
+            .groupBy("node").count().withColumnRenamed("count", "d"))
+    for k in (3, 4):
+        got = sorted(tuple(r) for r in
+                     kcore_delta_census(oe, deg0, k, 3).collect())
+        want = sorted(brute(edges, k, 3))
+        assert got == want, (k, got, want)
