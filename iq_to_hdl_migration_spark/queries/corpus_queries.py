@@ -1501,18 +1501,21 @@ _NOV_N = 3  # phrase length (tokens)
         "seen is min(decile) per shingle, all shuffles shingle-keyed",
 )
 def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round-14 re-plan (guide §2.3/§2.4): the three consumers
-    # (first-seen, types-per-decile, rows-per-decile) used to hang
-    # directly off the exploded shingle stream, so the tokenize +
-    # 3-gram explode ran THREE times and shuffled the full stream
-    # thrice (once per aggregate, one of them a two-phase
-    # countDistinct). Everything derives from the (g, decile) -> count
-    # contingency table, so build THAT with one map-side-combined
-    # shuffle and feed all three aggregates from it: types_per = rows
-    # per decile, first_seen = min(decile) per g, n_doc_shingles =
-    # sum(count) per decile. One pass over the corpus, one
-    # shingle-keyed shuffle, identical integers.
+    # Round-15 pivot (guide §2.1/§2.4, on top of the r14 contingency
+    # re-plan): the decile domain is FIXED (10 values), so instead of
+    # a (g, decile) contingency table re-aggregated three ways (one
+    # wide exchange + three re-exchanges of the |types|-domain table:
+    # g-keyed first-seen, two decile-keyed counts), pivot the deciles
+    # into 10 per-g counter columns in ONE g-keyed map-side-combined
+    # exchange, then compute EVERYTHING in one global reduce:
+    # first_decile = index of the first nonzero slot, and the
+    # per-decile types / doc-shingle / new-type counts are 30 columns
+    # of a single aggregate, stacked to rows. Identical integers
+    # (asserted in the adoption A/B), jobs 11 -> 5; at scale all
+    # three post-contingency exchanges over the shingle-type domain
+    # disappear.
     docs = load_table(spark, sf_dir, "documents")
+    nd = 10  # deciles 0..9 (9 percentile bounds)
     bounds = docs.agg(F.expr(
         "percentile(CAST(doc_id AS DOUBLE), array(0.1D, 0.2D, 0.3D, "
         "0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))").alias("bs"))
@@ -1527,28 +1530,39 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "CAST(doc_id AS DOUBLE))) AS INT)")
                   .alias("decile"),
                   F.explode(F.expr(gs)).alias("g")))
-    # one exchange on (g, decile); the three consumers below re-read
-    # it via ReusedExchange (verified in plans/r14/) — no checkpoint,
-    # single job
-    gd = sd.groupBy("g", "decile").agg(F.count(F.lit(1)).alias("cnt"))
-    first_seen = gd.groupBy("g").agg(
-        F.min("decile").cast("int").alias("first_decile"))
-    types_per = gd.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_types"))
-    new_per = first_seen.groupBy(
-        F.col("first_decile").alias("decile")).agg(
-        F.count(F.lit(1)).alias("n_new_types"))
-    rows_per = gd.groupBy("decile").agg(
-        F.sum("cnt").alias("n_doc_shingles"))
-    return (types_per.join(rows_per, "decile")
-            .join(new_per, "decile", "left")
-            .select("decile",
+    g10 = sd.groupBy("g").agg(
+        *[F.sum(F.when(F.col("decile") == i, 1).otherwise(0))
+          .alias(f"c{i}") for i in range(nd)])
+    per_g = g10.select(
+        F.array(*[F.col(f"c{i}") for i in range(nd)]).alias("cs")
+    ).select(
+        "cs",
+        F.expr(f"filter(sequence(0, {nd - 1}), "
+               f"i -> element_at(cs, i + 1) > 0)[0]")
+        .alias("first_decile"))
+    tot = per_g.agg(
+        *[F.sum(F.when(F.expr(f"element_at(cs, {i + 1}) > 0"), 1)
+                .otherwise(0)).alias(f"types{i}") for i in range(nd)],
+        *[F.sum(F.expr(f"element_at(cs, {i + 1})")).alias(f"rows{i}")
+          for i in range(nd)],
+        *[F.sum(F.when(F.col("first_decile") == i, 1).otherwise(0))
+          .alias(f"new{i}") for i in range(nd)])
+    stacked = tot.selectExpr(
+        "stack({n}, {args}) AS (decile, n_types, n_doc_shingles, "
+        "n_new_types)".format(
+            n=nd,
+            args=", ".join(
+                f"{i}, types{i}, rows{i}, new{i}" for i in range(nd))))
+    # a decile with zero types has no gd row under the r14 shape (and
+    # no oracle row); the pivot materializes all 10, so filter
+    return (stacked.where(F.col("n_types") > 0)
+            .select(F.col("decile").cast("int").alias("decile"),
                     F.col("n_doc_shingles").cast("bigint")
-                    .alias("n_doc_shingles"), "n_types",
-                    F.coalesce("n_new_types", F.lit(0)).cast("bigint")
+                    .alias("n_doc_shingles"),
+                    F.col("n_types").alias("n_types"),
+                    F.col("n_new_types").cast("bigint")
                     .alias("n_new_types"),
-                    F.expr("coalesce(n_new_types, 0) * 1000000 "
-                           "div n_types")
+                    F.expr("n_new_types * 1000000 div n_types")
                     .cast("bigint").alias("novelty_ppm")))
 
 
