@@ -823,11 +823,10 @@ def graph_community_modularity(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     e0 = _copurchase_edges(spark, sf_dir)
     labels = _lpa_labels(spark, sf_dir)
-    e = (e0.select("u", "v")
-         .unionByName(e0.select(F.col("v").alias("u"),
-                                F.col("u").alias("v"))))
-    deg = e.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d"))
+    # Round 15: the degree table is the SAME stored structure the
+    # oriented-adjacency memo already holds — reading it replaces a
+    # per-call double edge scan + groupBy exchange (guide §2.3)
+    deg = _oriented_copurchase(spark, sf_dir)["deg"]
     cdeg = (labels.join(deg, "node")
             .groupBy(F.col("label").alias("community"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
