@@ -1264,8 +1264,9 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = _copurchase_edges(spark, sf_dir)
     e = e0.unionAll(e0.select(F.col("v").alias("u"),
                               F.col("u").alias("v")))
-    deg = e.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("d"))
+    # Round 15: degrees come from the stored oriented-adjacency memo
+    # instead of a per-call double edge scan + groupBy (guide §2.3)
+    deg = _oriented_copurchase(spark, sf_dir)["deg"]
     mid = deg.where(F.col("d") <= _RA_MAX_DEG)
     # adjacency restricted to low-degree centers, weight attached once
     ez = (e.join(mid.withColumnRenamed("node", "u"), "u")
@@ -1454,8 +1455,8 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (e0.select("u", "v")
          .unionByName(e0.select(F.col("v").alias("u"),
                                 F.col("u").alias("v"))))
-    seed = (e.groupBy(F.col("u").alias("node"))
-            .agg(F.count(F.lit(1)).alias("d"))
+    # Round 15: the seed's degree table is the stored one (guide §2.3)
+    seed = (_oriented_copurchase(spark, sf_dir)["deg"]
             .orderBy(F.desc("d"), "node").limit(1).select("node"))
     frontier = seed.localCheckpoint()
     reached = frontier
@@ -1544,8 +1545,9 @@ def graph_degree_assortativity(spark: SparkSession,
     e = (e0.select("u", "v")
          .unionByName(e0.select(F.col("v").alias("u"),
                                 F.col("u").alias("v"))))
-    deg = (e.groupBy(F.col("u").alias("node"))
-           .agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    # Round 15: degrees from the stored memo, not a per-call
+    # double-scan groupBy (guide §2.3)
+    deg = _oriented_copurchase(spark, sf_dir)["deg"]
     j = (e.join(deg.select(F.col("node").alias("u"),
                            F.col("d").alias("dx")), "u")
          .join(deg.select(F.col("node").alias("v"),
