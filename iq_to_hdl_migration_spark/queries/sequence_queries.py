@@ -1460,23 +1460,36 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("d"), "node").limit(1).select("node"))
     frontier = seed.localCheckpoint()
     reached = frontier
-    # hop-0 counts come from the actual seed frame, not a literal: on
-    # an edge-less corpus the seed is EMPTY and the oracle's
-    # COUNT(*) FROM r0 reports 0 — mirror that instead of assuming 1
-    n_seed = frontier.count()
-    rows = [(0, n_seed, n_seed)]
+    # the per-hop census stays IN THE PLAN (round 15, guide §5): the
+    # former per-hop nxt.count()/reached.count() driver round-trips
+    # (2 jobs x 3 hops, plus the seed count) are now aggregate legs
+    # over the checkpointed frontier/reached frames, computed in the
+    # ONE job the returned frame's collect runs. Hop-0 counts come
+    # from the actual seed frame, not a literal: on an edge-less
+    # corpus the seed is EMPTY and the oracle's COUNT(*) FROM r0
+    # reports 0 — mirror that instead of assuming 1.
+    frames = [(frontier, reached)]
     for hop in range(1, _KHOP_HOPS + 1):
         nxt = (e.join(frontier.withColumnRenamed("node", "u"), "u")
                .select(F.col("v").alias("node")).distinct()
                .join(reached, "node", "left_anti")
                .localCheckpoint())
-        reached = reached.unionByName(nxt).localCheckpoint()
+        # lazy: reached_i first materializes inside the job that
+        # checkpoints nxt_{i+1} (its only consumer until the census),
+        # so the union chain pays no barrier of its own
+        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
-        # per-hop scalar counts: bounded driver round-trips (3 hops),
-        # the same eager-barrier discipline as the iterative graph ops
-        rows.append((hop, nxt.count(), reached.count()))
-    return spark.createDataFrame(
-        rows, "hop int, frontier_size bigint, reached bigint")
+        frames.append((frontier, reached))
+    out = None
+    for hop, (f, r) in enumerate(frames):
+        row = (f.agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("frontier_size"))
+               .crossJoin(r.agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("reached")))
+               .select(F.lit(hop).cast("int").alias("hop"),
+                       "frontier_size", "reached"))
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # ---------------------------------------------------------------------------
