@@ -35,61 +35,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_registry_vs_oracle.py still covers the full registry at
 # whatever sf the suite runs.
 _SAMPLE_PRIORITY = [
-    # round 14, tier 1: the r13 red row, fixed — DECIMAL(18,2) output
-    # recast to BIGINT cents on both engines (the round-6
-    # driver-hash-unsafe type class; the oracle-type lint now forbids
-    # DECIMAL registry-wide). Front-loaded so its green row leads.
-    "customer_balance_position",
-    # round 14, tier 2: brand-new queries — first driver rows
-    "text_zipf_rank_profile", "dedup_partner_fanout_census",
+    # round 15, tier 1: every query whose physical shape changed this
+    # OPTIMIZATION round gets a driver slot so the restructure is
+    # proven under the driver's own hash (see OPTIMIZATION_r15.md):
+    # the capped_fanout WindowGroupLimit re-plan and its cap-routed
+    # consumers (PPJoin pairs, containment, SemDeDup scan cap, the
+    # click->purchase cap censuses), the delta-peeled k-core, the
+    # pivoted novelty contingency, the fused grand funnel, the
+    # degree-memo reuses (modularity, link prediction, k-hop census —
+    # now plan-side — and assortativity), the incremental-dedup cut
+    # memo, and the warm-accessor-refactored index consumers.
+    "dedup_ngram_jaccard_pairs", "dedup_containment_pairs",
+    "dedup_semdedup_clusters", "dedup_partner_fanout_census",
+    "graph_cap_rank_mass_profile", "graph_copurchase_cap_census",
+    "graph_kcore_census", "corpus_novelty_curve",
+    "curation_grand_funnel", "graph_community_modularity",
+    "graph_link_prediction_ra", "graph_khop_reach",
+    "graph_degree_assortativity", "dedup_incremental_pairs",
+    "sim_pq_adc_topk", "sim_ivf_incremental_topk",
+    "sim_ivf_fixedpoint_topk",
+    # round 15, tier 2: r14's restructures and new queries — keep the
+    # previous round's evidence fresh (all green in CORRECTNESS_r14)
+    "customer_balance_position", "text_zipf_rank_profile",
     "mlprep_packing_span_histogram", "customer_ltv_decile_profile",
     "dq_numeric_overflow_audit", "sim_ivf_balance_census",
-    # round 14, tier 3: code/oracle changed this round — regression
-    # re-draws under the driver's own hash. customer_rfm_segments was
-    # re-planned (global NTILE windows -> distributed two-phase rank);
-    # the two Fano queries moved their moment arithmetic to 128-bit
-    # internally; the click->purchase builder now stores a rank_mass
-    # part and routes its cap through the shared capped_fanout helper
-    # (all its consumers re-drawn), as do the dedup pair generators
-    # and the SemDeDup scan cap.
     "customer_rfm_segments", "events_fano_factor_hourly",
-    "stream_fano_factor", "graph_cap_rank_mass_profile",
-    "graph_copurchase_cap_census", "graph_edge_weight_histogram",
+    "stream_fano_factor", "graph_edge_weight_histogram",
     "graph_degree_census", "graph_reciprocity_report",
     "graph_user_pagerank_fixedpoint_top20",
-    "graph_pagerank_convergence_report",
-    "dedup_ngram_jaccard_pairs", "dedup_containment_pairs",
-    "dedup_semdedup_clusters", "dedup_incremental_pairs",
-    "dedup_threshold_sweep", "dedup_survivorship",
-    "dedup_cluster_quality_report",
-    # round 14, tier 3b: the OPTIMIZATION phase re-planned these
-    # queries' physical shape without changing what they compute
-    # (see OPTIMIZATION_r14.md) — each gets a driver slot so the
-    # restructure is proven under the driver's own hash: the PageRank
-    # trajectory/LOO/MMR/novelty re-plans, the oriented-adjacency
-    # triangle family, the degree-table k-core census, the melted RFM
-    # rank (rfm is tier 3 already), the array-table IVF re-rank (and
-    # one co-consumer of the extended k-means index memo), the
-    # doc_id-partitioned gram pipelines, the single-pass Haar legs
-    # (batch + streaming twin), and the manifest-delta snapshot CDC.
-    "sim_ivf_incremental_topk", "sim_ivf_fixedpoint_topk",
+    "graph_pagerank_convergence_report", "dedup_threshold_sweep",
+    "dedup_survivorship", "dedup_cluster_quality_report",
     "sim_loo_centroid_confusion", "sim_mmr_diversified_topk",
-    "corpus_novelty_curve", "graph_triangle_counts",
-    "graph_clustering_topk", "graph_part_copurchase_communities",
-    "graph_kcore_census", "text_boilerplate_ngrams",
+    "graph_triangle_counts", "graph_clustering_topk",
+    "graph_part_copurchase_communities", "text_boilerplate_ngrams",
     "text_winnowing_fingerprints", "text_winnowing_match_pairs",
     "text_winnowing_similarity", "text_dup_ngram_chars",
     "text_contamination_13gram", "events_haar_energy_profile",
     "stream_haar_energy", "snapshot_version_diff",
     "snapshot_time_travel_audit",
-    # round 14, tier 4: re-draws that keep unchanged families'
-    # evidence fresh — trimmed to fit the 50-slot window now that the
-    # optimization tier consumes re-draw budget; the dropped rotation
-    # names all have green rows from r11-r13.
-    "q1_pricing_summary", "asof_purchase_attribution",
-    "scd2_user_type_history", "text_langid_heuristic",
-    "sim_bruteforce_topk", "sketch_countmin_heavy_hitters",
-    "s7_generated_ddl",
+    # round 15, tier 3: sketch_kmv_set_ops was the ONE r14
+    # restructure that missed the r14 sample window (committed after
+    # the list froze — r14 verdict); it closes the evidence gap here.
+    # The rotated-out r14 tier-4 names (q1, asof, scd2, langid,
+    # bruteforce, countmin, s7) all hold green rows from r11-r14.
+    "sketch_kmv_set_ops",
 ]
 
 
