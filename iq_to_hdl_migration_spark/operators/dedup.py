@@ -469,6 +469,15 @@ def jaccard_pairs_within_groups(df: DataFrame, group_cols: list[str],
                      - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1)
               .where(F.col("df") >= 2)
               .select(*group_cols, "id", "w", "sz", "rn")
+              # Explicit (group, w) repartition before the checkpoint
+              # (round 15, guide §2.2): AQE coalesces the prefix
+              # filter's tiny post-window output to ONE partition, and
+              # localCheckpoint freezes that layout — the candidate
+              # self-join below then ran single-threaded. Pinning
+              # n-way hash layout on the join key keeps the candidate
+              # stage parallel at every scale (n = defaultParallelism,
+              # cluster-derived, not a local constant).
+              .repartition(n, *group_cols, "w")
               .localCheckpoint())
     # PPJoin length filter (lossless): jaccard >= t forces
     # t * max(|A|,|B|) <= min(|A|,|B|), so size-mismatched pairs are

@@ -173,6 +173,42 @@ def test_capped_plan_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_ppjoin_prefix_checkpoint_stays_parallel(spark):
+    """The PPJoin prefix checkpoint must materialize with n-way
+    layout: AQE coalesces the post-window prefix filter to ONE
+    partition at small scale, and localCheckpoint freezes that layout
+    — the candidate self-join then runs single-threaded (round 15;
+    measured 3.6 -> 2.8 s at sf0.1). The explicit (group, w)
+    repartition pins defaultParallelism partitions."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    seen = []
+    orig = CDF.localCheckpoint
+
+    def spy(self, eager=True):
+        out = orig(self, eager=eager)
+        seen.append((set(out.columns), out.rdd.getNumPartitions()))
+        return out
+
+    rows = [(i, BASE if i % 2 else NEAR) for i in range(40)]
+    df = (spark.createDataFrame(rows, ["doc_id", "text"])
+          .withColumn("source", F.lit("web"))
+          .withColumn("lang", F.lit("en")))
+    CDF.localCheckpoint = spy
+    try:
+        dedup.jaccard_pairs_within_groups(
+            df, ["source", "lang"], "doc_id", "text",
+            min_jaccard=0.5).collect()
+    finally:
+        CDF.localCheckpoint = orig
+    n = spark.sparkContext.defaultParallelism
+    prefix = [p for cols, p in seen if cols == {"source", "lang", "id",
+                                                "w", "sz", "rn"}]
+    assert prefix, f"prefix checkpoint not seen (sites: {seen})"
+    assert all(p == n for p in prefix), \
+        f"prefix checkpoint collapsed to {prefix} partitions (want {n})"
+
+
 def test_pair_output_cap_fires_under_template_flood(spark):
     """r10 judge directive: the exact pair VERIFIERS must be flood-safe
     on the OUTPUT side. A template flooded m times qualifies m(m-1)/2
