@@ -24,11 +24,28 @@ import hashlib
 import json
 import os
 import pathlib
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MEMOS: dict[str, dict] = {}
+
+# One build lock per memo tag (round 15): the ingest warm-up overlaps
+# independent memo families on driver threads (guide §2.6), so two
+# threads racing into the same tag must not both run build() — the
+# structures are deterministic, but a double build doubles its ingest
+# cost and the loser's checkpoint blocks leak until session end.
+# Per-TAG (not global) locking keeps independent builds concurrent;
+# cross-tag builder dependencies form a DAG, so nested lock
+# acquisition cannot cycle.
+_LOCKS_GUARD = threading.Lock()
+_TAG_LOCKS: dict[str, threading.Lock] = {}
+
+
+def _tag_lock(tag: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _TAG_LOCKS.setdefault(tag, threading.Lock())
 
 
 def session_memo(tag: str, spark: SparkSession, sf_dir: str,
@@ -48,10 +65,13 @@ def session_memo(tag: str, spark: SparkSession, sf_dir: str,
            _source_fingerprint(src)) + tuple(extra)
     hit = store.get(key)
     if hit is None:
-        hit = build()
-        if single_live:
-            store.clear()
-        store[key] = hit
+        with _tag_lock(tag):
+            hit = store.get(key)  # double-checked: racer built it
+            if hit is None:
+                hit = build()
+                if single_live:
+                    store.clear()
+                store[key] = hit
     return hit
 
 
@@ -230,18 +250,23 @@ def durable_memo(tag: str, spark: SparkSession, sf_dir: str,
     hit = store.get(key)
     if hit is not None:
         return hit
-    table_dir = table_dir or os.environ.get("SPARK_GRAFT_MEMO_DIR")
-    fkey = json.dumps({"fingerprint": fp, "sf_dir": sf_dir,
-                       "extra": [str(x) for x in extra]}, sort_keys=True)
-    parts = (_load_structure(spark, table_dir, tag, fkey)
-             if table_dir else None)
-    if parts is None:
-        parts = build()
-        assert isinstance(parts, dict), \
-            "durable_memo builders must return named DataFrame parts"
-        if table_dir:
-            _persist_structure(parts, table_dir, tag, fkey)
-    if single_live:
-        store.clear()
-    store[key] = parts
-    return parts
+    with _tag_lock(tag):
+        hit = store.get(key)  # double-checked: racer built it
+        if hit is not None:
+            return hit
+        table_dir = table_dir or os.environ.get("SPARK_GRAFT_MEMO_DIR")
+        fkey = json.dumps({"fingerprint": fp, "sf_dir": sf_dir,
+                           "extra": [str(x) for x in extra]},
+                          sort_keys=True)
+        parts = (_load_structure(spark, table_dir, tag, fkey)
+                 if table_dir else None)
+        if parts is None:
+            parts = build()
+            assert isinstance(parts, dict), \
+                "durable_memo builders must return named DataFrame parts"
+            if table_dir:
+                _persist_structure(parts, table_dir, tag, fkey)
+        if single_live:
+            store.clear()
+        store[key] = parts
+        return parts

@@ -458,3 +458,37 @@ def test_superseded_mark_cleared_on_warm_start(spark, sf_dir, tmp_path):
     assert os.path.isdir(d_a)
     assert os.path.exists(os.path.join(d_a, memo._SUPERSEDED_MARK))
     memo._MEMOS.clear()
+
+
+def test_memo_builds_once_under_concurrent_callers(spark, sf_dir):
+    """Round 15: the ingest warm-up overlaps memo families on driver
+    threads, so racing callers of the SAME tag must serialize on the
+    per-tag build lock — build() runs exactly once and every caller
+    gets the same object (a double build would double that memo's
+    ingest cost and leak the loser's checkpoint blocks)."""
+    import threading
+
+    from iq_to_hdl_migration_spark.sources.memo import durable_memo
+
+    docs = load_table(spark, sf_dir, "documents")
+    calls = []
+    gate = threading.Barrier(4)
+
+    def build():
+        calls.append(1)
+        return {"t": docs.limit(1).localCheckpoint()}
+
+    results = [None] * 4
+
+    def run(i):
+        gate.wait()
+        results[i] = durable_memo(
+            "test_concurrent_once", spark, sf_dir, docs, build)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1, f"build ran {len(calls)} times"
+    assert all(r is results[0] for r in results)
