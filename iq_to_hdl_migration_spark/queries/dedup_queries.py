@@ -195,6 +195,11 @@ def warm_dedup_memos(spark: SparkSession, sf_dir: str) -> float:
     minhash_pairs(spark, sf_dir)
     simhash_pairs(spark, sf_dir)
     minhash_components(spark, sf_dir, threshold=0.7)
+    # the persisted incremental-LSH store is a stored structure too
+    # (round 15): resolve/build it here so memo_build_sec stamps its
+    # cost instead of the first consumer's untimed warm-up (r14
+    # verdict #2's accounting gap, closed for the last memo)
+    _incremental_lsh_index(spark, sf_dir)
     return round(_time.perf_counter() - t0, 3)
 
 
@@ -354,38 +359,29 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_MEMO: dict = {}
 
 
-@register(
-    "dedup_incremental_pairs",
-    bench=True,  # the incremental production pattern belongs in the headline set
-    oracle=incremental_pairs_oracle(threshold=0.5),
-    # equivalence with the full recompute requires no bucket overflow;
-    # guaranteed at gate scales (census-asserted in tests), not under
-    # replicated-flood smoke data
-    oracle_max_sf=0.02,
-    doc="incremental near-dup: batch2 (doc_id above the 60%-of-max cut) "
-        "deduped against a PERSISTED LSH index of batch1 — signatures "
-        "computed for the batch only, store joined on (band, band_sig); "
-        "work per batch is O(batch + collisions), independent of corpus "
-        "size. Oracle = full recompute restricted to pairs touching the "
-        "batch (exact equivalence locked in tests/test_dedup.py).",
-)
-def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _incremental_lsh_index(spark: SparkSession, sf_dir: str):
+    """Resolve (bands, digests, cut) for the persisted incremental
+    LSH index — building and persisting it if absent. Extracted from
+    dedup_incremental_pairs (round 15) so warm_dedup_memos can build
+    the store inside the STAMPED ingest phase: on a fresh host it
+    used to build silently inside the query's untimed warm-up, the
+    exact accounting gap r14 verdict #2 flagged for the other memos.
+
+    Production shape end-to-end: the base index is PERSISTED and
+    reloaded through the fail-closed staleness guard (source
+    fingerprint mismatch -> rebuild), so repeated batches pay only
+    the incremental join — never a corpus re-signature. The resolved
+    index relations stay resident for the session (an index a batch
+    job holds open), re-guarded only when the session or source
+    changes."""
+    import hashlib
     import os
     import tempfile
 
     from iq_to_hdl_migration_spark.operators.dedup import (
-        build_lsh_index, load_lsh_index, lsh_incremental_pairs,
-        persist_lsh_index)
+        build_lsh_index, load_lsh_index, persist_lsh_index)
 
     docs = load_table(spark, sf_dir, "documents")
-    # production shape end-to-end: the base index is PERSISTED and
-    # reloaded through the fail-closed staleness guard (source
-    # fingerprint mismatch -> rebuild), so repeated batches pay only
-    # the incremental join — never a corpus re-signature. The resolved
-    # index relations stay resident for the session (an index a batch
-    # job holds open), re-guarded only when the session or source
-    # changes.
-    import hashlib
     # the path must be unique per FULL source dir, not its basename —
     # two datasets both named sf0.01 must never share an index (and
     # memo keyed on a colliding path would bypass the staleness guard)
@@ -425,7 +421,30 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in [k for k in _INDEX_MEMO if k[:2] == memo_key[:2]]:
             del _INDEX_MEMO[k]
         cached = _INDEX_MEMO[memo_key] = (*loaded, cut)
-    bands, digests, cut = cached
+    return cached
+
+
+@register(
+    "dedup_incremental_pairs",
+    bench=True,  # the incremental production pattern belongs in the headline set
+    oracle=incremental_pairs_oracle(threshold=0.5),
+    # equivalence with the full recompute requires no bucket overflow;
+    # guaranteed at gate scales (census-asserted in tests), not under
+    # replicated-flood smoke data
+    oracle_max_sf=0.02,
+    doc="incremental near-dup: batch2 (doc_id above the 60%-of-max cut) "
+        "deduped against a PERSISTED LSH index of batch1 — signatures "
+        "computed for the batch only, store joined on (band, band_sig); "
+        "work per batch is O(batch + collisions), independent of corpus "
+        "size. Oracle = full recompute restricted to pairs touching the "
+        "batch (exact equivalence locked in tests/test_dedup.py).",
+)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iq_to_hdl_migration_spark.operators.dedup import (
+        lsh_incremental_pairs)
+
+    bands, digests, cut = _incremental_lsh_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     batch2 = docs.where(F.col("doc_id") > cut)
     return lsh_incremental_pairs(batch2, bands, digests)
 
